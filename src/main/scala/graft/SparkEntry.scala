@@ -10,10 +10,10 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    HotItemsJobs.queries
+    HotItemsJobs.queries ++ OrderJobs.queries ++ RelationalJobs.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    HotItemsJobs.oracles
+    HotItemsJobs.oracles ++ OrderJobs.oracles ++ RelationalJobs.oracles
 }

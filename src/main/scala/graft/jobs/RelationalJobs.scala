@@ -1,0 +1,175 @@
+package graft.jobs
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+import graft.ops.TopN
+
+/** Relational/analytical headroom on the TPC-H-ish star schema
+  * (SURVEY.md §2.6 note: distinct aggs / multi-joins are "capability
+  * headroom" Catalyst gives for free — these queries pin that surface and
+  * carry the scale story for BENCH).
+  *
+  * Money arithmetic is exact: prices/discounts/taxes are 2-decimal doubles,
+  * so we compute in integer cents (BIGINT) and divide once at the end —
+  * bit-identical across engines, no float-ordering drift at any SF.
+  *
+  * Scale notes: q1 is a single two-phase hash agg over the fact table.
+  * q3/q5 join dimension→fact smallest-first; dimension sides are
+  * explicitly `broadcast()` so the fact table never shuffles for them at
+  * 1000-executor scale (only the orders⨝lineitem equi-join exchanges, and
+  * AQE can switch it to broadcast when the filtered side is small).
+  */
+object RelationalJobs {
+
+  /** 2-decimal double → exact integer cents. */
+  private def cents(c: Column): Column = round(c * 100, 0).cast("long")
+
+  // ---- q1: pricing summary (scan + filter + two-phase agg) ----
+
+  def q1Pricing(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") <= lit("1999-12-31").cast("timestamp"))
+    li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 0).cast("long").as("sum_qty"),
+        (sum(cents(col("l_extendedprice"))) / 100.0).as("sum_base_price"),
+        (sum(cents(col("l_extendedprice")) * (lit(100) - cents(col("l_discount"))))
+          / 1e4).as("sum_disc_price"),
+        (sum(cents(col("l_extendedprice")) * (lit(100) - cents(col("l_discount")))
+            * (lit(100) + cents(col("l_tax")))) / 1e6).as("sum_charge"),
+        round(avg(col("l_quantity")) + lit(1e-9), 2).as("avg_qty"),
+        round(avg(col("l_extendedprice")) + lit(1e-9), 2).as("avg_price"),
+        count(lit(1)).as("count_order"))
+  }
+
+  val q1PricingSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(ROUND(SUM(l_quantity), 0) AS BIGINT) AS sum_qty,
+      |  SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) / 100.0 AS sum_base_price,
+      |  SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+      |      * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) / 1e4 AS sum_disc_price,
+      |  SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+      |      * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))
+      |      * (100 + CAST(ROUND(l_tax * 100) AS BIGINT))) / 1e6 AS sum_charge,
+      |  ROUND(AVG(l_quantity) + 1e-9, 2) AS avg_qty,
+      |  ROUND(AVG(l_extendedprice) + 1e-9, 2) AS avg_price,
+      |  COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1999-12-31'
+      |GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  // ---- q3: shipping priority (broadcast dim ⨝ fact ⨝ fact + top-N) ----
+
+  def q3Shipping(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.customer(spark, sfDir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val ord = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val li = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+    val joined = li
+      .join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg((sum(cents(col("l_extendedprice"))
+        * (lit(100) - cents(col("l_discount")))) / 1e4).as("revenue"))
+      .select(col("l_orderkey"),
+        unix_timestamp(col("o_orderdate")).as("o_orderdate"),
+        col("o_orderpriority"), col("revenue"))
+    TopN.topNPer(joined.withColumn("all", lit(1)),
+        col("all"), col("revenue"), col("l_orderkey"), 10)
+      .drop("all")
+  }
+
+  val q3ShippingSql: String =
+    """WITH j AS (
+      |  SELECT l.l_orderkey,
+      |         epoch_ms(o.o_orderdate) // 1000 AS o_orderdate,
+      |         o.o_orderpriority,
+      |         SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+      |             * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))) / 1e4
+      |           AS revenue
+      |  FROM lineitem l
+      |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  WHERE c.c_mktsegment = 'BUILDING'
+      |    AND o.o_orderdate < TIMESTAMP '1998-01-01'
+      |    AND l.l_shipdate > TIMESTAMP '1998-01-01'
+      |  GROUP BY 1, 2, 3
+      |)
+      |SELECT l_orderkey, o_orderdate, o_orderpriority, revenue, rn FROM (
+      |  SELECT *, ROW_NUMBER() OVER (
+      |    ORDER BY revenue DESC, l_orderkey ASC) AS rn
+      |  FROM j) ranked
+      |WHERE rn <= 10""".stripMargin
+
+  // ---- q5: local supplier volume (5-way join, broadcast dims) ----
+
+  def q5LocalSupplier(spark: SparkSession, sfDir: String): DataFrame = {
+    val region = Tables.region(spark, sfDir).filter(col("r_name") === "ASIA")
+    val nation = Tables.nation(spark, sfDir)
+    val cust = Tables.customer(spark, sfDir)
+    val supp = Tables.supplier(spark, sfDir)
+    val ord = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val li = Tables.lineitem(spark, sfDir)
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .join(broadcast(supp), li("l_suppkey") === supp("s_suppkey") &&
+        cust("c_nationkey") === supp("s_nationkey"))
+      .join(broadcast(nation), supp("s_nationkey") === nation("n_nationkey"))
+      .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg((sum(cents(col("l_extendedprice"))
+        * (lit(100) - cents(col("l_discount")))) / 1e4).as("revenue"))
+  }
+
+  val q5LocalSupplierSql: String =
+    """SELECT n.n_name,
+      |       SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+      |           * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))) / 1e4
+      |         AS revenue
+      |FROM lineitem l
+      |JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |              AND c.c_nationkey = s.s_nationkey
+      |JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |JOIN region r ON n.n_regionkey = r.r_regionkey
+      |WHERE r.r_name = 'ASIA'
+      |  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+      |GROUP BY n.n_name""".stripMargin
+
+  // ---- distinct aggregation (capability headroom: countDistinct) ----
+
+  def distinctAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        countDistinct(col("l_partkey")).as("n_parts"),
+        count(lit(1)).as("n_rows"))
+
+  val distinctAggSql: String =
+    """SELECT l_returnflag,
+      |       COUNT(DISTINCT l_orderkey) AS n_orders,
+      |       COUNT(DISTINCT l_partkey) AS n_parts,
+      |       COUNT(*) AS n_rows
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing" -> q1Pricing,
+    "q3_shipping" -> q3Shipping,
+    "q5_local_supplier" -> q5LocalSupplier,
+    "distinct_agg" -> distinctAgg)
+
+  val oracles: Map[String, String] = Map(
+    "q1_pricing" -> q1PricingSql,
+    "q3_shipping" -> q3ShippingSql,
+    "q5_local_supplier" -> q5LocalSupplierSql,
+    "distinct_agg" -> distinctAggSql)
+}
