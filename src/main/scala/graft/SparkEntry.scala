@@ -10,10 +10,14 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    HotItemsJobs.queries ++ OrderJobs.queries ++ RelationalJobs.queries
+    HotItemsJobs.queries ++ OrderJobs.queries ++ RelationalJobs.queries ++
+      TextJobs.queries ++ DedupJobs.queries ++ SimilarityJobs.queries ++
+      MultimodalJobs.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    HotItemsJobs.oracles ++ OrderJobs.oracles ++ RelationalJobs.oracles
+    HotItemsJobs.oracles ++ OrderJobs.oracles ++ RelationalJobs.oracles ++
+      TextJobs.oracles ++ DedupJobs.oracles ++ SimilarityJobs.oracles ++
+      MultimodalJobs.oracles
 }

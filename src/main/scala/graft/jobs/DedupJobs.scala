@@ -1,0 +1,143 @@
+package graft.jobs
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+import graft.ops.Dedup
+
+/** Deduplication queries over `documents`, each with a DuckDB oracle.
+  * DuckDB lacks `conv(hex, 16, 10)`, so the oracles rebuild the md5-prefix
+  * hash positionally: Σ (strpos('0123..f', digit_i) − 1) · 16^(8−i) — the
+  * exact integer Spark's `conv` produces.
+  */
+object DedupJobs {
+
+  private val K = 8      // minhash permutations
+  private val BANDS = 2  // LSH bands (4 rows/band): strict, near-dups only
+  private val SIMHASH_BITS = 16
+
+  /** DuckDB: first 8 md5-hex chars of `inner` as BIGINT. */
+  private def hexIntSql(inner: String): String =
+    (1 to 8).map { i =>
+      s"(strpos('0123456789abcdef', substr(md5($inner),$i,1))-1) * ${math.pow(16, 8 - i).toLong}::BIGINT"
+    }.mkString("(", " + ", ")")
+
+  private val wordsCte =
+    """words AS (
+      |  SELECT doc_id, unnest(list_distinct(string_split_regex(trim(text), '\s+'))) AS w
+      |  FROM documents
+      |)""".stripMargin
+
+  // ---- exact dedup ----
+
+  def dedupExact(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.exact(Tables.documents(spark, sfDir), col("doc_id"), col("text"))
+
+  val dedupExactSql: String =
+    """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+      |       MIN(doc_id) AS keeper, COUNT(*) AS n_dups
+      |FROM documents GROUP BY 1""".stripMargin
+
+  // ---- minhash signatures + LSH candidate pairs ----
+
+  def dedupMinhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    val sig = Dedup.minhashSignatures(
+      Tables.documents(spark, sfDir), col("doc_id"), col("text"), K)
+    Dedup.lshCandidates(sig, K, BANDS)
+  }
+
+  val dedupMinhashLshSql: String = {
+    val rows = K / BANDS
+    val mins = (0 until K)
+      .map(j => s"MIN(${hexIntSql(s"'$j:' || w")}) AS h$j").mkString(",\n    ")
+    val bandEq = (0 until BANDS).map { bi =>
+      (0 until rows).map(r => s"a.h${bi * rows + r} = b.h${bi * rows + r}")
+        .mkString("(", " AND ", ")")
+    }.mkString(" OR ")
+    val matches = (0 until K)
+      .map(j => s"(CASE WHEN a.h$j = b.h$j THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH grams AS (
+       |  SELECT doc_id, unnest(list_distinct(
+       |    [array_to_string(w[i:i+1], ' ') FOR i IN range(1, greatest(len(w), 2))]
+       |  )) AS w
+       |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+       |        FROM documents)
+       |), sig AS (
+       |  SELECT doc_id, $mins
+       |  FROM grams GROUP BY doc_id
+       |)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |       CAST($matches AS DOUBLE) / $K AS est_jaccard
+       |FROM sig a JOIN sig b
+       |  ON a.doc_id < b.doc_id AND ($bandEq)""".stripMargin
+  }
+
+  // ---- simhash fingerprints ----
+
+  def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.simhash(Tables.documents(spark, sfDir), col("doc_id"), col("text"),
+      SIMHASH_BITS)
+
+  val dedupSimhashSql: String = {
+    val sums = (0 until SIMHASH_BITS)
+      .map(b => s"SUM(2*((wh >> $b) & 1) - 1) AS s$b").mkString(",\n    ")
+    val fp = (0 until SIMHASH_BITS)
+      .map(b => s"(CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH $wordsCte, wh AS (
+       |  SELECT doc_id, ${hexIntSql("w")} AS wh FROM words
+       |), sums AS (
+       |  SELECT doc_id, $sums FROM wh GROUP BY doc_id
+       |)
+       |SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM sums""".stripMargin
+  }
+
+  // ---- n-gram (bigram) jaccard near-dup pairs, blocked by lang ----
+
+  private val JACCARD_N = 2
+  private val JACCARD_THRESHOLD = 0.35
+
+  def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"), col("lang").as("block"))
+    Dedup.jaccardPairs(d, JACCARD_N, JACCARD_THRESHOLD)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("jaccard"))
+  }
+
+  val ngramJaccardSql: String =
+    s"""WITH e AS (
+       |  SELECT DISTINCT doc_id, block, ${hexIntSql("gram")} AS gh FROM (
+       |    SELECT doc_id, lang AS block, unnest(
+       |      [array_to_string(w[i:i+${JACCARD_N - 1}], ' ')
+       |       FOR i IN range(1, greatest(len(w), ${JACCARD_N}) - ${JACCARD_N - 2})]) AS gram
+       |    FROM (SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS w
+       |          FROM documents))
+       |), sizes AS (
+       |  SELECT doc_id, COUNT(*) AS n_grams FROM e GROUP BY doc_id
+       |), inter AS (
+       |  SELECT ga.doc_id AS doc_a, gb.doc_id AS doc_b, COUNT(*) AS inter
+       |  FROM e ga JOIN e gb
+       |    ON ga.gh = gb.gh AND ga.block = gb.block
+       |   AND ga.doc_id < gb.doc_id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT doc_a, doc_b, inter,
+       |       CAST(inter AS DOUBLE) / (sa.n_grams + sb.n_grams - inter) AS jaccard
+       |FROM inter
+       |JOIN sizes sa ON sa.doc_id = doc_a
+       |JOIN sizes sb ON sb.doc_id = doc_b
+       |WHERE CAST(inter AS DOUBLE) / (sa.n_grams + sb.n_grams - inter)
+       |      >= $JACCARD_THRESHOLD""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> dedupExact,
+    "dedup_minhash_lsh" -> dedupMinhashLsh,
+    "dedup_simhash" -> dedupSimhash,
+    "ngram_jaccard" -> ngramJaccard)
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" -> dedupExactSql,
+    "dedup_minhash_lsh" -> dedupMinhashLshSql,
+    "dedup_simhash" -> dedupSimhashSql,
+    "ngram_jaccard" -> ngramJaccardSql)
+}

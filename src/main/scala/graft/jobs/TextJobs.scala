@@ -1,0 +1,89 @@
+package graft.jobs
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+import graft.ops.TextAnalysis
+
+/** Text-analysis queries over `documents`: token/quality stats, language-ID,
+  * content fingerprinting. All single-pass scans — no shuffle at all except
+  * the aggregation-free project, so they scale linearly with the corpus.
+  */
+object TextJobs {
+
+  def textStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+    val t = col("text")
+    val nTok = TextAnalysis.tokenCount(t)
+    val nStop = TextAnalysis.stopwordCount(t)
+    d.select(
+      col("doc_id"),
+      length(t).cast("long").as("n_chars"),
+      nTok.as("n_tokens"),
+      TextAnalysis.bpeishCount(t).as("n_bpeish"),
+      nStop.as("n_stopwords"),
+      TextAnalysis.punctCount(t).as("n_punct"),
+      TextAnalysis.qualityScore(nTok, nStop).as("quality"))
+  }
+
+  val textStatsSql: String =
+    """SELECT doc_id,
+      |  CAST(length(text) AS BIGINT) AS n_chars,
+      |  CAST(length(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_tokens,
+      |  CAST(length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpeish,
+      |  CAST(length(regexp_extract_all(text, '\b(the|a|of|and|to|in|is|on|for|with)\b')) AS BIGINT) AS n_stopwords,
+      |  CAST(length(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS BIGINT) AS n_punct,
+      |  ROUND(
+      |    least(CAST(length(regexp_extract_all(text, '[A-Za-z0-9]+')) AS DOUBLE) / 100.0, 1.0) * 0.6 +
+      |    (CAST(length(regexp_extract_all(text, '\b(the|a|of|and|to|in|is|on|for|with)\b')) AS DOUBLE)
+      |      / CAST(greatest(length(regexp_extract_all(text, '[A-Za-z0-9]+')), 1) AS DOUBLE)) * 0.4
+      |    + 1e-9, 4) AS quality
+      |FROM documents""".stripMargin
+
+  def textLangid(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+    val scoreCols = TextAnalysis.langScores(col("text"))
+      .map { case (l, c) => c.as(s"score_$l") }
+    d.select(
+      (Seq(col("doc_id"), col("lang"),
+        TextAnalysis.predictedLang(col("text")).as("pred_lang")) ++ scoreCols): _*)
+  }
+
+  val textLangidSql: String = {
+    val scores = TextAnalysis.langMarkers.map { case (l, pat) =>
+      s"CAST(length(regexp_extract_all(text, '$pat')) AS BIGINT) AS score_$l"
+    }.mkString(",\n  ")
+    val langs = TextAnalysis.langMarkers.map(_._1)
+    val best = langs.map(l => s"score_$l").mkString("greatest(", ", ", ")")
+    val caseChain = langs
+      .map(l => s"WHEN score_$l > 0 AND score_$l = $best THEN '$l'")
+      .mkString("CASE ", " ", " ELSE 'und' END")
+    s"""WITH s AS (
+       |  SELECT doc_id, lang, $scores
+       |  FROM documents
+       |)
+       |SELECT doc_id, lang, $caseChain AS pred_lang,
+       |       ${langs.map(l => s"score_$l").mkString(", ")}
+       |FROM s""".stripMargin
+  }
+
+  def docFingerprint(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir).select(
+      col("doc_id"),
+      TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+
+  val docFingerprintSql: String =
+    """SELECT doc_id,
+      |       md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+      |FROM documents""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_stats" -> textStats,
+    "text_langid" -> textLangid,
+    "doc_fingerprint" -> docFingerprint)
+
+  val oracles: Map[String, String] = Map(
+    "text_stats" -> textStatsSql,
+    "text_langid" -> textLangidSql,
+    "doc_fingerprint" -> docFingerprintSql)
+}

@@ -1,0 +1,171 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication for training-data pipelines: exact, MinHash+LSH,
+  * SimHash, and n-gram Jaccard.
+  *
+  * Design for 100 TB:
+  *  - Exact dedup is one hash aggregation on a fingerprint (one shuffle of
+  *    (hash, id) pairs, never the text).
+  *  - MinHash signatures are computed in a single groupBy with k min()
+  *    aggregates over exploded shingles — partial aggregation means the
+  *    shuffle carries one k-vector per document. LSH banding turns the
+  *    O(n²) pair search into b self-equi-joins on small band keys; each is
+  *    a plain shuffle join on a (band) key whose buckets are the only
+  *    quadratic zone.
+  *  - SimHash is one groupBy with 64 integer sums; near-dup pairs then only
+  *    need a cheap integer hamming filter.
+  *  - Raw n-gram Jaccard is quadratic by nature; `jaccardPairs` requires a
+  *    blocking key (lang, length bucket, LSH bucket, …) and computes
+  *    intersections by an equi-join on grams — no cross join anywhere.
+  *
+  * Hashes are engine-portable: md5 hex prefix → BIGINT (Spark `conv`;
+  * DuckDB positional strpos arithmetic) so DuckDB oracles reproduce them.
+  */
+object Dedup {
+
+  /** First 8 md5 hex chars as a non-negative BIGINT (32-bit range). */
+  def md5Long(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** Distinct word tokens of a document. */
+  def wordSet(text: Column): Column =
+    array_distinct(split(trim(text), "\\s+"))
+
+  /** Distinct word n-grams (space-joined). Empty when < n words. */
+  def gramSet(text: Column, n: Int): Column = {
+    val w = split(trim(text), "\\s+")
+    val grams = transform(
+      sequence(lit(1), greatest(size(w) - (n - 1), lit(0))),
+      i => concat_ws(" ", slice(w, i, lit(n))))
+    array_distinct(when(size(w) >= n, grams).otherwise(array()))
+  }
+
+  /** Exact dedup: group by content fingerprint, keep the smallest id.
+    * Output one row per distinct content: (fingerprint, keeper, n_dups).
+    */
+  def exact(df: DataFrame, id: Column, text: Column): DataFrame =
+    df.groupBy(TextAnalysis.fingerprint(text).as("fingerprint"))
+      .agg(min(id).as("keeper"), count(lit(1)).as("n_dups"))
+
+  /** Distinct word n-grams, explode-first: words exploded with position,
+    * grams assembled by `lead()` over the per-doc window — all codegen'd
+    * (the array-lambda `gramSet` route interprets per element and is ~10×
+    * slower at corpus scale). Preserves every non-`text` input column.
+    */
+  def explodedGrams(df: DataFrame, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val others = df.columns.filterNot(_ == "text").map(col)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val words = df.select(others :+
+      posexplode(split(trim(col("text")), "\\s+")).as(Seq("pos", "w")): _*)
+    val withParts = (1 until n).foldLeft(words) { (acc, j) =>
+      acc.withColumn(s"w$j", lead(col("w"), j).over(w))
+    }
+    val parts = col("w") +: (1 until n).map(j => col(s"w$j"))
+    withParts
+      .filter(if (n > 1) parts.last.isNotNull else lit(true)) // ragged tail
+      .select(others :+ concat_ws(" ", parts: _*).as("gram"): _*)
+      .distinct()
+  }
+
+  /** MinHash signature: k permutations simulated by salted hashes;
+    * h_j(doc) = min over shingles of md5Long(j || ":" || shingle).
+    * One row per doc with columns h0..h{k-1}. Shingles are word `n`-grams —
+    * use n ≥ 2 when the vocabulary is small, or single-word minima collide
+    * on every common word and LSH banding degenerates to all-pairs.
+    */
+  def minhashSignatures(
+      df: DataFrame, id: Column, text: Column, k: Int, n: Int = 2): DataFrame = {
+    val grams = explodedGrams(df.select(id.as("doc_id"), text.as("text")), n)
+    val aggs = (0 until k).map { j =>
+      min(md5Long(concat(lit(s"$j:"), col("gram")))).as(s"h$j")
+    }
+    grams.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH candidate pairs from a signature frame: `bands` bands of `rowsPerBand`
+    * hashes; docs sharing any full band are candidates. Output
+    * (doc_a, doc_b, est_jaccard) with est = fraction of matching hashes.
+    */
+  def lshCandidates(sig: DataFrame, k: Int, bands: Int): DataFrame = {
+    val rowsPerBand = k / bands
+    require(bands * rowsPerBand == k, s"k=$k not divisible into $bands bands")
+    val a = sig.alias("a")
+    val b = sig.alias("b")
+    val pairs = (0 until bands).map { bi =>
+      val bandEq = (0 until rowsPerBand)
+        .map(r => col(s"a.h${bi * rowsPerBand + r}") === col(s"b.h${bi * rowsPerBand + r}"))
+        .reduce(_ && _)
+      a.join(b, bandEq && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          (0 until k).map(j =>
+            when(col(s"a.h$j") === col(s"b.h$j"), 1).otherwise(0))
+            .reduce(_ + _).cast("double").divide(k).as("est_jaccard"))
+    }.reduce(_ unionAll _)
+    pairs.distinct()
+  }
+
+  /** SimHash fingerprint over word hashes, `bits` wide (≤ 32 with the
+    * 32-bit md5Long). One row per doc: (doc_id, simhash).
+    */
+  def simhash(df: DataFrame, id: Column, text: Column, bits: Int): DataFrame = {
+    val words = df
+      .select(id.as("doc_id"), explode(wordSet(text)).as("w"))
+      .withColumn("wh", md5Long(col("w")))
+    val sums = (0 until bits).map { b =>
+      sum(shiftright(col("wh"), b).bitwiseAND(1) * 2 - 1).as(s"s$b")
+    }
+    val fp = (0 until bits).map { b =>
+      when(col(s"s$b") > 0, lit(1L << b)).otherwise(0L)
+    }.reduce(_ + _)
+    words.groupBy(col("doc_id"))
+      .agg(sums.head, sums.tail: _*)
+      .select(col("doc_id"), fp.as("simhash"))
+  }
+
+  /** Near-dup pairs by SimHash hamming distance within a blocking key. */
+  def simhashPairs(fp: DataFrame, block: DataFrame, maxHamming: Int): DataFrame = {
+    val withBlock = fp.join(block, "doc_id")
+    val a = withBlock.alias("a"); val b = withBlock.alias("b")
+    a.join(b,
+        col("a.block") === col("b.block") && col("a.doc_id") < col("b.doc_id"))
+      .withColumn("hamming",
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("hamming"))
+  }
+
+  /** n-gram Jaccard similarity pairs within a blocking key.
+    * `df` must provide (doc_id, text, block). Intersections come from an
+    * equi-join on 32-bit gram hashes (shuffle on int, never a cross join);
+    * candidate pairs are only those sharing ≥1 gram in-block. Set sizes are
+    * counted in the same hash space, so engine parity holds even under
+    * (vanishingly rare) hash collisions.
+    */
+  def jaccardPairs(df: DataFrame, n: Int, threshold: Double): DataFrame = {
+    val g = explodedGrams(df.select(col("doc_id"), col("block"), col("text")), n)
+      .select(col("doc_id"), col("block"), md5Long(col("gram")).as("gh"))
+      .distinct()
+    val sizes = g.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+    val ga = g.alias("ga"); val gb = g.alias("gb")
+    val inter = ga.join(gb,
+        col("ga.gh") === col("gb.gh") &&
+          col("ga.block") === col("gb.block") &&
+          col("ga.doc_id") < col("gb.doc_id"))
+      .groupBy(col("ga.doc_id").as("doc_a"), col("gb.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n_grams", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n_grams", "nb"), "doc_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("jaccard"))
+  }
+}

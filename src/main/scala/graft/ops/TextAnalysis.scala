@@ -1,0 +1,83 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for training-data pipelines: token counting,
+  * quality scoring, language-ID heuristics, fingerprinting.
+  *
+  * Everything is built from codegen'd column expressions (regexp/len/md5) —
+  * no UDFs — so at 100 TB the whole stage fuses into one WholeStageCodegen
+  * span over the document scan, and column pruning reaches the parquet
+  * reader (only `text` + keys are read).
+  *
+  * Engine-portability: all outputs are integers, exact rational doubles, or
+  * hex strings, so the DuckDB oracles match hash-exactly.
+  */
+object TextAnalysis {
+
+  /** Word tokens: maximal alphanumeric runs (whitespace tokenizer that also
+    * drops punctuation).
+    */
+  def tokens(text: Column): Column =
+    regexp_extract_all(text, lit("[A-Za-z0-9]+"), lit(0))
+
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** BPE-ish subword count: letter runs, digit runs, and single symbols —
+    * the classic pre-tokenizer regex shape.
+    */
+  def bpeishCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+      .cast("long")
+
+  val stopwordPattern = "\\b(the|a|of|and|to|in|is|on|for|with)\\b"
+
+  def stopwordCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(stopwordPattern), lit(0))).cast("long")
+
+  def punctCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[^A-Za-z0-9 ]"), lit(0))).cast("long")
+
+  /** Quality score in [0,1]: length saturation (60%) + stopword-rate term
+    * (40%). Deterministic rational arithmetic: same integer inputs → same
+    * double in every engine.
+    */
+  def qualityScore(nTokens: Column, nStop: Column): Column =
+    round(
+      least(nTokens.cast("double") / 100.0, lit(1.0)) * 0.6 +
+        (nStop.cast("double") / greatest(nTokens, lit(1)).cast("double")) * 0.4 +
+        lit(1e-9),
+      4)
+
+  /** n-gram-heuristic language ID: score candidate languages by marker-word
+    * hits, argmax with a fixed precedence for ties. Marker sets are
+    * deliberately tiny — the operator shape (N regexp counts + CASE argmax)
+    * is what scales; swap in real profiles for production.
+    */
+  val langMarkers: Seq[(String, String)] = Seq(
+    "en" -> "\\b(the|a|is|of|and)\\b",
+    "de" -> "\\b(der|die|das|und|ist)\\b",
+    "fr" -> "\\b(le|la|les|et|est)\\b",
+    "es" -> "\\b(el|la|los|y|es)\\b")
+
+  def langScores(text: Column): Seq[(String, Column)] =
+    langMarkers.map { case (lang, pat) =>
+      lang -> size(regexp_extract_all(text, lit(pat), lit(0))).cast("long")
+    }
+
+  /** Argmax over language scores with declaration-order precedence. */
+  def predictedLang(text: Column): Column = {
+    val scores = langScores(text)
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und")) { case ((lang, s), elseCol) =>
+      when(s > 0 && s === best, lang).otherwise(elseCol)
+    }
+  }
+
+  /** Normalized-content fingerprint: md5 of lowercased, whitespace-collapsed
+    * text — the exact-dedup key. (Near-dup fingerprints live in Dedup.)
+    */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+}

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Dedup
+import graft.jobs.DedupJobs
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog", "en"),
+    (2L, "the quick brown fox jumps over the lazy dog", "en"), // exact dup
+    (3L, "THE  Quick   Brown fox jumps over the lazy dog", "en"), // normalized dup
+    (4L, "the quick brown fox jumps over a sleepy dog", "en"), // near dup
+    (5L, "completely different words entirely here now", "en"),
+    (6L, "one", "en")) // single word: no bigrams
+    .toDF("doc_id", "text", "lang")
+
+  test("exact dedup groups normalized duplicates") {
+    val out = Dedup.exact(docs, $"doc_id", $"text")
+      .orderBy($"keeper").collect()
+    // 1,2,3 share a fingerprint; 4,5,6 unique
+    assert(out.length == 4)
+    assert(out.head.getAs[Long]("keeper") == 1L &&
+      out.head.getAs[Long]("n_dups") == 3L)
+  }
+
+  test("minhash LSH flags exact and near dups, skips unrelated") {
+    val sig = Dedup.minhashSignatures(docs, $"doc_id", $"text", 8)
+    val cand = Dedup.lshCandidates(sig, 8, 2)
+      .select($"doc_a", $"doc_b", $"est_jaccard").collect()
+    val pairs = cand.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L))) // identical docs always collide
+    val est12 = cand.find(r => r.getLong(0) == 1L && r.getLong(1) == 2L).get
+      .getDouble(2)
+    assert(est12 == 1.0)
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L)) // unrelated never
+  }
+
+  test("simhash: identical docs same fingerprint; near dups close") {
+    val fp = Dedup.simhash(docs, $"doc_id", $"text", 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) == fp(2L))
+    val hammingNear = java.lang.Long.bitCount(fp(1L) ^ fp(4L))
+    val hammingFar = java.lang.Long.bitCount(fp(1L) ^ fp(5L))
+    assert(hammingNear < hammingFar)
+  }
+
+  test("bigram jaccard finds the near-dup pair with correct value") {
+    val blocked = docs.select($"doc_id", $"text", $"lang".as("block"))
+    val out = Dedup.jaccardPairs(blocked, 2, 0.3)
+      .select($"doc_a", $"doc_b", $"jaccard").collect()
+    val pairs = out.map(r => (r.getLong(0), r.getLong(1))).toMap
+      .map { case (k, v) => (k, v) }
+    // docs 1,2 identical → jaccard 1.0
+    val j12 = out.find(r => r.getLong(0) == 1L && r.getLong(1) == 2L)
+    assert(j12.isDefined && j12.get.getDouble(2) == 1.0)
+    // doc 6 (single word, no bigrams) never appears
+    assert(!out.exists(r => r.getLong(0) == 6L || r.getLong(1) == 6L))
+  }
+
+  test("driver-scale minhash stays selective") {
+    val out = DedupJobs.dedupMinhashLsh(spark, sf("sf0.001")).count()
+    // strict 4-row bands: candidates ≪ all pairs (124,750 at 500 docs)
+    assert(out < 1000)
+  }
+}

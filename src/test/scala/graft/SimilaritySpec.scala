@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Similarity
+import graft.jobs.SimilarityJobs
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f)),
+    (1L, Array(0.9f, 0.1f, 0.0f)),  // close to 0
+    (2L, Array(0.0f, 1.0f, 0.0f)),  // orthogonal to 0
+    (3L, Array(-1.0f, 0.0f, 0.0f)), // opposite of 0
+    (4L, Array(0.8f, 0.2f, 0.1f)))  // close-ish to 0/1
+    .toDF("vec_id", "embedding")
+
+  private def v = Similarity.withNorm(vecs, $"vec_id", $"embedding")
+
+  test("brute-force top-k ranks by cosine with self excluded") {
+    val out = Similarity.bruteForceTopK(v, v.filter($"vec_id" === 0), 2)
+      .orderBy($"rn").select($"neighbor_id", $"sim").as[(Long, Double)].collect()
+    assert(out.map(_._1).toSeq == Seq(1L, 4L))
+    assert(out(0)._2 > 0.99 && out(1)._2 > 0.9)
+  }
+
+  test("near-dup pairs respect the threshold, half-matrix only") {
+    val out = Similarity.nearDupPairs(v, 0.9)
+      .select($"vec_a", $"vec_b").as[(Long, Long)].collect().toSet
+    assert(out.forall(p => p._1 < p._2))
+    assert(out.contains((0L, 1L)))
+    assert(!out.exists(p => p._1 == 3L || p._2 == 3L)) // opposite vector
+  }
+
+  test("LSH ANN achieves good recall@5 vs brute force on real data") {
+    val sfd = sf("sf0.001")
+    val vv = Similarity.withNorm(
+      graft.io.Tables.embeddings(spark, sfd), $"vec_id", $"embedding")
+    val exact = SimilarityJobs.annCosineTopK(spark, sfd)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = SimilarityJobs.annLsh(spark, sfd)
+      .filter($"query_id" < 20)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    // 5 hyperplanes + hamming-1 multi-probe on 500 random vectors:
+    // lossy by design, but must beat a trivial bucket-only filter
+    assert(recall > 0.3, s"recall=$recall")
+  }
+}
