@@ -1,0 +1,72 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Streaming forms of the windowed-aggregation surface (SURVEY.md §2.7
+  * W1–W6, §2.8 T1–T4). Same column logic as graft.ops.SlidingWindows — the
+  * batch oracle and the stream share one definition of the window math.
+  *
+  * Watermark discipline (reference parity):
+  *  - ascending inputs (`AscendingTimestampExtractor`) → "0 seconds"
+  *  - bounded disorder (`BoundedOutOfOrderness(5s)`) → "5 seconds"
+  *  - allowedLateness(1 min) has no single Spark knob: we widen the
+  *    watermark by the lateness budget (same final answer, later emission)
+  *    and/or run update-mode so refined counts re-emit (§7.4 hard-part 1).
+  *
+  * Scale: identical plan shape to batch — partial aggregation before the
+  * keyed exchange, state pruned by watermark (the manual timer-driven
+  * clears of the reference's process functions are Spark's automatic
+  * window-state eviction here).
+  */
+object StreamingWindows {
+
+  /** W1/W2/W3: per-key sliding count over a watermarked stream. */
+  def slidingCount(
+      stream: DataFrame, key: Column, tsCol: String,
+      size: String, slide: String, delay: String): DataFrame =
+    stream
+      .withWatermark(tsCol, delay)
+      .groupBy(key.as("key"), window(col(tsCol), size, slide))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("window_end", unix_timestamp(col("window.end")))
+      .drop("window")
+
+  /** W5 stand-in: update-mode pipeline — late rows inside the (widened)
+    * watermark re-emit refined counts, mirroring allowedLateness re-fires.
+    * Caller runs with `outputMode("update")`.
+    */
+  def slidingCountWithLateness(
+      stream: DataFrame, key: Column, tsCol: String,
+      size: String, slide: String, disorder: String, lateness: String): DataFrame = {
+    val widened = s"${toSeconds(disorder) + toSeconds(lateness)} seconds"
+    slidingCount(stream, key, tsCol, size, slide, widened)
+  }
+
+  private def toSeconds(interval: String): Long = {
+    val Array(n, unit) = interval.trim.split("\\s+", 2)
+    val mult = unit.toLowerCase match {
+      case u if u.startsWith("sec") => 1L
+      case u if u.startsWith("min") => 60L
+      case u if u.startsWith("hour") => 3600L
+      case u => throw new IllegalArgumentException(s"unsupported unit $u")
+    }
+    n.toLong * mult
+  }
+
+  /** X1 streaming: windowed top-N. Ranking windows are unsupported on
+    * streaming frames, so the reference's "buffer + timer at windowEnd+1"
+    * becomes foreachBatch over the aggregated (already tiny) count stream:
+    * each micro-batch ranks with the exact batch expression and hands the
+    * result to `sink`. Complete-mode output mirrors the retract stream.
+    */
+  def topNForeachBatch(
+      counts: DataFrame, n: Int, sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    counts.writeStream
+      .outputMode("complete")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        sink(graft.ops.TopN.topNPer(
+          batch, col("window_end"), col("cnt"), col("key"), n), id)
+      }
+}
