@@ -19,6 +19,13 @@ import graft.model.{OrderEvent, ReceiptEvent}
   * Scale: one shuffle on txId for both streams combined; state holds at
   * most one pay + one receipt per in-flight txId and is cleared on match or
   * timer, so the state store stays bounded by the disorder window.
+  *
+  * Matching is arrival-driven, like the reference: a parked side matches
+  * whenever the other side arrives before the watermark fires its timer —
+  * even if the event-time gap exceeds the wait (Flink behaves identically:
+  * its bundled fixtures match receipts up to 1072 s before their pays
+  * because watermarks lag arrivals on replay). The strict event-time-window
+  * variant is the interval join (StreamingJoins/TxPayMatchByJoin).
   */
 object TxMatchStream {
 

@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+class ExtensionsSpec extends SparkSpec {
+
+  test("GraftExtensions registers dot_product/l2_norm for SQL") {
+    // ensure the shared context exists, then build a second session over it
+    spark.sparkContext
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[2]")
+        .appName("graft-ext-test")
+        .withExtensions(new GraftExtensions())
+        .getOrCreate()
+      val row = s2.sql(
+        """SELECT dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,
+          |       l2_norm(array(3.0D, 4.0D)) AS n""".stripMargin).head()
+      assert(row.getDouble(0) == 11.0)
+      assert(row.getDouble(1) == 5.0)
+    } finally {
+      SparkSession.clearActiveSession()
+      prevActive.foreach(SparkSession.setActiveSession)
+      prevActive.foreach(SparkSession.setDefaultSession)
+    }
+  }
+}

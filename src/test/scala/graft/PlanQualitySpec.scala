@@ -1,0 +1,55 @@
+package graft
+
+import graft.jobs._
+
+/** Physical-plan assertions: the properties that make these queries viable
+  * at 100 TB are pinned here so a refactor can't silently lose them
+  * (filter pushdown to parquet, column pruning, dimension broadcasts,
+  * two-phase aggregation).
+  */
+class PlanQualitySpec extends SparkSpec {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q1: filter pushed to parquet scan, columns pruned") {
+    val p = plan(RelationalJobs.q1Pricing(spark, sf("sf0.001")))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      s"no pushed filter in:\n$p")
+    // only the 7 needed columns reach the scan — never the full 11
+    assert(p.contains("ReadSchema") && !p.contains("l_orderkey"),
+      "scan reads unneeded columns")
+  }
+
+  test("q3/q5: dimension sides broadcast, fact table never broadcast") {
+    val p3 = plan(RelationalJobs.q3Shipping(spark, sf("sf0.001")))
+    assert(p3.contains("BroadcastHashJoin"), "q3 lost its broadcast join")
+    val p5 = plan(RelationalJobs.q5LocalSupplier(spark, sf("sf0.001")))
+    assert(p5.contains("BroadcastHashJoin"), "q5 lost its broadcast joins")
+  }
+
+  test("windowed counts: two-phase hash aggregation (map-side partials)") {
+    val p = plan(HotItemsJobs.slidingWindowCounts(spark, sf("sf0.001")))
+    val hashAggs = "HashAggregate".r.findAllIn(p).length
+    assert(hashAggs >= 2, s"expected partial+final HashAggregate, got:\n$p")
+    assert(p.contains("event_type"), "filter column missing")
+  }
+
+  test("events scan prunes to the referenced columns only") {
+    val p = plan(HotItemsJobs.slidingWindowCounts(spark, sf("sf0.001")))
+    assert(!p.contains("user_id") && !p.contains("value"),
+      "events scan reads columns the query never uses")
+  }
+
+  test("brute-force ANN broadcasts the query side, not the corpus") {
+    val p = plan(SimilarityJobs.annCosineTopK(spark, sf("sf0.001")))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"query side not broadcast:\n$p")
+  }
+
+  test("whole-stage codegen covers the scan→filter→project pipelines") {
+    // "*(n)" prefixes mark WholeStageCodegen stages in the plan string
+    val p = plan(TextJobs.textStats(spark, sf("sf0.001")))
+    assert(p.contains("*(1)"), s"text stats fell out of codegen:\n$p")
+  }
+}

@@ -1,0 +1,119 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.model.{Event, OrderEvent, ReceiptEvent}
+import graft.streaming.{StreamingJoins, StreamingWindows, TopNState}
+
+/** Property-style equivalence: for randomized event sets (fixed seeds, 5
+  * trials each), the streaming operators must produce exactly the batch
+  * answers once every window is closed (SURVEY.md §5 item 4).
+  */
+class StreamBatchEquivalenceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(sec: Long) = new Timestamp(sec * 1000L)
+
+  private def randomEvents(seed: Int, n: Int): Seq[Event] = {
+    val rnd = new scala.util.Random(seed)
+    (0 until n).map { i =>
+      Event(i, ts(10 + rnd.nextInt(1800)), rnd.nextInt(20),
+        Seq("view", "click", "purchase")(rnd.nextInt(3)), rnd.nextDouble(), "{}")
+    }
+  }
+
+  test("streaming sliding counts equal batch counts for closed windows") {
+    (1 to 5).foreach { seed =>
+      implicit val sqlCtx = spark.sqlContext
+      val data = randomEvents(seed, 200)
+      val in = MemoryStream[Event]
+      val counts = StreamingWindows.slidingCount(
+        in.toDF(), $"event_type", "ts", "10 minutes", "5 minutes", "0 seconds")
+      val name = s"eq_counts_$seed"
+      val q = counts.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        in.addData(data)
+        q.processAllAvailable()
+        in.addData(Event(9999, ts(100000), 0, "view", 0, "{}")) // close all
+        q.processAllAvailable()
+        val streaming = spark.table(name)
+          .filter($"window_end" <= 100000 - 600) // exclude the closer's windows
+          .select($"key", $"window_end", $"cnt")
+          .as[(String, Long, Long)].collect().toSet
+        val batch = graft.ops.SlidingWindows.slidingCount(
+            data.toDF(), $"event_type", $"ts", "10 minutes", "5 minutes", "key")
+          .select($"key", $"window_end", $"cnt")
+          .as[(String, Long, Long)].collect().toSet
+        assert(streaming == batch, s"seed=$seed diverged")
+      } finally q.stop()
+    }
+  }
+
+  test("streaming MapState top-N equals batch rank once windows close") {
+    (1 to 5).foreach { seed =>
+      implicit val sqlCtx = spark.sqlContext
+      val rnd = new scala.util.Random(seed)
+      // distinct (windowEnd, key) upserts
+      val data = (for {
+        w <- Seq(100000L, 200000L)
+        k <- Seq("a", "b", "c", "d", "e")
+      } yield TopNState.KeyedCount(w, k, 1 + rnd.nextInt(50))).toSeq
+      val in = MemoryStream[TopNState.KeyedCount]
+      val name = s"eq_topn_$seed"
+      val q = TopNState.topN(in.toDS(), n = 3, latenessMs = 1000).toDF()
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try {
+        in.addData(data)
+        q.processAllAvailable()
+        in.addData(TopNState.KeyedCount(9000000L, "z", 1)) // close all
+        q.processAllAvailable()
+        val streaming = spark.table(name).as[TopNState.RankedRow].collect()
+          .filter(_.windowEnd < 9000000L)
+          .map(r => (r.windowEnd, r.rank.toLong, r.key, r.cnt)).toSet
+        val batch = graft.ops.TopN.topNPer(
+            data.toDF(), $"windowEnd", $"cnt", $"key", 3)
+          .select($"windowEnd", $"rn", $"key", $"cnt")
+          .as[(Long, Long, String, Long)].collect().toSet
+        assert(streaming == batch, s"seed=$seed diverged")
+      } finally q.stop()
+    }
+  }
+
+  test("stream-stream interval join equals the batch range join") {
+    (1 to 5).foreach { seed =>
+      implicit val sqlCtx = spark.sqlContext
+      val rnd = new scala.util.Random(seed)
+      val pays = (0 until 40).map(i =>
+        OrderEvent(i, "pay", s"tx${rnd.nextInt(25)}", ts(10 + rnd.nextInt(300))))
+      val receipts = (0 until 40).map(i =>
+        ReceiptEvent(s"tx${rnd.nextInt(25)}", "wechat", ts(10 + rnd.nextInt(300))))
+      val pIn = MemoryStream[OrderEvent]
+      val rIn = MemoryStream[ReceiptEvent]
+      val p = pIn.toDF().select($"txId".as("p_txid"), $"ts".as("p_ts"))
+      val r = rIn.toDF().select($"txId".as("r_txid"), $"ts".as("r_ts"))
+      val name = s"eq_ij_$seed"
+      val q = StreamingJoins.intervalJoin(p, r, "p_txid", "r_txid", "p_ts", "r_ts", -30, 50)
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try {
+        pIn.addData(pays); rIn.addData(receipts)
+        q.processAllAvailable()
+        val streaming = spark.table(name)
+          .select($"p_txid", $"p_ts", $"r_ts")
+          .as[(String, Timestamp, Timestamp)].collect()
+          .map(t => (t._1, t._2.getTime, t._3.getTime)).sorted.toSeq
+        val pb = pays.toDF().select($"txId".as("p_txid"), $"ts".as("p_ts"))
+        val rb = receipts.toDF().select($"txId".as("r_txid"), $"ts".as("r_ts"))
+        val batch = pb.join(rb,
+            $"p_txid" === $"r_txid" &&
+              $"r_ts" >= $"p_ts" - expr("INTERVAL 30 SECONDS") &&
+              $"r_ts" <= $"p_ts" + expr("INTERVAL 50 SECONDS"))
+          .select($"p_txid", $"p_ts", $"r_ts")
+          .as[(String, Timestamp, Timestamp)].collect()
+          .map(t => (t._1, t._2.getTime, t._3.getTime)).sorted.toSeq
+        assert(streaming == batch, s"seed=$seed diverged")
+      } finally q.stop()
+    }
+  }
+}
