@@ -1,0 +1,125 @@
+package graft.jobs
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+
+/** Analytics headroom beyond the reference's own surface (SURVEY.md §2.6 /
+  * §2.7 notes): session windows, grouping sets, pivot, set operations.
+  * All exact and DuckDB-oracle-checked; the oracle restates session windows
+  * as gaps-and-islands SQL since DuckDB has no session_window builtin.
+  */
+object AnalyticsJobs {
+
+  private val GAP = "30 minutes"
+  private val GAP_SEC = 1800L
+
+  /** Sessionization: per-user session windows with a 30-min inactivity gap
+    * (`session_window` — the north-star "Structured Streaming +
+    * sessionization" shape; works identically on streams).
+    */
+  def sessionAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("user_id"), session_window(col("ts"), GAP))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")) + lit(1e-9), 2).as("sum_value"))
+      .select(col("user_id"),
+        unix_timestamp(col("session_window.start")).as("session_start"),
+        unix_timestamp(col("session_window.end")).as("session_end"),
+        col("n_events"), col("sum_value"))
+
+  /** Gaps-and-islands restatement: a session breaks when the gap from the
+    * previous event exceeds 30 min; session end = last event + gap (Spark's
+    * session_window end semantics). Timestamps compared at microsecond
+    * precision via epoch_us to match Spark's TimestampType exactly.
+    */
+  val sessionAggSql: String =
+    s"""WITH marked AS (
+       |  SELECT user_id, ts, value,
+       |    CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) > ${GAP_SEC}000000
+       |         OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+       |), numbered AS (
+       |  SELECT *, SUM(new_session) OVER (
+       |    PARTITION BY user_id ORDER BY ts
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+       |  FROM marked
+       |)
+       |SELECT user_id,
+       |       epoch_ms(MIN(ts)) // 1000 AS session_start,
+       |       (epoch_ms(MAX(ts)) + ${GAP_SEC}000) // 1000 AS session_end,
+       |       COUNT(*) AS n_events,
+       |       ROUND(SUM(value) + 1e-9, 2) AS sum_value
+       |FROM numbered GROUP BY user_id, session_id""".stripMargin
+
+  /** Grouping sets: CUBE over (returnflag, linestatus) with exact sums. */
+  def cubeAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("l_quantity")), 0).cast("long").as("sum_qty"))
+
+  val cubeAggSql: String =
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+      |       CAST(ROUND(SUM(l_quantity), 0) AS BIGINT) AS sum_qty
+      |FROM lineitem
+      |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin
+
+  /** Pivot: per-user event-type count matrix (Spark `.pivot()` API;
+    * the oracle states the equivalent conditional aggregation).
+    */
+  val pivotTypes = Seq("click", "view", "purchase", "signup", "error")
+
+  def pivotAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .pivot("event_type", pivotTypes)
+      .agg(count(lit(1)))
+      .na.fill(0, pivotTypes)
+      .select(col("user_id") +: pivotTypes.map(t => col(t).as(s"n_$t")): _*)
+
+  val pivotAggSql: String = {
+    val conds = pivotTypes.map(t =>
+      s"COUNT(CASE WHEN event_type = '$t' THEN 1 END) AS n_$t").mkString(",\n  ")
+    s"""SELECT user_id,
+       |  $conds
+       |FROM events GROUP BY user_id""".stripMargin
+  }
+
+  /** Set operations: INTERSECT and EXCEPT over per-type user sets. */
+  def setOps(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+    def users(t: String) = e.filter(col("event_type") === t)
+      .select(col("user_id")).distinct()
+    val buyersAlsoViewing = users("purchase").intersect(users("view"))
+      .withColumn("tag", lit("buy_and_view"))
+    val buyersNoErrors = users("purchase").except(users("error"))
+      .withColumn("tag", lit("buy_no_error"))
+    buyersAlsoViewing.unionByName(buyersNoErrors)
+      .select(col("tag"), col("user_id"))
+  }
+
+  val setOpsSql: String =
+    """SELECT 'buy_and_view' AS tag, user_id FROM (
+      |  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+      |  INTERSECT
+      |  SELECT DISTINCT user_id FROM events WHERE event_type = 'view')
+      |UNION ALL
+      |SELECT 'buy_no_error' AS tag, user_id FROM (
+      |  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+      |  EXCEPT
+      |  SELECT DISTINCT user_id FROM events WHERE event_type = 'error')""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "session_agg" -> sessionAgg,
+    "cube_agg" -> cubeAgg,
+    "pivot_agg" -> pivotAgg,
+    "set_ops" -> setOps)
+
+  val oracles: Map[String, String] = Map(
+    "session_agg" -> sessionAggSql,
+    "cube_agg" -> cubeAggSql,
+    "pivot_agg" -> pivotAggSql,
+    "set_ops" -> setOpsSql)
+}

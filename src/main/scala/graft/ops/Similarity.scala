@@ -64,15 +64,18 @@ object Similarity {
   /** Deterministic pseudo-random hyperplane weight for (plane j, dim d):
     * integer LCG-ish mix, exactly reproducible anywhere.
     */
-  private def planeWeight(j: Int, d: Column): Column =
-    (lit(j * 7919) + d * 104729) % 97 - 48
+  private def planeWeight(j: Int, d: Int): Double =
+    ((j * 7919 + d * 104729) % 97 - 48).toDouble
 
-  /** Sign-LSH bucket id from `planes` hyperplanes. */
-  def lshBucket(v: Column, planes: Int): Column =
+  /** Sign-LSH bucket id from `planes` hyperplanes over `dims`-dimensional
+    * vectors. Plane weights are plan-time constant arrays, so each sign is
+    * one codegen'd [[graft.functions.DotProduct]] against a folded literal —
+    * no per-element lambda interpretation.
+    */
+  def lshBucket(v: Column, planes: Int, dims: Int): Column =
     (0 until planes).map { j =>
-      val s = aggregate(
-        transform(v, (x, d) => x * planeWeight(j, d).cast("double")),
-        lit(0.0), _ + _)
+      val w = array((0 until dims).map(d => lit(planeWeight(j, d))): _*)
+      val s = graft.functions.VectorFunctions.dot_product(v, w)
       when(s > 0, lit(1 << j)).otherwise(lit(0))
     }.reduce(_ + _)
 
@@ -81,8 +84,8 @@ object Similarity {
     * the recall lost to sign boundaries while keeping the join an equi-join
     * on bucket (candidates ≈ (planes+1)/2^planes of the corpus per query).
     */
-  def lshTopK(vectors: DataFrame, planes: Int, k: Int): DataFrame = {
-    val withBucket = vectors.withColumn("bucket", lshBucket(col("v"), planes))
+  def lshTopK(vectors: DataFrame, planes: Int, k: Int, dims: Int = 64): DataFrame = {
+    val withBucket = vectors.withColumn("bucket", lshBucket(col("v"), planes, dims))
     val probes = withBucket.withColumn("probe",
       explode(array((lit(0) +: (0 until planes).map(j => lit(1 << j))): _*)))
       .withColumn("probe", col("bucket").bitwiseXOR(col("probe")))
