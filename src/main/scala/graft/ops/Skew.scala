@@ -1,0 +1,55 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for hot keys at cluster scale.
+  *
+  * Catalyst's partial aggregation already absorbs most aggregation skew
+  * (map-side combine), and AQE splits skewed join partitions
+  * (`spark.sql.adaptive.skewJoin.enabled`). Explicit salting remains the
+  * tool for the residual cases: a hot grouping key whose *distinct-value*
+  * state is too large for one reducer, or a shuffle whose single hot
+  * partition stalls the stage.
+  *
+  * `saltedAgg` runs algebraic aggregations in two phases: group on
+  * (key, salt) — spreading one hot key over `buckets` reducers — then
+  * re-aggregate the partials on key alone. Exact for any algebraic
+  * aggregate (sum/count/min/max); compose avg as sum/count.
+  */
+object Skew {
+
+  /** Deterministic salt in [0, buckets): hash of the full row's stable
+    * spread column (pass an id-ish column; falls back to rand-free
+    * monotonic id when none exists).
+    */
+  def salt(spread: Column, buckets: Int): Column =
+    pmod(hash(spread), lit(buckets))
+
+  /** Two-phase salted aggregation.
+    * `partials`: aggregations on (key, salt); `finals`: re-aggregations of
+    * the partial columns on key.
+    */
+  def saltedAgg(
+      df: DataFrame, key: Column, spread: Column, buckets: Int)(
+      partials: Seq[Column], finals: Seq[Column]): DataFrame =
+    df.withColumn("__salt", salt(spread, buckets))
+      .groupBy(key.as("__key"), col("__salt"))
+      .agg(partials.head, partials.tail: _*)
+      .groupBy(col("__key"))
+      .agg(finals.head, finals.tail: _*)
+      .withColumnRenamed("__key", "key")
+
+  /** Salted count per key (the common hot-key case). */
+  def saltedCount(df: DataFrame, key: Column, spread: Column, buckets: Int): DataFrame =
+    saltedAgg(df, key, spread, buckets)(
+      Seq(count(lit(1)).as("partial_cnt")),
+      Seq(sum(col("partial_cnt")).as("cnt")))
+
+  /** Salted exact sum per key. */
+  def saltedSum(df: DataFrame, key: Column, value: Column, spread: Column,
+      buckets: Int): DataFrame =
+    saltedAgg(df.withColumn("__v", value), key, spread, buckets)(
+      Seq(sum(col("__v")).as("partial_sum")),
+      Seq(sum(col("partial_sum")).as("sum")))
+}

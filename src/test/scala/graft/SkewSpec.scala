@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Skew
+
+class SkewSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("salted count equals plain count on a hot-key distribution") {
+    // 90% of rows share one key — the classic hot-key shape
+    val df = (1 to 10000).map { i =>
+      (if (i % 10 == 0) s"key${i % 7}" else "hotkey", i.toLong)
+    }.toDF("k", "v")
+    val plain = df.groupBy($"k").count()
+      .as[(String, Long)].collect().toMap
+    val salted = Skew.saltedCount(df, $"k", $"v", buckets = 16)
+      .select($"key", $"cnt").as[(String, Long)].collect().toMap
+    assert(salted == plain)
+  }
+
+  test("salted sum equals plain sum, spread over bucket partitions") {
+    val df = (1 to 5000).map(i => ("hot", i.toLong)).toDF("k", "v")
+    val salted = Skew.saltedSum(df, $"k", $"v", $"v", buckets = 8)
+      .select($"sum").as[Long].head()
+    assert(salted == (1 to 5000).map(_.toLong).sum)
+    // the partial stage really fans one key across buckets
+    val partials = df.withColumn("__salt", Skew.salt($"v", 8))
+      .groupBy($"k", $"__salt").count()
+    assert(partials.count() == 8)
+  }
+}
