@@ -93,8 +93,11 @@ object Dedup {
   def lshCandidates(sig: DataFrame, k: Int, bands: Int): DataFrame = {
     val rowsPerBand = k / bands
     require(bands * rowsPerBand == k, s"k=$k not divisible into $bands bands")
-    val a = sig.alias("a")
-    val b = sig.alias("b")
+    // one k-vector per document — tiny; cache so the b self-joins don't
+    // recompute the shingle→minhash lineage 2×bands times
+    val cached = sig.cache()
+    val a = cached.alias("a")
+    val b = cached.alias("b")
     val pairs = (0 until bands).map { bi =>
       val bandEq = (0 until rowsPerBand)
         .map(r => col(s"a.h${bi * rowsPerBand + r}") === col(s"b.h${bi * rowsPerBand + r}"))
@@ -147,9 +150,12 @@ object Dedup {
     * (vanishingly rare) hash collisions.
     */
   def jaccardPairs(df: DataFrame, n: Int, threshold: Double): DataFrame = {
+    // one row per distinct (doc, gram-hash) — used three times (sizes + both
+    // join sides); cache instead of recomputing the explode+lead lineage
     val g = explodedGrams(df.select(col("doc_id"), col("block"), col("text")), n)
       .select(col("doc_id"), col("block"), md5Long(col("gram")).as("gh"))
       .distinct()
+      .cache()
     val sizes = g.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
     val ga = g.alias("ga"); val gb = g.alias("gb")
     val inter = ga.join(gb,
