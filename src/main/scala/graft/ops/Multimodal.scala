@@ -7,10 +7,12 @@ import org.apache.spark.sql.functions._
   * with decode / feature-extract / resize / frame-sample stages.
   *
   * The Spark-side plumbing is real and tested — schema, partition-preserving
-  * `mapPartitions`, batch shape. The codec itself is STUBBED with a
-  * deterministic fake (this container has no image/audio libs): `decodeStub`
-  * derives "pixels" from the payload bytes. Swap `decodeStub` for a real
-  * decoder (JNI/ffmpeg/ImageIO) without touching any plumbing.
+  * `mapPartitions` (the Scala analog of Python's `mapInPandas` batch UDFs:
+  * same iterator-of-batches contract, same narrow-stage placement), batch
+  * shape. The codec itself is STUBBED with a deterministic fake (this
+  * container has no image/audio libs): `decodeStub` derives "pixels" from
+  * the payload bytes. Swap `decodeStub` for a real decoder
+  * (JNI/ffmpeg/ImageIO) without touching any plumbing.
   *
   * Scale notes: payloads never pass through a shuffle — every stage is a
   * narrow `mapPartitions` over the scan, so a 100 TB binary corpus streams
