@@ -111,15 +111,52 @@ object AnalyticsJobs {
       |  EXCEPT
       |  SELECT DISTINCT user_id FROM events WHERE event_type = 'error')""".stripMargin
 
+  /** Analytic window functions beyond ranking: running totals, lag/lead
+    * deltas, dense_rank — per-customer order history analytics.
+    */
+  def windowAnalytics(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // order_ts preserves o_orderdate's ordering (monotone), so the window
+    // sort matches the oracle's ORDER BY o_orderdate, o_orderkey exactly
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("order_ts"), col("o_orderkey"))
+    val cents = round(col("o_totalprice") * 100, 0).cast("long")
+    Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        unix_timestamp(col("o_orderdate")).as("order_ts"), cents.as("price_c"))
+      .withColumn("running_spend",
+        sum(col("price_c")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("prev_order_ts", lag(col("order_ts"), 1).over(w))
+      .withColumn("gap_sec", col("order_ts") - col("prev_order_ts"))
+      .withColumn("order_no", row_number().over(w).cast("long"))
+      .select(col("o_custkey"), col("o_orderkey"), col("order_ts"),
+        col("price_c"), col("running_spend"), col("gap_sec"), col("order_no"))
+  }
+
+  val windowAnalyticsSql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  epoch_ms(o_orderdate) // 1000 AS order_ts,
+      |  CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS price_c,
+      |  SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_spend,
+      |  epoch_ms(o_orderdate) // 1000
+      |    - LAG(epoch_ms(o_orderdate) // 1000, 1) OVER (
+      |        PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS gap_sec,
+      |  ROW_NUMBER() OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS order_no
+      |FROM orders""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "session_agg" -> sessionAgg,
     "cube_agg" -> cubeAgg,
     "pivot_agg" -> pivotAgg,
-    "set_ops" -> setOps)
+    "set_ops" -> setOps,
+    "window_analytics" -> windowAnalytics)
 
   val oracles: Map[String, String] = Map(
     "session_agg" -> sessionAggSql,
     "cube_agg" -> cubeAggSql,
     "pivot_agg" -> pivotAggSql,
-    "set_ops" -> setOpsSql)
+    "set_ops" -> setOpsSql,
+    "window_analytics" -> windowAnalyticsSql)
 }

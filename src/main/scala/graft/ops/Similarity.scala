@@ -85,7 +85,9 @@ object Similarity {
     * on bucket (candidates ≈ (planes+1)/2^planes of the corpus per query).
     */
   def lshTopK(vectors: DataFrame, planes: Int, k: Int, dims: Int = 64): DataFrame = {
+    // bucketed corpus is read by both self-join sides — cache the tiny frame
     val withBucket = vectors.withColumn("bucket", lshBucket(col("v"), planes, dims))
+      .cache()
     val probes = withBucket.withColumn("probe",
       explode(array((lit(0) +: (0 until planes).map(j => lit(1 << j))): _*)))
       .withColumn("probe", col("bucket").bitwiseXOR(col("probe")))
