@@ -129,15 +129,79 @@ object DedupJobs {
        |WHERE CAST(inter AS DOUBLE) / (sa.n_grams + sb.n_grams - inter)
        |      >= $JACCARD_THRESHOLD""".stripMargin
 
+  // ---- deterministic train/val/test split + decontamination ----
+
+  /** Content-independent, engine-reproducible split assignment: bucket =
+    * md5(doc_id) mod 100 → 80/10/10. Hash-based (not random) so any
+    * engine, any run, any partitioning yields the identical split — the
+    * property a training pipeline actually needs.
+    */
+  private def splitCol(spark: SparkSession) = {
+    import org.apache.spark.sql.functions._
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long") % 100
+    when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+  }
+
+  private val splitSqlExpr =
+    s"""CASE WHEN ${hexIntSql("doc_id::VARCHAR")} % 100 < 80 THEN 'train'
+       |     WHEN ${hexIntSql("doc_id::VARCHAR")} % 100 < 90 THEN 'val'
+       |     ELSE 'test' END""".stripMargin
+
+  def trainSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    Tables.documents(spark, sfDir)
+      .withColumn("split", splitCol(spark))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+  }
+
+  val trainSplitSql: String =
+    s"""SELECT lang, $splitSqlExpr AS split,
+       |       COUNT(*) AS n_docs, SUM(n_chars) AS n_chars
+       |FROM documents GROUP BY 1, 2""".stripMargin
+
+  /** Decontamination: near-duplicate pairs that CROSS split boundaries —
+    * eval documents leaking (via bigram-Jaccard near-dup) into train.
+    * Reuses the blocked jaccard machinery, then filters to mixed-split
+    * pairs. At corpus scale the candidate stage is the MinHash-LSH path.
+    */
+  def decontamination(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val splits = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), splitCol(spark).as("split"))
+    ngramJaccard(spark, sfDir)
+      .join(splits.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("split", "split_a"), "doc_a")
+      .join(splits.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("split", "split_b"), "doc_b")
+      .filter(col("split_a") =!= col("split_b"))
+      .select(col("doc_a"), col("doc_b"), col("jaccard"),
+        col("split_a"), col("split_b"))
+  }
+
+  val decontaminationSql: String =
+    s"""WITH pairs AS ($ngramJaccardSql),
+       |splits AS (SELECT doc_id, $splitSqlExpr AS split FROM documents)
+       |SELECT p.doc_a, p.doc_b, p.jaccard, sa.split AS split_a, sb.split AS split_b
+       |FROM pairs p
+       |JOIN splits sa ON sa.doc_id = p.doc_a
+       |JOIN splits sb ON sb.doc_id = p.doc_b
+       |WHERE sa.split <> sb.split""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> dedupExact,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
     "dedup_simhash" -> dedupSimhash,
-    "ngram_jaccard" -> ngramJaccard)
+    "ngram_jaccard" -> ngramJaccard,
+    "train_split" -> trainSplit,
+    "decontamination" -> decontamination)
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
     "dedup_minhash_lsh" -> dedupMinhashLshSql,
     "dedup_simhash" -> dedupSimhashSql,
-    "ngram_jaccard" -> ngramJaccardSql)
+    "ngram_jaccard" -> ngramJaccardSql,
+    "train_split" -> trainSplitSql,
+    "decontamination" -> decontaminationSql)
 }

@@ -59,6 +59,37 @@ class DedupSpec extends SparkSpec {
     assert(!out.exists(r => r.getLong(0) == 6L || r.getLong(1) == 6L))
   }
 
+  test("decontamination flags near-dups that cross the hash split") {
+    // doc_id 8 hashes to 'test', 0-7 and 9 to 'train' (md5 % 100 buckets);
+    // make 8 a near-duplicate of 1 → a train/test leak the query must flag
+    val dir = java.nio.file.Files.createTempDirectory("decon").toString
+    Seq(
+      (0L, "the quick brown fox jumps over the lazy dog today", "en", "s", 49L),
+      (1L, "pack my box with five dozen brown liquor jugs now", "en", "s", 50L),
+      (8L, "pack my box with five dozen brown liquor jugs here", "en", "s", 50L),
+      (9L, "completely unrelated words occupy this document body", "en", "s", 52L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.jobs.DedupJobs.decontamination(spark, dir)
+      .select($"doc_a", $"doc_b", $"split_a", $"split_b").collect()
+    assert(out.length == 1)
+    assert(out.head.getLong(0) == 1L && out.head.getLong(1) == 8L)
+    assert(Set(out.head.getString(2), out.head.getString(3)) == Set("train", "test"))
+  }
+
+  test("train split is deterministic and ~80/10/10") {
+    val a = graft.jobs.DedupJobs.trainSplit(spark, sf("sf0.001"))
+      .orderBy($"lang", $"split").collect().toSeq
+    val b = graft.jobs.DedupJobs.trainSplit(spark, sf("sf0.001"))
+      .orderBy($"lang", $"split").collect().toSeq
+    assert(a == b) // hash-based: identical across runs
+    val totals = graft.jobs.DedupJobs.trainSplit(spark, sf("sf0.001"))
+      .groupBy($"split").agg(sum($"n_docs").as("n"))
+      .as[(String, Long)].collect().toMap
+    val n = totals.values.sum.toDouble
+    assert(totals("train") / n > 0.7 && totals("train") / n < 0.9)
+  }
+
   test("driver-scale minhash stays selective") {
     val out = DedupJobs.dedupMinhashLsh(spark, sf("sf0.001")).count()
     // strict 4-row bands: candidates ≪ all pairs (124,750 at 500 docs)
