@@ -187,17 +187,42 @@ object OrderJobs {
       |    AND r.ts >= p.ts - INTERVAL 1 HOUR
       |    AND r.ts <= p.ts + INTERVAL 1 HOUR)""".stripMargin
 
+  /** As-of join via the native custom operator (graft.plans.AsOfJoin):
+    * each purchase matched to the user's LATEST signup at-or-before it,
+    * within 1 day. Oracle: DuckDB's native ASOF JOIN.
+    */
+  def asofJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = pays(spark, sfDir) // (user_id, pay_t)
+    val r = receipts(spark, sfDir) // (r_uid, receipt_t) — fresh expr ids
+    graft.plans.AsOf.join(p, r, "user_id", "r_uid", "pay_t", "receipt_t",
+        toleranceMicros = 86400L * 1000000L)
+      .select(col("user_id"),
+        unix_timestamp(col("pay_t")).as("pay_ts"),
+        unix_timestamp(col("receipt_t")).as("receipt_ts"))
+  }
+
+  val asofJoinSql: String =
+    """SELECT p.user_id,
+      |       epoch_ms(p.ts) // 1000 AS pay_ts,
+      |       epoch_ms(r.ts) // 1000 AS receipt_ts
+      |FROM (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+      |ASOF JOIN (SELECT user_id, ts FROM events WHERE event_type = 'signup') r
+      |  ON p.user_id = r.user_id AND p.ts >= r.ts
+      |WHERE epoch_us(p.ts) - epoch_us(r.ts) <= 86400000000""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "order_timeout" -> orderTimeout,
     "order_cep" -> orderCep,
     "interval_join" -> txMatch,
     "tx_unmatched_pays" -> txUnmatchedPays,
-    "tx_unmatched_receipts" -> txUnmatchedReceipts)
+    "tx_unmatched_receipts" -> txUnmatchedReceipts,
+    "asof_join" -> asofJoin)
 
   val oracles: Map[String, String] = Map(
     "order_timeout" -> orderTimeoutSql,
     "order_cep" -> orderCepSql,
     "interval_join" -> txMatchSql,
     "tx_unmatched_pays" -> txUnmatchedPaysSql,
-    "tx_unmatched_receipts" -> txUnmatchedReceiptsSql)
+    "tx_unmatched_receipts" -> txUnmatchedReceiptsSql,
+    "asof_join" -> asofJoinSql)
 }

@@ -1,14 +1,21 @@
 package org.apache.spark.sql.graft
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.classic.ExpressionUtils
 
-/** Bridge into `private[sql]` surface: wrap a raw Catalyst Expression as a
-  * user-facing Column. Lives under org.apache.spark.sql so the accessor is
-  * in scope; the rest of the engine stays in graft.*.
+/** Bridge into `private[sql]` surface: wrap raw Catalyst Expressions as
+  * Columns and LogicalPlans as DataFrames. Lives under org.apache.spark.sql
+  * so the accessors are in scope; the rest of the engine stays in graft.*.
   */
 object bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  def analyzedPlan(df: DataFrame): LogicalPlan = df.queryExecution.analyzed
 }
