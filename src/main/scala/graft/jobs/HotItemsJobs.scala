@@ -150,17 +150,38 @@ object HotItemsJobs {
        |       ROUND(AVG(value) + 1e-9, 2) AS avg_value, COUNT(*) AS cnt
        |FROM hop GROUP BY event_type, window_end""".stripMargin
 
+  // ---- tumbling window + exact distinct (headroom: slide == size) ----
+
+  def tumblingDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+    e.groupBy(col("event_type"), window(col("ts"), "1 hour"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+      .select(col("event_type"),
+        unix_timestamp(col("window.end")).as("window_end"),
+        col("n_users"), col("n_events"))
+  }
+
+  val tumblingDistinctSql: String =
+    """SELECT event_type,
+      |       (epoch_ms(ts) // 3600000) * 3600 + 3600 AS window_end,
+      |       COUNT(DISTINCT user_id) AS n_users,
+      |       COUNT(*) AS n_events
+      |FROM events GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sliding_window_counts" -> slidingWindowCounts,
     "hot_items_topn" -> hotItemsTopN,
     "hot_items_sql" -> hotItemsSql,
     "hot_pages_topn" -> hotPagesTopN,
-    "windowed_avg" -> windowedAvg)
+    "windowed_avg" -> windowedAvg,
+    "tumbling_distinct" -> tumblingDistinct)
 
   val oracles: Map[String, String] = Map(
     "sliding_window_counts" -> slidingWindowCountsSql,
     "hot_items_topn" -> hotItemsTopNSql,
     "hot_items_sql" -> hotItemsTopNSql,
     "hot_pages_topn" -> hotPagesTopNSql,
-    "windowed_avg" -> windowedAvgSql)
+    "windowed_avg" -> windowedAvgSql,
+    "tumbling_distinct" -> tumblingDistinctSql)
 }

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Similarity, TextAnalysis, TopN}
+
+/** Degenerate-input hardening: empty frames, single rows, empty strings —
+  * operators must return empty/identity results, never throw.
+  */
+class EdgeCaseSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val emptyDocs = Seq.empty[(Long, String, String)]
+    .toDF("doc_id", "text", "block")
+
+  test("dedup ops are total on empty and degenerate documents") {
+    assert(Dedup.jaccardPairs(emptyDocs, 2, 0.5).count() == 0)
+    assert(Dedup.minhashSignatures(
+      emptyDocs.drop("block"), $"doc_id", $"text", 8).count() == 0)
+    val degenerate = Seq((1L, "", "en"), (2L, "   ", "en"), (3L, "x", "en"))
+      .toDF("doc_id", "text", "block")
+    // no bigrams exist → no pairs, no signatures with null mins
+    assert(Dedup.jaccardPairs(degenerate, 2, 0.1).count() == 0)
+    // "" and "   " normalize identically → one fingerprint group + "x"
+    assert(Dedup.exact(degenerate, $"doc_id", $"text").count() == 2)
+  }
+
+  test("text analysis handles empty strings") {
+    val df = Seq((1L, ""), (2L, "   "), (3L, "one")).toDF("doc_id", "text")
+    val rows = df.select($"doc_id",
+        TextAnalysis.tokenCount($"text").as("t"),
+        TextAnalysis.qualityScore(
+          TextAnalysis.tokenCount($"text"),
+          TextAnalysis.stopwordCount($"text")).as("q"))
+      .as[(Long, Long, Double)].collect()
+    assert(rows.map(_._1).toSet == Set(1L, 2L, 3L))
+    assert(rows.forall(r => r._3 >= 0.0 && r._3 <= 1.0))
+  }
+
+  test("topN on empty input returns empty, not an error") {
+    val empty = Seq.empty[(Long, Long, Long)].toDF("window_end", "item", "cnt")
+    assert(TopN.topNPer(empty, $"window_end", $"cnt", $"item", 5).count() == 0)
+  }
+
+  test("similarity ops on empty corpora return empty") {
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val v = Similarity.withNorm(empty, $"vec_id", $"embedding")
+    assert(Similarity.nearDupPairs(v, 0.5).count() == 0)
+    assert(Similarity.lshTopK(v, 4, 5, dims = 4).count() == 0)
+  }
+}
