@@ -136,9 +136,9 @@ object AnalyticsJobs {
     """SELECT o_custkey, o_orderkey,
       |  epoch_ms(o_orderdate) // 1000 AS order_ts,
       |  CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS price_c,
-      |  SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) OVER (
+      |  CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) OVER (
       |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_spend,
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_spend,
       |  epoch_ms(o_orderdate) // 1000
       |    - LAG(epoch_ms(o_orderdate) // 1000, 1) OVER (
       |        PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS gap_sec,

@@ -158,7 +158,7 @@ object DedupJobs {
 
   val trainSplitSql: String =
     s"""SELECT lang, $splitSqlExpr AS split,
-       |       COUNT(*) AS n_docs, SUM(n_chars) AS n_chars
+       |       COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS n_chars
        |FROM documents GROUP BY 1, 2""".stripMargin
 
   /** Decontamination: near-duplicate pairs that CROSS split boundaries —

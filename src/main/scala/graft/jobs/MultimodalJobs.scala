@@ -36,18 +36,73 @@ object MultimodalJobs {
       |  1 + doc_id % 30 AS n_frames
       |FROM documents""".stripMargin
 
+  private val STRIPES = 4
+  private val FRAME_TARGET = 8
+
   /** Decode → stripe features over the binary payloads (stubbed codec,
-    * real plumbing).
+    * real plumbing). The library keeps the vector form (`AssetFeatures
+    * .feature`); the declared query flattens it to one scalar column per
+    * stripe so the output is a plain comparable relation.
     */
-  def multimodalFeatures(spark: SparkSession, sfDir: String): DataFrame =
-    Multimodal.extractFeatures(
+  def multimodalFeatures(spark: SparkSession, sfDir: String): DataFrame = {
+    val feats = Multimodal.extractFeatures(
       Multimodal.assetsFromDocuments(spark, Tables.documents(spark, sfDir)),
-      stripes = 4, frameTarget = 8).toDF()
+      stripes = STRIPES, frameTarget = FRAME_TARGET).toDF()
+    val stripeCols = (0 until STRIPES)
+      .map(i => col("feature")(i).as(s"stripe_$i"))
+    feats.select(
+      Seq(col("asset_id"), col("n_bytes"), col("mean_byte"),
+        col("frames_sampled").cast("long").as("frames_sampled")) ++ stripeCols: _*)
+  }
+
+  /** DuckDB restatement of the stub pipeline: the "decoded pixels" are the
+    * UTF-8 bytes of `text` (exactly what `decodeStub` yields), read
+    * positionally out of `hex(encode(text))`; stripe bounds are the same
+    * integer-division cuts; rounding uses the shared `+1e-9` nudge.
+    */
+  val multimodalFeaturesSql: String = {
+    val hexDigit = (off: String) =>
+      s"(strpos('0123456789ABCDEF', substr(h, $off, 1)) - 1)"
+    val stripeCase = (1 until STRIPES)
+      .map(s => s"WHEN i < n * $s // $STRIPES THEN ${s - 1}")
+      .mkString(" ")
+    val sCols = (0 until STRIPES)
+      .map(s => s"MAX(CASE WHEN stripe = $s THEN m ELSE 0.0 END) AS s$s")
+      .mkString(", ")
+    val sSum = (0 until STRIPES).map(s => s"COALESCE(s$s, 0.0)").mkString(" + ")
+    val sOut = (0 until STRIPES)
+      .map(s => s"ROUND(COALESCE(s$s, 0.0) + 1e-9, 4) AS stripe_$s")
+      .mkString(",\n  ")
+    s"""WITH b AS (
+       |  SELECT doc_id, hex(encode(text)) AS h,
+       |         octet_length(encode(text)) AS n,
+       |         1 + doc_id % 30 AS nf
+       |  FROM documents
+       |), bytes AS (
+       |  SELECT doc_id, n,
+       |    ${hexDigit("2*i + 1")} * 16 + ${hexDigit("2*i + 2")} AS byte,
+       |    CASE $stripeCase ELSE ${STRIPES - 1} END AS stripe
+       |  FROM (SELECT doc_id, h, n, unnest(range(0, n)) AS i FROM b)
+       |), sm AS (
+       |  SELECT doc_id, stripe, AVG(byte) AS m FROM bytes GROUP BY 1, 2
+       |), agg AS (
+       |  SELECT doc_id, $sCols FROM sm GROUP BY doc_id
+       |)
+       |SELECT b.doc_id AS asset_id,
+       |  CAST(b.n AS BIGINT) AS n_bytes,
+       |  ROUND(($sSum) / $STRIPES + 1e-9, 4) AS mean_byte,
+       |  LEAST($FRAME_TARGET,
+       |    (nf + CAST(ceil(nf / $FRAME_TARGET.0) AS BIGINT) - 1)
+       |      // CAST(ceil(nf / $FRAME_TARGET.0) AS BIGINT)) AS frames_sampled,
+       |  $sOut
+       |FROM b LEFT JOIN agg ON agg.doc_id = b.doc_id""".stripMargin
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_meta" -> multimodalMeta,
     "multimodal_features" -> multimodalFeatures)
 
   val oracles: Map[String, String] = Map(
-    "multimodal_meta" -> multimodalMetaSql)
+    "multimodal_meta" -> multimodalMetaSql,
+    "multimodal_features" -> multimodalFeaturesSql)
 }

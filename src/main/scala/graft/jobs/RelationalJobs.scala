@@ -3,7 +3,6 @@ package graft.jobs
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.io.Tables
-import graft.ops.TopN
 
 /** Relational/analytical headroom on the TPC-H-ish star schema
   * (SURVEY.md §2.6 note: distinct aggs / multi-joins are "capability
@@ -78,9 +77,27 @@ object RelationalJobs {
       .select(col("l_orderkey"),
         unix_timestamp(col("o_orderdate")).as("o_orderdate"),
         col("o_orderpriority"), col("revenue"))
-    TopN.topNPer(joined.withColumn("all", lit(1)),
-        col("all"), col("revenue"), col("l_orderkey"), 10)
-      .drop("all")
+    // Global top-10 via orderBy+limit → TakeOrderedAndProject (per-partition
+    // top-k + merge). A `row_number` window with no partition key would
+    // funnel every aggregated row through one task at scale; this never
+    // does. `rn` is then derived on the ≤10-row result with a broadcast
+    // self-join (count of strictly-better rows) so the whole query stays a
+    // single Catalyst plan with no single-partition WindowExec.
+    val top = joined
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(10)
+      .cache()
+    val better = broadcast(top
+      .select(col("revenue").as("b_rev"), col("l_orderkey").as("b_key")))
+    top.join(better,
+        col("b_rev") > col("revenue") ||
+          (col("b_rev") === col("revenue") && col("b_key") < col("l_orderkey")),
+        "left")
+      .groupBy(col("l_orderkey"), col("o_orderdate"),
+        col("o_orderpriority"), col("revenue"))
+      .agg((count(col("b_key")) + 1).as("rn"))
+      .select(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"),
+        col("revenue"), col("rn"))
   }
 
   val q3ShippingSql: String =

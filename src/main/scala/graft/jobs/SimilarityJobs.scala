@@ -56,9 +56,47 @@ object SimilarityJobs {
        |WHERE ROUND(list_cosine_similarity(a.v, b.v) + 1e-12, 6)
        |      >= $NEARDUP_THRESHOLD""".stripMargin
 
-  /** LSH-bucketed ANN (scale path; rows-only driver check). */
+  private val PLANES = 5
+  private val DIMS = 64
+
+  /** LSH-bucketed ANN (scale path). */
   def annLsh(spark: SparkSession, sfDir: String): DataFrame =
-    Similarity.lshTopK(vectors(spark, sfDir), planes = 5, k = TOP_K)
+    Similarity.lshTopK(vectors(spark, sfDir), planes = PLANES, k = TOP_K,
+      dims = DIMS)
+
+  /** Exact DuckDB restatement of the sign-LSH path: the plane weights are
+    * deterministic integer arithmetic ([[Similarity.planeWeight]]), so
+    * bucket assignment, hamming-1 multi-probe, and the cosine rank are all
+    * reproducible — no reason for a weaker rows-only check.
+    */
+  val annLshSql: String = {
+    val planeLits = (0 until PLANES).map { j =>
+      (0 until DIMS)
+        .map(d => Similarity.planeWeight(j, d).toString)
+        .mkString("[", ", ", "]")
+    }
+    val bucketExpr = (0 until PLANES).map { j =>
+      s"(CASE WHEN list_dot_product(v, ${planeLits(j)}) > 0 THEN ${1 << j} ELSE 0 END)"
+    }.mkString(" + ")
+    val probeList = (0 +: (0 until PLANES).map(1 << _)).mkString("[", ", ", "]")
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |), eb AS (
+       |  SELECT vec_id, v, ($bucketExpr) AS bucket FROM e
+       |), probes AS (
+       |  SELECT vec_id, v, xor(bucket, p) AS probe
+       |  FROM eb CROSS JOIN (SELECT unnest($probeList) AS p)
+       |), s AS (
+       |  SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |    ROUND(list_cosine_similarity(a.v, b.v) + 1e-12, 6) AS sim
+       |  FROM probes a JOIN eb b ON a.probe = b.bucket AND a.vec_id <> b.vec_id
+       |)
+       |SELECT query_id, neighbor_id, sim, rn FROM (
+       |  SELECT *, ROW_NUMBER() OVER (
+       |    PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rn
+       |  FROM s) ranked
+       |WHERE rn <= $TOP_K""".stripMargin
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_cosine_topk" -> annCosineTopK,
@@ -67,5 +105,6 @@ object SimilarityJobs {
 
   val oracles: Map[String, String] = Map(
     "ann_cosine_topk" -> annCosineTopKSql,
-    "embedding_neardup" -> embeddingNeardupSql)
+    "embedding_neardup" -> embeddingNeardupSql,
+    "ann_lsh" -> annLshSql)
 }

@@ -67,6 +67,12 @@ object Multimodal {
     (0 until nFrames by step).take(target)
   }
 
+  /** Engine-portable ratio rounding: the same `ROUND(x + 1e-9, 4)` nudge the
+    * column-expression ops use, restated for the typed path.
+    */
+  private def r4(x: Double): Double =
+    math.floor((x + 1e-9) * 1e4 + 0.5) / 1e4
+
   /** Feature extraction: decode → per-stripe byte means (a fake embedding
     * with the exact shape/partitioning a real extractor would have).
     */
@@ -89,9 +95,9 @@ object Multimodal {
         }
         val mean = if (n == 0) 0.0 else stripeMeans.sum / stripes
         AssetFeatures(a.asset_id, n.toLong,
-          math.round(mean * 1e4) / 1e4,
+          r4(mean),
           sampleFrameIndices(a.n_frames, frameTarget).length,
-          stripeMeans.map(m => math.round(m * 1e4) / 1e4))
+          stripeMeans.map(r4))
       }
     }
   }

@@ -62,9 +62,10 @@ object Similarity {
   }
 
   /** Deterministic pseudo-random hyperplane weight for (plane j, dim d):
-    * integer LCG-ish mix, exactly reproducible anywhere.
+    * integer LCG-ish mix, exactly reproducible anywhere — public because the
+    * DuckDB oracle restates the same weights as literal arrays.
     */
-  private def planeWeight(j: Int, d: Int): Double =
+  def planeWeight(j: Int, d: Int): Double =
     ((j * 7919 + d * 104729) % 97 - 48).toDouble
 
   /** Sign-LSH bucket id from `planes` hyperplanes over `dims`-dimensional

@@ -15,15 +15,30 @@ class MultimodalSpec extends SparkSpec {
     assert(first.width >= 64 && first.height >= 64)
   }
 
-  test("feature extraction produces fixed-shape features per asset") {
+  test("feature extraction produces one scalar column per stripe") {
     val feats = MultimodalJobs.multimodalFeatures(spark, sf("sf0.001"))
-      .as[graft.ops.Multimodal.AssetFeatures]
+    assert(feats.columns.toSeq == Seq("asset_id", "n_bytes", "mean_byte",
+      "frames_sampled", "stripe_0", "stripe_1", "stripe_2", "stripe_3"))
     val rows = feats.limit(10).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
+      assert(r.getAs[Long]("n_bytes") > 0)
+      val mean = r.getAs[Double]("mean_byte")
+      assert(mean > 0 && mean < 256)
+      val stripeAvg = (0 until 4)
+        .map(i => r.getAs[Double](s"stripe_$i")).sum / 4
+      assert(math.abs(stripeAvg - mean) < 1e-3)
+    }
+  }
+
+  test("library-level feature vector keeps its fixed shape") {
+    val feats = Multimodal.extractFeatures(
+      Multimodal.assetsFromDocuments(
+        spark, graft.io.Tables.documents(spark, sf("sf0.001"))),
+      stripes = 4, frameTarget = 8)
+    feats.limit(10).collect().foreach { r =>
       assert(r.feature.length == 4)
-      assert(r.n_bytes > 0)
-      assert(r.mean_byte > 0 && r.mean_byte < 256)
+      assert(r.frames_sampled >= 1 && r.frames_sampled <= 8)
     }
   }
 

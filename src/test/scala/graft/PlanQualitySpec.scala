@@ -28,6 +28,14 @@ class PlanQualitySpec extends SparkSpec {
     assert(p5.contains("BroadcastHashJoin"), "q5 lost its broadcast joins")
   }
 
+  test("q3: global top-10 via TakeOrderedAndProject, no single-partition Window") {
+    val p = plan(RelationalJobs.q3Shipping(spark, sf("sf0.001")))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"q3 lost its per-partition top-k merge:\n$p")
+    assert(!p.contains("Window"),
+      s"q3 regressed to a global-window rank (single-partition funnel):\n$p")
+  }
+
   test("windowed counts: two-phase hash aggregation (map-side partials)") {
     val p = plan(HotItemsJobs.slidingWindowCounts(spark, sf("sf0.001")))
     val hashAggs = "HashAggregate".r.findAllIn(p).length
