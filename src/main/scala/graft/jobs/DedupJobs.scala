@@ -46,30 +46,43 @@ object DedupJobs {
     Dedup.lshCandidates(sig, K, BANDS)
   }
 
-  val dedupMinhashLshSql: String = {
+  /** Distinct-bigram CTE shared by the minhash oracles. The `len(w) >= 2`
+    * guard matches Spark's `explodedGrams` ragged-tail filter exactly —
+    * documents with fewer words than the gram width contribute nothing
+    * (without it DuckDB would emit a truncated 1-word gram).
+    */
+  private val bigramCte =
+    """grams AS (
+      |  SELECT doc_id, unnest(list_distinct(
+      |    [array_to_string(w[i:i+1], ' ') FOR i IN range(1, len(w))]
+      |  )) AS gram
+      |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+      |        FROM documents)
+      |  WHERE len(w) >= 2
+      |)""".stripMargin
+
+  private def bandEqSql: String = {
     val rows = K / BANDS
-    val mins = (0 until K)
-      .map(j => s"MIN(${hexIntSql(s"'$j:' || w")}) AS h$j").mkString(",\n    ")
-    val bandEq = (0 until BANDS).map { bi =>
+    (0 until BANDS).map { bi =>
       (0 until rows).map(r => s"a.h${bi * rows + r} = b.h${bi * rows + r}")
         .mkString("(", " AND ", ")")
     }.mkString(" OR ")
+  }
+
+  private def minhashAggSql: String = (0 until K)
+    .map(j => s"MIN(${hexIntSql(s"'$j:' || gram")}) AS h$j").mkString(",\n    ")
+
+  val dedupMinhashLshSql: String = {
     val matches = (0 until K)
       .map(j => s"(CASE WHEN a.h$j = b.h$j THEN 1 ELSE 0 END)").mkString(" + ")
-    s"""WITH grams AS (
-       |  SELECT doc_id, unnest(list_distinct(
-       |    [array_to_string(w[i:i+1], ' ') FOR i IN range(1, greatest(len(w), 2))]
-       |  )) AS w
-       |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
-       |        FROM documents)
-       |), sig AS (
-       |  SELECT doc_id, $mins
+    s"""WITH $bigramCte, sig AS (
+       |  SELECT doc_id, $minhashAggSql
        |  FROM grams GROUP BY doc_id
        |)
        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |       CAST($matches AS DOUBLE) / $K AS est_jaccard
        |FROM sig a JOIN sig b
-       |  ON a.doc_id < b.doc_id AND ($bandEq)""".stripMargin
+       |  ON a.doc_id < b.doc_id AND ($bandEqSql)""".stripMargin
   }
 
   // ---- simhash fingerprints ----
@@ -109,9 +122,10 @@ object DedupJobs {
        |  SELECT DISTINCT doc_id, block, ${hexIntSql("gram")} AS gh FROM (
        |    SELECT doc_id, lang AS block, unnest(
        |      [array_to_string(w[i:i+${JACCARD_N - 1}], ' ')
-       |       FOR i IN range(1, greatest(len(w), ${JACCARD_N}) - ${JACCARD_N - 2})]) AS gram
+       |       FOR i IN range(1, len(w) - ${JACCARD_N - 2})]) AS gram
        |    FROM (SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS w
-       |          FROM documents))
+       |          FROM documents)
+       |    WHERE len(w) >= ${JACCARD_N})
        |), sizes AS (
        |  SELECT doc_id, COUNT(*) AS n_grams FROM e GROUP BY doc_id
        |), inter AS (
@@ -162,15 +176,43 @@ object DedupJobs {
        |FROM documents GROUP BY 1, 2""".stripMargin
 
   /** Decontamination: near-duplicate pairs that CROSS split boundaries —
-    * eval documents leaking (via bigram-Jaccard near-dup) into train.
-    * Reuses the blocked jaccard machinery, then filters to mixed-split
-    * pairs. At corpus scale the candidate stage is the MinHash-LSH path.
+    * eval documents leaking into train.
+    *
+    * Scale shape: candidates come from MinHash-LSH banding (equi-joins on
+    * band keys — never an unblocked gram join), and exact bigram-Jaccard is
+    * computed ONLY for those candidate pairs. One cached distinct-bigram
+    * scan feeds both the signature aggregation and the verification joins,
+    * so the gram lineage is computed once. At 100 TB the per-stage costs
+    * are: one gram shuffle (grouped to k-vectors), b band self-joins over
+    * doc-count-sized frames, and a gram join restricted to candidates.
     */
   def decontamination(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val grams = Dedup.explodedGrams(docs, JACCARD_N).cache()
+    val cands = Dedup
+      .lshCandidates(Dedup.minhashFromGrams(grams, K), K, BANDS)
+      .select(col("doc_a"), col("doc_b"))
+    val g = grams
+      .select(col("doc_id"), Dedup.md5Long(col("gram")).as("gh"))
+      .distinct().cache()
+    val sizes = g.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+    val inter = cands
+      .join(g.alias("ga"), col("ga.doc_id") === col("doc_a"))
+      .join(g.alias("gb"),
+        col("gb.doc_id") === col("doc_b") && col("gb.gh") === col("ga.gh"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"))
     val splits = Tables.documents(spark, sfDir)
       .select(col("doc_id"), splitCol(spark).as("split"))
-    ngramJaccard(spark, sfDir)
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n_grams", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n_grams", "nb"), "doc_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= JACCARD_THRESHOLD)
       .join(splits.withColumnRenamed("doc_id", "doc_a")
         .withColumnRenamed("split", "split_a"), "doc_a")
       .join(splits.withColumnRenamed("doc_id", "doc_b")
@@ -180,13 +222,40 @@ object DedupJobs {
         col("split_a"), col("split_b"))
   }
 
+  /** The oracle restates the same LSH-candidate → exact-verify pipeline:
+    * every stage is deterministic md5 arithmetic, so DuckDB reproduces the
+    * candidate set bit-for-bit.
+    */
   val decontaminationSql: String =
-    s"""WITH pairs AS ($ngramJaccardSql),
-       |splits AS (SELECT doc_id, $splitSqlExpr AS split FROM documents)
-       |SELECT p.doc_a, p.doc_b, p.jaccard, sa.split AS split_a, sb.split AS split_b
-       |FROM pairs p
-       |JOIN splits sa ON sa.doc_id = p.doc_a
-       |JOIN splits sb ON sb.doc_id = p.doc_b
+    s"""WITH $bigramCte, sig AS (
+       |  SELECT doc_id, $minhashAggSql
+       |  FROM grams GROUP BY doc_id
+       |), cands AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ($bandEqSql)
+       |), e AS (
+       |  SELECT DISTINCT doc_id, ${hexIntSql("gram")} AS gh FROM grams
+       |), sizes AS (
+       |  SELECT doc_id, COUNT(*) AS n_grams FROM e GROUP BY doc_id
+       |), verified AS (
+       |  SELECT i.doc_a, i.doc_b,
+       |         CAST(i.inter AS DOUBLE) / (sa.n_grams + sb.n_grams - i.inter)
+       |           AS jaccard
+       |  FROM (SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+       |        FROM cands c
+       |        JOIN e ga ON ga.doc_id = c.doc_a
+       |        JOIN e gb ON gb.doc_id = c.doc_b AND gb.gh = ga.gh
+       |        GROUP BY 1, 2) i
+       |  JOIN sizes sa ON sa.doc_id = i.doc_a
+       |  JOIN sizes sb ON sb.doc_id = i.doc_b
+       |  WHERE CAST(i.inter AS DOUBLE) / (sa.n_grams + sb.n_grams - i.inter)
+       |        >= $JACCARD_THRESHOLD
+       |), splits AS (SELECT doc_id, $splitSqlExpr AS split FROM documents)
+       |SELECT v.doc_a, v.doc_b, v.jaccard,
+       |       sa.split AS split_a, sb.split AS split_b
+       |FROM verified v
+       |JOIN splits sa ON sa.doc_id = v.doc_a
+       |JOIN splits sb ON sb.doc_id = v.doc_b
        |WHERE sa.split <> sb.split""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -5,17 +5,39 @@ import org.apache.spark.sql.functions._
 import graft.io.Tables
 import graft.ops.Similarity
 
-/** Embedding similarity-search queries over `embeddings`.
-  * `ann_cosine_topk` and `embedding_neardup` are exact and oracle-checked
-  * (DuckDB `list_cosine_similarity`); the LSH-bucketed ANN variant is the
-  * scale path, validated by recall tests rather than an oracle (its
-  * candidate set is hash-dependent by design).
+/** Embedding similarity-search queries over `embeddings`, all hash-checked:
+  * `ann_cosine_topk` is the exact brute-force baseline (query side
+  * broadcast); `ann_lsh` and `embedding_neardup` are the sign-LSH scale
+  * paths — buckets, multi-probe, and cosine are deterministic arithmetic,
+  * so DuckDB oracles reproduce them exactly.
   */
 object SimilarityJobs {
 
   private val TOP_K = 5
   private val N_QUERIES = 20 // query set: vec_id < 20
   private val NEARDUP_THRESHOLD = 0.35
+  private val PLANES = 5
+  private val DIMS = 64
+
+  /** Sign-LSH bucket assignment restated for DuckDB: the plane weights are
+    * deterministic integer arithmetic ([[Similarity.planeWeight]]) emitted
+    * as literal arrays, so `list_dot_product` reproduces Spark's codegen'd
+    * dot signs bit-for-bit.
+    */
+  private val bucketExprSql: String = {
+    val planeLits = (0 until PLANES).map { j =>
+      (0 until DIMS)
+        .map(d => Similarity.planeWeight(j, d).toString)
+        .mkString("[", ", ", "]")
+    }
+    (0 until PLANES).map { j =>
+      s"(CASE WHEN list_dot_product(v, ${planeLits(j)}) > 0 THEN ${1 << j} ELSE 0 END)"
+    }.mkString(" + ")
+  }
+
+  /** Hamming-1 multi-probe offsets: own bucket plus each single-bit flip. */
+  private val probeListSql: String =
+    (0 +: (0 until PLANES).map(1 << _)).mkString("[", ", ", "]")
 
   private def vectors(spark: SparkSession, sfDir: String): DataFrame =
     Similarity.withNorm(Tables.embeddings(spark, sfDir),
@@ -42,50 +64,46 @@ object SimilarityJobs {
        |  FROM s) ranked
        |WHERE rn <= $TOP_K""".stripMargin
 
-  /** Exact near-duplicate pairs: cosine ≥ threshold over the half-matrix. */
+  /** Near-duplicate pairs, sign-LSH blocked + exact-cosine verified — the
+    * scale path is the declared query (the all-pairs form stays in the
+    * library as `Similarity.nearDupPairs`, the small-scale baseline).
+    */
   def embeddingNeardup(spark: SparkSession, sfDir: String): DataFrame =
-    Similarity.nearDupPairs(vectors(spark, sfDir), NEARDUP_THRESHOLD)
+    Similarity.nearDupPairsBlocked(vectors(spark, sfDir), NEARDUP_THRESHOLD,
+      planes = PLANES, dims = DIMS)
 
   val embeddingNeardupSql: String =
     s"""WITH e AS (
        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |), eb AS (
+       |  SELECT vec_id, v, ($bucketExprSql) AS bucket FROM e
+       |), probes AS (
+       |  SELECT vec_id, v, xor(bucket, p) AS probe
+       |  FROM eb CROSS JOIN (SELECT unnest($probeListSql) AS p)
        |)
        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        |       ROUND(list_cosine_similarity(a.v, b.v) + 1e-12, 6) AS sim
-       |FROM e a JOIN e b ON a.vec_id < b.vec_id
+       |FROM probes a JOIN eb b ON a.probe = b.bucket AND a.vec_id < b.vec_id
        |WHERE ROUND(list_cosine_similarity(a.v, b.v) + 1e-12, 6)
        |      >= $NEARDUP_THRESHOLD""".stripMargin
-
-  private val PLANES = 5
-  private val DIMS = 64
 
   /** LSH-bucketed ANN (scale path). */
   def annLsh(spark: SparkSession, sfDir: String): DataFrame =
     Similarity.lshTopK(vectors(spark, sfDir), planes = PLANES, k = TOP_K,
       dims = DIMS)
 
-  /** Exact DuckDB restatement of the sign-LSH path: the plane weights are
-    * deterministic integer arithmetic ([[Similarity.planeWeight]]), so
-    * bucket assignment, hamming-1 multi-probe, and the cosine rank are all
-    * reproducible — no reason for a weaker rows-only check.
+  /** Exact DuckDB restatement of the sign-LSH top-k: bucket assignment,
+    * hamming-1 multi-probe, and the cosine rank are all reproducible — no
+    * reason for a weaker rows-only check.
     */
-  val annLshSql: String = {
-    val planeLits = (0 until PLANES).map { j =>
-      (0 until DIMS)
-        .map(d => Similarity.planeWeight(j, d).toString)
-        .mkString("[", ", ", "]")
-    }
-    val bucketExpr = (0 until PLANES).map { j =>
-      s"(CASE WHEN list_dot_product(v, ${planeLits(j)}) > 0 THEN ${1 << j} ELSE 0 END)"
-    }.mkString(" + ")
-    val probeList = (0 +: (0 until PLANES).map(1 << _)).mkString("[", ", ", "]")
+  val annLshSql: String =
     s"""WITH e AS (
        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
        |), eb AS (
-       |  SELECT vec_id, v, ($bucketExpr) AS bucket FROM e
+       |  SELECT vec_id, v, ($bucketExprSql) AS bucket FROM e
        |), probes AS (
        |  SELECT vec_id, v, xor(bucket, p) AS probe
-       |  FROM eb CROSS JOIN (SELECT unnest($probeList) AS p)
+       |  FROM eb CROSS JOIN (SELECT unnest($probeListSql) AS p)
        |), s AS (
        |  SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id,
        |    ROUND(list_cosine_similarity(a.v, b.v) + 1e-12, 6) AS sim
@@ -96,7 +114,6 @@ object SimilarityJobs {
        |    PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rn
        |  FROM s) ranked
        |WHERE rn <= $TOP_K""".stripMargin
-  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_cosine_topk" -> annCosineTopK,

@@ -78,8 +78,15 @@ object Dedup {
     * on every common word and LSH banding degenerates to all-pairs.
     */
   def minhashSignatures(
-      df: DataFrame, id: Column, text: Column, k: Int, n: Int = 2): DataFrame = {
-    val grams = explodedGrams(df.select(id.as("doc_id"), text.as("text")), n)
+      df: DataFrame, id: Column, text: Column, k: Int, n: Int = 2): DataFrame =
+    minhashFromGrams(
+      explodedGrams(df.select(id.as("doc_id"), text.as("text")), n), k)
+
+  /** MinHash signatures from an already-materialized distinct gram frame
+    * (doc_id, gram) — lets one cached gram scan feed both the LSH candidate
+    * stage and an exact-verification join (see `DedupJobs.decontamination`).
+    */
+  def minhashFromGrams(grams: DataFrame, k: Int): DataFrame = {
     val aggs = (0 until k).map { j =>
       min(md5Long(concat(lit(s"$j:"), col("gram")))).as(s"h$j")
     }

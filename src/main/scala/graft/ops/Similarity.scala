@@ -49,9 +49,36 @@ object Similarity {
     TopN.topNPer(scored, col("query_id"), col("sim"), col("neighbor_id"), k)
   }
 
+  /** Near-duplicate pairs via sign-LSH blocking + exact-cosine verification:
+    * candidates are pairs whose buckets differ by hamming ≤ 1 (the probing
+    * side expands each bucket into itself plus its single-bit flips), found
+    * by an equi-join on bucket — never an all-pairs join — then verified
+    * with the exact rounded cosine. Deterministic end-to-end, so a SQL
+    * oracle reproduces it bit-for-bit. At 100 TB this is the near-dup
+    * shape: candidate volume ≈ (planes+1)/2^planes of each bucket's square,
+    * tunable by `planes`.
+    */
+  def nearDupPairsBlocked(
+      vectors: DataFrame, threshold: Double, planes: Int, dims: Int): DataFrame = {
+    val withBucket = vectors
+      .withColumn("bucket", lshBucket(col("v"), planes, dims))
+      .cache()
+    val probes = withBucket.withColumn("probe",
+      explode(array((lit(0) +: (0 until planes).map(j => lit(1 << j))): _*)))
+      .withColumn("probe", col("bucket").bitwiseXOR(col("probe")))
+    val a = probes.alias("a"); val b = withBucket.alias("b")
+    // each qualifying pair matches on exactly one probe value, so no
+    // distinct is needed — multiplicity is 1 by construction
+    a.join(b, col("a.probe") === col("b.bucket") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        cosine(col("a.v"), col("a.norm"), col("b.v"), col("b.norm")).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
   /** All near-duplicate pairs with cosine ≥ threshold (exact, pairwise
-    * within the id-ordered half-matrix). Quadratic: block upstream or use
-    * `lshBuckets` at scale.
+    * within the id-ordered half-matrix). Quadratic — the small-scale
+    * baseline; `nearDupPairsBlocked` is the declared scale path.
     */
   def nearDupPairs(vectors: DataFrame, threshold: Double): DataFrame = {
     val a = vectors.alias("a"); val b = vectors.alias("b")

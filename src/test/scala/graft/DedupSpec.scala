@@ -59,14 +59,16 @@ class DedupSpec extends SparkSpec {
     assert(!out.exists(r => r.getLong(0) == 6L || r.getLong(1) == 6L))
   }
 
-  test("decontamination flags near-dups that cross the hash split") {
+  test("decontamination flags duplicated docs that cross the hash split") {
     // doc_id 8 hashes to 'test', 0-7 and 9 to 'train' (md5 % 100 buckets);
-    // make 8 a near-duplicate of 1 → a train/test leak the query must flag
+    // make 8 a verbatim copy of 1 — the canonical eval→train leak. Identical
+    // gram sets guarantee identical minhash signatures, so the LSH candidate
+    // stage must surface the pair regardless of banding choices.
     val dir = java.nio.file.Files.createTempDirectory("decon").toString
     Seq(
       (0L, "the quick brown fox jumps over the lazy dog today", "en", "s", 49L),
       (1L, "pack my box with five dozen brown liquor jugs now", "en", "s", 50L),
-      (8L, "pack my box with five dozen brown liquor jugs here", "en", "s", 50L),
+      (8L, "pack my box with five dozen brown liquor jugs now", "en", "s", 50L),
       (9L, "completely unrelated words occupy this document body", "en", "s", 52L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")

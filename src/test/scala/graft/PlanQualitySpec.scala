@@ -49,6 +49,15 @@ class PlanQualitySpec extends SparkSpec {
       "events scan reads columns the query never uses")
   }
 
+  test("neardup + decontamination plans contain no all-pairs join") {
+    val pn = plan(SimilarityJobs.embeddingNeardup(spark, sf("sf0.001")))
+    assert(!pn.contains("BroadcastNestedLoopJoin") && !pn.contains("CartesianProduct"),
+      s"embedding_neardup regressed to an all-pairs join:\n$pn")
+    val pd = plan(DedupJobs.decontamination(spark, sf("sf0.001")))
+    assert(!pd.contains("BroadcastNestedLoopJoin") && !pd.contains("CartesianProduct"),
+      s"decontamination candidate stage is not an equi-join:\n$pd")
+  }
+
   test("brute-force ANN broadcasts the query side, not the corpus") {
     val p = plan(SimilarityJobs.annCosineTopK(spark, sf("sf0.001")))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
