@@ -86,8 +86,10 @@ object Sources {
       .option("host", host).option("port", port).load()
 
   /** S4: Kafka source (`HotItem.java:34-40`); CSV-in-value like the
-    * reference's `SimpleStringSchema`. Not exercised in tests (no broker in
-    * the container) but the wiring is the production path at scale.
+    * reference's `SimpleStringSchema`. The broker connection itself can't be
+    * exercised here (no broker in the container), but the value-parse path
+    * below is the same one unit-tested over in-memory `value: String`
+    * frames — a typo there can't ship.
     */
   def kafkaLines(spark: SparkSession, servers: String, topic: String): DataFrame =
     spark.readStream.format("kafka")
@@ -95,4 +97,23 @@ object Sources {
       .option("subscribe", topic)
       .load()
       .select(col("value").cast("string").as("value"))
+
+  /** P1 over a `value: String` frame (what Kafka delivers): CSV-in-value →
+    * typed UserBehavior columns. Works identically on batch frames,
+    * `MemoryStream`, and `kafkaLines` output — the parse is `from_csv`
+    * column expressions, source-agnostic by construction.
+    */
+  def parseUserBehaviorLines(lines: DataFrame): DataFrame =
+    secsToTs(lines
+      .select(from_csv(col("value"), userBehaviorSchema,
+        Map.empty[String, String]).as("r"))
+      .select(col("r.*")))
+
+  /** S4 end-to-end: Kafka topic of CSV lines → typed UserBehavior stream —
+    * the reference's `FlinkKafkaConsumer` + parse-map pipeline
+    * (`HotItems.scala:39-52`).
+    */
+  def kafkaUserBehavior(
+      spark: SparkSession, servers: String, topic: String): DataFrame =
+    parseUserBehaviorLines(kafkaLines(spark, servers, topic))
 }

@@ -19,12 +19,19 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
-  /** Deterministic salt in [0, buckets): hash of the full row's stable
-    * spread column (pass an id-ish column; falls back to rand-free
-    * monotonic id when none exists).
+  /** Deterministic salt in [0, buckets): hash of the row's stable spread
+    * column (pass an id-ish column). NULL spread values fall back to a
+    * rand-free monotonic id so they spread across buckets instead of all
+    * hashing into one.
     */
   def salt(spread: Column, buckets: Int): Column =
-    pmod(hash(spread), lit(buckets))
+    when(spread.isNull,
+        pmod(hash(monotonically_increasing_id()), lit(buckets)))
+      .otherwise(pmod(hash(spread), lit(buckets)))
+
+  /** Salt with no spread column at all: rand-free monotonic id. */
+  def salt(buckets: Int): Column =
+    pmod(hash(monotonically_increasing_id()), lit(buckets))
 
   /** Two-phase salted aggregation.
     * `partials`: aggregations on (key, salt); `finals`: re-aggregations of

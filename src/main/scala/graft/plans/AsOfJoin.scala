@@ -83,29 +83,49 @@ final case class AsOfJoinExec(
       var cand: InternalRow = null
 
       lIt.flatMap { l =>
-        val lk = lKeyB(l); val lt = lTimeB(l)
-        // advance the right side up to (lk, lt), keeping the latest
-        // candidate for key lk (rows of earlier keys are discarded)
-        var continue = true
-        while (continue && rBuf.hasNext) {
-          val rk = rKeyB(rBuf.head)
-          if (rk < lk) { rBuf.next(); if (cand != null && candKey < lk) cand = null }
-          else if (rk == lk && rTimeB(rBuf.head) <= lt) {
-            val r = rBuf.next()
-            candKey = lk; candTime = rTimeB(r); cand = r.copy()
-          } else continue = false
+        val lkB = lKeyB(l); val ltB = lTimeB(l)
+        // null key/time rows can never match (equality/ordering with NULL is
+        // undefined) — emit nothing rather than silently unboxing to 0
+        if (lkB == null || ltB == null) Iterator.empty
+        else {
+          val lk = lkB.longValue(); val lt = ltB.longValue()
+          // advance the right side up to (lk, lt), keeping the latest
+          // candidate for key lk (rows of earlier keys are discarded)
+          var continue = true
+          while (continue && rBuf.hasNext) {
+            val head = rBuf.head
+            val rkB = rKeyB(head)
+            if (rkB == null) { rBuf.next() } // null-keyed right row: discard
+            else {
+              val rk = rkB.longValue()
+              if (rk < lk) {
+                rBuf.next(); if (cand != null && candKey < lk) cand = null
+              } else if (rk == lk) {
+                val rtB = rTimeB(head)
+                if (rtB == null) { rBuf.next() } // null-time right row: discard
+                else if (rtB.longValue() <= lt) {
+                  val r = rBuf.next()
+                  candKey = lk; candTime = rtB.longValue(); cand = r.copy()
+                } else continue = false
+              } else continue = false
+            }
+          }
+          if (cand != null && candKey == lk && lt - candTime <= tol)
+            Iterator.single(project(joined(l, cand)))
+          else Iterator.empty
         }
-        if (cand != null && candKey == lk && lt - candTime <= tol)
-          Iterator.single(project(joined(l, cand)))
-        else Iterator.empty
       }
     }
   }
 
-  private def bindLong(e: Expression, attrs: Seq[Attribute]): InternalRow => Long = {
+  /** Nullable eval: returns null for NULL keys/times so callers can skip the
+    * row instead of silently treating it as key 0 / epoch 0.
+    */
+  private def bindLong(
+      e: Expression, attrs: Seq[Attribute]): InternalRow => java.lang.Long = {
     val bound = org.apache.spark.sql.catalyst.expressions.BindReferences
       .bindReference(e, org.apache.spark.sql.catalyst.expressions.AttributeSeq(attrs))
-    row => bound.eval(row).asInstanceOf[Long]
+    row => bound.eval(row).asInstanceOf[java.lang.Long]
   }
 
   override protected def withNewChildrenInternal(

@@ -1,0 +1,90 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming._
+
+/** W6 row-level late capture — the reference's `sideOutputLateData`
+  * (`HotPages.java:67,79,83`) as observable tagged ROWS, not just drop
+  * counters (which [[LateData]] provides).
+  *
+  * Mechanism: Flink routes a row to the late side output when
+  * `ts < watermark − lateness`, with `watermark = maxTs − disorder`. Spark
+  * has no row-level hook at that horizon — its watermark both defines
+  * lateness AND silently drops. So we declare the operator's watermark with
+  * a delay of `disorder + lateness + slack`: Spark then only ever drops
+  * rows later than the slack budget (effectively nothing), while inside the
+  * operator `currentWatermark + slack` equals Flink's side-output horizon
+  * exactly:
+  *
+  *   sparkWm + slack = (maxTs − disorder − lateness − slack) + slack
+  *                   = flinkWm − lateness.
+  *
+  * The split runs keyed on the downstream key, so it rides the same hash
+  * exchange the stateful op needs anyway — no extra shuffle, no
+  * single-partition funnel, and per-key parallelism at any scale. The op
+  * itself is stateless (tag-and-forward); only the watermark bookkeeping
+  * uses the streaming machinery. Divergence from Flink: the watermark
+  * advances at micro-batch boundaries, not per-record.
+  *
+  * Downstream: filter `tag === "late"` to the side sink and
+  * `tag === "ontime"` into the windowed aggregation — the K3 side-output
+  * pattern (`graft.io.Sinks`).
+  */
+object LateSplit {
+
+  /** One keyed event on the wire: (routing key, event-time millis). */
+  final case class Hit(key: String, tsMs: Long)
+
+  /** The tagged event: `tag` ∈ {"ontime", "late"}. */
+  final case class TaggedHit(key: String, tsMs: Long, tag: String)
+
+  /** Default "never drop in practice" budget: one week. */
+  val DefaultSlackMs: Long = 7L * 24 * 3600 * 1000
+
+  class LateTagProcessor(slackMs: Long)
+      extends StatefulProcessor[String, Hit, TaggedHit] {
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = ()
+
+    override def handleInputRows(
+        key: String,
+        rows: Iterator[Hit],
+        timerValues: TimerValues): Iterator[TaggedHit] = {
+      // sparkWm + slack == flinkWm − lateness (see object doc); before any
+      // batch completes the watermark is ≤ 0 and everything is on time
+      val horizon = timerValues.getCurrentWatermarkInMs() + slackMs
+      rows.map(h =>
+        TaggedHit(h.key, h.tsMs, if (h.tsMs < horizon) "late" else "ontime"))
+    }
+
+    override def handleExpiredTimer(
+        key: String,
+        timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[TaggedHit] =
+      Iterator.empty
+  }
+
+  /** Tag each row on-time/late against the Flink horizon
+    * `maxTs − disorder − lateness`. Requires the RocksDB state store
+    * provider (as every transformWithState op does).
+    */
+  def split(
+      hits: Dataset[Hit],
+      disorderMs: Long,
+      latenessMs: Long,
+      slackMs: Long = DefaultSlackMs): Dataset[TaggedHit] = {
+    import hits.sparkSession.implicits._
+    val delayMs = disorderMs + latenessMs + slackMs
+    hits
+      .withColumn("wm_ts",
+        org.apache.spark.sql.functions.timestamp_millis(
+          org.apache.spark.sql.functions.col("tsMs")))
+      .withWatermark("wm_ts", s"$delayMs milliseconds")
+      .as[Hit](Encoders.product[Hit])
+      .groupByKey(_.key)
+      .transformWithState(
+        new LateTagProcessor(slackMs),
+        TimeMode.EventTime(),
+        OutputMode.Append())
+  }
+}

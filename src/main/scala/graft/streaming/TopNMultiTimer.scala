@@ -51,9 +51,13 @@ class TopNProcessor(n: Int, latenessMs: Long)
     if (!emitted.exists()) {
       emitted.update(false)
       val wm = timerValues.getCurrentWatermarkInMs()
-      // two live timers, exactly the reference's registrations
-      getHandle.registerTimer(math.max(windowEnd + 1, wm + 1))
-      getHandle.registerTimer(math.max(windowEnd + latenessMs, wm + 2))
+      // two live timers, exactly the reference's registrations; the cleanup
+      // horizon is forced strictly past the emit horizon so a degenerate
+      // latenessMs <= 1 can't collapse them into one firing (which would
+      // leak the key's MapState forever)
+      val emitAt = math.max(windowEnd + 1, wm + 1)
+      getHandle.registerTimer(emitAt)
+      getHandle.registerTimer(math.max(windowEnd + latenessMs, emitAt + 1))
     }
     // late refinement after first emission: re-fire the updated ranking
     if (alreadyEmitted) ranked(windowEnd) else Iterator.empty

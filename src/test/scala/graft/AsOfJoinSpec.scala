@@ -36,6 +36,24 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out == Set((1L, 100L))) // 200-150=50s exceeds the 20s tolerance
   }
 
+  test("null keys and times are excluded, not joined as key 0 / epoch 0") {
+    val l = Seq(
+      (Some(1L), Some(ts(100))),
+      (None: Option[Long], Some(ts(100))), // null key: never matches
+      (Some(1L), None: Option[Timestamp])) // null time: never matches
+      .toDF("k", "lt")
+    val r = Seq(
+      (Some(1L), Some(ts(90))),
+      (Some(0L), Some(ts(90))),            // would match a 0-unboxed null key
+      (None: Option[Long], Some(ts(90))),  // null right key: discarded
+      (Some(1L), None: Option[Timestamp])) // null right time: discarded
+      .toDF("rk", "rt")
+    val out = AsOf.join(l, r, "k", "rk", "lt", "rt")
+      .select($"k", $"rt").as[(Long, Timestamp)].collect()
+      .map(t => (t._1, t._2.getTime / 1000)).toSet
+    assert(out == Set((1L, 90L)))
+  }
+
   test("plan shape: one exchange + sort per side, no pair blow-up") {
     val df = AsOf.join(left, right, "k", "rk", "lt", "rt")
     df.collect() // finalize the adaptive plan

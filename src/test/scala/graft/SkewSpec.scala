@@ -28,4 +28,15 @@ class SkewSpec extends SparkSpec {
       .groupBy($"k", $"__salt").count()
     assert(partials.count() == 8)
   }
+
+  test("null spread values fall back to the monotonic id, not one bucket") {
+    val df = (1 to 1000).map(_ => ("hot", None: Option[Long])).toDF("k", "v")
+    val buckets = df.withColumn("__salt", Skew.salt($"v", 8))
+      .select($"__salt").distinct().count()
+    assert(buckets > 1, "all null-spread rows hashed into a single bucket")
+    // spread-free overload spreads too
+    val noSpread = df.withColumn("__salt", Skew.salt(8))
+      .select($"__salt").distinct().count()
+    assert(noSpread > 1)
+  }
 }
