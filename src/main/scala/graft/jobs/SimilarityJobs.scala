@@ -115,13 +115,58 @@ object SimilarityJobs {
        |  FROM s) ranked
        |WHERE rn <= $TOP_K""".stripMargin
 
+  private val IVF_CENTROIDS = 16
+  private val IVF_NPROBE = 4
+
+  /** IVF ANN (the second scale path beside sign-LSH): deterministic
+    * centroids → cell assignment → nprobe probing → exact-cosine rank.
+    */
+  def annIvf(spark: SparkSession, sfDir: String): DataFrame =
+    Similarity.ivfTopK(vectors(spark, sfDir), col("vec_id") < N_QUERIES,
+      centroids = IVF_CENTROIDS, nprobe = IVF_NPROBE, k = TOP_K)
+
+  /** Oracle restates assignment argmax (rounded-score + centroid-id
+    * tie-break), probe ranking, and the final top-k — all deterministic.
+    */
+  val annIvfSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |), cent AS (
+       |  SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < $IVF_CENTROIDS
+       |), ranked AS (
+       |  SELECT e.vec_id, cent.cent_id,
+       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+       |      ROUND(list_cosine_similarity(e.v, cent.cv) + 1e-12, 6) DESC,
+       |      cent.cent_id ASC) AS rn
+       |  FROM e CROSS JOIN cent
+       |), cells AS (
+       |  SELECT e.vec_id, e.v, r.cent_id AS cell
+       |  FROM e JOIN ranked r ON r.vec_id = e.vec_id AND r.rn = 1
+       |), probes AS (
+       |  SELECT e.vec_id AS query_id, e.v AS qv, r.cent_id AS cell
+       |  FROM e JOIN ranked r ON r.vec_id = e.vec_id AND r.rn <= $IVF_NPROBE
+       |  WHERE e.vec_id < $N_QUERIES
+       |), s AS (
+       |  SELECT p.query_id, c.vec_id AS neighbor_id,
+       |    ROUND(list_cosine_similarity(p.qv, c.v) + 1e-12, 6) AS sim
+       |  FROM probes p JOIN cells c
+       |    ON c.cell = p.cell AND c.vec_id <> p.query_id
+       |)
+       |SELECT query_id, neighbor_id, sim, rn FROM (
+       |  SELECT *, ROW_NUMBER() OVER (
+       |    PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rn
+       |  FROM s) final
+       |WHERE rn <= $TOP_K""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_cosine_topk" -> annCosineTopK,
     "embedding_neardup" -> embeddingNeardup,
-    "ann_lsh" -> annLsh)
+    "ann_lsh" -> annLsh,
+    "ann_ivf" -> annIvf)
 
   val oracles: Map[String, String] = Map(
     "ann_cosine_topk" -> annCosineTopKSql,
     "embedding_neardup" -> embeddingNeardupSql,
-    "ann_lsh" -> annLshSql)
+    "ann_lsh" -> annLshSql,
+    "ann_ivf" -> annIvfSql)
 }

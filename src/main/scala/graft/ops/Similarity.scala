@@ -107,6 +107,56 @@ object Similarity {
       when(s > 0, lit(1 << j)).otherwise(lit(0))
     }.reduce(_ + _)
 
+  /** IVF (inverted-file) ANN: assign every vector to its nearest centroid
+    * cell, probe the `nprobe` cells nearest each query, exact-cosine rank
+    * within probed cells. The operator shape is production IVF; centroid
+    * choice here is deterministic (the first `centroids` vectors by id)
+    * instead of trained k-means so the whole path — assignment argmax,
+    * probe ranking, final top-k — is exactly reproducible by a SQL oracle.
+    * Swap the centroid frame for trained centroids without touching the
+    * pipeline.
+    *
+    * Scale shape: assignment is a C-bounded broadcast product (C constant,
+    * per-row work = C dot products, no shuffle of the vector payload — the
+    * ranking shuffles only (vec_id, cent_id, score) triples); the candidate
+    * stage is an equi-join on the int cell id. Assignment ties break by
+    * centroid id on the ROUNDED score so engines agree at representation
+    * boundaries.
+    *
+    * Output (query_id, neighbor_id, sim, rn) for query vectors selected by
+    * `isQuery`.
+    */
+  def ivfTopK(
+      vectors: DataFrame, isQuery: Column, centroids: Int, nprobe: Int,
+      k: Int): DataFrame = {
+    val cents = broadcast(vectors.filter(col("vec_id") < centroids)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"),
+        col("norm").as("cnorm")))
+    // score every vector against every centroid (explicit C-bounded
+    // broadcast product — C is a constant, this is the IVF assign stage,
+    // not a data×data cross); drop the payload before the ranking shuffle
+    val scored = vectors.crossJoin(cents)
+      .select(col("vec_id"), col("cent_id"),
+        cosine(col("v"), col("norm"), col("cv"), col("cnorm")).as("cscore"))
+    val ranked = TopN.topNPer(scored, col("vec_id"), col("cscore"),
+      col("cent_id"), math.max(nprobe, 1)).cache()
+    val cells = ranked.filter(col("rn") === 1)
+      .select(col("vec_id"), col("cent_id").as("cell"))
+    val corpus = vectors.join(cells, "vec_id")
+    val probes = vectors.filter(isQuery)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("norm").as("qn"))
+      .join(ranked.filter(col("rn") <= nprobe)
+        .select(col("vec_id").as("query_id"), col("cent_id").as("cell")),
+        "query_id")
+    val scoredPairs = probes.join(corpus,
+        probes("cell") === corpus("cell") &&
+          col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("qv"), col("qn"), col("v"), col("norm")).as("sim"))
+    TopN.topNPer(scoredPairs, col("query_id"), col("sim"), col("neighbor_id"), k)
+  }
+
   /** ANN via LSH buckets with hamming-1 multi-probe: the query side probes
     * its own bucket plus each single-bit-flip neighbor, recovering most of
     * the recall lost to sign boundaries while keeping the join an equi-join
