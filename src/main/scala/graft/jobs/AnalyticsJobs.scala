@@ -146,17 +146,44 @@ object AnalyticsJobs {
       |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS order_no
       |FROM orders""".stripMargin
 
+  /** Exact interpolated percentiles (Spark `percentile` ≡ DuckDB
+    * `quantile_cont`: both sort and linearly interpolate at p·(n−1)).
+    * Exact-sort percentiles shuffle each group's values; at 100 TB swap in
+    * `approx_percentile` (t-digest, mergeable partials) — same query shape,
+    * bounded error instead of a sort.
+    */
+  def percentileStats(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_quantity, 0.5)") + lit(1e-9), 4).as("p50_qty"),
+        round(expr("percentile(l_quantity, 0.95)") + lit(1e-9), 4).as("p95_qty"),
+        round(expr("percentile(l_extendedprice, 0.5)") + lit(1e-9), 2).as("p50_price"),
+        round(expr("percentile(l_extendedprice, 0.99)") + lit(1e-9), 2).as("p99_price"),
+        count(lit(1)).as("n"))
+
+  val percentileStatsSql: String =
+    """SELECT l_returnflag,
+      |  ROUND(quantile_cont(l_quantity, 0.5) + 1e-9, 4) AS p50_qty,
+      |  ROUND(quantile_cont(l_quantity, 0.95) + 1e-9, 4) AS p95_qty,
+      |  ROUND(quantile_cont(l_extendedprice, 0.5) + 1e-9, 2) AS p50_price,
+      |  ROUND(quantile_cont(l_extendedprice, 0.99) + 1e-9, 2) AS p99_price,
+      |  COUNT(*) AS n
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "session_agg" -> sessionAgg,
     "cube_agg" -> cubeAgg,
     "pivot_agg" -> pivotAgg,
     "set_ops" -> setOps,
-    "window_analytics" -> windowAnalytics)
+    "window_analytics" -> windowAnalytics,
+    "percentile_stats" -> percentileStats)
 
   val oracles: Map[String, String] = Map(
     "session_agg" -> sessionAggSql,
     "cube_agg" -> cubeAggSql,
     "pivot_agg" -> pivotAggSql,
     "set_ops" -> setOpsSql,
-    "window_analytics" -> windowAnalyticsSql)
+    "window_analytics" -> windowAnalyticsSql,
+    "percentile_stats" -> percentileStatsSql)
 }

@@ -143,6 +143,40 @@ object DedupJobs {
        |WHERE CAST(inter AS DOUBLE) / (sa.n_grams + sb.n_grams - inter)
        |      >= $JACCARD_THRESHOLD""".stripMargin
 
+  // ---- near-dup cluster resolution (connected components) ----
+
+  /** Cluster resolution over the MinHash-LSH candidate pairs: each doc
+    * labelled with its component's minimum doc_id (the keeper). The step a
+    * dedup pipeline runs after candidate generation to collapse dup chains
+    * (a~b, b~c ⇒ one cluster even if a,c never collide).
+    */
+  def dedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"))
+    Dedup.connectedComponents(docs,
+      dedupMinhashLsh(spark, sfDir).select(col("doc_a"), col("doc_b")))
+  }
+
+  /** Oracle: transitive closure by recursive CTE over the same candidate
+    * edges; MIN(reached) is the same fixpoint min-label propagation reaches.
+    */
+  val dedupClustersSql: String =
+    s"""WITH RECURSIVE $bigramCte, sig AS (
+       |  SELECT doc_id, $minhashAggSql
+       |  FROM grams GROUP BY doc_id
+       |), cand AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ($bandEqSql)
+       |), edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM cand
+       |  UNION
+       |  SELECT doc_b, doc_a FROM cand
+       |), reach AS (
+       |  SELECT doc_id, doc_id AS reached FROM documents
+       |  UNION
+       |  SELECT r.doc_id, e.dst FROM reach r JOIN edges e ON e.src = r.reached
+       |)
+       |SELECT doc_id, MIN(reached) AS cluster FROM reach GROUP BY doc_id""".stripMargin
+
   // ---- deterministic train/val/test split + decontamination ----
 
   /** Content-independent, engine-reproducible split assignment: bucket =
@@ -262,6 +296,7 @@ object DedupJobs {
     "dedup_exact" -> dedupExact,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
     "dedup_simhash" -> dedupSimhash,
+    "dedup_clusters" -> dedupClusters,
     "ngram_jaccard" -> ngramJaccard,
     "train_split" -> trainSplit,
     "decontamination" -> decontamination)
@@ -270,6 +305,7 @@ object DedupJobs {
     "dedup_exact" -> dedupExactSql,
     "dedup_minhash_lsh" -> dedupMinhashLshSql,
     "dedup_simhash" -> dedupSimhashSql,
+    "dedup_clusters" -> dedupClustersSql,
     "ngram_jaccard" -> ngramJaccardSql,
     "train_split" -> trainSplitSql,
     "decontamination" -> decontaminationSql)

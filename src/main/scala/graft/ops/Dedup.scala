@@ -136,6 +136,52 @@ object Dedup {
       .select(col("doc_id"), fp.as("simhash"))
   }
 
+  /** Connected components over near-dup pairs: every document labelled with
+    * the minimum doc_id reachable through the pair graph — the cluster
+    * representative a dedup pipeline keeps. Min-label propagation iterated
+    * to fixpoint; the fixpoint (component minimum) is engine-independent,
+    * so a SQL transitive-closure oracle reproduces it exactly.
+    *
+    * Scale: each iteration is one equi-join + one aggregation; iteration
+    * count is the component diameter. Near-dup clusters are shallow (dups
+    * of one document), so a small `maxIters` suffices; pathological chains
+    * would call for the large-star/small-star variant, same skeleton. The
+    * driver loop is control flow only — all data work is distributed, and
+    * each iteration's action is the convergence count.
+    */
+  def connectedComponents(
+      vertices: DataFrame, pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct().cache()
+    var labels = vertices.select(col("doc_id"), col("doc_id").as("cluster"))
+      .cache()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val nbrMin = edges
+        .join(labels.select(col("doc_id").as("dst"),
+          col("cluster").as("nbr_cluster")), "dst")
+        .groupBy(col("src").as("doc_id"))
+        .agg(min(col("nbr_cluster")).as("nbr_min"))
+      val next = labels.join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster"), coalesce(col("nbr_min"), col("cluster")))
+            .as("cluster"))
+        .cache()
+      val changed = next
+        .join(labels.withColumnRenamed("cluster", "prev"), "doc_id")
+        .filter(col("cluster") =!= col("prev")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** Near-dup pairs by SimHash hamming distance within a blocking key. */
   def simhashPairs(fp: DataFrame, block: DataFrame, maxHamming: Int): DataFrame = {
     val withBlock = fp.join(block, "doc_id")

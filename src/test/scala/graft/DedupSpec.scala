@@ -79,6 +79,19 @@ class DedupSpec extends SparkSpec {
     assert(Set(out.head.getString(2), out.head.getString(3)) == Set("train", "test"))
   }
 
+  test("connected components collapse transitive dup chains to one keeper") {
+    val vertices = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L).toDF("doc_id")
+    // chain 1-2-3-4 (1~2, 2~3, 3~4: transitive, no direct 1~4 edge),
+    // pair 5-6, singleton 7
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L))
+      .toDF("doc_a", "doc_b")
+    val out = Dedup.connectedComponents(vertices, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(out(_) == 1L))
+    assert(out(5L) == 5L && out(6L) == 5L)
+    assert(out(7L) == 7L)
+  }
+
   test("train split is deterministic and ~80/10/10") {
     val a = graft.jobs.DedupJobs.trainSplit(spark, sf("sf0.001"))
       .orderBy($"lang", $"split").collect().toSeq
