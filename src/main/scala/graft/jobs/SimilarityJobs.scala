@@ -105,7 +105,7 @@ object SimilarityJobs {
        |  SELECT vec_id, v, xor(bucket, p) AS probe
        |  FROM eb CROSS JOIN (SELECT unnest($probeListSql) AS p)
        |), s AS (
-       |  SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
        |    ROUND(list_cosine_similarity(a.v, b.v) + 1e-12, 6) AS sim
        |  FROM probes a JOIN eb b ON a.probe = b.bucket AND a.vec_id <> b.vec_id
        |)

@@ -170,12 +170,15 @@ object Similarity {
       explode(array((lit(0) +: (0 until planes).map(j => lit(1 << j))): _*)))
       .withColumn("probe", col("bucket").bitwiseXOR(col("probe")))
     val a = probes.alias("a"); val b = withBucket.alias("b")
+    // each (query, neighbor) candidate matches on exactly one probe value
+    // (the probe set {bucket^p} is pairwise distinct and b's bucket is
+    // fixed), so multiplicity is 1 by construction — no distinct, which
+    // would shuffle the full candidate set once more for nothing
     val scored = a.join(b,
         col("a.probe") === col("b.bucket") &&
           col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("neighbor_id"),
         cosine(col("a.v"), col("a.norm"), col("b.v"), col("b.norm")).as("sim"))
-      .distinct()
     TopN.topNPer(scored, col("query_id"), col("sim"), col("neighbor_id"), k)
   }
 }
