@@ -69,15 +69,26 @@ object DedupJobs {
     }.mkString(" OR ")
   }
 
-  private def minhashAggSql: String = (0 until K)
-    .map(j => s"MIN(${hexIntSql(s"'$j:' || gram")}) AS h$j").mkString(",\n    ")
+  /** Distinct hashed-gram CTE (one md5 per gram; signatures and
+    * verification both read it) + the k affine minhash aggregates
+    * ([[Dedup.minhashCol]]: (a_j·gh + b_j) mod p over the shared base
+    * hash — one digest per gram, not k).
+    */
+  private val hashedGramCte =
+    s"""e AS (
+       |  SELECT DISTINCT doc_id, ${hexIntSql("gram")} AS gh FROM grams
+       |)""".stripMargin
+
+  private def minhashAggSql: String = (0 until K).map { j =>
+    s"MIN((gh * ${Dedup.minhashA(j)} + ${Dedup.minhashB(j)}) % ${Dedup.MinhashPrime}) AS h$j"
+  }.mkString(",\n    ")
 
   val dedupMinhashLshSql: String = {
     val matches = (0 until K)
       .map(j => s"(CASE WHEN a.h$j = b.h$j THEN 1 ELSE 0 END)").mkString(" + ")
-    s"""WITH $bigramCte, sig AS (
+    s"""WITH $bigramCte, $hashedGramCte, sig AS (
        |  SELECT doc_id, $minhashAggSql
-       |  FROM grams GROUP BY doc_id
+       |  FROM e GROUP BY doc_id
        |)
        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |       CAST($matches AS DOUBLE) / $K AS est_jaccard
@@ -160,9 +171,9 @@ object DedupJobs {
     * edges; MIN(reached) is the same fixpoint min-label propagation reaches.
     */
   val dedupClustersSql: String =
-    s"""WITH RECURSIVE $bigramCte, sig AS (
+    s"""WITH RECURSIVE $bigramCte, $hashedGramCte, sig AS (
        |  SELECT doc_id, $minhashAggSql
-       |  FROM grams GROUP BY doc_id
+       |  FROM e GROUP BY doc_id
        |), cand AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ($bandEqSql)
@@ -223,13 +234,14 @@ object DedupJobs {
   def decontamination(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
-    val grams = Dedup.explodedGrams(docs, JACCARD_N).cache()
-    val cands = Dedup
-      .lshCandidates(Dedup.minhashFromGrams(grams, K), K, BANDS)
-      .select(col("doc_a"), col("doc_b"))
-    val g = grams
+    // one hashed-gram scan (one md5 per distinct gram) feeds BOTH the
+    // minhash signatures and the exact-verification joins
+    val g = Dedup.explodedGrams(docs, JACCARD_N)
       .select(col("doc_id"), Dedup.md5Long(col("gram")).as("gh"))
       .distinct().cache()
+    val cands = Dedup
+      .lshCandidates(Dedup.minhashFromHashes(g, K), K, BANDS)
+      .select(col("doc_a"), col("doc_b"))
     val sizes = g.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
     val inter = cands
       .join(g.alias("ga"), col("ga.doc_id") === col("doc_a"))
@@ -261,14 +273,12 @@ object DedupJobs {
     * candidate set bit-for-bit.
     */
   val decontaminationSql: String =
-    s"""WITH $bigramCte, sig AS (
+    s"""WITH $bigramCte, $hashedGramCte, sig AS (
        |  SELECT doc_id, $minhashAggSql
-       |  FROM grams GROUP BY doc_id
+       |  FROM e GROUP BY doc_id
        |), cands AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ($bandEqSql)
-       |), e AS (
-       |  SELECT DISTINCT doc_id, ${hexIntSql("gram")} AS gh FROM grams
        |), sizes AS (
        |  SELECT doc_id, COUNT(*) AS n_grams FROM e GROUP BY doc_id
        |), verified AS (

