@@ -302,8 +302,59 @@ object DedupJobs {
        |JOIN splits sb ON sb.doc_id = v.doc_b
        |WHERE sa.split <> sb.split""".stripMargin
 
+  // ---- end-to-end corpus curation (the composed pipeline story) ----
+
+  /** The composed training-data curation pass a user of this library runs:
+    * exact-dedup to keepers (hash-agg on fingerprint, one shuffle of
+    * (hash, id)) → semi-join the corpus down to keepers → quality-score
+    * filter (single codegen'd scan) → deterministic split assignment →
+    * per-(lang, split) token/char accounting. One corpus scan feeds the
+    * fingerprint agg, one feeds the curation — nothing quadratic anywhere.
+    */
+  def corpusCuration(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.ops.TextAnalysis
+    val d = Tables.documents(spark, sfDir)
+    val keepers = d
+      .groupBy(TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val nTok = TextAnalysis.tokenCount(col("text"))
+    val nStop = TextAnalysis.stopwordCount(col("text"))
+    d.join(keepers, Seq("doc_id"), "left_semi")
+      .withColumn("quality", TextAnalysis.qualityScore(nTok, nStop))
+      .filter(col("quality") >= 0.5)
+      .withColumn("split", splitCol(spark))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(nTok).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"))
+  }
+
+  val corpusCurationSql: String = {
+    val nTokSql = "CAST(length(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT)"
+    val nStopSql =
+      "CAST(length(regexp_extract_all(text, '\\b(the|a|of|and|to|in|is|on|for|with)\\b')) AS BIGINT)"
+    val qualitySql =
+      s"""ROUND(least(CAST($nTokSql AS DOUBLE) / 100.0, 1.0) * 0.6 +
+         |    (CAST($nStopSql AS DOUBLE) / CAST(greatest($nTokSql, 1) AS DOUBLE)) * 0.4
+         |    + 1e-9, 4)""".stripMargin
+    s"""WITH keep AS (
+       |  SELECT MIN(doc_id) AS doc_id FROM documents
+       |  GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+       |), scored AS (
+       |  SELECT d.lang, $splitSqlExpr AS split, $nTokSql AS n_tokens,
+       |         d.n_chars, $qualitySql AS quality
+       |  FROM documents d JOIN keep USING (doc_id)
+       |)
+       |SELECT lang, split, COUNT(*) AS n_docs,
+       |       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       |       CAST(SUM(n_chars) AS BIGINT) AS n_chars
+       |FROM scored WHERE quality >= 0.5 GROUP BY 1, 2""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> dedupExact,
+    "corpus_curation" -> corpusCuration,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
     "dedup_simhash" -> dedupSimhash,
     "dedup_clusters" -> dedupClusters,
@@ -313,6 +364,7 @@ object DedupJobs {
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
+    "corpus_curation" -> corpusCurationSql,
     "dedup_minhash_lsh" -> dedupMinhashLshSql,
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_clusters" -> dedupClustersSql,
