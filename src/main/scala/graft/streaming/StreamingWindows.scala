@@ -54,6 +54,23 @@ object StreamingWindows {
     n.toLong * mult
   }
 
+  /** Session windows on a stream — the same 30-min-gap sessionization as
+    * the batch `AnalyticsJobs.sessionAgg`, emitted when the watermark
+    * closes a session (append mode). Spark merges session state per key
+    * and evicts it at the watermark like any windowed aggregation.
+    */
+  def sessionCount(
+      stream: DataFrame, key: Column, tsCol: String,
+      gap: String, delay: String): DataFrame =
+    stream
+      .withWatermark(tsCol, delay)
+      .groupBy(key.as("key"), session_window(col(tsCol), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("key"),
+        unix_timestamp(col("session_window.start")).as("session_start"),
+        unix_timestamp(col("session_window.end")).as("session_end"),
+        col("n_events"))
+
   /** X1 streaming: windowed top-N. Ranking windows are unsupported on
     * streaming frames, so the reference's "buffer + timer at windowEnd+1"
     * becomes foreachBatch over the aggregated (already tiny) count stream:

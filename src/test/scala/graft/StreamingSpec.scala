@@ -178,4 +178,29 @@ class StreamingSpec extends SparkSpec {
       assert(got == Set(("view", 300L, 2L), ("view", 600L, 2L)))
     } finally q.stop()
   }
+
+  test("streaming session windows merge within gap, close at watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[graft.model.Event]
+    val sessions = StreamingWindows.sessionCount(
+      in.toDF(), $"user_id", "ts", "30 minutes", "0 seconds")
+    val q = runToMemory(sessions, "session_results")
+    try {
+      in.addData(
+        graft.model.Event(1, ts(100), 7, "view", 1.0, "{}"),
+        graft.model.Event(2, ts(700), 7, "view", 1.0, "{}"),   // same session
+        graft.model.Event(3, ts(100), 8, "view", 1.0, "{}"))
+      q.processAllAvailable()
+      assert(spark.table("session_results").count() == 0) // sessions open
+      // watermark jump: both sessions close (gap = 1800s past last event)
+      in.addData(graft.model.Event(4, ts(9000), 9, "view", 1.0, "{}"))
+      q.processAllAvailable()
+      val got = spark.table("session_results")
+        .select($"key", $"session_start", $"session_end", $"n_events")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(got == Set(
+        (7L, 100L, 2500L, 2L),  // merged: 100..700, end = 700 + 1800
+        (8L, 100L, 1900L, 1L)))
+    } finally q.stop()
+  }
 }
