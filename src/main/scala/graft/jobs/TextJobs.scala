@@ -77,13 +77,45 @@ object TextJobs {
       |       md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
       |FROM documents""".stripMargin
 
+  private val VOCAB_K = 20
+
+  /** Vocabulary building: top-20 tokens per language by corpus frequency
+    * (lowercased, same tokenizer as `text_stats`). Explode → two-phase
+    * count (partial agg absorbs the token explosion map-side) → per-lang
+    * rank with WindowGroupLimit early cutoff — the vocab pass of a
+    * tokenizer-training pipeline.
+    */
+  def vocabTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val words = Tables.documents(spark, sfDir)
+      .select(col("lang"),
+        explode(TextAnalysis.tokens(lower(col("text")))).as("token"))
+    val counts = words.groupBy(col("lang"), col("token"))
+      .agg(count(lit(1)).as("n"))
+    graft.ops.TopN.topNPer(counts, col("lang"), col("n"), col("token"), VOCAB_K)
+  }
+
+  val vocabTopKSql: String =
+    s"""WITH t AS (
+       |  SELECT lang, unnest(regexp_extract_all(lower(text), '[A-Za-z0-9]+')) AS token
+       |  FROM documents
+       |), c AS (
+       |  SELECT lang, token, COUNT(*) AS n FROM t GROUP BY 1, 2
+       |)
+       |SELECT lang, token, n, rn FROM (
+       |  SELECT *, ROW_NUMBER() OVER (
+       |    PARTITION BY lang ORDER BY n DESC, token ASC) AS rn
+       |  FROM c) r
+       |WHERE rn <= $VOCAB_K""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_stats" -> textStats,
     "text_langid" -> textLangid,
-    "doc_fingerprint" -> docFingerprint)
+    "doc_fingerprint" -> docFingerprint,
+    "vocab_topk" -> vocabTopK)
 
   val oracles: Map[String, String] = Map(
     "text_stats" -> textStatsSql,
     "text_langid" -> textLangidSql,
-    "doc_fingerprint" -> docFingerprintSql)
+    "doc_fingerprint" -> docFingerprintSql,
+    "vocab_topk" -> vocabTopKSql)
 }

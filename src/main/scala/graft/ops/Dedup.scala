@@ -202,6 +202,11 @@ object Dedup {
       i += 1
     }
     edges.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIters iterations — " +
+          "component diameter exceeds the budget; raise maxIters (or switch " +
+          "to large-star/small-star for deep chains)")
     labels
   }
 
