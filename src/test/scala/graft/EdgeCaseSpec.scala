@@ -46,5 +46,31 @@ class EdgeCaseSpec extends SparkSpec {
     val v = Similarity.withNorm(empty, $"vec_id", $"embedding")
     assert(Similarity.nearDupPairs(v, 0.5).count() == 0)
     assert(Similarity.lshTopK(v, 4, 5, dims = 4).count() == 0)
+    assert(Similarity.nearDupPairsBlocked(v, 0.5, planes = 4, dims = 4).count() == 0)
+    assert(Similarity.ivfTopK(v, lit(true), centroids = 4, nprobe = 2, k = 5)
+      .count() == 0)
+  }
+
+  test("IVF with fewer vectors than centroids still answers") {
+    val tiny = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)), (2L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val v = Similarity.withNorm(tiny, $"vec_id", $"embedding")
+    val out = Similarity.ivfTopK(v, lit(true), centroids = 16, nprobe = 4, k = 2)
+    // every vector is its own centroid; probing 4 cells still finds the
+    // close pair (0,1) in both directions
+    val pairs = out.select($"query_id", $"neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)) && pairs.contains((1L, 0L)))
+  }
+
+  test("connected components on empty/edgeless graphs are identity") {
+    val emptyV = Seq.empty[Long].toDF("doc_id")
+    val noPairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(Dedup.connectedComponents(emptyV, noPairs).count() == 0)
+    val v3 = Seq(1L, 2L, 3L).toDF("doc_id")
+    val out = Dedup.connectedComponents(v3, noPairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
   }
 }

@@ -58,6 +58,20 @@ class PlanQualitySpec extends SparkSpec {
       s"decontamination candidate stage is not an equi-join:\n$pd")
   }
 
+  test("vocab ranking gets the WindowGroupLimit early cutoff") {
+    val p = plan(TextJobs.vocabTopK(spark, sf("sf0.001")))
+    assert(p.contains("WindowGroupLimit"),
+      s"per-lang rank lost its top-k pushdown:\n$p")
+    val hashAggs = "HashAggregate".r.findAllIn(p).length
+    assert(hashAggs >= 2, "token counting lost map-side partials")
+  }
+
+  test("corpus curation: semi-join keepers, no cartesian anywhere") {
+    val p = plan(DedupJobs.corpusCuration(spark, sf("sf0.001")))
+    assert(p.contains("LeftSemi"), s"keeper filter is not a semi-join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("brute-force ANN broadcasts the query side, not the corpus") {
     val p = plan(SimilarityJobs.annCosineTopK(spark, sf("sf0.001")))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
