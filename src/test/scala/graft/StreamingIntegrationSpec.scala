@@ -89,4 +89,50 @@ class StreamingIntegrationSpec extends SparkSpec {
     assert(byOrder(2L).toSeq == Seq("timeout")) // state survived the restart
     assert(out.length == 3)
   }
+
+  test("late-split watermark survives a checkpointed restart") {
+    import graft.streaming.LateSplit
+    import graft.streaming.LateSplit.Hit
+    implicit val sqlCtx = spark.sqlContext
+    val prevProvider = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ckpt = Files.createTempDirectory("late_ckpt").toString
+      val outDir = Files.createTempDirectory("late_out").toString
+      val in = MemoryStream[Hit]
+      def start() = LateSplit.split(in.toDS(),
+          disorderMs = 5000, latenessMs = 60000, slackMs = 1000000).toDF()
+        .writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+
+      val q1 = start()
+      in.addData(Hit("/a", 10000000L)) // establishes the watermark
+      q1.processAllAvailable()
+      q1.stop()
+
+      // after restart the persisted watermark must still classify this row
+      // as late (horizon = 10000000 − 5000 − 60000 = 9935000)
+      val q2 = start()
+      in.addData(Hit("/a", 9000000L), Hit("/a", 9950000L))
+      q2.processAllAvailable()
+      q2.stop()
+
+      val got = spark.read.parquet(outDir).as[LateSplit.TaggedHit].collect()
+        .map(t => t.tsMs -> t.tag).toMap
+      assert(got(10000000L) == "ontime")
+      assert(got(9000000L) == "late", "persisted watermark lost on restart")
+      assert(got(9950000L) == "ontime")
+    } finally {
+      prevProvider match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
