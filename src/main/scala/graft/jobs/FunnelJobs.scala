@@ -1,0 +1,120 @@
+package graft.jobs
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+
+/** Classic UBA analytics the reference's domain implies but never ships:
+  * conversion funnels (ordered event sequences per user) and retention
+  * cohorts. Both are conditional-aggregation shapes — two-phase hash aggs
+  * and one broadcast-joinable stage frame, no self-join of the raw events.
+  *
+  * All time arithmetic runs on integer epoch-microseconds (`unix_micros` /
+  * DuckDB `epoch_us`): the events table is nanos parquet, and comparing
+  * truncated micros in BOTH engines keeps sub-microsecond orderings from
+  * diverging between them.
+  */
+object FunnelJobs {
+
+  private val WEEK_US = 7L * 86400 * 1000000
+
+  /** view → click → purchase funnel: per user, the first view, the first
+    * click strictly after that view, the first purchase strictly after
+    * that click; then per-stage user counts. Output one row per stage with
+    * the stage index for a stable sort.
+    */
+  def funnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    val tView = e.groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "view", col("us"))).as("t_view"))
+    val tClick = e.join(tView, "user_id")
+      .groupBy(col("user_id"), col("t_view"))
+      .agg(min(when(col("event_type") === "click" && col("us") > col("t_view"),
+        col("us"))).as("t_click"))
+    val tPurchase = e.join(tClick, "user_id")
+      .groupBy(col("user_id"), col("t_view"), col("t_click"))
+      .agg(min(when(
+        col("event_type") === "purchase" && col("us") > col("t_click"),
+        col("us"))).as("t_purchase"))
+    val stages = tPurchase.agg(
+      count(col("t_view")).as("n_view"),
+      count(col("t_click")).as("n_click"),
+      count(col("t_purchase")).as("n_purchase"))
+    stages.select(explode(array(
+        struct(lit(1L).as("stage"), lit("view").as("event_type"),
+          col("n_view").as("n_users")),
+        struct(lit(2L).as("stage"), lit("click_after_view").as("event_type"),
+          col("n_click").as("n_users")),
+        struct(lit(3L).as("stage"), lit("purchase_after_click").as("event_type"),
+          col("n_purchase").as("n_users")))).as("s"))
+      .select(col("s.stage"), col("s.event_type"), col("s.n_users"))
+  }
+
+  val funnelSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+      |), v AS (
+      |  SELECT user_id, MIN(CASE WHEN event_type = 'view' THEN us END) AS t_view
+      |  FROM e GROUP BY user_id
+      |), c AS (
+      |  SELECT e.user_id, v.t_view,
+      |         MIN(CASE WHEN e.event_type = 'click' AND e.us > v.t_view
+      |             THEN e.us END) AS t_click
+      |  FROM e JOIN v USING (user_id) GROUP BY e.user_id, v.t_view
+      |), p AS (
+      |  SELECT e.user_id, c.t_view, c.t_click,
+      |         MIN(CASE WHEN e.event_type = 'purchase' AND e.us > c.t_click
+      |             THEN e.us END) AS t_purchase
+      |  FROM e JOIN c USING (user_id) GROUP BY e.user_id, c.t_view, c.t_click
+      |), agg AS (
+      |  SELECT COUNT(t_view) AS n_view, COUNT(t_click) AS n_click,
+      |         COUNT(t_purchase) AS n_purchase
+      |  FROM p
+      |)
+      |SELECT CAST(1 AS BIGINT) AS stage, 'view' AS event_type,
+      |       n_view AS n_users FROM agg
+      |UNION ALL
+      |SELECT CAST(2 AS BIGINT), 'click_after_view', n_click FROM agg
+      |UNION ALL
+      |SELECT CAST(3 AS BIGINT), 'purchase_after_click', n_purchase FROM agg""".stripMargin
+
+  /** Weekly retention cohorts: users grouped by the week of their first
+    * event; for each (cohort_week, week_offset), how many of them were
+    * active that many weeks later. Weeks are integer epoch-microsecond
+    * buckets — deterministic in any engine.
+    */
+  def retentionCohorts(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+      .select(col("user_id"),
+        expr(s"unix_micros(ts) div $WEEK_US").as("week"))
+    val firstWeek = e.groupBy(col("user_id"))
+      .agg(min(col("week")).as("cohort_week"))
+    e.join(firstWeek, "user_id")
+      .select(col("user_id"), col("cohort_week"),
+        (col("week") - col("cohort_week")).as("week_offset"))
+      .distinct()
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
+  val retentionCohortsSql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, epoch_us(ts) // $WEEK_US AS week FROM events
+       |), f AS (
+       |  SELECT user_id, MIN(week) AS cohort_week FROM e GROUP BY user_id
+       |)
+       |SELECT f.cohort_week, e.week - f.cohort_week AS week_offset,
+       |       COUNT(DISTINCT e.user_id) AS n_users
+       |FROM e JOIN f USING (user_id)
+       |GROUP BY 1, 2""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "funnel" -> funnel,
+    "retention_cohorts" -> retentionCohorts)
+
+  val oracles: Map[String, String] = Map(
+    "funnel" -> funnelSql,
+    "retention_cohorts" -> retentionCohortsSql)
+}

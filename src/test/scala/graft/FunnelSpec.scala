@@ -1,0 +1,40 @@
+package graft
+
+import java.sql.Timestamp
+import graft.jobs.FunnelJobs
+
+/** Funnel ordering semantics: a stage only counts when it happens strictly
+  * AFTER the previous stage's first occurrence — purchases before the
+  * first click, or clicks before the first view, don't convert.
+  */
+class FunnelSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("funnel stages require strict ordering per user") {
+    val dir = java.nio.file.Files.createTempDirectory("funnel").toString
+    def ts(sec: Long) = new Timestamp(sec * 1000L)
+    // u1: full ordered funnel; u2: purchase BEFORE click (doesn't convert);
+    // u3: view only; u4: click/purchase but never views
+    Seq(
+      (1L, ts(10), 1L, "view", 1.0, "{}"),
+      (2L, ts(20), 1L, "click", 1.0, "{}"),
+      (3L, ts(30), 1L, "purchase", 1.0, "{}"),
+      (4L, ts(10), 2L, "view", 1.0, "{}"),
+      (5L, ts(15), 2L, "purchase", 1.0, "{}"),
+      (6L, ts(20), 2L, "click", 1.0, "{}"),
+      (7L, ts(10), 3L, "view", 1.0, "{}"),
+      (8L, ts(10), 4L, "click", 1.0, "{}"),
+      (9L, ts(20), 4L, "purchase", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts",
+        org.apache.spark.sql.functions.expr("timestamp_micros(unix_micros(ts))"))
+      .selectExpr("event_id", "CAST(unix_micros(ts) * 1000 AS LONG) AS ts",
+        "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = FunnelJobs.funnel(spark, dir)
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(out("view") == 3L)                  // u1, u2, u3
+    assert(out("click_after_view") == 2L)      // u1, u2 (u2's click at 20 > view at 10)
+    assert(out("purchase_after_click") == 1L)  // only u1 (u2 purchased before clicking)
+  }
+}
