@@ -37,4 +37,31 @@ class FunnelSpec extends SparkSpec {
     assert(out("click_after_view") == 2L)      // u1, u2 (u2's click at 20 > view at 10)
     assert(out("purchase_after_click") == 1L)  // only u1 (u2 purchased before clicking)
   }
+
+  test("streaming funnel: the same journey as a 3-stage CEP pattern") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.CepLite
+    import graft.streaming.CepLite.KeyedEvent
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[KeyedEvent]
+    val q = CepLite.detect(in.toDS(),
+        pattern = Seq("view", "click", "purchase"), withinMs = 3600 * 1000L)
+      .toDF()
+      .writeStream.format("memory").queryName("stream_funnel")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        KeyedEvent(1L, "view", 10000), KeyedEvent(1L, "click", 20000),
+        KeyedEvent(1L, "purchase", 30000), // full journey
+        KeyedEvent(2L, "view", 10000), KeyedEvent(2L, "click", 20000))
+      q.processAllAvailable()
+      // watermark far past u2's deadline → its partial journey times out
+      in.addData(KeyedEvent(99L, "view", 100000000L))
+      q.processAllAvailable()
+      val got = spark.table("stream_funnel").as[CepLite.CepMatch].collect()
+        .filter(_.key != 99L).map(m => m.key -> (m.tag, m.depth)).toMap
+      assert(got(1L) == ("matched", 3))
+      assert(got(2L) == ("timeout", 2))
+    } finally q.stop()
+  }
 }
