@@ -22,23 +22,33 @@ object FunnelJobs {
     * click strictly after that view, the first purchase strictly after
     * that click; then per-stage user counts. Output one row per stage with
     * the stage index for a stable sort.
+    *
+    * Single scan, ONE shuffle: running conditional minima over the
+    * (user_id, us) window replace the staged self-joins — a click
+    * qualifies iff it's strictly past the running first view, which (min
+    * being monotone) selects exactly the same events as "strictly past
+    * the global first view". The final per-user aggregation reuses the
+    * window's hash partitioning, so events shuffle once, not three times.
     */
   def funnel(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = Tables.events(spark, sfDir)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+    val staged = Tables.events(spark, sfDir)
       .select(col("user_id"), col("event_type"),
         unix_micros(col("ts")).as("us"))
-    val tView = e.groupBy(col("user_id"))
-      .agg(min(when(col("event_type") === "view", col("us"))).as("t_view"))
-    val tClick = e.join(tView, "user_id")
-      .groupBy(col("user_id"), col("t_view"))
-      .agg(min(when(col("event_type") === "click" && col("us") > col("t_view"),
-        col("us"))).as("t_click"))
-    val tPurchase = e.join(tClick, "user_id")
-      .groupBy(col("user_id"), col("t_view"), col("t_click"))
-      .agg(min(when(
-        col("event_type") === "purchase" && col("us") > col("t_click"),
-        col("us"))).as("t_purchase"))
-    val stages = tPurchase.agg(
+      .withColumn("rv",
+        min(when(col("event_type") === "view", col("us"))).over(w))
+      .withColumn("qc",
+        when(col("event_type") === "click" && col("us") > col("rv"), col("us")))
+      .withColumn("rc", min(col("qc")).over(w))
+      .withColumn("qp",
+        when(col("event_type") === "purchase" && col("us") > col("rc"),
+          col("us")))
+    val perUser = staged.groupBy(col("user_id")).agg(
+      min(when(col("event_type") === "view", col("us"))).as("t_view"),
+      min(col("qc")).as("t_click"),
+      min(col("qp")).as("t_purchase"))
+    val stages = perUser.agg(
       count(col("t_view")).as("n_view"),
       count(col("t_click")).as("n_click"),
       count(col("t_purchase")).as("n_purchase"))
@@ -86,12 +96,14 @@ object FunnelJobs {
     * buckets — deterministic in any engine.
     */
   def retentionCohorts(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = Tables.events(spark, sfDir)
+    import org.apache.spark.sql.expressions.Window
+    // whole-partition min over user_id: single scan, one shuffle — no
+    // self-join of events against its own aggregation
+    val w = Window.partitionBy(col("user_id"))
+    Tables.events(spark, sfDir)
       .select(col("user_id"),
         expr(s"unix_micros(ts) div $WEEK_US").as("week"))
-    val firstWeek = e.groupBy(col("user_id"))
-      .agg(min(col("week")).as("cohort_week"))
-    e.join(firstWeek, "user_id")
+      .withColumn("cohort_week", min(col("week")).over(w))
       .select(col("user_id"), col("cohort_week"),
         (col("week") - col("cohort_week")).as("week_offset"))
       .distinct()

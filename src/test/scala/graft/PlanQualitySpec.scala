@@ -72,6 +72,14 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("funnel scans events once and shuffles once") {
+    val p = plan(FunnelJobs.funnel(spark, sf("sf0.001")))
+    assert("FileScan|Scan parquet".r.findAllIn(p).length == 1,
+      s"funnel regressed to multiple event scans:\n$p")
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).length == 1,
+      s"funnel shuffles events more than once on user_id:\n$p")
+  }
+
   test("brute-force ANN broadcasts the query side, not the corpus") {
     val p = plan(SimilarityJobs.annCosineTopK(spark, sf("sf0.001")))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
