@@ -21,6 +21,10 @@ object Bench {
       } catch { case _: Throwable => () }
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
+      // cached frames match by logical-plan equality, so without this a
+      // query could silently reuse a previous query's cache — each
+      // measurement must stand alone
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
