@@ -302,6 +302,31 @@ object DedupJobs {
        |JOIN splits sb ON sb.doc_id = v.doc_b
        |WHERE sa.split <> sb.split""".stripMargin
 
+  // ---- deterministic fixed-size sampling ----
+
+  private val SAMPLE_N = 100
+
+  /** Reproducible uniform sample: rank every document by an md5 hash
+    * priority and keep the N smallest — same sample on any engine, any
+    * run, any partitioning (the fixed-size sibling of the proportional
+    * hash split). Plans as TakeOrderedAndProject: per-partition top-N +
+    * one N-row merge, no global sort.
+    */
+  def docSample(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        Dedup.md5Long(col("doc_id").cast("string")).as("priority"))
+      .orderBy(col("priority").asc, col("doc_id").asc)
+      .limit(SAMPLE_N)
+  }
+
+  val docSampleSql: String =
+    s"""SELECT doc_id, ${hexIntSql("doc_id::VARCHAR")} AS priority
+       |FROM documents
+       |ORDER BY priority ASC, doc_id ASC
+       |LIMIT $SAMPLE_N""".stripMargin
+
   // ---- end-to-end corpus curation (the composed pipeline story) ----
 
   /** The composed training-data curation pass a user of this library runs:
@@ -355,6 +380,7 @@ object DedupJobs {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> dedupExact,
     "corpus_curation" -> corpusCuration,
+    "doc_sample" -> docSample,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
     "dedup_simhash" -> dedupSimhash,
     "dedup_clusters" -> dedupClusters,
@@ -365,6 +391,7 @@ object DedupJobs {
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
     "corpus_curation" -> corpusCurationSql,
+    "doc_sample" -> docSampleSql,
     "dedup_minhash_lsh" -> dedupMinhashLshSql,
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_clusters" -> dedupClustersSql,
