@@ -16,6 +16,10 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
+      // per-query cached frames (signatures, buckets, gram sets) are only
+      // needed within their own query — drop them so 40+ queries don't
+      // accumulate dead storage blocks in one session
+      spark.catalog.clearCache()
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

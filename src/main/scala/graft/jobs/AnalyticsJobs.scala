@@ -158,16 +158,24 @@ object AnalyticsJobs {
       .agg(
         round(expr("percentile(l_quantity, 0.5)") + lit(1e-9), 4).as("p50_qty"),
         round(expr("percentile(l_quantity, 0.95)") + lit(1e-9), 4).as("p95_qty"),
-        round(expr("percentile(l_extendedprice, 0.5)") + lit(1e-9), 2).as("p50_price"),
-        round(expr("percentile(l_extendedprice, 0.99)") + lit(1e-9), 2).as("p99_price"),
+        // money: interpolate over exact integer cents, divide once at the
+        // end (the repo-wide integer-cents discipline)
+        round(expr(
+          "percentile(CAST(ROUND(l_extendedprice * 100) AS BIGINT), 0.5)") / 100.0
+          + lit(1e-9), 2).as("p50_price"),
+        round(expr(
+          "percentile(CAST(ROUND(l_extendedprice * 100) AS BIGINT), 0.99)") / 100.0
+          + lit(1e-9), 2).as("p99_price"),
         count(lit(1)).as("n"))
 
   val percentileStatsSql: String =
     """SELECT l_returnflag,
       |  ROUND(quantile_cont(l_quantity, 0.5) + 1e-9, 4) AS p50_qty,
       |  ROUND(quantile_cont(l_quantity, 0.95) + 1e-9, 4) AS p95_qty,
-      |  ROUND(quantile_cont(l_extendedprice, 0.5) + 1e-9, 2) AS p50_price,
-      |  ROUND(quantile_cont(l_extendedprice, 0.99) + 1e-9, 2) AS p99_price,
+      |  ROUND(quantile_cont(CAST(ROUND(l_extendedprice * 100) AS BIGINT), 0.5)
+      |        / 100.0 + 1e-9, 2) AS p50_price,
+      |  ROUND(quantile_cont(CAST(ROUND(l_extendedprice * 100) AS BIGINT), 0.99)
+      |        / 100.0 + 1e-9, 2) AS p99_price,
       |  COUNT(*) AS n
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
 

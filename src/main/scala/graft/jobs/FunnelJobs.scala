@@ -107,8 +107,11 @@ object FunnelJobs {
       .select(col("user_id"), col("cohort_week"),
         (col("week") - col("cohort_week")).as("week_offset"))
       .distinct()
+      // after the distinct, (user_id, week_offset) is unique per group (a
+      // user has exactly one cohort_week), so a plain count IS the distinct
+      // user count — countDistinct here would pay a second dedup shuffle
       .groupBy(col("cohort_week"), col("week_offset"))
-      .agg(countDistinct(col("user_id")).as("n_users"))
+      .agg(count(lit(1)).as("n_users"))
   }
 
   val retentionCohortsSql: String =

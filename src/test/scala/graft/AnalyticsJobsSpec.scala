@@ -1,0 +1,56 @@
+package graft
+
+import graft.jobs.{AnalyticsJobs, DedupJobs, FunnelJobs}
+
+/** Specs for the analytics/sampling queries that otherwise only the driver
+  * oracle gate exercises — a regression must fail `sbt test`, not just the
+  * post-commit gate.
+  */
+class AnalyticsJobsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("percentile_stats: medians sit inside each group's range, n sums") {
+    val out = AnalyticsJobs.percentileStats(spark, sf("sf0.001"))
+      .select($"l_returnflag", $"p50_qty", $"p95_qty", $"p50_price", $"n")
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (p50q, p95q) = (r.getDouble(1), r.getDouble(2))
+      assert(p50q <= p95q, s"p50 > p95 for ${r.getString(0)}")
+      assert(p50q >= 1.0 && p95q <= 50.0) // l_quantity domain
+      assert(r.getDouble(3) > 0)
+    }
+    val nTotal = out.map(_.getLong(4)).sum
+    assert(nTotal == graft.io.Tables.lineitem(spark, sf("sf0.001")).count())
+  }
+
+  test("doc_sample: deterministic, size-bounded, priority-ranked") {
+    val a = DedupJobs.docSample(spark, sf("sf0.001"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val b = DedupJobs.docSample(spark, sf("sf0.001"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(a.toSet == b.toSet) // reproducible
+    assert(a.length == 100)
+    // the sample is exactly the 100 lowest priorities in the corpus
+    val maxSampled = a.map(_._2).max
+    val better = graft.io.Tables.documents(spark, sf("sf0.001"))
+      .select(graft.ops.Dedup.md5Long($"doc_id".cast("string")).as("p"))
+      .filter($"p" < maxSampled).count()
+    assert(better <= 100)
+  }
+
+  test("retention_cohorts: offsets non-negative, cohort totals bounded by users") {
+    val out = FunnelJobs.retentionCohorts(spark, sf("sf0.001"))
+      .select($"cohort_week", $"week_offset", $"n_users")
+      .as[(Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_._2 >= 0), "negative week offset")
+    val nUsers = graft.io.Tables.events(spark, sf("sf0.001"))
+      .select($"user_id").distinct().count()
+    // offset-0 rows cover every user exactly once across cohorts
+    assert(out.filter(_._2 == 0).map(_._3).sum == nUsers)
+    // no (cohort, offset) group can exceed its cohort's size
+    val cohortSize = out.filter(_._2 == 0).map(t => t._1 -> t._3).toMap
+    assert(out.forall(t => t._3 <= cohortSize(t._1)))
+  }
+}
