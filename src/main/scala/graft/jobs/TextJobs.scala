@@ -107,15 +107,70 @@ object TextJobs {
        |  FROM c) r
        |WHERE rn <= $VOCAB_K""".stripMargin
 
+  private val TFIDF_K = 3
+
+  /** Characteristic terms per document: TF-IDF in ratio form — score =
+    * tf · (N+1)/(df+1), skipping the logarithm deliberately: `ln` is the
+    * one piece of arithmetic whose last-ulp behavior differs across libm
+    * implementations, and every other number this engine emits is
+    * engine-exact. The ratio keeps the rare-term-boost semantics with pure
+    * rational double math. Two-phase aggs for tf and df; the df frame is
+    * one row per distinct token — broadcast-joinable at corpus scale.
+    */
+  def tfidfTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    // corpus cardinality as a broadcast 1-row frame — stays inside the
+    // lazy plan instead of an eager driver-side count
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val terms = docs.select(col("doc_id"),
+      explode(TextAnalysis.tokens(lower(col("text")))).as("token"))
+    val tf = terms.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("token"))
+      .agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(df), "token")
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        round(col("tf") * (col("n_docs") + 1) / (col("df") + 1) + lit(1e-9), 6))
+    graft.ops.TopN
+      .topNPer(scored, col("doc_id"), col("score"), col("token"), TFIDF_K)
+      .select(col("doc_id"), col("token"), col("tf"), col("df"),
+        col("score"), col("rn"))
+  }
+
+  val tfidfTopKSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[A-Za-z0-9]+')) AS token
+       |  FROM documents
+       |), tf AS (
+       |  SELECT doc_id, token, COUNT(*) AS tf FROM t GROUP BY 1, 2
+       |), df AS (
+       |  SELECT token, COUNT(*) AS df FROM tf GROUP BY 1
+       |), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+       |scored AS (
+       |  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+       |         -- integer product, then ONE double division — the exact
+       |         -- op order Spark's Divide performs
+       |         ROUND((tf.tf * (n.n_docs + 1)) / (df.df + 1) + 1e-9, 6) AS score
+       |  FROM tf JOIN df USING (token) CROSS JOIN n
+       |)
+       |SELECT doc_id, token, tf, df, score, rn FROM (
+       |  SELECT *, ROW_NUMBER() OVER (
+       |    PARTITION BY doc_id ORDER BY score DESC, token ASC) AS rn
+       |  FROM scored) r
+       |WHERE rn <= $TFIDF_K""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_stats" -> textStats,
     "text_langid" -> textLangid,
     "doc_fingerprint" -> docFingerprint,
-    "vocab_topk" -> vocabTopK)
+    "vocab_topk" -> vocabTopK,
+    "tfidf_topk" -> tfidfTopK)
 
   val oracles: Map[String, String] = Map(
     "text_stats" -> textStatsSql,
     "text_langid" -> textLangidSql,
     "doc_fingerprint" -> docFingerprintSql,
-    "vocab_topk" -> vocabTopKSql)
+    "vocab_topk" -> vocabTopKSql,
+    "tfidf_topk" -> tfidfTopKSql)
 }
