@@ -81,6 +81,37 @@ class StreamBatchEquivalenceSpec extends SparkSpec {
     }
   }
 
+  test("streaming session windows equal batch sessionization once closed") {
+    (1 to 3).foreach { seed =>
+      implicit val sqlCtx = spark.sqlContext
+      val data = randomEvents(seed, 150)
+      val in = MemoryStream[Event]
+      val name = s"eq_sessions_$seed"
+      val q = StreamingWindows.sessionCount(
+          in.toDF(), $"user_id", "ts", "30 minutes", "0 seconds")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        in.addData(data)
+        q.processAllAvailable()
+        in.addData(Event(9999, ts(1000000), 999, "view", 0, "{}")) // close all
+        q.processAllAvailable()
+        val streaming = spark.table(name)
+          .filter($"key" =!= 999)
+          .select($"key", $"session_start", $"session_end", $"n_events")
+          .as[(Long, Long, Long, Long)].collect().toSet
+        val batch = data.toDF()
+          .groupBy($"user_id", session_window($"ts", "30 minutes"))
+          .agg(count(lit(1)).as("n_events"))
+          .select($"user_id",
+            unix_timestamp($"session_window.start").as("s"),
+            unix_timestamp($"session_window.end").as("e"), $"n_events")
+          .as[(Long, Long, Long, Long)].collect().toSet
+        assert(streaming == batch, s"seed=$seed diverged")
+      } finally q.stop()
+    }
+  }
+
   test("stream-stream interval join equals the batch range join") {
     (1 to 5).foreach { seed =>
       implicit val sqlCtx = spark.sqlContext
