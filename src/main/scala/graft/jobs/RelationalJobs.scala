@@ -161,6 +161,40 @@ object RelationalJobs {
       |  AND o.o_orderdate < TIMESTAMP '1998-01-01'
       |GROUP BY n.n_name""".stripMargin
 
+  // ---- q18 shape: large-volume orders (HAVING + fact-side join) ----
+
+  private val Q18_MIN_QTY = 250L
+
+  /** TPC-H q18 shape: orders whose total line quantity exceeds a
+    * threshold, joined back to the order header. The aggregation-side
+    * filter (HAVING) shrinks the fact side to a sliver BEFORE the join —
+    * at 100 TB the orders join sees only qualifying orderkeys, and AQE
+    * turns it into a broadcast join when that sliver is small.
+    */
+  def q18LargeOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val big = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_orderkey"))
+      .agg(round(sum(col("l_quantity")), 0).cast("long").as("sum_qty"))
+      .filter(col("sum_qty") > Q18_MIN_QTY)
+    Tables.orders(spark, sfDir)
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey"), col("o_orderkey"),
+        unix_timestamp(col("o_orderdate")).as("o_orderdate"),
+        col("sum_qty"))
+  }
+
+  val q18LargeOrdersSql: String =
+    s"""WITH big AS (
+       |  SELECT l_orderkey,
+       |         CAST(ROUND(SUM(l_quantity), 0) AS BIGINT) AS sum_qty
+       |  FROM lineitem GROUP BY 1
+       |  HAVING CAST(ROUND(SUM(l_quantity), 0) AS BIGINT) > $Q18_MIN_QTY
+       |)
+       |SELECT o.o_custkey, o.o_orderkey,
+       |       epoch_ms(o.o_orderdate) // 1000 AS o_orderdate,
+       |       big.sum_qty
+       |FROM orders o JOIN big ON o.o_orderkey = big.l_orderkey""".stripMargin
+
   // ---- distinct aggregation (capability headroom: countDistinct) ----
 
   def distinctAgg(spark: SparkSession, sfDir: String): DataFrame =
@@ -182,11 +216,13 @@ object RelationalJobs {
     "q1_pricing" -> q1Pricing,
     "q3_shipping" -> q3Shipping,
     "q5_local_supplier" -> q5LocalSupplier,
+    "q18_large_orders" -> q18LargeOrders,
     "distinct_agg" -> distinctAgg)
 
   val oracles: Map[String, String] = Map(
     "q1_pricing" -> q1PricingSql,
     "q3_shipping" -> q3ShippingSql,
     "q5_local_supplier" -> q5LocalSupplierSql,
+    "q18_large_orders" -> q18LargeOrdersSql,
     "distinct_agg" -> distinctAggSql)
 }

@@ -35,4 +35,32 @@ class StreamingDedupSpec extends SparkSpec {
       assert(got == Set(1L, 3L))
     } finally q.stop()
   }
+
+  test("dedup state survives a checkpointed restart") {
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("dedup_ckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("dedup_out").toString
+    val in = MemoryStream[(Long, String, Timestamp)]
+    def start() = StreamingDedup.byFingerprint(
+        in.toDF().toDF("doc_id", "text", "ts"), "ts", "1 hour")
+      .writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+
+    val q1 = start()
+    in.addData((1L, "alpha beta", ts(100)))
+    q1.processAllAvailable()
+    q1.stop()
+
+    // post-restart repeat of pre-restart content must still be dropped
+    val q2 = start()
+    in.addData((2L, "alpha  BETA", ts(200)), (3L, "new content", ts(201)))
+    q2.processAllAvailable()
+    q2.stop()
+
+    val got = spark.read.parquet(outDir)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(got == Set(1L, 3L), "fingerprint state lost across restart")
+  }
 }
