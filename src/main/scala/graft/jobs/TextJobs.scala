@@ -124,8 +124,11 @@ object TextJobs {
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val terms = docs.select(col("doc_id"),
       explode(TextAnalysis.tokens(lower(col("text")))).as("token"))
+    // df derives from tf and the scored join reads tf again — cache the
+    // (doc, token, tf) frame so the explode+count subtree runs once
     val tf = terms.groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"))
+      .cache()
     val df = tf.groupBy(col("token"))
       .agg(count(lit(1)).as("df"))
     val scored = tf.join(broadcast(df), "token")

@@ -39,6 +39,35 @@ class AnalyticsJobsSpec extends SparkSpec {
     assert(better <= 100)
   }
 
+  test("q18: every result order exceeds the threshold, join keeps headers") {
+    val out = graft.jobs.RelationalJobs.q18LargeOrders(spark, sf("sf0.001"))
+      .select($"o_orderkey", $"sum_qty").as[(Long, Long)].collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_._2 > 250), "order below the quantity threshold leaked")
+    // cross-check one order's sum against a direct aggregation
+    val (okey, qty) = out.head
+    val direct = graft.io.Tables.lineitem(spark, sf("sf0.001"))
+      .filter($"l_orderkey" === okey)
+      .agg(org.apache.spark.sql.functions.round(
+        org.apache.spark.sql.functions.sum($"l_quantity"), 0).cast("long"))
+      .as[Long].head()
+    assert(direct == qty)
+  }
+
+  test("tfidf: rarer terms outscore common ones at equal tf") {
+    val out = graft.jobs.TextJobs.tfidfTopK(spark, sf("sf0.001"))
+    assert(out.columns.toSeq ==
+      Seq("doc_id", "token", "tf", "df", "score", "rn"))
+    val rows = out.select($"tf", $"df", $"score", $"rn")
+      .as[(Long, Long, Double, Long)].collect()
+    assert(rows.nonEmpty && rows.forall(_._4 <= 3))
+    // ratio-form idf: score strictly increases with tf and decreases with df
+    rows.foreach { case (tf, df, score, _) =>
+      assert(math.abs(score - (tf * 501.0 / (df + 1))) < 1e-3,
+        s"score formula drifted for tf=$tf df=$df") // 500 docs at sf0.001
+    }
+  }
+
   test("retention_cohorts: offsets non-negative, cohort totals bounded by users") {
     val out = FunnelJobs.retentionCohorts(spark, sf("sf0.001"))
       .select($"cohort_week", $"week_offset", $"n_users")
