@@ -38,6 +38,13 @@ object LateSplit {
   /** The tagged event: `tag` ∈ {"ontime", "late"}. */
   final case class TaggedHit(key: String, tsMs: Long, tag: String)
 
+  /** Tagged event carrying a real timestamp column — the chained form for
+    * feeding downstream stateful operators (Spark marks `ts` as the
+    * output's event time, so no watermark redefinition is needed).
+    */
+  final case class TaggedHitTs(
+      key: String, tsMs: Long, ts: java.sql.Timestamp, tag: String)
+
   /** Default "never drop in practice" budget: one week. */
   val DefaultSlackMs: Long = 7L * 24 * 3600 * 1000
 
@@ -62,6 +69,56 @@ object LateSplit {
         timerValues: TimerValues,
         expiredTimerInfo: ExpiredTimerInfo): Iterator[TaggedHit] =
       Iterator.empty
+  }
+
+  class LateTagProcessorTs(slackMs: Long)
+      extends StatefulProcessor[String, Hit, TaggedHitTs] {
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = ()
+
+    override def handleInputRows(
+        key: String,
+        rows: Iterator[Hit],
+        timerValues: TimerValues): Iterator[TaggedHitTs] = {
+      val horizon = timerValues.getCurrentWatermarkInMs() + slackMs
+      rows.map(h => TaggedHitTs(h.key, h.tsMs, new java.sql.Timestamp(h.tsMs),
+        if (h.tsMs < horizon) "late" else "ontime"))
+    }
+
+    override def handleExpiredTimer(
+        key: String,
+        timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[TaggedHitTs] =
+      Iterator.empty
+  }
+
+  /** The chained form of [[split]]: output `ts` is declared as the event
+    * time, so the tagged stream can feed windowed aggregations and other
+    * stateful ops directly (Spark forbids re-declaring a watermark
+    * downstream — this is the supported operator-chaining path). Emitted
+    * rows within the slack budget are always at-or-ahead of the Spark
+    * watermark, which is what chained event time requires; the downstream
+    * windows close `slack + lateness` later than the reference's — size
+    * `slackMs` accordingly in a chained pipeline.
+    */
+  def splitChained(
+      hits: Dataset[Hit],
+      disorderMs: Long,
+      latenessMs: Long,
+      slackMs: Long = DefaultSlackMs): Dataset[TaggedHitTs] = {
+    import hits.sparkSession.implicits._
+    val delayMs = disorderMs + latenessMs + slackMs
+    hits
+      .withColumn("wm_ts",
+        org.apache.spark.sql.functions.timestamp_millis(
+          org.apache.spark.sql.functions.col("tsMs")))
+      .withWatermark("wm_ts", s"$delayMs milliseconds")
+      .as[Hit](Encoders.product[Hit])
+      .groupByKey(_.key)
+      .transformWithState(
+        new LateTagProcessorTs(slackMs),
+        "ts",
+        OutputMode.Append())
   }
 
   /** Tag each row on-time/late against the Flink horizon

@@ -54,6 +54,19 @@ object StreamingWindows {
     n.toLong * mult
   }
 
+  /** W1/W2 over an ALREADY-watermarked stream (e.g. downstream of a
+    * chained stateful op like `LateSplit.splitChained`, where Spark
+    * forbids re-declaring the watermark).
+    */
+  def slidingCountChained(
+      stream: DataFrame, key: Column, tsCol: String,
+      size: String, slide: String): DataFrame =
+    stream
+      .groupBy(key.as("key"), window(col(tsCol), size, slide))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("window_end", unix_timestamp(col("window.end")))
+      .drop("window")
+
   /** Session windows on a stream — the same 30-min-gap sessionization as
     * the batch `AnalyticsJobs.sessionAgg`, emitted when the watermark
     * closes a session (append mode). Spark merges session state per key
