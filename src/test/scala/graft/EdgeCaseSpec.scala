@@ -64,6 +64,17 @@ class EdgeCaseSpec extends SparkSpec {
     assert(pairs.contains((0L, 1L)) && pairs.contains((1L, 0L)))
   }
 
+  test("corpus text ops are total on an empty documents table") {
+    val dir = java.nio.file.Files.createTempDirectory("empty_docs").toString
+    Seq.empty[(Long, String, String, String, Long)]
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    assert(graft.jobs.TextJobs.vocabTopK(spark, dir).count() == 0)
+    assert(graft.jobs.TextJobs.tfidfTopK(spark, dir).count() == 0)
+    assert(graft.jobs.DedupJobs.docSample(spark, dir).count() == 0)
+    assert(graft.jobs.DedupJobs.corpusCuration(spark, dir).count() == 0)
+  }
+
   test("connected components on empty/edgeless graphs are identity") {
     val emptyV = Seq.empty[Long].toDF("doc_id")
     val noPairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")

@@ -38,6 +38,48 @@ class FunnelSpec extends SparkSpec {
     assert(out("purchase_after_click") == 1L)  // only u1 (u2 purchased before clicking)
   }
 
+  test("funnel equals a plain-Scala reference on random event sets") {
+    def ts(sec: Long) = new Timestamp(sec * 1000L)
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"funnel_prop_$trial").toString
+      val events = (0 until 300).map { i =>
+        (i.toLong, ts(10 + rnd.nextInt(5000)), rnd.nextInt(25).toLong,
+          Seq("view", "click", "purchase", "error")(rnd.nextInt(4)), 1.0, "{}")
+      }
+      events.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .selectExpr("event_id", "CAST(unix_micros(ts) * 1000 AS LONG) AS ts",
+          "user_id", "event_type", "value", "props")
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      // reference computation: per user, staged strict minima over
+      // (event-time micros, kind) pairs
+      val perUser: Map[Long, Seq[(Long, String)]] = events
+        .groupBy(t => t._3)
+        .map { case (u, es) =>
+          u -> es.map(t => (t._2.getTime * 1000L, t._4)).sortBy(p => p._1)
+        }
+      def firstAfter(evs: Seq[(Long, String)], kind: String, after: Long)
+          : Option[Long] =
+        evs.collect { case (t, k) if k == kind && t > after => t }.minOption
+      var (nv, nc, np) = (0, 0, 0)
+      perUser.values.foreach { evs =>
+        val tv = evs.collect { case (t, k) if k == "view" => t }.minOption
+        tv.foreach { v =>
+          nv += 1
+          firstAfter(evs, "click", v).foreach { c =>
+            nc += 1
+            if (firstAfter(evs, "purchase", c).isDefined) np += 1
+          }
+        }
+      }
+      val got = FunnelJobs.funnel(spark, dir)
+        .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+      assert(got("view") == nv && got("click_after_view") == nc &&
+        got("purchase_after_click") == np, s"trial $trial diverged")
+    }
+  }
+
   test("streaming funnel: the same journey as a 3-stage CEP pattern") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.CepLite
