@@ -98,11 +98,50 @@ object MultimodalJobs {
        |FROM b LEFT JOIN agg ON agg.doc_id = b.doc_id""".stripMargin
   }
 
+  private val RESIZE_MAX_SIDE = 64
+
+  /** Resize stage as a declared query: proportional metadata scaling +
+    * payload truncation (the stubbed transform with real plumbing),
+    * projected to scalar outputs.
+    */
+  def multimodalResize(spark: SparkSession, sfDir: String): DataFrame =
+    Multimodal.resize(
+        Multimodal.assetsFromDocuments(spark, Tables.documents(spark, sfDir)),
+        maxSide = RESIZE_MAX_SIDE).toDF()
+      .select(col("asset_id"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        octet_length(col("content")).cast("long").as("n_bytes"))
+
+  /** Same arithmetic in SQL. Scala's `.toInt` truncates toward zero while
+    * DuckDB's double→int CAST rounds — hence TRUNC before every cast.
+    */
+  val multimodalResizeSql: String =
+    s"""WITH a AS (
+       |  SELECT doc_id AS asset_id,
+       |    64 + (doc_id % 8) * 32 AS w,
+       |    64 + ((doc_id // 8) % 8) * 32 AS h,
+       |    octet_length(encode(text)) AS n
+       |  FROM documents
+       |), s AS (
+       |  SELECT asset_id, w, h, n,
+       |    LEAST(1.0, $RESIZE_MAX_SIDE.0 / GREATEST(w, h)) AS scale
+       |  FROM a
+       |)
+       |SELECT asset_id,
+       |  CAST(GREATEST(1, CAST(TRUNC(w * scale) AS BIGINT)) AS BIGINT) AS width,
+       |  CAST(GREATEST(1, CAST(TRUNC(h * scale) AS BIGINT)) AS BIGINT) AS height,
+       |  CAST(LEAST(n, GREATEST(1, CAST(TRUNC(n * scale * scale) AS BIGINT)))
+       |    AS BIGINT) AS n_bytes -- take(keep) can't exceed the payload
+       |FROM s""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_meta" -> multimodalMeta,
-    "multimodal_features" -> multimodalFeatures)
+    "multimodal_features" -> multimodalFeatures,
+    "multimodal_resize" -> multimodalResize)
 
   val oracles: Map[String, String] = Map(
     "multimodal_meta" -> multimodalMetaSql,
-    "multimodal_features" -> multimodalFeaturesSql)
+    "multimodal_features" -> multimodalFeaturesSql,
+    "multimodal_resize" -> multimodalResizeSql)
 }
