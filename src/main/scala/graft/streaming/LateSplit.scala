@@ -48,29 +48,11 @@ object LateSplit {
   /** Default "never drop in practice" budget: one week. */
   val DefaultSlackMs: Long = 7L * 24 * 3600 * 1000
 
-  class LateTagProcessor(slackMs: Long)
-      extends StatefulProcessor[String, Hit, TaggedHit] {
-
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = ()
-
-    override def handleInputRows(
-        key: String,
-        rows: Iterator[Hit],
-        timerValues: TimerValues): Iterator[TaggedHit] = {
-      // sparkWm + slack == flinkWm − lateness (see object doc); before any
-      // batch completes the watermark is ≤ 0 and everything is on time
-      val horizon = timerValues.getCurrentWatermarkInMs() + slackMs
-      rows.map(h =>
-        TaggedHit(h.key, h.tsMs, if (h.tsMs < horizon) "late" else "ontime"))
-    }
-
-    override def handleExpiredTimer(
-        key: String,
-        timerValues: TimerValues,
-        expiredTimerInfo: ExpiredTimerInfo): Iterator[TaggedHit] =
-      Iterator.empty
-  }
-
+  /** The ONE horizon-tagging implementation (both public forms derive from
+    * it): late iff `tsMs < sparkWm + slack`, which equals the Flink
+    * side-output horizon (see object doc). Before any batch completes the
+    * watermark is ≤ 0 and everything is on time.
+    */
   class LateTagProcessorTs(slackMs: Long)
       extends StatefulProcessor[String, Hit, TaggedHitTs] {
 
@@ -122,8 +104,10 @@ object LateSplit {
   }
 
   /** Tag each row on-time/late against the Flink horizon
-    * `maxTs − disorder − lateness`. Requires the RocksDB state store
-    * provider (as every transformWithState op does).
+    * `maxTs − disorder − lateness`, for terminal consumption (no further
+    * stateful ops). A stateless projection of [[splitChained]] — one
+    * tagging implementation serves both forms. Requires the RocksDB state
+    * store provider (as every transformWithState op does).
     */
   def split(
       hits: Dataset[Hit],
@@ -131,17 +115,7 @@ object LateSplit {
       latenessMs: Long,
       slackMs: Long = DefaultSlackMs): Dataset[TaggedHit] = {
     import hits.sparkSession.implicits._
-    val delayMs = disorderMs + latenessMs + slackMs
-    hits
-      .withColumn("wm_ts",
-        org.apache.spark.sql.functions.timestamp_millis(
-          org.apache.spark.sql.functions.col("tsMs")))
-      .withWatermark("wm_ts", s"$delayMs milliseconds")
-      .as[Hit](Encoders.product[Hit])
-      .groupByKey(_.key)
-      .transformWithState(
-        new LateTagProcessor(slackMs),
-        TimeMode.EventTime(),
-        OutputMode.Append())
+    splitChained(hits, disorderMs, latenessMs, slackMs)
+      .map(t => TaggedHit(t.key, t.tsMs, t.tag))
   }
 }

@@ -25,12 +25,8 @@ object StreamingWindows {
   def slidingCount(
       stream: DataFrame, key: Column, tsCol: String,
       size: String, slide: String, delay: String): DataFrame =
-    stream
-      .withWatermark(tsCol, delay)
-      .groupBy(key.as("key"), window(col(tsCol), size, slide))
-      .agg(count(lit(1)).as("cnt"))
-      .withColumn("window_end", unix_timestamp(col("window.end")))
-      .drop("window")
+    slidingCountChained(stream.withWatermark(tsCol, delay),
+      key, tsCol, size, slide)
 
   /** W5 stand-in: update-mode pipeline — late rows inside the (widened)
     * watermark re-emit refined counts, mirroring allowedLateness re-fires.
