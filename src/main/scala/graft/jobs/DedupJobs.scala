@@ -40,11 +40,19 @@ object DedupJobs {
 
   // ---- minhash signatures + LSH candidate pairs ----
 
-  def dedupMinhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
-    val sig = Dedup.minhashSignatures(
-      Tables.documents(spark, sfDir), col("doc_id"), col("text"), K)
-    Dedup.lshCandidates(sig, K, BANDS)
-  }
+  /** The shared gram→signature stage (one cached corpus scan) the three
+    * minhash-family gate queries below are built on. Each isolated gate
+    * query instantiates its own (driver contract); a library user holds
+    * ONE per corpus pass and reads candidates/clusters/verified pairs off
+    * the same cache — see [[graft.ops.DedupPipeline]].
+    */
+  def pipeline(spark: SparkSession, sfDir: String): graft.ops.DedupPipeline =
+    new graft.ops.DedupPipeline(
+      Tables.documents(spark, sfDir).select(col("doc_id"), col("text")),
+      K, BANDS, JACCARD_N)
+
+  def dedupMinhashLsh(spark: SparkSession, sfDir: String): DataFrame =
+    pipeline(spark, sfDir).candidates
 
   /** Distinct-bigram CTE shared by the minhash oracles. The `len(w) >= 2`
     * guard matches Spark's `explodedGrams` ragged-tail filter exactly —
@@ -161,11 +169,8 @@ object DedupJobs {
     * dedup pipeline runs after candidate generation to collapse dup chains
     * (a~b, b~c ⇒ one cluster even if a,c never collide).
     */
-  def dedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir).select(col("doc_id"))
-    Dedup.connectedComponents(docs,
-      dedupMinhashLsh(spark, sfDir).select(col("doc_a"), col("doc_b")))
-  }
+  def dedupClusters(spark: SparkSession, sfDir: String): DataFrame =
+    pipeline(spark, sfDir).clusters
 
   /** Oracle: transitive closure by recursive CTE over the same candidate
     * edges; MIN(reached) is the same fixpoint min-label propagation reaches.
@@ -225,40 +230,19 @@ object DedupJobs {
     *
     * Scale shape: candidates come from MinHash-LSH banding (equi-joins on
     * band keys — never an unblocked gram join), and exact bigram-Jaccard is
-    * computed ONLY for those candidate pairs. One cached distinct-bigram
-    * scan feeds both the signature aggregation and the verification joins,
-    * so the gram lineage is computed once. At 100 TB the per-stage costs
-    * are: one gram shuffle (grouped to k-vectors), b band self-joins over
-    * doc-count-sized frames, and a gram join restricted to candidates.
+    * computed ONLY for those candidate pairs. One cached raw hashed-gram
+    * scan feeds the signature aggregation, and its partition-local
+    * int-level dedup feeds the verification joins — the gram lineage is
+    * computed once and never shuffled on strings. At 100 TB the per-stage
+    * costs are: one gram shuffle (grouped to k-vectors), b band self-joins
+    * over doc-count-sized frames, and a gram join restricted to candidates.
     */
   def decontamination(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
-    // one hashed-gram scan (one md5 per distinct gram) feeds BOTH the
-    // minhash signatures and the exact-verification joins
-    val g = Dedup.explodedGrams(docs, JACCARD_N)
-      .select(col("doc_id"), Dedup.md5Long(col("gram")).as("gh"))
-      .distinct().cache()
-    val cands = Dedup
-      .lshCandidates(Dedup.minhashFromHashes(g, K), K, BANDS)
-      .select(col("doc_a"), col("doc_b"))
-    val sizes = g.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
-    val inter = cands
-      .join(g.alias("ga"), col("ga.doc_id") === col("doc_a"))
-      .join(g.alias("gb"),
-        col("gb.doc_id") === col("doc_b") && col("gb.gh") === col("ga.gh"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("inter"))
+    val verified = pipeline(spark, sfDir).verifiedPairs(JACCARD_THRESHOLD)
     val splits = Tables.documents(spark, sfDir)
       .select(col("doc_id"), splitCol(spark).as("split"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "doc_a")
-        .withColumnRenamed("n_grams", "na"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b")
-        .withColumnRenamed("n_grams", "nb"), "doc_b")
-      .withColumn("jaccard",
-        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
-      .filter(col("jaccard") >= JACCARD_THRESHOLD)
+    verified
       .join(splits.withColumnRenamed("doc_id", "doc_a")
         .withColumnRenamed("split", "split_a"), "doc_a")
       .join(splits.withColumnRenamed("doc_id", "doc_b")

@@ -81,7 +81,10 @@ object HotItemsJobs {
   // ---- HotItemWithSql: the same flagship through the SQL surface ----
 
   def hotItemsSql(spark: SparkSession, sfDir: String): DataFrame = {
-    Tables.events(spark, sfDir).createOrReplaceTempView("events")
+    // view name scoped to this query — a generic "events" view would be
+    // session-global state that silently collides with any other registry
+    // query (or user code) registering its own
+    Tables.events(spark, sfDir).createOrReplaceTempView("graft_hot_items_sql_events")
     spark.sql(
       """SELECT window_end, item, cnt, rn FROM (
         |  SELECT *, ROW_NUMBER() OVER (
@@ -90,7 +93,7 @@ object HotItemsJobs {
         |    SELECT CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT) AS item,
         |           unix_timestamp(window.end) AS window_end,
         |           COUNT(*) AS cnt
-        |    FROM events
+        |    FROM graft_hot_items_sql_events
         |    WHERE event_type = 'view'
         |    GROUP BY item, window(ts, '1 hour', '5 minutes'))) ranked
         |WHERE rn <= 5""".stripMargin)

@@ -34,8 +34,10 @@ object ReferenceJobs {
     */
   def hotItemsSql(spark: SparkSession, userBehaviorCsv: String, topSize: Int = 5)
       : DataFrame = {
+    // scoped view name: a bare "user_behavior" would be session-global
+    // state colliding with any caller's own registration
     Sources.userBehaviorCsv(spark, userBehaviorCsv).toDF()
-      .createOrReplaceTempView("user_behavior")
+      .createOrReplaceTempView("graft_ref_user_behavior")
     spark.sql(
       s"""SELECT window_end, itemId, cnt, rn FROM (
          |  SELECT *, ROW_NUMBER() OVER (
@@ -43,7 +45,7 @@ object ReferenceJobs {
          |  FROM (
          |    SELECT itemId, unix_timestamp(window.end) AS window_end,
          |           COUNT(*) AS cnt
-         |    FROM user_behavior WHERE behavior = 'pv'
+         |    FROM graft_ref_user_behavior WHERE behavior = 'pv'
          |    GROUP BY itemId, window(ts, '1 hour', '5 minutes'))) t
          |WHERE rn <= $topSize""".stripMargin)
   }

@@ -115,7 +115,11 @@ object TextJobs {
     * implementations, and every other number this engine emits is
     * engine-exact. The ratio keeps the rare-term-boost semantics with pure
     * rational double math. Two-phase aggs for tf and df; the df frame is
-    * one row per distinct token — broadcast-joinable at corpus scale.
+    * one row per distinct token — VOCABULARY-scale, i.e. billions of rows
+    * on a web corpus, so it gets no broadcast hint: AQE broadcasts it when
+    * it measures small and degrades to a shuffle join when it isn't (a
+    * forced hint would OOM instead). The 1-row corpus count is the only
+    * frame small by construction, so only it is hinted.
     */
   def tfidfTopK(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
@@ -131,7 +135,7 @@ object TextJobs {
       .cache()
     val df = tf.groupBy(col("token"))
       .agg(count(lit(1)).as("df"))
-    val scored = tf.join(broadcast(df), "token")
+    val scored = tf.join(df, "token")
       .crossJoin(broadcast(n))
       .withColumn("score",
         round(col("tf") * (col("n_docs") + 1) / (col("df") + 1) + lit(1e-9), 6))

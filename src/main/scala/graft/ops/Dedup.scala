@@ -34,15 +34,6 @@ object Dedup {
   def wordSet(text: Column): Column =
     array_distinct(split(trim(text), "\\s+"))
 
-  /** Distinct word n-grams (space-joined). Empty when < n words. */
-  def gramSet(text: Column, n: Int): Column = {
-    val w = split(trim(text), "\\s+")
-    val grams = transform(
-      sequence(lit(1), greatest(size(w) - (n - 1), lit(0))),
-      i => concat_ws(" ", slice(w, i, lit(n))))
-    array_distinct(when(size(w) >= n, grams).otherwise(array()))
-  }
-
   /** Exact dedup: group by content fingerprint, keep the smallest id.
     * Output one row per distinct content: (fingerprint, keeper, n_dups).
     */
@@ -50,12 +41,19 @@ object Dedup {
     df.groupBy(TextAnalysis.fingerprint(text).as("fingerprint"))
       .agg(min(id).as("keeper"), count(lit(1)).as("n_dups"))
 
-  /** Distinct word n-grams, explode-first: words exploded with position,
-    * grams assembled by `lead()` over the per-doc window — all codegen'd
-    * (the array-lambda `gramSet` route interprets per element and is ~10×
+  /** Word n-grams, explode-first: words exploded with position, grams
+    * assembled by `lead()` over the per-doc window — all codegen'd (an
+    * array-lambda `transform` route would interpret per element, ~10×
     * slower at corpus scale). Preserves every non-`text` input column.
+    *
+    * `distinct = false` skips the set-semantics dedup — a full shuffle of
+    * every (doc_id, gram) STRING pair. Duplicate-insensitive consumers
+    * (minhash: `min()` absorbs dups in the partial agg) must opt out;
+    * set-semantics consumers (Jaccard counting) should instead distinct
+    * ONCE, after hashing, on int keys — the window's doc_id partitioning
+    * already clusters (doc_id, gh), so that dedup needs no new exchange.
     */
-  def explodedGrams(df: DataFrame, n: Int): DataFrame = {
+  def explodedGrams(df: DataFrame, n: Int, distinct: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val others = df.columns.filterNot(_ == "text").map(col)
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
@@ -65,10 +63,10 @@ object Dedup {
       acc.withColumn(s"w$j", lead(col("w"), j).over(w))
     }
     val parts = col("w") +: (1 until n).map(j => col(s"w$j"))
-    withParts
+    val grams = withParts
       .filter(if (n > 1) parts.last.isNotNull else lit(true)) // ragged tail
       .select(others :+ concat_ws(" ", parts: _*).as("gram"): _*)
-      .distinct()
+    if (distinct) grams.distinct() else grams
   }
 
   /** MinHash signature: k permutations simulated by salted hashes;
@@ -80,7 +78,11 @@ object Dedup {
   def minhashSignatures(
       df: DataFrame, id: Column, text: Column, k: Int, n: Int = 2): DataFrame =
     minhashFromGrams(
-      explodedGrams(df.select(id.as("doc_id"), text.as("text")), n), k)
+      // no distinct: min() is duplicate-insensitive, and skipping it leaves
+      // exactly ONE exchange (the gram window's doc_id partitioning, which
+      // the signature groupBy then reuses) between scan and signature agg
+      explodedGrams(df.select(id.as("doc_id"), text.as("text")), n,
+        distinct = false), k)
 
   /** Smallest prime above 2^32 — the universal-hash modulus. */
   val MinhashPrime: Long = 4294967311L
@@ -90,13 +92,20 @@ object Dedup {
     * the k salted-md5 variant costs k full digests per (doc, gram) row,
     * pure waste at corpus scale.
     *
-    * The multipliers must be LARGE (≈2^30): with small a_j the map is
+    * The multipliers must be LARGE: with small a_j the map is
     * piecewise-monotone under the mod, the k argmins correlate, and LSH
     * bands collide together (measured 13× the candidate volume). Large odd
     * a_j wraps ~a_j times, decorrelating the argmins, while keeping
-    * a_j·h < 2^62 — overflow-free i64 arithmetic in any engine.
+    * a_j·h < 2^62 — overflow-free i64 arithmetic in any engine. Forcing
+    * the 2^29 bit pins every a_j into [2^29, 2^30) — a bare multiplicative
+    * recurrence mod 2^30 leaves some residues small (the round-2 advisor
+    * measured a_4 ≈ 2^27), re-risking exactly that correlation.
+    * `PureFunctionProps` pins the [2^29, 2^30)/odd/distinct invariant.
+    * These constants are part of the oracle contract: the DuckDB oracle SQL
+    * is generated from this same function, so both engines always agree.
     */
-  def minhashA(j: Int): Long = (((j + 1) * 668265261L) % 1073741824L) | 1L
+  def minhashA(j: Int): Long =
+    (536870912L + (((j + 1) * 668265261L) % 536870912L)) | 1L
   def minhashB(j: Int): Long = (j * 374761393L) % MinhashPrime
 
   def minhashCol(gh: Column, j: Int): Column =
@@ -167,13 +176,15 @@ object Dedup {
     *
     * Scale: each iteration is one equi-join + one aggregation; iteration
     * count is the component diameter. Near-dup clusters are shallow (dups
-    * of one document), so a small `maxIters` suffices; pathological chains
-    * would call for the large-star/small-star variant, same skeleton. The
+    * of one document), so convergence is typically a handful of rounds; the
+    * generous default budget only bounds pathological chains (which would
+    * call for the large-star/small-star variant, same skeleton) — extra
+    * budget costs nothing because the loop exits at the fixpoint. The
     * driver loop is control flow only — all data work is distributed, and
     * each iteration's action is the convergence count.
     */
   def connectedComponents(
-      vertices: DataFrame, pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+      vertices: DataFrame, pairs: DataFrame, maxIters: Int = 100): DataFrame = {
     val edges = pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
@@ -182,6 +193,7 @@ object Dedup {
       .cache()
     var converged = false
     var i = 0
+    var lastChanged = -1L
     while (!converged && i < maxIters) {
       val nbrMin = edges
         .join(labels.select(col("doc_id").as("dst"),
@@ -198,15 +210,17 @@ object Dedup {
         .filter(col("cluster") =!= col("prev")).count()
       labels.unpersist()
       labels = next
+      lastChanged = changed
       converged = changed == 0
       i += 1
     }
     edges.unpersist()
     if (!converged)
       throw new IllegalStateException(
-        s"connectedComponents did not converge in $maxIters iterations — " +
-          "component diameter exceeds the budget; raise maxIters (or switch " +
-          "to large-star/small-star for deep chains)")
+        s"connectedComponents did not converge in $maxIters iterations " +
+          s"($lastChanged labels still changing) — component diameter " +
+          "exceeds the budget; raise maxIters (or switch to " +
+          "large-star/small-star for deep chains)")
     labels
   }
 
@@ -232,8 +246,14 @@ object Dedup {
     */
   def jaccardPairs(df: DataFrame, n: Int, threshold: Double): DataFrame = {
     // one row per distinct (doc, gram-hash) — used three times (sizes + both
-    // join sides); cache instead of recomputing the explode+lead lineage
-    val g = explodedGrams(df.select(col("doc_id"), col("block"), col("text")), n)
+    // join sides); cache instead of recomputing the explode+lead lineage.
+    // Set semantics via ONE distinct, on int keys, after hashing: the gram
+    // window leaves the frame partitioned by doc_id, which clusters
+    // (doc_id, block, gh) too, so this dedup adds no exchange (a string
+    // distinct inside explodedGrams would be a full extra gram shuffle).
+    val g = explodedGrams(
+        df.select(col("doc_id"), col("block"), col("text")), n,
+        distinct = false)
       .select(col("doc_id"), col("block"), md5Long(col("gram")).as("gh"))
       .distinct()
       .cache()

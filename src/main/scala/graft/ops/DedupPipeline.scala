@@ -1,0 +1,91 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** One corpus pass feeding the whole near-dup toolchain.
+  *
+  * The expensive stage of every minhash-family job is identical: scan →
+  * explode words → window-assemble n-grams → one md5 per gram. This class
+  * computes that lineage ONCE, caches the hashed-gram frame, and derives
+  * signatures, LSH candidate pairs, cluster labels and exact-verified
+  * pairs from the single cached scan. The registry's isolated gate queries
+  * ([[graft.jobs.DedupJobs]]) instantiate one per call; a real pipeline
+  * instantiates one per corpus pass and reads every output off the same
+  * cache — at 100 TB that turns three full corpus scans into one.
+  *
+  * Shuffle budget: the gram window partitions by doc_id; the signature
+  * groupBy, the set-semantics dedup and the per-doc size counts all reuse
+  * that clustering, so none of them adds an exchange. The only further
+  * shuffles are the band self-joins (doc-count-sized signature frames) and
+  * the candidate-restricted verification join on int gram hashes.
+  *
+  * `docs` must provide (doc_id, text).
+  */
+final class DedupPipeline(
+    docs: DataFrame, k: Int = 8, bands: Int = 2, n: Int = 2) {
+
+  /** Hashed grams (doc_id, gh): the ONE corpus scan. Duplicates preserved —
+    * minhash's `min()` absorbs them in the partial agg, and a string-level
+    * distinct here would be a full extra shuffle of every gram (the
+    * round-2 regression this class exists to prevent).
+    */
+  val hashedGrams: DataFrame =
+    Dedup.explodedGrams(
+        docs.select(col("doc_id"), col("text")), n, distinct = false)
+      .select(col("doc_id"), Dedup.md5Long(col("gram")).as("gh"))
+      .cache()
+
+  /** Distinct (doc_id, gh) for set-semantics consumers (Jaccard counting).
+    * Derived from the cached raw grams; the gram window left them
+    * partitioned by doc_id, which clusters (doc_id, gh) too, so this dedup
+    * runs partition-local — no new exchange.
+    */
+  lazy val distinctGrams: DataFrame =
+    hashedGrams.dropDuplicates("doc_id", "gh").cache()
+
+  /** MinHash signatures (doc_id, h0..h{k-1}). */
+  lazy val signatures: DataFrame = Dedup.minhashFromHashes(hashedGrams, k)
+
+  /** LSH candidate pairs (doc_a, doc_b, est_jaccard). */
+  lazy val candidates: DataFrame = Dedup.lshCandidates(signatures, k, bands)
+
+  /** Cluster labels (doc_id, cluster): every doc labelled with the minimum
+    * doc_id reachable through the candidate-pair graph.
+    */
+  lazy val clusters: DataFrame =
+    Dedup.connectedComponents(
+      docs.select(col("doc_id")),
+      candidates.select(col("doc_a"), col("doc_b")))
+
+  /** Exact n-gram Jaccard computed ONLY for LSH candidate pairs:
+    * (doc_a, doc_b, inter, jaccard) with jaccard ≥ `threshold`. Set sizes
+    * and intersections count in the same hash space, so engine parity
+    * holds even under (vanishingly rare) hash collisions.
+    */
+  def verifiedPairs(threshold: Double): DataFrame = {
+    val gd = distinctGrams
+    val sizes = gd.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+    val inter = candidates.select(col("doc_a"), col("doc_b"))
+      .join(gd.alias("ga"), col("ga.doc_id") === col("doc_a"))
+      .join(gd.alias("gb"),
+        col("gb.doc_id") === col("doc_b") && col("gb.gh") === col("ga.gh"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n_grams", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n_grams", "nb"), "doc_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("jaccard"))
+  }
+
+  /** Release the cached gram frames (end of the corpus pass). */
+  def unpersist(): Unit = {
+    distinctGrams.unpersist()
+    hashedGrams.unpersist()
+  }
+}

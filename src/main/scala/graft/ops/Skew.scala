@@ -19,17 +19,27 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
-  /** Deterministic salt in [0, buckets): hash of the row's stable spread
-    * column (pass an id-ish column). NULL spread values fall back to a
-    * rand-free monotonic id so they spread across buckets instead of all
-    * hashing into one.
+  /** Salt in [0, buckets): hash of the row's stable spread column (pass an
+    * id-ish column). NULL spread values fall back to a rand-free monotonic
+    * id so they spread across buckets instead of all hashing into one.
+    *
+    * AGGREGATION-ONLY on NULL spread values: the monotonic-id fallback is
+    * nondeterministic across task retries/recomputation (its value depends
+    * on partition layout), which is exact for two-phase salted aggregation
+    * (any bucket assignment yields the same re-aggregated total) but would
+    * be the classic nondeterministic-repartition correctness bug if used
+    * as a join or repartition key. For those, derive the salt from stable
+    * row content (`pmod(hash(cols…), buckets)`) instead.
     */
   def salt(spread: Column, buckets: Int): Column =
     when(spread.isNull,
         pmod(hash(monotonically_increasing_id()), lit(buckets)))
       .otherwise(pmod(hash(spread), lit(buckets)))
 
-  /** Salt with no spread column at all: rand-free monotonic id. */
+  /** Salt with no spread column at all: rand-free monotonic id. Same
+    * AGGREGATION-ONLY caveat as the unary overload — nondeterministic
+    * under retries, never a join/repartition key.
+    */
   def salt(buckets: Int): Column =
     pmod(hash(monotonically_increasing_id()), lit(buckets))
 

@@ -45,7 +45,10 @@ object LateSplit {
   final case class TaggedHitTs(
       key: String, tsMs: Long, ts: java.sql.Timestamp, tag: String)
 
-  /** Default "never drop in practice" budget: one week. */
+  /** Default "never drop in practice" budget for the TERMINAL [[split]]:
+    * one week. Deliberately not a default on [[splitChained]], where slack
+    * delays every downstream window close by the same amount.
+    */
   val DefaultSlackMs: Long = 7L * 24 * 3600 * 1000
 
   /** The ONE horizon-tagging implementation (both public forms derive from
@@ -80,14 +83,17 @@ object LateSplit {
     * downstream — this is the supported operator-chaining path). Emitted
     * rows within the slack budget are always at-or-ahead of the Spark
     * watermark, which is what chained event time requires; the downstream
-    * windows close `slack + lateness` later than the reference's — size
-    * `slackMs` accordingly in a chained pipeline.
+    * windows close `slack + lateness` later than the reference's. Because
+    * that latency cost is paid by every downstream window, `slackMs` has
+    * NO default here: the week-long [[DefaultSlackMs]] is only appropriate
+    * for the terminal [[split]] — silently inheriting it in a chained
+    * pipeline would stall append-mode output by ~7 days of event time.
     */
   def splitChained(
       hits: Dataset[Hit],
       disorderMs: Long,
       latenessMs: Long,
-      slackMs: Long = DefaultSlackMs): Dataset[TaggedHitTs] = {
+      slackMs: Long): Dataset[TaggedHitTs] = {
     import hits.sparkSession.implicits._
     val delayMs = disorderMs + latenessMs + slackMs
     hits

@@ -80,6 +80,43 @@ class PlanQualitySpec extends SparkSpec {
       s"funnel shuffles events more than once on user_id:\n$p")
   }
 
+  test("minhash signatures: exactly one exchange between scan and signature agg") {
+    // min() is duplicate-insensitive, so the gram lineage must NOT pay a
+    // set-semantics distinct (a full shuffle of every gram string). The
+    // only exchange is the gram window's doc_id partitioning, which the
+    // signature groupBy then reuses — the round-2 regression pinned here.
+    import org.apache.spark.sql.functions.col
+    val sig = graft.ops.Dedup.minhashSignatures(
+      graft.io.Tables.documents(spark, sf("sf0.001")),
+      col("doc_id"), col("text"), 8)
+    val p = plan(sig)
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges == 1,
+      s"expected 1 exchange in the signature lineage, found $exchanges:\n$p")
+  }
+
+  test("candidate verification dedups grams on ints, never shuffles strings") {
+    // DedupPipeline.distinctGrams: set semantics come from ONE dedup, on
+    // int keys, after hashing, with a map-side partial agg absorbing
+    // duplicates before the wire. The round-2 regression was a distinct on
+    // (doc_id, gram) STRINGS — pin that no exchange ever partitions on a
+    // gram string column again. (AQE hides the cached plan's doc_id
+    // clustering behind isFinalPlan=false, so the int dedup may plan a
+    // 16-byte-row ENSURE_REQUIREMENTS exchange — that one is acceptable;
+    // the string shuffle is not.)
+    import org.apache.spark.sql.functions.col
+    val pipe = new graft.ops.DedupPipeline(
+      graft.io.Tables.documents(spark, sf("sf0.001"))
+        .select(col("doc_id"), col("text")))
+    try {
+      val pd = plan(pipe.distinctGrams)
+      assert(!"Exchange hashpartitioning\\([^)]*gram#".r.findFirstIn(pd).isDefined,
+        s"distinct-gram dedup shuffles gram strings:\n$pd")
+      assert("HashAggregate".r.findAllIn(pd).length >= 2,
+        s"int dedup lost its map-side partial aggregate:\n$pd")
+    } finally pipe.unpersist()
+  }
+
   test("brute-force ANN broadcasts the query side, not the corpus") {
     val p = plan(SimilarityJobs.annCosineTopK(spark, sf("sf0.001")))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),

@@ -20,4 +20,23 @@ object PureFunctionProps extends Properties("graft.pure") {
       val n = target
       Multimodal.sampleFrameIndices(n, target) == (0 until n)
     }
+
+  // The minhash-multiplier invariant CLAUDE.md records: small multipliers
+  // correlate the k argmins and blow up LSH candidates ~13×. Every a_j must
+  // be odd, land in [2^29, 2^30) (large, and a_j·h < 2^62 overflow-free),
+  // and the slots must be pairwise distinct.
+  property("minhashA: odd, in [2^29, 2^30), pairwise distinct") =
+    Prop.forAll(Gen.chooseNum(0, 63)) { j =>
+      val a = graft.ops.Dedup.minhashA(j)
+      a % 2 == 1 && a >= (1L << 29) && a < (1L << 30)
+    } && Prop {
+      val vals = (0 until 64).map(graft.ops.Dedup.minhashA)
+      vals.distinct.length == vals.length
+    }
+
+  property("minhashB: non-negative, below the modulus") =
+    Prop.forAll(Gen.chooseNum(0, 63)) { j =>
+      val b = graft.ops.Dedup.minhashB(j)
+      b >= 0 && b < graft.ops.Dedup.MinhashPrime
+    }
 }
