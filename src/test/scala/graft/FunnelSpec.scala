@@ -80,6 +80,52 @@ class FunnelSpec extends SparkSpec {
     }
   }
 
+  test("streaming funnel op matches the batch funnel stage-for-stage") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.FunnelStream
+    import graft.streaming.CepLite.KeyedEvent
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(11)
+    // distinct per-user timestamps: exact-ts ties are the one place batch
+    // (strictly-later) and stream (sorted-scan order) semantics diverge
+    val events = (0 until 20).flatMap { u =>
+      val secs = rnd.shuffle((1 to 5000).toList).take(12)
+      secs.zipWithIndex.map { case (sec, i) =>
+        (u * 12L + i, sec.toLong,
+          u.toLong, Seq("view", "click", "purchase", "error")(rnd.nextInt(4)))
+      }
+    }
+    val dir = java.nio.file.Files.createTempDirectory("funnel_sb").toString
+    events.map { case (id, sec, user, kind) => (id, sec, user, kind, 1.0, "{}") }
+      .toDF("event_id", "sec", "user_id", "event_type", "value", "props")
+      .selectExpr("event_id", "sec * 1000000000 AS ts", "user_id",
+        "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val batch = FunnelJobs.funnel(spark, dir)
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+
+    val in = MemoryStream[KeyedEvent]
+    val q = FunnelStream.journeys(in.toDS(), withinMs = 1000000000L)
+      .toDF()
+      .writeStream.format("memory").queryName("funnel_sb")
+      .outputMode("append").start()
+    try {
+      in.addData(events.map { case (_, sec, user, kind) =>
+        KeyedEvent(user, kind, sec * 1000L) })
+      q.processAllAvailable()
+      // sentinel far past every deadline flushes the partial journeys
+      in.addData(KeyedEvent(9999L, "view", 100000000000000L))
+      q.processAllAvailable()
+      val got = FunnelStream.stageCounts(
+          spark.table("funnel_sb").filter($"key" =!= 9999L))
+        .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+      FunnelStream.StageLabels.foreach { s =>
+        assert(got.getOrElse(s, 0L) == batch.getOrElse(s, 0L),
+          s"stage $s: stream ${got.get(s)} vs batch ${batch.get(s)}")
+      }
+    } finally q.stop()
+  }
+
   test("streaming funnel: the same journey as a 3-stage CEP pattern") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.CepLite
