@@ -158,15 +158,98 @@ object SimilarityJobs {
        |  FROM s) final
        |WHERE rn <= $TOP_K""".stripMargin
 
+  private val KM_ITERS = 2
+
+  /** IVF over TRAINED centroids: `KM_ITERS` rounds of Lloyd's k-means from
+    * the deterministic seeds, then the identical probe pipeline. The
+    * engine-exactness trick is integer quantization
+    * ([[Similarity.KmeansQuantScale]]): per-cell coordinate sums are exact
+    * BIGINT arithmetic (order-independent — double sums would differ
+    * between Spark's partial-sum tree and DuckDB's sequential scan), with
+    * one double division per centroid coordinate, so the oracle unrolls
+    * the same two iterations and lands on bit-identical centroids.
+    */
+  def annIvfTrained(spark: SparkSession, sfDir: String): DataFrame = {
+    val v = vectors(spark, sfDir)
+    Similarity.ivfTopKWith(v,
+      Similarity.kmeansCentroids(v, IVF_CENTROIDS, KM_ITERS),
+      col("vec_id") < N_QUERIES, nprobe = IVF_NPROBE, k = TOP_K)
+  }
+
+  /** One k-means iteration as a CTE pair: assignment argmax against
+    * `prevCent`, then quantized-mean centroid rebuild (`list(coord ORDER
+    * BY d)` makes the array reassembly deterministic, mirroring Spark's
+    * sort_array(collect_list(struct))).
+    */
+  private def kmeansIterSql(i: Int, prevCent: String): String =
+    s"""a$i AS (
+       |  SELECT vec_id, cent_id AS cell FROM (
+       |    SELECT e.vec_id, c.cent_id, ROW_NUMBER() OVER (
+       |      PARTITION BY e.vec_id ORDER BY
+       |        ROUND(list_cosine_similarity(e.v, c.cv) + 1e-12, 6) DESC,
+       |        c.cent_id ASC) AS rn
+       |    FROM e CROSS JOIN $prevCent c) r
+       |  WHERE rn = 1
+       |), cent$i AS (
+       |  SELECT cell AS cent_id, list(coord ORDER BY d) AS cv FROM (
+       |    SELECT a$i.cell, qd.d,
+       |           CAST(SUM(qd.q) AS DOUBLE) / (COUNT(*) * 1000000.0) AS coord
+       |    FROM qd JOIN a$i USING (vec_id)
+       |    GROUP BY a$i.cell, qd.d) m
+       |  GROUP BY cell
+       |)""".stripMargin
+
+  val annIvfTrainedSql: String = {
+    val iters = (1 to KM_ITERS)
+      .map(i => kmeansIterSql(i, if (i == 1) "cent0" else s"cent${i - 1}"))
+      .mkString(", ")
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |), cent0 AS (
+       |  SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < $IVF_CENTROIDS
+       |), qd AS (
+       |  SELECT vec_id, s.d AS d, s.q AS q FROM (
+       |    SELECT vec_id, unnest(
+       |      [{'d': i, 'q': CAST(ROUND(v[i] * 1000000.0 + 1e-9) AS BIGINT)}
+       |       FOR i IN range(1, len(v) + 1)]) AS s
+       |    FROM e) u
+       |), $iters, ranked AS (
+       |  SELECT e.vec_id, c.cent_id,
+       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+       |      ROUND(list_cosine_similarity(e.v, c.cv) + 1e-12, 6) DESC,
+       |      c.cent_id ASC) AS rn
+       |  FROM e CROSS JOIN cent$KM_ITERS c
+       |), cells AS (
+       |  SELECT e.vec_id, e.v, r.cent_id AS cell
+       |  FROM e JOIN ranked r ON r.vec_id = e.vec_id AND r.rn = 1
+       |), probes AS (
+       |  SELECT e.vec_id AS query_id, e.v AS qv, r.cent_id AS cell
+       |  FROM e JOIN ranked r ON r.vec_id = e.vec_id AND r.rn <= $IVF_NPROBE
+       |  WHERE e.vec_id < $N_QUERIES
+       |), s AS (
+       |  SELECT p.query_id, c.vec_id AS neighbor_id,
+       |    ROUND(list_cosine_similarity(p.qv, c.v) + 1e-12, 6) AS sim
+       |  FROM probes p JOIN cells c
+       |    ON c.cell = p.cell AND c.vec_id <> p.query_id
+       |)
+       |SELECT query_id, neighbor_id, sim, rn FROM (
+       |  SELECT *, ROW_NUMBER() OVER (
+       |    PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rn
+       |  FROM s) final
+       |WHERE rn <= $TOP_K""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_cosine_topk" -> annCosineTopK,
     "embedding_neardup" -> embeddingNeardup,
     "ann_lsh" -> annLsh,
-    "ann_ivf" -> annIvf)
+    "ann_ivf" -> annIvf,
+    "ann_ivf_trained" -> annIvfTrained)
 
   val oracles: Map[String, String] = Map(
     "ann_cosine_topk" -> annCosineTopKSql,
     "embedding_neardup" -> embeddingNeardupSql,
     "ann_lsh" -> annLshSql,
-    "ann_ivf" -> annIvfSql)
+    "ann_ivf" -> annIvfSql,
+    "ann_ivf_trained" -> annIvfTrainedSql)
 }

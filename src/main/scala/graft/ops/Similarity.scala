@@ -128,14 +128,27 @@ object Similarity {
     */
   def ivfTopK(
       vectors: DataFrame, isQuery: Column, centroids: Int, nprobe: Int,
-      k: Int): DataFrame = {
-    val cents = broadcast(vectors.filter(col("vec_id") < centroids)
+      k: Int): DataFrame =
+    ivfTopKWith(vectors, seedCentroids(vectors, centroids), isQuery, nprobe, k)
+
+  /** The deterministic seed centroids: the first `c` vectors by id. Also
+    * the k-means init ([[kmeansCentroids]]).
+    */
+  def seedCentroids(vectors: DataFrame, c: Int): DataFrame =
+    vectors.filter(col("vec_id") < c)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"),
-        col("norm").as("cnorm")))
+        col("norm").as("cnorm"))
+
+  /** IVF with an explicit centroid frame (cent_id, cv, cnorm) — seeds or
+    * trained ([[kmeansCentroids]]); the pipeline is identical either way.
+    */
+  def ivfTopKWith(
+      vectors: DataFrame, centroids: DataFrame, isQuery: Column, nprobe: Int,
+      k: Int): DataFrame = {
     // score every vector against every centroid (explicit C-bounded
     // broadcast product — C is a constant, this is the IVF assign stage,
     // not a data×data cross); drop the payload before the ranking shuffle
-    val scored = vectors.crossJoin(cents)
+    val scored = vectors.crossJoin(broadcast(centroids))
       .select(col("vec_id"), col("cent_id"),
         cosine(col("v"), col("norm"), col("cv"), col("cnorm")).as("cscore"))
     val ranked = TopN.topNPer(scored, col("vec_id"), col("cscore"),
@@ -155,6 +168,68 @@ object Similarity {
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         cosine(col("qv"), col("qn"), col("v"), col("norm")).as("sim"))
     TopN.topNPer(scoredPairs, col("query_id"), col("sim"), col("neighbor_id"), k)
+  }
+
+  /** Quantization scale for engine-exact k-means: coordinates become
+    * `round(v·10⁶)` BIGINTs, so per-cell coordinate sums are exact integer
+    * arithmetic — order-independent, hence identical on any engine, any
+    * partitioning, any reduction tree. (Double summation is
+    * order-dependent; a distributed partial-sum tree and a sequential SQL
+    * engine would disagree in the last ulp and the argmin assignments
+    * could flip.) One double division per centroid coordinate at the end.
+    */
+  val KmeansQuantScale: Double = 1e6
+
+  /** Lloyd's k-means over the cosine assignment, run for a FIXED `iters`
+    * rounds from the deterministic seeds — fixed (not convergence-tested)
+    * so a SQL oracle can unroll the exact same computation. Returns
+    * (cent_id, cv, cnorm); cells that lose all members drop out.
+    *
+    * Scale shape per iteration: the assign stage is the C-bounded
+    * broadcast product (no payload shuffle); the update stage shuffles the
+    * quantized (cell, dim) partial sums — map-side combine collapses each
+    * map partition to ≤ C·dims rows, so the exchange is O(C·dims·tasks)
+    * regardless of corpus size. Centroid arrays are reassembled with a
+    * sort_array(collect_list(struct(d, coord))) — deterministic despite
+    * collect_list's arbitrary order because the struct sort is total — and
+    * field-extracted (GetArrayStructFields, codegen; C rows, never a hot
+    * path).
+    */
+  def kmeansCentroids(vectors: DataFrame, c: Int, iters: Int): DataFrame = {
+    // quantized per-dim view: one row per (vec_id, dim), exact integers;
+    // reused every iteration — cache (O(n·dims) ints)
+    val qd = vectors
+      .select(col("vec_id"), posexplode(col("v")).as(Seq("d", "coord")))
+      .select(col("vec_id"), col("d"),
+        round(col("coord") * KmeansQuantScale + lit(1e-9)).cast("long").as("q"))
+      .cache()
+    var cents = seedCentroids(vectors, c)
+    for (_ <- 0 until iters) {
+      val cells = ivfAssign(vectors, cents)
+      val sums = qd.join(cells, "vec_id")
+        .groupBy(col("cell"), col("d"))
+        .agg(sum(col("q")).as("sq"), count(lit(1)).as("n"))
+      cents = sums
+        .groupBy(col("cell"))
+        .agg(sort_array(collect_list(struct(col("d"),
+          (col("sq").cast("double") / (col("n") * KmeansQuantScale))
+            .as("coord")))).as("s"))
+        .select(col("cell").as("cent_id"), col("s.coord").as("cv"))
+        .withColumn("cnorm", graft.functions.VectorFunctions.l2_norm(col("cv")))
+    }
+    cents
+  }
+
+  /** Nearest-centroid cell per vector: (vec_id, cell). Argmax on the
+    * ROUNDED cosine with centroid-id tie-break, same total order as the
+    * IVF pipeline's rn=1.
+    */
+  def ivfAssign(vectors: DataFrame, centroids: DataFrame): DataFrame = {
+    val scored = vectors.crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("cent_id"),
+        cosine(col("v"), col("norm"), col("cv"), col("cnorm")).as("cscore"))
+    TopN.topNPer(scored, col("vec_id"), col("cscore"), col("cent_id"), 1)
+      .select(col("vec_id"), col("cent_id").as("cell"))
   }
 
   /** ANN via LSH buckets with hamming-1 multi-probe: the query side probes

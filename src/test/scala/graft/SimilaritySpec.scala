@@ -44,6 +44,36 @@ class SimilaritySpec extends SparkSpec {
     assert(recall > 0.5, s"recall=$recall")
   }
 
+  test("kmeans centroids are exact quantized means (deterministic)") {
+    // two clean 2-D clusters; seeds = vecs 0 and 1, one Lloyd's round.
+    // Quantization makes the means exact decimals: (1.0+0.9)/2 = 0.95 on
+    // the nose, no float-summation noise.
+    val data = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)),
+      (2L, Array(0.9f, 0.1f)), (3L, Array(0.1f, 0.9f)))
+      .toDF("vec_id", "embedding")
+    val vv = Similarity.withNorm(data, $"vec_id", $"embedding")
+    val cents = Similarity.kmeansCentroids(vv, c = 2, iters = 1)
+      .select($"cent_id", $"cv").as[(Long, Seq[Double])].collect()
+      .toMap
+    assert(cents(0L) == Seq(0.95, 0.05))
+    assert(cents(1L) == Seq(0.05, 0.95))
+    // fixed-iteration Lloyd's from fixed seeds: identical across runs
+    val again = Similarity.kmeansCentroids(vv, c = 2, iters = 1)
+      .select($"cent_id", $"cv").as[(Long, Seq[Double])].collect().toMap
+    assert(again == cents)
+  }
+
+  test("trained IVF holds the recall floor on real data") {
+    val sfd = sf("sf0.001")
+    val exact = SimilarityJobs.annCosineTopK(spark, sfd)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = SimilarityJobs.annIvfTrained(spark, sfd)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall > 0.5, s"recall=$recall")
+  }
+
   test("LSH ANN achieves good recall@5 vs brute force on real data") {
     val sfd = sf("sf0.001")
     val vv = Similarity.withNorm(
