@@ -191,6 +191,7 @@ object Dedup {
       .distinct().cache()
     var labels = vertices.select(col("doc_id"), col("doc_id").as("cluster"))
       .cache()
+    var prevCached = labels
     var converged = false
     var i = 0
     var lastChanged = -1L
@@ -200,16 +201,20 @@ object Dedup {
           col("cluster").as("nbr_cluster")), "dst")
         .groupBy(col("src").as("doc_id"))
         .agg(min(col("nbr_cluster")).as("nbr_min"))
+      // change detection rides the propagation join (a "did any label
+      // drop" flag computed in-row) — a separate next⨝prev count join
+      // would pay an extra shuffle per iteration for the same bit
       val next = labels.join(nbrMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("cluster"), coalesce(col("nbr_min"), col("cluster")))
-            .as("cluster"))
+            .as("cluster"),
+          (coalesce(col("nbr_min"), col("cluster")) < col("cluster"))
+            .as("chg"))
         .cache()
-      val changed = next
-        .join(labels.withColumnRenamed("cluster", "prev"), "doc_id")
-        .filter(col("cluster") =!= col("prev")).count()
-      labels.unpersist()
-      labels = next
+      val changed = next.filter(col("chg")).count() // materializes the cache
+      prevCached.unpersist()
+      prevCached = next
+      labels = next.select(col("doc_id"), col("cluster"))
       lastChanged = changed
       converged = changed == 0
       i += 1
