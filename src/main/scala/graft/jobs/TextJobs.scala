@@ -167,17 +167,85 @@ object TextJobs {
        |  FROM scored) r
        |WHERE rn <= $TFIDF_K""".stripMargin
 
+  /** Gopher/C4-style within-document repetition signals — the quality
+    * filters every LLM-corpus pipeline applies before training: duplicate
+    * word fraction, most-frequent-bigram mass, and duplicate-bigram mass,
+    * per document. High values mark boilerplate/spam (repeated nav bars,
+    * keyword stuffing) that survives cross-document dedup because each
+    * copy IS unique.
+    *
+    * Scale shape: bigram stats ride the gram window's doc_id partitioning
+    * (both per-doc groupBys are partition-local, no new exchange); word
+    * stats are a two-phase (doc, word) count cascade like the tf stage of
+    * TF-IDF. Ratios use the cross-engine round-nudge discipline.
+    */
+  def textRepetition(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+    val words = d.select(col("doc_id"),
+      explode(split(trim(col("text")), "\\s+")).as("w"))
+    val ws = words.groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_words"), count(lit(1)).as("nd"))
+    val gs = graft.ops.Dedup
+      .explodedGrams(d.select(col("doc_id"), col("text")), 2, distinct = false)
+      .groupBy(col("doc_id"), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("total"), max(col("cnt")).as("topc"),
+        sum(when(col("cnt") >= 2, col("cnt")).otherwise(0L)).as("dupc"))
+    ws.join(gs, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"),
+        round((col("n_words") - col("nd")).cast("double") / col("n_words")
+          + lit(1e-9), 4).as("dup_word_frac"),
+        coalesce(round(col("topc").cast("double") / col("total")
+          + lit(1e-9), 4), lit(0.0)).as("top_bigram_frac"),
+        coalesce(round(col("dupc").cast("double") / col("total")
+          + lit(1e-9), 4), lit(0.0)).as("dup_bigram_frac"))
+  }
+
+  val textRepetitionSql: String =
+    """WITH w AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
+      |  FROM documents
+      |), ws AS (
+      |  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_words, COUNT(*) AS nd
+      |  FROM (SELECT doc_id, w, COUNT(*) AS cnt FROM w GROUP BY 1, 2) wc
+      |  GROUP BY doc_id
+      |), g AS (
+      |  SELECT doc_id, unnest(
+      |    [array_to_string(wl[i:i+1], ' ') FOR i IN range(1, len(wl))]) AS gram
+      |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS wl
+      |        FROM documents)
+      |  WHERE len(wl) >= 2
+      |), gs AS (
+      |  SELECT doc_id, SUM(cnt) AS total, MAX(cnt) AS topc,
+      |         SUM(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) AS dupc
+      |  FROM (SELECT doc_id, gram, COUNT(*) AS cnt FROM g GROUP BY 1, 2) gc
+      |  GROUP BY doc_id
+      |)
+      |SELECT ws.doc_id, ws.n_words,
+      |       ROUND((ws.n_words - ws.nd)::DOUBLE / ws.n_words + 1e-9, 4)
+      |         AS dup_word_frac,
+      |       COALESCE(ROUND(gs.topc::DOUBLE / gs.total + 1e-9, 4), 0.0)
+      |         AS top_bigram_frac,
+      |       COALESCE(ROUND(gs.dupc::DOUBLE / gs.total + 1e-9, 4), 0.0)
+      |         AS dup_bigram_frac
+      |FROM ws LEFT JOIN gs USING (doc_id)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_stats" -> textStats,
     "text_langid" -> textLangid,
     "doc_fingerprint" -> docFingerprint,
     "vocab_topk" -> vocabTopK,
-    "tfidf_topk" -> tfidfTopK)
+    "tfidf_topk" -> tfidfTopK,
+    "text_repetition" -> textRepetition)
 
   val oracles: Map[String, String] = Map(
     "text_stats" -> textStatsSql,
     "text_langid" -> textLangidSql,
     "doc_fingerprint" -> docFingerprintSql,
     "vocab_topk" -> vocabTopKSql,
-    "tfidf_topk" -> tfidfTopKSql)
+    "tfidf_topk" -> tfidfTopKSql,
+    "text_repetition" -> textRepetitionSql)
 }
