@@ -311,6 +311,35 @@ object DedupJobs {
        |ORDER BY priority ASC, doc_id ASC
        |LIMIT $SAMPLE_N""".stripMargin
 
+  private val STRAT_N = 20
+
+  /** Stratified deterministic sample: the `STRAT_N` hash-smallest
+    * documents PER LANGUAGE — the per-stratum sibling of [[docSample]]
+    * (a real curation pass samples per language/source/quality-band, not
+    * globally, or the head languages crowd out the tail). The rank filter
+    * plans as WindowGroupLimit: each task keeps ≤ N rows per stratum
+    * before the exchange, so the shuffle is O(strata·N·tasks) — never a
+    * per-stratum sort of the corpus.
+    */
+  def stratifiedSample(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("priority").asc, col("doc_id").asc)
+    Tables.documents(spark, sfDir)
+      .select(col("lang"), col("doc_id"),
+        Dedup.md5Long(col("doc_id").cast("string")).as("priority"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= STRAT_N)
+  }
+
+  val stratifiedSampleSql: String =
+    s"""SELECT lang, doc_id, priority, rn FROM (
+       |  SELECT lang, doc_id, ${hexIntSql("doc_id::VARCHAR")} AS priority,
+       |         ROW_NUMBER() OVER (PARTITION BY lang
+       |           ORDER BY ${hexIntSql("doc_id::VARCHAR")} ASC, doc_id ASC) AS rn
+       |  FROM documents) r
+       |WHERE rn <= $STRAT_N""".stripMargin
+
   // ---- end-to-end corpus curation (the composed pipeline story) ----
 
   /** The composed training-data curation pass a user of this library runs:
@@ -365,6 +394,7 @@ object DedupJobs {
     "dedup_exact" -> dedupExact,
     "corpus_curation" -> corpusCuration,
     "doc_sample" -> docSample,
+    "stratified_sample" -> stratifiedSample,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
     "dedup_simhash" -> dedupSimhash,
     "dedup_clusters" -> dedupClusters,
@@ -376,6 +406,7 @@ object DedupJobs {
     "dedup_exact" -> dedupExactSql,
     "corpus_curation" -> corpusCurationSql,
     "doc_sample" -> docSampleSql,
+    "stratified_sample" -> stratifiedSampleSql,
     "dedup_minhash_lsh" -> dedupMinhashLshSql,
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_clusters" -> dedupClustersSql,

@@ -170,7 +170,10 @@ object SimilarityJobs {
     * the same two iterations and lands on bit-identical centroids.
     */
   def annIvfTrained(spark: SparkSession, sfDir: String): DataFrame = {
-    val v = vectors(spark, sfDir)
+    // the normed vector frame feeds the quantized-dim view, both k-means
+    // assign rounds, and the final assign/probe/verify stages — cache it
+    // so the parquet scan + norm computation runs once
+    val v = vectors(spark, sfDir).cache()
     Similarity.ivfTopKWith(v,
       Similarity.kmeansCentroids(v, IVF_CENTROIDS, KM_ITERS),
       col("vec_id") < N_QUERIES, nprobe = IVF_NPROBE, k = TOP_K)

@@ -117,6 +117,12 @@ class PlanQualitySpec extends SparkSpec {
     } finally pipe.unpersist()
   }
 
+  test("stratified sample gets the WindowGroupLimit early cutoff") {
+    val p = plan(DedupJobs.stratifiedSample(spark, sf("sf0.001")))
+    assert(p.contains("WindowGroupLimit"),
+      s"per-stratum rank lost its top-N pushdown:\n$p")
+  }
+
   test("brute-force ANN broadcasts the query side, not the corpus") {
     val p = plan(SimilarityJobs.annCosineTopK(spark, sf("sf0.001")))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
