@@ -43,6 +43,17 @@ object Skew {
   def salt(buckets: Int): Column =
     pmod(hash(monotonically_increasing_id()), lit(buckets))
 
+  /** Retry-stable salt from row CONTENT: hash of the given columns. The
+    * variant that IS safe as a join or repartition key (a recomputed task
+    * reproduces the identical bucket), at the price that rows with equal
+    * content land in the same bucket — pass columns that distinguish rows
+    * within the hot key. For a salted join, replicate the other side
+    * `buckets` times with `explode(sequence(0, buckets-1))` and join on
+    * (key, salt).
+    */
+  def saltFromContent(buckets: Int, cols: Column*): Column =
+    pmod(hash(cols: _*), lit(buckets))
+
   /** Two-phase salted aggregation.
     * `partials`: aggregations on (key, salt); `finals`: re-aggregations of
     * the partial columns on key.

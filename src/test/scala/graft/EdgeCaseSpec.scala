@@ -12,6 +12,23 @@ class EdgeCaseSpec extends SparkSpec {
   private val emptyDocs = Seq.empty[(Long, String, String)]
     .toDF("doc_id", "text", "block")
 
+  test("kmeans and repetition are total on degenerate inputs") {
+    // fewer vectors than centroids: cells just come out sparse
+    val tiny = Seq((0L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val v = Similarity.withNorm(tiny, $"vec_id", $"embedding")
+    val cents = Similarity.kmeansCentroids(v, c = 4, iters = 1).collect()
+    assert(cents.length == 1) // one occupied cell
+    // empty/whitespace text: zero fractions, never a divide-by-zero null
+    val dir = java.nio.file.Files.createTempDirectory("rep_edge").toString
+    Seq((1L, "", "en", "s", 0L), (2L, "   ", "en", "s", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rep = graft.jobs.TextJobs.textRepetition(spark, dir)
+      .orderBy($"doc_id")
+      .as[(Long, Long, Double, Double, Double)].collect()
+    assert(rep.forall(r => r._3 == 0.0 && r._4 == 0.0 && r._5 == 0.0))
+  }
+
   test("dedup ops are total on empty and degenerate documents") {
     assert(Dedup.jaccardPairs(emptyDocs, 2, 0.5).count() == 0)
     assert(Dedup.minhashSignatures(

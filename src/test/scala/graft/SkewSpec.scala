@@ -29,6 +29,24 @@ class SkewSpec extends SparkSpec {
     assert(partials.count() == 8)
   }
 
+  test("content salt is retry-stable and join-exact on a salted join") {
+    // salted-join pattern: hot fact side salted by row content, dim side
+    // replicated across all buckets — join result must equal the unsalted
+    // join exactly (content hashing is deterministic under recomputation,
+    // unlike the monotonic-id fallback)
+    val fact = (1 to 2000).map(i => ("hot", i.toLong)).toDF("k", "v")
+      .withColumn("salt", Skew.saltFromContent(8, $"v"))
+    val dim = Seq(("hot", 10L)).toDF("k", "mult")
+      .withColumn("salt", explode(sequence(lit(0), lit(7))))
+    val salted = fact.join(dim, Seq("k", "salt"))
+      .agg(sum($"v" * $"mult")).as[Long].head()
+    assert(salted == (1 to 2000).map(_.toLong * 10).sum)
+    // deterministic across evaluations
+    val a = fact.select($"salt").collect().toSeq
+    val b = fact.select($"salt").collect().toSeq
+    assert(a == b)
+  }
+
   test("null spread values fall back to the monotonic id, not one bucket") {
     val df = (1 to 1000).map(_ => ("hot", None: Option[Long])).toDF("k", "v")
     val buckets = df.withColumn("__salt", Skew.salt($"v", 8))
