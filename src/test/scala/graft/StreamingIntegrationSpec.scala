@@ -55,6 +55,47 @@ class StreamingIntegrationSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming ingest curation: dedup-within-watermark → quality gate " +
+      "→ windowed per-lang accounting") {
+    // the composed ingest story a training pipeline runs at the edge:
+    // fingerprint-dedup close-in-time repeats (crawler retries), gate on
+    // the same codegen quality score the batch curation uses, then
+    // windowed per-language admission accounting — all one streaming plan
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.TextAnalysis
+    import graft.streaming.StreamingDedup
+    val in = MemoryStream[(Long, String, String, Long)]
+    val docs = in.toDF().toDF("doc_id", "text", "lang", "tsSec")
+      .withColumn("ts", expr("timestamp_seconds(tsSec)"))
+    val good = "the data of the table and the row is on the disk " * 8
+    val deduped = StreamingDedup.byFingerprint(docs, "ts", "10 seconds")
+    val nTok = TextAnalysis.tokenCount($"text")
+    val admitted = deduped
+      .withColumn("quality", TextAnalysis.qualityScore(nTok,
+        TextAnalysis.stopwordCount($"text")))
+      .filter($"quality" >= 0.5)
+      .groupBy(window($"ts", "1 minute"), $"lang")
+      .agg(count(lit(1)).as("n_admitted"))
+      .select(unix_timestamp($"window.end").as("window_end"), $"lang",
+        $"n_admitted")
+    val q = admitted.writeStream.format("memory").queryName("ingest_cur")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        (1L, good, "en", 10L),
+        (2L, good, "en", 12L),        // dup within horizon → dropped
+        (3L, "spam spam", "en", 15L), // low quality → gated
+        (4L, good + "extra", "de", 20L))
+      q.processAllAvailable()
+      in.addData((99L, "flush flush flush", "en", 600L)) // close the window
+      q.processAllAvailable()
+      val out = spark.table("ingest_cur")
+        .select($"lang", $"n_admitted").as[(String, Long)].collect().toMap
+      assert(out == Map("en" -> 1L, "de" -> 1L),
+        s"expected one admitted doc per lang, got $out")
+    } finally q.stop()
+  }
+
   test("checkpointed query restarts exactly-once (no lost or duplicated state)") {
     implicit val sqlCtx = spark.sqlContext
     val ckpt = Files.createTempDirectory("graft_ckpt").toString
