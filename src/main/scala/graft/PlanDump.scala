@@ -15,7 +15,9 @@ object PlanDump {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val sf = "/root/testdata/sf0.001"
-    for (n <- Seq("decontamination", "ngram_jaccard", "ann_lsh", "corpus_curation", "tfidf_topk")) {
+    val names =
+      if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
+    for (n <- names) {
       println(s"\n========== $n ==========")
       val p = SparkEntry.queries(n)(spark, sf).queryExecution.executedPlan.toString
       // summarize: count scans, exchanges, joins
