@@ -233,7 +233,46 @@ object TextJobs {
       |         AS dup_bigram_frac
       |FROM ws LEFT JOIN gs USING (doc_id)""".stripMargin
 
+  private val CHUNK_W = 50     // tokens per chunk
+  private val CHUNK_STRIDE = 40 // 10-token overlap between chunks
+
+  /** Sliding-window document chunking — the training-prep step between
+    * curation and tokenization: each document becomes ⌈n/stride⌉ chunks of
+    * up to `CHUNK_W` whitespace tokens starting every `CHUNK_STRIDE`
+    * (overlap keeps context across boundaries). Pure per-row computation:
+    * one scan, an explode over the chunk-start sequence, `slice` +
+    * `concat_ws` reassembly — all codegen'd, no lambda HOFs, no shuffle at
+    * all, so the op is exactly as scalable as the scan itself.
+    */
+  def docChunks(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = split(trim(col("text")), "\\s+")
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"),
+        explode(expr(s"sequence(0, (size(toks) - 1) div $CHUNK_STRIDE)"))
+          .as("chunk_idx"), col("toks"))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        slice(col("toks"), col("chunk_idx") * CHUNK_STRIDE + 1, lit(CHUNK_W))
+          .as("c"))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("c")).cast("long").as("n_tokens"),
+        concat_ws(" ", col("c")).as("chunk"))
+  }
+
+  val docChunksSql: String =
+    s"""SELECT doc_id, s.k AS chunk_idx,
+       |       CAST(len(s.c) AS BIGINT) AS n_tokens,
+       |       array_to_string(s.c, ' ') AS chunk
+       |FROM (
+       |  SELECT doc_id, unnest(
+       |    [{'k': CAST(k AS BIGINT),
+       |      'c': wl[k * $CHUNK_STRIDE + 1 : k * $CHUNK_STRIDE + $CHUNK_W]}
+       |     FOR k IN range(0, (len(wl) - 1) // $CHUNK_STRIDE + 1)]) AS s
+       |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS wl
+       |        FROM documents) t) u""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "doc_chunks" -> docChunks,
     "text_stats" -> textStats,
     "text_langid" -> textLangid,
     "doc_fingerprint" -> docFingerprint,
@@ -242,6 +281,7 @@ object TextJobs {
     "text_repetition" -> textRepetition)
 
   val oracles: Map[String, String] = Map(
+    "doc_chunks" -> docChunksSql,
     "text_stats" -> textStatsSql,
     "text_langid" -> textLangidSql,
     "doc_fingerprint" -> docFingerprintSql,

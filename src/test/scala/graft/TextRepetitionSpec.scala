@@ -26,6 +26,27 @@ class TextRepetitionSpec extends SparkSpec {
     assert(out(2) == ((3L, 1L, 0.0, 0.0, 0.0)))
   }
 
+  test("doc chunks: 50-token windows every 40, overlapping, ragged tail") {
+    val dir = java.nio.file.Files.createTempDirectory("chunks").toString
+    val words = (1 to 95).map(i => s"w$i")
+    Seq((1L, words.mkString(" "), "en", "s", 1L),
+        (2L, "tiny doc", "en", "s", 8L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.jobs.TextJobs.docChunks(spark, dir)
+      .orderBy($"doc_id", $"chunk_idx")
+      .as[(Long, Long, Long, String)].collect()
+    // doc 1: starts 0/40/80 → 50, 50, 15 tokens; stride-40 overlap of 10
+    val d1 = out.filter(_._1 == 1L)
+    assert(d1.map(c => (c._2, c._3)).toSeq == Seq((0L, 50L), (1L, 50L), (2L, 15L)))
+    assert(d1(0)._4.startsWith("w1 ") && d1(1)._4.startsWith("w41 ") &&
+      d1(2)._4.startsWith("w81 ") && d1(2)._4.endsWith(" w95"))
+    assert(d1(0)._4.split(" ").takeRight(10).toSeq ==
+      d1(1)._4.split(" ").take(10).toSeq) // the overlap region
+    // doc 2 fits one chunk
+    assert(out.filter(_._1 == 2L).toSeq == Seq((2L, 0L, 2L, "tiny doc")))
+  }
+
   test("repetition runs over the real documents table") {
     val out = graft.jobs.TextJobs.textRepetition(spark, sf("sf0.001"))
     assert(out.count() == 500)
