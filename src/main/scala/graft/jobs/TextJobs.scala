@@ -233,6 +233,46 @@ object TextJobs {
       |         AS dup_bigram_frac
       |FROM ws LEFT JOIN gs USING (doc_id)""".stripMargin
 
+  /** Rare-token density: each document's mean corpus-frequency over its
+    * token occurrences — the model-free cousin of a perplexity filter
+    * (very low = OCR noise/garbage tokens, very high = boilerplate built
+    * from only the commonest words). Exact cross-engine: frequencies and
+    * the weighted sum Σ tf·freq are integers, one double division + the
+    * round nudge at the end. Same two-phase tf cascade as TF-IDF; the
+    * corpus-frequency frame is vocabulary-sized, so no broadcast hint
+    * (AQE decides — same rationale as [[tfidfTopK]]).
+    */
+  def tokenRarity(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Tables.documents(spark, sfDir).select(col("doc_id"),
+      explode(TextAnalysis.tokens(lower(col("text")))).as("token"))
+    val tf = toks.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+      .cache() // freq derives from tf and the weighted join reads it again
+    val freq = tf.groupBy(col("token")).agg(sum(col("tf")).as("freq"))
+    tf.join(freq, "token")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(col("tf") * col("freq")).as("wsum"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("wsum").cast("double") / col("n_tokens") + lit(1e-9), 4)
+          .as("mean_tok_freq"))
+  }
+
+  val tokenRaritySql: String =
+    """WITH t AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[A-Za-z0-9]+')) AS token
+      |  FROM documents
+      |), tf AS (
+      |  SELECT doc_id, token, COUNT(*) AS tf FROM t GROUP BY 1, 2
+      |), freq AS (
+      |  SELECT token, CAST(SUM(tf) AS BIGINT) AS freq FROM tf GROUP BY 1
+      |)
+      |SELECT tf.doc_id, CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+      |       ROUND(CAST(SUM(tf.tf * freq.freq) AS DOUBLE) / SUM(tf.tf) + 1e-9, 4)
+      |         AS mean_tok_freq
+      |FROM tf JOIN freq USING (token)
+      |GROUP BY tf.doc_id""".stripMargin
+
   private val CHUNK_W = 50     // tokens per chunk
   private val CHUNK_STRIDE = 40 // 10-token overlap between chunks
 
@@ -273,6 +313,7 @@ object TextJobs {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "doc_chunks" -> docChunks,
+    "token_rarity" -> tokenRarity,
     "text_stats" -> textStats,
     "text_langid" -> textLangid,
     "doc_fingerprint" -> docFingerprint,
@@ -282,6 +323,7 @@ object TextJobs {
 
   val oracles: Map[String, String] = Map(
     "doc_chunks" -> docChunksSql,
+    "token_rarity" -> tokenRaritySql,
     "text_stats" -> textStatsSql,
     "text_langid" -> textLangidSql,
     "doc_fingerprint" -> docFingerprintSql,
