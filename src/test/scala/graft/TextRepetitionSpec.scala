@@ -47,6 +47,18 @@ class TextRepetitionSpec extends SparkSpec {
     assert(out.filter(_._1 == 2L).toSeq == Seq((2L, 0L, 2L, "tiny doc")))
   }
 
+  test("token rarity: exact mean corpus frequency per document") {
+    val dir = java.nio.file.Files.createTempDirectory("rarity").toString
+    // corpus freqs: a=2, b=2, c=1 → doc 1 (a a b) mean (2+2+2)/3 = 2.0,
+    // doc 2 (b c) mean (2+1)/2 = 1.5
+    Seq((1L, "a a b", "en", "s", 5L), (2L, "b c", "en", "s", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.jobs.TextJobs.tokenRarity(spark, dir)
+      .orderBy($"doc_id").as[(Long, Long, Double)].collect().toSeq
+    assert(out == Seq((1L, 3L, 2.0), (2L, 2L, 1.5)))
+  }
+
   test("repetition runs over the real documents table") {
     val out = graft.jobs.TextJobs.textRepetition(spark, sf("sf0.001"))
     assert(out.count() == 500)
