@@ -202,11 +202,14 @@ object SimilarityJobs {
        |  GROUP BY cell
        |)""".stripMargin
 
-  val annIvfTrainedSql: String = {
+  /** The shared CTE prefix: embeddings, seed centroids, quantized dims,
+    * and the unrolled k-means iterations ending at `cent$KM_ITERS`.
+    */
+  private def kmeansPrefixSql: String = {
     val iters = (1 to KM_ITERS)
       .map(i => kmeansIterSql(i, if (i == 1) "cent0" else s"cent${i - 1}"))
       .mkString(", ")
-    s"""WITH e AS (
+    s"""e AS (
        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
        |), cent0 AS (
        |  SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < $IVF_CENTROIDS
@@ -216,7 +219,11 @@ object SimilarityJobs {
        |      [{'d': i, 'q': CAST(ROUND(v[i] * 1000000.0 + 1e-9) AS BIGINT)}
        |       FOR i IN range(1, len(v) + 1)]) AS s
        |    FROM e) u
-       |), $iters, ranked AS (
+       |), $iters""".stripMargin
+  }
+
+  val annIvfTrainedSql: String = {
+    s"""WITH $kmeansPrefixSql, ranked AS (
        |  SELECT e.vec_id, c.cent_id,
        |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
        |      ROUND(list_cosine_similarity(e.v, c.cv) + 1e-12, 6) DESC,
@@ -242,17 +249,60 @@ object SimilarityJobs {
        |WHERE rn <= $TOP_K""".stripMargin
   }
 
+  /** Corpus-balance report over the trained k-means cells: per cell, the
+    * member count and the mean cosine to the centroid — the clustering-as-
+    * an-end use of [[Similarity.kmeansCentroids]] (a training-mix pipeline
+    * reads this to re-weight over/under-represented content clusters).
+    * The mean is engine-exact by the same quantization trick: each rounded
+    * 6-decimal cosine ×10⁶ is an exact integer, integer-summed, one double
+    * division at the end.
+    */
+  def embeddingClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    val v = vectors(spark, sfDir).cache()
+    val cents = Similarity.kmeansCentroids(v, IVF_CENTROIDS, KM_ITERS)
+    val scored = v.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cent_id"),
+        Similarity.cosine(col("v"), col("norm"), col("cv"), col("cnorm"))
+          .as("cscore"))
+    graft.ops.TopN.topNPer(scored, col("vec_id"), col("cscore"),
+        col("cent_id"), 1)
+      .groupBy(col("cent_id").as("cell"))
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(round(col("cscore") * 1e6).cast("long")).as("sq"))
+      .select(col("cell"), col("n_vectors"),
+        round(col("sq").cast("double") / (col("n_vectors") * 1e6) + lit(1e-9), 4)
+          .as("mean_cos"))
+  }
+
+  val embeddingClustersSql: String =
+    s"""WITH $kmeansPrefixSql, assigned AS (
+       |  SELECT vec_id, cent_id, sim FROM (
+       |    SELECT e.vec_id, c.cent_id,
+       |      ROUND(list_cosine_similarity(e.v, c.cv) + 1e-12, 6) AS sim,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+       |        ROUND(list_cosine_similarity(e.v, c.cv) + 1e-12, 6) DESC,
+       |        c.cent_id ASC) AS rn
+       |    FROM e CROSS JOIN cent$KM_ITERS c) r
+       |  WHERE rn = 1
+       |)
+       |SELECT cent_id AS cell, COUNT(*) AS n_vectors,
+       |       ROUND(CAST(SUM(CAST(ROUND(sim * 1000000.0) AS BIGINT)) AS DOUBLE)
+       |             / (COUNT(*) * 1000000.0) + 1e-9, 4) AS mean_cos
+       |FROM assigned GROUP BY cent_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_cosine_topk" -> annCosineTopK,
     "embedding_neardup" -> embeddingNeardup,
     "ann_lsh" -> annLsh,
     "ann_ivf" -> annIvf,
-    "ann_ivf_trained" -> annIvfTrained)
+    "ann_ivf_trained" -> annIvfTrained,
+    "embedding_clusters" -> embeddingClusters)
 
   val oracles: Map[String, String] = Map(
     "ann_cosine_topk" -> annCosineTopKSql,
     "embedding_neardup" -> embeddingNeardupSql,
     "ann_lsh" -> annLshSql,
     "ann_ivf" -> annIvfSql,
-    "ann_ivf_trained" -> annIvfTrainedSql)
+    "ann_ivf_trained" -> annIvfTrainedSql,
+    "embedding_clusters" -> embeddingClustersSql)
 }
