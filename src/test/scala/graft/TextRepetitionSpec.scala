@@ -59,6 +59,24 @@ class TextRepetitionSpec extends SparkSpec {
     assert(out == Seq((1L, 3L, 2.0), (2L, 2L, 1.5)))
   }
 
+  test("token pipeline: one cached tf cascade matches the isolated jobs") {
+    val dir = sf("sf0.001")
+    val pipe = new graft.ops.TokenPipeline(
+      graft.io.Tables.documents(spark, dir)
+        .select($"doc_id", $"text", $"lang"))
+    try {
+      val rarity = pipe.tokenRarity.orderBy($"doc_id").collect().toSeq
+      val isolatedRarity = graft.jobs.TextJobs.tokenRarity(spark, dir)
+        .orderBy($"doc_id").collect().toSeq
+      assert(rarity == isolatedRarity)
+      val tfidf = pipe.tfidfTopK(3).orderBy($"doc_id", $"rn").collect().toSeq
+      val isolatedTfidf = graft.jobs.TextJobs.tfidfTopK(spark, dir)
+        .orderBy($"doc_id", $"rn").collect().toSeq
+      assert(tfidf == isolatedTfidf)
+      assert(pipe.tf.storageLevel.useMemory, "tf cascade is not cached")
+    } finally pipe.unpersist()
+  }
+
   test("repetition runs over the real documents table") {
     val out = graft.jobs.TextJobs.textRepetition(spark, sf("sf0.001"))
     assert(out.count() == 500)
