@@ -273,6 +273,56 @@ object TextJobs {
       |FROM tf JOIN freq USING (token)
       |GROUP BY tf.doc_id""".stripMargin
 
+  /** Per-source triage report — the observability query a crawl pipeline
+    * reads to decide which sources to keep: document volume, exact-dup
+    * rate (1 − distinct fingerprints / docs), and mean quality score. The
+    * mean is engine-exact by integer quantization: each 4-decimal quality
+    * ×10⁴ is an exact integer, summed exactly, one double division at the
+    * end (double summation would be order-dependent across engines).
+    * One scan, one aggregation; the distinct-count is Spark's standard
+    * two-phase expand — all shapes linear in the corpus.
+    */
+  def sourceStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+    val nTok = TextAnalysis.tokenCount(col("text"))
+    val nStop = TextAnalysis.stopwordCount(col("text"))
+    d.select(col("source"),
+        TextAnalysis.fingerprint(col("text")).as("fp"),
+        round(TextAnalysis.qualityScore(nTok, nStop) * 1e4).cast("long")
+          .as("q4"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("fp")).as("n_uniq"),
+        sum(col("q4")).as("qsum"))
+      .select(col("source"), col("n_docs"), col("n_uniq"),
+        round((col("n_docs") - col("n_uniq")).cast("double") / col("n_docs")
+          + lit(1e-9), 4).as("dup_rate"),
+        round(col("qsum").cast("double") / (col("n_docs") * 1e4) + lit(1e-9), 4)
+          .as("mean_quality"))
+  }
+
+  val sourceStatsSql: String = {
+    val nTokSql = "CAST(length(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT)"
+    val nStopSql =
+      "CAST(length(regexp_extract_all(text, '\\b(the|a|of|and|to|in|is|on|for|with)\\b')) AS BIGINT)"
+    val qualitySql =
+      s"""ROUND(least(CAST($nTokSql AS DOUBLE) / 100.0, 1.0) * 0.6 +
+         |    (CAST($nStopSql AS DOUBLE) / CAST(greatest($nTokSql, 1) AS DOUBLE)) * 0.4
+         |    + 1e-9, 4)""".stripMargin
+    s"""WITH s AS (
+       |  SELECT source,
+       |         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+       |         CAST(ROUND($qualitySql * 10000.0) AS BIGINT) AS q4
+       |  FROM documents
+       |)
+       |SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT fp) AS n_uniq,
+       |       ROUND((COUNT(*) - COUNT(DISTINCT fp))::DOUBLE / COUNT(*) + 1e-9, 4)
+       |         AS dup_rate,
+       |       ROUND(CAST(SUM(q4) AS DOUBLE) / (COUNT(*) * 10000.0) + 1e-9, 4)
+       |         AS mean_quality
+       |FROM s GROUP BY source""".stripMargin
+  }
+
   private val CHUNK_W = 50     // tokens per chunk
   private val CHUNK_STRIDE = 40 // 10-token overlap between chunks
 
@@ -314,6 +364,7 @@ object TextJobs {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "doc_chunks" -> docChunks,
     "token_rarity" -> tokenRarity,
+    "source_stats" -> sourceStats,
     "text_stats" -> textStats,
     "text_langid" -> textLangid,
     "doc_fingerprint" -> docFingerprint,
@@ -324,6 +375,7 @@ object TextJobs {
   val oracles: Map[String, String] = Map(
     "doc_chunks" -> docChunksSql,
     "token_rarity" -> tokenRaritySql,
+    "source_stats" -> sourceStatsSql,
     "text_stats" -> textStatsSql,
     "text_langid" -> textLangidSql,
     "doc_fingerprint" -> docFingerprintSql,
