@@ -59,6 +59,32 @@ class TextRepetitionSpec extends SparkSpec {
     assert(out == Seq((1L, 3L, 2.0), (2L, 2L, 1.5)))
   }
 
+  test("doc chunks cover every token exactly once outside overlaps") {
+    // boundary sizes around the window (50) and stride (40)
+    val sizes = Seq(1, 39, 40, 41, 50, 51, 80, 81, 90, 130)
+    val dir = java.nio.file.Files.createTempDirectory("chunk_cov").toString
+    sizes.zipWithIndex.map { case (n, i) =>
+      (i.toLong, (1 to n).map(j => s"t$j").mkString(" "), "en", "s", n.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val chunks = graft.jobs.TextJobs.docChunks(spark, dir)
+      .as[(Long, Long, Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    sizes.zipWithIndex.foreach { case (n, i) =>
+      val cs = chunks(i.toLong)
+      // every token appears in at least one chunk, in order
+      val covered = cs.flatMap(_._4.split(" ")).distinct
+      assert(covered.length == n, s"n=$n covered ${covered.length}")
+      // stride-40: consecutive chunk starts differ by exactly 40 tokens
+      cs.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b._4.split(" ").head == s"t${(b._2 * 40) + 1}",
+            s"n=$n chunk ${b._2} starts wrong")
+        case _ =>
+      }
+    }
+  }
+
   test("token pipeline: one cached tf cascade matches the isolated jobs") {
     val dir = sf("sf0.001")
     val pipe = new graft.ops.TokenPipeline(
