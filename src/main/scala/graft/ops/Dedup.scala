@@ -17,9 +17,13 @@ import org.apache.spark.sql.functions._
   *    quadratic zone.
   *  - SimHash is one groupBy with 64 integer sums; near-dup pairs then only
   *    need a cheap integer hamming filter.
-  *  - Raw n-gram Jaccard is quadratic by nature; `jaccardPairs` requires a
-  *    blocking key (lang, length bucket, LSH bucket, …) and computes
-  *    intersections by an equi-join on grams — no cross join anywhere.
+  *  - Exact n-gram Jaccard is quadratic by nature; `jaccardPairs` requires
+  *    a blocking key (lang, length bucket, LSH bucket, …), computes
+  *    intersections by an equi-join on grams (no cross join anywhere), and
+  *    collapses identical contents to one representative first so the join
+  *    is invariant to exact-dup multiplicity; `jaccardPairsPrefix` is the
+  *    lossless df-ordered prefix join (PPJoin family) that additionally
+  *    fences the stop-gram f² zone on Zipf-vocabulary corpora.
   *
   * Hashes are engine-portable: md5 hex prefix → BIGINT (Spark `conv`;
   * DuckDB positional strpos arithmetic) so DuckDB oracles reproduce them.
@@ -242,14 +246,19 @@ object Dedup {
         col("hamming"))
   }
 
-  /** n-gram Jaccard similarity pairs within a blocking key.
-    * `df` must provide (doc_id, text, block). Intersections come from an
-    * equi-join on 32-bit gram hashes (shuffle on int, never a cross join);
-    * candidate pairs are only those sharing ≥1 gram in-block. Set sizes are
-    * counted in the same hash space, so engine parity holds even under
-    * (vanishingly rare) hash collisions.
+  /** The shared-gram Jaccard core: pairs + per-doc set sizes over a frame
+    * of (doc_id, text, block). Intersections come from an equi-join on
+    * 32-bit gram hashes (shuffle on int, never a cross join); candidate
+    * pairs are only those sharing ≥1 gram in-block. Set sizes are counted
+    * in the same hash space, so engine parity holds even under
+    * (vanishingly rare) hash collisions. The shared-gram self-join is the
+    * quadratic zone: a gram shared by f in-block docs contributes f² join
+    * rows — callers fence it ([[jaccardPairs]] collapses identical
+    * contents first; [[jaccardPairsPrefix]] joins only df-ordered
+    * prefixes).
     */
-  def jaccardPairs(df: DataFrame, n: Int, threshold: Double): DataFrame = {
+  private def jaccardCore(
+      df: DataFrame, n: Int, threshold: Double): (DataFrame, DataFrame) = {
     // one row per distinct (doc, gram-hash) — used three times (sizes + both
     // join sides); cache instead of recomputing the explode+lead lineage.
     // Set semantics via ONE distinct, on int keys, after hashing: the gram
@@ -269,6 +278,145 @@ object Dedup {
           col("ga.block") === col("gb.block") &&
           col("ga.doc_id") < col("gb.doc_id"))
       .groupBy(col("ga.doc_id").as("doc_a"), col("gb.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    val pairs = inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n_grams", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n_grams", "nb"), "doc_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("jaccard"))
+    (pairs, sizes)
+  }
+
+  /** n-gram Jaccard similarity pairs within a blocking key.
+    * `df` must provide (doc_id, text, block).
+    *
+    * Identity-compressed: documents with identical whitespace-normalized
+    * text (⇒ identical gram sets) collapse to one representative per
+    * (block, content) group BEFORE the quadratic shared-gram join, and the
+    * representative-level pairs expand back to document pairs afterwards
+    * (cross-group pairs inherit the representative pair's inter/jaccard;
+    * intra-group pairs are jaccard 1.0 by construction). Output is
+    * bit-identical to the uncompressed all-pairs form — the DuckDB oracle
+    * states the UNcompressed semantics, so losslessness is hash-checked —
+    * while the join cost depends only on DISTINCT contents: a crawl corpus
+    * where every page has d exact copies would otherwise pay d² join rows
+    * per shared gram (the round-3 4× dup-heavy probe measured 9× cost at
+    * 4× data; compression makes the join invariant to d). The group key is
+    * 120 bits of md5 split into two BIGINTs — int join keys, and no
+    * birthday collisions at corpus scale (a 32-bit key would collide by
+    * ~80k docs and silently merge distinct contents).
+    *
+    * The residual quadratic zone is common grams across DISTINCT contents:
+    * at Zipf-corpus scale route exact Jaccard through LSH candidates
+    * (decontamination's shape) or [[jaccardPairsPrefix]].
+    */
+  def jaccardPairs(df: DataFrame, n: Int, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val norm = md5(concat_ws(" ", split(trim(col("text")), "\\s+")))
+    val keyed = df.select(col("doc_id"), col("block"), col("text"),
+      conv(substring(norm, 1, 15), 16, 10).cast("long").as("gk1"),
+      conv(substring(norm, 16, 15), 16, 10).cast("long").as("gk2"))
+    // one exchange on (block, content-key); every doc learns its group's
+    // representative (min doc_id) in the same pass
+    val mem = keyed.withColumn("rep_id",
+        min(col("doc_id")).over(
+          Window.partitionBy(col("block"), col("gk1"), col("gk2"))))
+      .cache()
+    val reps = mem.filter(col("doc_id") === col("rep_id"))
+      .select(col("doc_id"), col("block"), col("text"))
+    val (repPairs, repSizes) = jaccardCore(reps, n, threshold)
+    val ids = mem.select(col("doc_id"), col("rep_id"))
+    // cross-group document pairs inherit the representative pair's values;
+    // doc ordering inside the pair is re-established (member ids need not
+    // order the same way as their representatives)
+    val crossed = repPairs
+      .join(ids.toDF("da", "ra"), col("ra") === col("doc_a"))
+      .join(ids.toDF("db", "rb"), col("rb") === col("doc_b"))
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"),
+        col("inter"), col("jaccard"))
+    // intra-group pairs: identical gram sets ⇒ inter = |set|, jaccard = 1;
+    // the inner size join drops zero-gram groups (docs shorter than the
+    // gram width share nothing and never pair in the uncompressed form)
+    val m1 = ids.toDF("doc_a", "r1"); val m2 = ids.toDF("doc_b", "r2")
+    val intra = m1.join(m2,
+        col("r1") === col("r2") && col("doc_a") < col("doc_b"))
+      .join(repSizes.toDF("r1", "n_grams"), "r1")
+      .select(col("doc_a"), col("doc_b"), col("n_grams").as("inter"),
+        lit(1.0).as("jaccard"))
+    crossed.unionAll(intra)
+  }
+
+  /** Prefix-filtered exact Jaccard join (the published set-similarity-join
+    * fence for Zipf-vocabulary corpora — PPJoin/VernicaJoin family): order
+    * each document's grams by ascending in-block document frequency
+    * (tie-break on the gram hash — a deterministic total order both
+    * engines reproduce), and self-join ONLY each doc's prefix of the
+    * p = |d| − ceil(α·|d|) + 1 rarest grams, α = 2τ/(1+τ). Two sets with
+    * Jaccard ≥ τ must share a prefix gram, so candidate generation is
+    * LOSSLESS; exact Jaccard is then verified over the FULL gram sets
+    * restricted to candidates. The stop-gram f² zone never joins: a gram
+    * appears in a doc's prefix only while rarer than ~half the doc's
+    * grams, so high-df grams drop out of every prefix.
+    *
+    * τ is passed as the exact rational tauNum/tauDen so the prefix length
+    * is pure integer arithmetic (ceil(α·n) = (2·num·n + num + den − 1)
+    * div (num + den)) — engine-exact, no float-boundary drift.
+    *
+    * Cost shape: best when gram df is skewed (real corpora) and τ is high;
+    * on dense low-τ data the candidate set approaches all-pairs and the
+    * plain [[jaccardPairs]] form is cheaper — measured on the synthetic
+    * sf0.1 corpus (tiny vocabulary, τ=0.35) prefix candidates are ~2/3 of
+    * all pairs, which is why the registered gate query uses identity
+    * compression instead.
+    */
+  /** Prefix length p = n − ceil(α·n) + 1 with α = 2τ/(1+τ), τ = num/den:
+    * ceil(α·n) = (2·num·n + num + den − 1) div (num + den). Integer-exact
+    * (the double division is correctly rounded and both operands are exact
+    * integers ≪ 2^53, so the truncating cast IS the integer div); always
+    * ≥ 1, so every non-empty set keeps at least its rarest gram.
+    */
+  def prefixLen(nn: Column, tauNum: Int, tauDen: Int): Column =
+    nn - ((lit(2 * tauNum) * nn + lit(tauNum + tauDen - 1))
+      .divide(lit(tauNum + tauDen)).cast("long")) + 1
+
+  def jaccardPairsPrefix(
+      df: DataFrame, n: Int, tauNum: Int, tauDen: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(tauNum > 0 && tauNum < tauDen, "need 0 < tau < 1")
+    val threshold = tauNum.toDouble / tauDen
+    val e = explodedGrams(
+        df.select(col("doc_id"), col("block"), col("text")), n,
+        distinct = false)
+      .select(col("doc_id"), col("block"), md5Long(col("gram")).as("gh"))
+      .distinct()
+      .cache()
+    val dfc = e.groupBy(col("block"), col("gh"))
+      .agg(count(lit(1)).as("gram_df"))
+    val wDoc = Window.partitionBy(col("doc_id"))
+    val ranked = e.join(dfc, Seq("block", "gh"))
+      .withColumn("rk",
+        row_number().over(wDoc.orderBy(col("gram_df").asc, col("gh").asc)))
+      .withColumn("nn", count(lit(1)).over(wDoc))
+    val prefix = ranked.filter(col("rk") <= prefixLen(col("nn"), tauNum, tauDen))
+      .select(col("doc_id"), col("block"), col("gh"))
+    val pa = prefix.alias("pa"); val pb = prefix.alias("pb")
+    val cand = pa.join(pb,
+        col("pa.gh") === col("pb.gh") &&
+          col("pa.block") === col("pb.block") &&
+          col("pa.doc_id") < col("pb.doc_id"))
+      .select(col("pa.doc_id").as("doc_a"), col("pb.doc_id").as("doc_b"))
+      .distinct()
+    val sizes = e.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+    val inter = cand
+      .join(e.alias("ga"), col("ga.doc_id") === col("doc_a"))
+      .join(e.alias("gb"),
+        col("gb.doc_id") === col("doc_b") && col("gb.gh") === col("ga.gh"))
+      .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.withColumnRenamed("doc_id", "doc_a")

@@ -59,6 +59,67 @@ class DedupSpec extends SparkSpec {
     assert(!out.exists(r => r.getLong(0) == 6L || r.getLong(1) == 6L))
   }
 
+  test("identity compression expands dup groups to the exact all-pairs output") {
+    // 3 identical copies (1,2,7) + a near dup + an unrelated doc: the
+    // compressed join must emit all C(3,2) intra pairs at jaccard 1.0 with
+    // inter = |gram set|, and near-dup pairs once per member combination
+    val dupHeavy = Seq(
+      (1L, "pack my box with five dozen brown liquor jugs", "en"),
+      (2L, "pack my box with five dozen brown liquor jugs", "en"),
+      (7L, "pack my box with five dozen brown liquor jugs", "en"),
+      (4L, "pack my box with five dozen brown liquor cups", "en"),
+      (5L, "completely different words entirely here now", "en"))
+      .toDF("doc_id", "text", "lang")
+      .select($"doc_id", $"text", $"lang".as("block"))
+    val out = Dedup.jaccardPairs(dupHeavy, 2, 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    // 8 distinct bigrams per doc; identical copies: inter 8, jaccard 1.0
+    for (p <- Seq((1L, 2L), (1L, 7L), (2L, 7L)))
+      assert(out(p) == ((8L, 1.0)), s"intra pair $p")
+    // near dup 4 shares 7 of 8 bigrams with EVERY copy: 7/(8+8-7)
+    for (p <- Seq((1L, 4L), (2L, 4L), (4L, 7L)))
+      assert(out(p) == ((7L, 7.0 / 9)), s"cross pair $p")
+    assert(out.size == 6) // doc 5 pairs with nothing
+  }
+
+  test("compressed and prefix-filtered jaccard agree with each other exactly") {
+    // two independent lossless fences of the same all-pairs semantics must
+    // produce identical output on real data (driver-shaped sf0.001 corpus)
+    val d = spark.read.parquet(s"${sf("sf0.001")}/documents.parquet")
+      .select($"doc_id", $"text", $"lang".as("block"))
+    val a = Dedup.jaccardPairs(d, 2, 0.35)
+      .orderBy($"doc_a", $"doc_b").collect().toSeq
+    val b = Dedup.jaccardPairsPrefix(d, 2, 7, 20) // τ = 7/20 = 0.35
+      .orderBy($"doc_a", $"doc_b").collect().toSeq
+    assert(a.nonEmpty && a == b)
+  }
+
+  test("prefix length formula is integer-exact and never empties a set") {
+    val n = (1 to 200).toDF("nn")
+    val got = n.select($"nn", Dedup.prefixLen($"nn", 7, 20).as("p"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // α = 14/27: n=27 → 27−14+1 = 14; n=8 → 8−ceil(112/27)+1 = 4
+    assert(got(27) == 14L && got(8) == 4L && got(1) == 1L)
+    assert(got.forall { case (nn, p) => p >= 1 && p <= nn })
+    // reference ceil arithmetic for every n
+    assert(got.forall { case (nn, p) =>
+      p == nn - ((14L * nn + 26) / 27) + 1 })
+  }
+
+  test("prefix join is lossless even for pairs sharing ONLY a stop-gram") {
+    // every doc shares exactly one bigram ("the of", df = 40); at τ = 1/20
+    // those pairs pass the threshold (1/15 ≥ 0.05) and the prefix join must
+    // still surface all C(40,2) of them — the lossless guarantee under the
+    // worst case for a naive df cutoff (which would drop them all)
+    val docs = (1 to 40).map { i =>
+      (i.toLong, s"the of unique$i gram$i token$i word$i item$i extra$i", "en")
+    }.toDF("doc_id", "text", "block")
+    assert(Dedup.jaccardPairsPrefix(docs, 2, 1, 20).count() == 40L * 39 / 2)
+    // and at τ = 0.35 the stop-gram-only pairs are below threshold: none
+    assert(Dedup.jaccardPairsPrefix(docs, 2, 7, 20).count() == 0)
+  }
+
   test("decontamination flags duplicated docs that cross the hash split") {
     // doc_id 8 hashes to 'test', 0-7 and 9 to 'train' (md5 % 100 buckets);
     // make 8 a verbatim copy of 1 — the canonical eval→train leak. Identical
