@@ -188,7 +188,8 @@ object Dedup {
     * each iteration's action is the convergence count.
     */
   def connectedComponents(
-      vertices: DataFrame, pairs: DataFrame, maxIters: Int = 100): DataFrame = {
+      vertices: DataFrame, pairs: DataFrame, maxIters: Int = 100,
+      checkpointEvery: Int = 10): DataFrame = {
     val edges = pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
@@ -208,13 +209,21 @@ object Dedup {
       // change detection rides the propagation join (a "did any label
       // drop" flag computed in-row) — a separate next⨝prev count join
       // would pay an extra shuffle per iteration for the same bit
-      val next = labels.join(nbrMin, Seq("doc_id"), "left")
+      val next0 = labels.join(nbrMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("cluster"), coalesce(col("nbr_min"), col("cluster")))
             .as("cluster"),
           (coalesce(col("nbr_min"), col("cluster")) < col("cluster"))
             .as("chg"))
-        .cache()
+      // caching materializes the DATA but the logical plan still nests one
+      // join+agg layer per iteration — at diameter ~50 (deep dup chains the
+      // iteration budget explicitly allows) analysis + codegen cost per
+      // iteration grows superlinearly and can stall the driver. Cutting the
+      // plan back to a leaf every few iterations bounds it; localCheckpoint
+      // (eager) costs one extra materialization per `checkpointEvery`, nil
+      // at the shallow convergence near-dup clusters actually exhibit.
+      val next = if ((i + 1) % checkpointEvery == 0) next0.localCheckpoint()
+                 else next0.cache()
       val changed = next.filter(col("chg")).count() // materializes the cache
       prevCached.unpersist()
       prevCached = next

@@ -153,6 +153,27 @@ class DedupSpec extends SparkSpec {
     assert(out(7L) == 7L)
   }
 
+  test("connected components converge on a deep chain with bounded plans") {
+    // a 45-deep path graph: min-label propagation needs 44 iterations, so
+    // without lineage truncation the logical plan would nest 44 join+agg
+    // layers and analysis cost per iteration grows superlinearly. With
+    // localCheckpoint every 5 iterations the whole run must stay fast AND
+    // converge to label 0 everywhere.
+    val n = 45
+    val vertices = (0 until n).map(_.toLong).toDF("doc_id")
+    val chain = (0 until n - 1).map(i => (i.toLong, i + 1L))
+      .toDF("doc_a", "doc_b")
+    val t0 = System.nanoTime()
+    val out = Dedup.connectedComponents(vertices, chain, maxIters = 100,
+      checkpointEvery = 5)
+    val labels = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(labels.size == n && labels.values.forall(_ == 0L))
+    // generous bound: ~45 iterations of two tiny distributed jobs each;
+    // an untruncated 44-layer plan would blow well past this on analysis
+    assert(secs < 120, f"deep-chain convergence took $secs%.1f s")
+  }
+
   test("train split is deterministic and ~80/10/10") {
     val a = graft.jobs.DedupJobs.trainSplit(spark, sf("sf0.001"))
       .orderBy($"lang", $"split").collect().toSeq
