@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** One corpus pass feeding the whole near-dup toolchain.
@@ -21,20 +21,37 @@ import org.apache.spark.sql.functions._
   * the candidate-restricted verification join on int gram hashes.
   *
   * `docs` must provide (doc_id, text).
+  *
+  * A session-scoped cache amortizes the gram scan WITHIN one pass; across
+  * passes (re-curation, an added dedup criterion, tomorrow's incremental
+  * batch) land the hashed grams once as a doc_id-bucketed table
+  * ([[DedupPipeline.persistGrams]]) and re-open with
+  * [[DedupPipeline.fromPersistedGrams]] — the second pass skips the
+  * corpus scan entirely AND every doc_id-keyed stage (signature agg,
+  * set-semantics dedup, size counts) reads co-located buckets with no
+  * exchange, because hash-bucketed storage IS the partitioning those
+  * stages need. At 100 TB that turns the dominant cost of every follow-up
+  * pass into a bucket-local read.
   */
-final class DedupPipeline(
-    docs: DataFrame, k: Int = 8, bands: Int = 2, n: Int = 2) {
+final class DedupPipeline private (
+    docs: DataFrame, k: Int, bands: Int, n: Int,
+    persistedGrams: Option[DataFrame]) {
+
+  def this(docs: DataFrame, k: Int = 8, bands: Int = 2, n: Int = 2) =
+    this(docs, k, bands, n, None)
 
   /** Hashed grams (doc_id, gh): the ONE corpus scan. Duplicates preserved —
     * minhash's `min()` absorbs them in the partial agg, and a string-level
     * distinct here would be a full extra shuffle of every gram (the
-    * round-2 regression this class exists to prevent).
+    * round-2 regression this class exists to prevent). When re-opened from
+    * a bucketed table the scan is skipped and the bucketing replaces the
+    * gram window's doc_id clustering.
     */
-  val hashedGrams: DataFrame =
+  val hashedGrams: DataFrame = persistedGrams.getOrElse(
     Dedup.explodedGrams(
         docs.select(col("doc_id"), col("text")), n, distinct = false)
       .select(col("doc_id"), Dedup.md5Long(col("gram")).as("gh"))
-      .cache()
+      .cache())
 
   /** Distinct (doc_id, gh) for set-semantics consumers (Jaccard counting).
     * Derived from the cached raw grams; the gram window left them
@@ -88,4 +105,28 @@ final class DedupPipeline(
     distinctGrams.unpersist()
     hashedGrams.unpersist()
   }
+}
+
+object DedupPipeline {
+
+  /** Land a pipeline's hashed-gram frame as a doc_id-bucketed, in-bucket
+    * sorted table. Bucket count sets the parallelism floor of every
+    * follow-up pass — pick ≈ cluster cores at the target SF.
+    */
+  def persistGrams(
+      pipeline: DedupPipeline, table: String, buckets: Int): Unit =
+    graft.io.Bucketing.writeBucketed(
+      pipeline.hashedGrams, table, "doc_id", buckets)
+
+  /** Re-open a persisted gram table as a pipeline sharing all derivation
+    * logic with the in-memory form — outputs are identical (spec-pinned),
+    * only the gram scan and the doc_id exchange disappear. `docs` still
+    * provides the vertex set for [[DedupPipeline.clusters]] (documents
+    * shorter than the gram width have no gram rows but are still
+    * singleton clusters).
+    */
+  def fromPersistedGrams(
+      spark: SparkSession, table: String, docs: DataFrame,
+      k: Int = 8, bands: Int = 2, n: Int = 2): DedupPipeline =
+    new DedupPipeline(docs, k, bands, n, Some(spark.table(table)))
 }

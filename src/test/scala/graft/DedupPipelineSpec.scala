@@ -29,6 +29,44 @@ class DedupPipelineSpec extends SparkSpec {
     } finally pipe.unpersist()
   }
 
+  test("persisted bucketed grams: second pass skips the scan and the doc_id exchange") {
+    val docs = graft.io.Tables.documents(spark, sf("sf0.001"))
+      .select(col("doc_id"), col("text"))
+    val first = new DedupPipeline(docs)
+    try {
+      DedupPipeline.persistGrams(first, "grams_bucketed", 4)
+      val second = DedupPipeline.fromPersistedGrams(
+        spark, "grams_bucketed", docs)
+      // the signature aggregation over the bucketed table must be
+      // exchange-FREE: hash-bucketed storage on doc_id IS the clustering
+      // the groupBy needs, so the whole agg runs bucket-local
+      second.signatures.collect()
+      val sigPlan = second.signatures.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      assert(!sigPlan.contains("Exchange"),
+        s"persisted signature agg still shuffles:\n$sigPlan")
+      assert(sigPlan.contains("Scan"), sigPlan)
+      // ... and the set-semantics dedup (verification input) likewise
+      second.distinctGrams.collect()
+      val dgPlan = second.distinctGrams.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      assert(!dgPlan.contains("Exchange hashpartitioning"),
+        s"persisted distinct-gram dedup still shuffles:\n$dgPlan")
+      // outputs are identical to the in-memory pipeline, row for row
+      def sorted(df: org.apache.spark.sql.DataFrame, keys: String*) =
+        df.orderBy(keys.head, keys.tail: _*).collect().toSeq
+      assert(sorted(second.candidates, "doc_a", "doc_b") ==
+        sorted(first.candidates, "doc_a", "doc_b"))
+      assert(sorted(second.clusters, "doc_id") ==
+        sorted(first.clusters, "doc_id"))
+      assert(sorted(second.verifiedPairs(0.35), "doc_a", "doc_b") ==
+        sorted(first.verifiedPairs(0.35), "doc_a", "doc_b"))
+    } finally {
+      first.unpersist()
+      spark.sql("DROP TABLE IF EXISTS grams_bucketed")
+    }
+  }
+
   test("pipeline outputs equal the isolated gate queries") {
     val dir = sf("sf0.001")
     val pipe = DedupJobs.pipeline(spark, dir)
