@@ -1,7 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.Dataset
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
+  GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode,
+  TimerValues, ValueState}
 
 /** C1–C5: CEP-lite — a relaxed-contiguity sequence detector with timeout,
   * generalizing the reference's create→pay pattern
@@ -46,6 +48,78 @@ object CepLite {
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (key, it, state) => onGroup(key, it, state, pattern, withinMs)
       }
+  }
+
+  /** The same NFA on `transformWithState` — [[detect]] stays as the
+    * `flatMapGroupsWithState` compatibility surface. The `within` deadline
+    * is anchored at the FIRST matched step, so re-registering on later
+    * batches lands on the same timestamp (TWS timers are idempotent per
+    * timestamp); a completed match deletes its timer and the handler
+    * no-ops on already-cleared keys.
+    */
+  def detectTws(
+      events: Dataset[KeyedEvent], pattern: Seq[String], withinMs: Long)
+      : Dataset[CepMatch] = {
+    import events.sparkSession.implicits._
+    events
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_millis(
+        org.apache.spark.sql.functions.col("tsMs")))
+      .withWatermark("ts", "0 seconds")
+      .as[KeyedEvent]
+      .groupByKey(_.key)
+      .transformWithState(
+        new CepProcessor(pattern, withinMs),
+        TimeMode.EventTime(),
+        OutputMode.Append())
+  }
+
+  class CepProcessor(pattern: Seq[String], withinMs: Long)
+      extends StatefulProcessor[Long, KeyedEvent, CepMatch] {
+
+    @transient private var st: ValueState[CepState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[CepState]("cep_state",
+        Encoders.product[CepState], TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: Long,
+        rows: Iterator[KeyedEvent],
+        timerValues: TimerValues): Iterator[CepMatch] = {
+      var s = if (st.exists()) st.get() else CepState(0, Nil)
+      val out = Seq.newBuilder[CepMatch]
+      rows.toSeq.sortBy(_.tsMs).foreach { e =>
+        if (s.step < pattern.length && e.kind == pattern(s.step)) {
+          s = CepState(s.step + 1, e.tsMs :: s.stepTs)
+          if (s.step == pattern.length) {
+            out += CepMatch(key, "matched", s.step,
+              s.stepTs.lastOption, s.stepTs.headOption)
+            s = CepState(0, Nil)
+            st.clear()
+            getHandle.listTimers().toSeq.foreach(getHandle.deleteTimer)
+          }
+        } // relaxed contiguity: non-matching kinds are skipped
+      }
+      if (s.step > 0) {
+        st.update(s)
+        getHandle.registerTimer(math.max(s.stepTs.last + withinMs,
+          timerValues.getCurrentWatermarkInMs() + 1)) // within(…)
+      }
+      out.result().iterator
+    }
+
+    override def handleExpiredTimer(
+        key: Long,
+        timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[CepMatch] = {
+      if (!st.exists()) Iterator.empty // matched before the deadline
+      else {
+        val s = st.get()
+        st.clear()
+        Iterator(CepMatch(key, "timeout", s.step,
+          s.stepTs.lastOption, s.stepTs.headOption))
+      }
+    }
   }
 
   private[streaming] def onGroup(

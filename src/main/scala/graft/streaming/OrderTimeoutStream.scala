@@ -1,8 +1,10 @@
 package graft.streaming
 
 import java.sql.Timestamp
-import org.apache.spark.sql.Dataset
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
+  GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode,
+  TimerValues, ValueState}
 import graft.model.{OrderEvent, OrderResult}
 
 /** X3: the per-order payment-timeout state machine
@@ -40,6 +42,87 @@ object OrderTimeoutStream {
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (orderId, events, state) => onGroup(orderId, events, state, deadlineMs)
       }
+  }
+
+  /** The same machine on Spark 4's `transformWithState` (the current
+    * stateful API: typed `ValueState`, real multi-timer registry, RocksDB
+    * state store) — [[detect]] stays as the `flatMapGroupsWithState`
+    * compatibility surface. Semantics are identical (spec-pinned on the
+    * reference fixture replay); the one mechanical difference is that TWS
+    * timers are not cancelled by clearing state, so a resolved order
+    * deletes its pending timers explicitly and the timer handler treats
+    * state-already-cleared as a no-op.
+    */
+  def detectTws(
+      orders: Dataset[OrderEvent], deadlineMs: Long = DefaultDeadlineMs)
+      : Dataset[OrderResult] = {
+    import orders.sparkSession.implicits._
+    orders
+      .withWatermark("ts", "0 seconds")
+      .groupByKey(_.orderId)
+      .transformWithState(
+        new OrderTimeoutProcessor(deadlineMs),
+        TimeMode.EventTime(),
+        OutputMode.Append())
+  }
+
+  class OrderTimeoutProcessor(deadlineMs: Long)
+      extends StatefulProcessor[Long, OrderEvent, OrderResult] {
+
+    @transient private var st: ValueState[OrderMachineState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[OrderMachineState]("order_state",
+        Encoders.product[OrderMachineState], TTLConfig.NONE)
+
+    override def handleInputRows(
+        orderId: Long,
+        rows: Iterator[OrderEvent],
+        timerValues: TimerValues): Iterator[OrderResult] = {
+      var s = if (st.exists()) st.get() else OrderMachineState(None, None)
+      val out = Seq.newBuilder[OrderResult]
+      rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
+        e.eventType match {
+          case "create" => s = s.copy(createTs = Some(e.ts.getTime))
+          case "pay"    => s = s.copy(payTs = Some(e.ts.getTime))
+          case _        => ()
+        }
+        (s.createTs, s.payTs) match {
+          case (Some(c), Some(p)) =>
+            out += OrderResult(orderId,
+              if (p <= c + deadlineMs) "payed successfully"
+              else "payed but already timeout")
+            s = OrderMachineState(None, None)
+            st.clear()
+            getHandle.listTimers().toSeq.foreach(getHandle.deleteTimer)
+          case _ => ()
+        }
+      }
+      if (s.createTs.isDefined || s.payTs.isDefined) {
+        st.update(s)
+        val base = s.createTs.orElse(s.payTs).get
+        getHandle.registerTimer(math.max(base + deadlineMs,
+          timerValues.getCurrentWatermarkInMs() + 1))
+      }
+      out.result().iterator
+    }
+
+    override def handleExpiredTimer(
+        orderId: Long,
+        timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[OrderResult] = {
+      if (!st.exists()) Iterator.empty // resolved before the horizon
+      else {
+        val s = st.get()
+        st.clear()
+        (s.createTs, s.payTs) match {
+          case (Some(_), None) => Iterator(OrderResult(orderId, "timeout"))
+          case (None, Some(_)) =>
+            Iterator(OrderResult(orderId, "payed but not found created"))
+          case _ => Iterator.empty
+        }
+      }
+    }
   }
 
   private[streaming] def onGroup(

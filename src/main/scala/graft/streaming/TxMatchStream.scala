@@ -1,7 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.Dataset
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
+  GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode,
+  TimerValues, ValueState}
 import graft.model.{OrderEvent, ReceiptEvent}
 
 /** X4: two-stream pay↔receipt reconciliation with asymmetric waits
@@ -75,6 +77,86 @@ object TxMatchStream {
         (txId, events, state) =>
           onGroup(txId, events, state, payWaitMs, receiptWaitMs)
       }
+  }
+
+  /** The same CoProcess clone on `transformWithState` — [[detect]] stays
+    * as the `flatMapGroupsWithState` compatibility surface. A matched pair
+    * deletes its pending lonely-side timers (TWS timers outlive cleared
+    * state, unlike the single GroupState timeout), and the timer handler
+    * treats already-resolved keys as no-ops.
+    */
+  def detectTws(pays: Dataset[OrderEvent], receipts: Dataset[ReceiptEvent],
+      payWaitMs: Long = PayWaitMs, receiptWaitMs: Long = ReceiptWaitMs)
+      : Dataset[TxResult] = {
+    import pays.sparkSession.implicits._
+    tagged(pays, receipts)
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_millis(
+        org.apache.spark.sql.functions.col("tsMs")))
+      .withWatermark("ts", "0 seconds")
+      .as[TxEvent]
+      .groupByKey(_.txId)
+      .transformWithState(
+        new TxMatchProcessor(payWaitMs, receiptWaitMs),
+        TimeMode.EventTime(),
+        OutputMode.Append())
+  }
+
+  class TxMatchProcessor(payWaitMs: Long, receiptWaitMs: Long)
+      extends StatefulProcessor[String, TxEvent, TxResult] {
+
+    @transient private var st: ValueState[TxState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[TxState]("tx_state",
+        Encoders.product[TxState], TTLConfig.NONE)
+
+    override def handleInputRows(
+        txId: String,
+        rows: Iterator[TxEvent],
+        timerValues: TimerValues): Iterator[TxResult] = {
+      var s = if (st.exists()) st.get() else TxState(None, None, None, None)
+      val out = Seq.newBuilder[TxResult]
+      rows.toSeq.sortBy(e => (e.tsMs, e.side)).foreach { e =>
+        if (e.side == "pay")
+          s = s.copy(payTs = Some(e.tsMs), payOrderId = Some(e.orderId))
+        else
+          s = s.copy(receiptTs = Some(e.tsMs), receiptChannel = Some(e.payChannel))
+        if (s.payTs.isDefined && s.receiptTs.isDefined) {
+          out += TxResult(txId, "matched", s.payTs, s.receiptTs,
+            s.payOrderId, s.receiptChannel)
+          s = TxState(None, None, None, None)
+          st.clear()
+          getHandle.listTimers().toSeq.foreach(getHandle.deleteTimer)
+        }
+      }
+      if (s.payTs.isDefined || s.receiptTs.isDefined) {
+        st.update(s)
+        val deadline = (s.payTs.map(_ + payWaitMs).toSeq ++
+          s.receiptTs.map(_ + receiptWaitMs).toSeq).min
+        getHandle.registerTimer(math.max(deadline,
+          timerValues.getCurrentWatermarkInMs() + 1))
+      }
+      out.result().iterator
+    }
+
+    override def handleExpiredTimer(
+        txId: String,
+        timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[TxResult] = {
+      if (!st.exists()) Iterator.empty // matched before the horizon
+      else {
+        val s = st.get()
+        st.clear()
+        val out = Seq.newBuilder[TxResult]
+        if (s.payTs.isDefined)
+          out += TxResult(txId, "unmatched_pay", s.payTs, None,
+            s.payOrderId, None)
+        if (s.receiptTs.isDefined)
+          out += TxResult(txId, "unmatched_receipt", None, s.receiptTs, None,
+            s.receiptChannel)
+        out.result().iterator
+      }
+    }
   }
 
   private[streaming] def onGroup(
