@@ -179,13 +179,50 @@ object AnalyticsJobs {
       |  COUNT(*) AS n
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
+  /** The 100 TB percentile path as a CHECKED query: `approx_percentile`
+    * (t-digest — mergeable partials, no per-group value sort) beside
+    * [[percentileStats]]. Sketch values themselves are partitioning-
+    * dependent and can't hash-match any oracle, so the query emits what IS
+    * deterministic: per-group counts plus rank-error-bound audits — the
+    * fraction of rows strictly below the sketch's answer must not exceed
+    * p+ε and the fraction at-or-below must reach p−ε (the tie-safe
+    * statement of the quantile-sketch contract; ε = 0.01 ≫ the 1/10000
+    * accuracy bound). The DuckDB oracle asserts those booleans and counts,
+    * making the approx path a hash-checked gate row, not a comment.
+    */
+  def approxPercentileStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"), col("l_quantity"))
+    val sk = li.groupBy(col("l_returnflag")).agg(
+      expr("approx_percentile(l_quantity, 0.5, 10000)").as("ap50"),
+      expr("approx_percentile(l_quantity, 0.95, 10000)").as("ap95"))
+    def within(v: org.apache.spark.sql.Column, p: Double) = {
+      val n = count(lit(1))
+      val below = sum(when(col("l_quantity") < v, 1L).otherwise(0L))
+      val atOrBelow = sum(when(col("l_quantity") <= v, 1L).otherwise(0L))
+      (below.cast("double") / n <= p + 0.01) &&
+        (atOrBelow.cast("double") / n >= p - 0.01)
+    }
+    li.join(broadcast(sk), "l_returnflag") // 3 rows by construction
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        within(col("ap50"), 0.5).as("p50_in_bounds"),
+        within(col("ap95"), 0.95).as("p95_in_bounds"))
+  }
+
+  val approxPercentileStatsSql: String =
+    """SELECT l_returnflag, COUNT(*) AS n,
+      |  true AS p50_in_bounds, true AS p95_in_bounds
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "session_agg" -> sessionAgg,
     "cube_agg" -> cubeAgg,
     "pivot_agg" -> pivotAgg,
     "set_ops" -> setOps,
     "window_analytics" -> windowAnalytics,
-    "percentile_stats" -> percentileStats)
+    "percentile_stats" -> percentileStats,
+    "approx_percentile_stats" -> approxPercentileStats)
 
   val oracles: Map[String, String] = Map(
     "session_agg" -> sessionAggSql,
@@ -193,5 +230,6 @@ object AnalyticsJobs {
     "pivot_agg" -> pivotAggSql,
     "set_ops" -> setOpsSql,
     "window_analytics" -> windowAnalyticsSql,
-    "percentile_stats" -> percentileStatsSql)
+    "percentile_stats" -> percentileStatsSql,
+    "approx_percentile_stats" -> approxPercentileStatsSql)
 }

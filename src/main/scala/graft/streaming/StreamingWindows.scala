@@ -80,6 +80,54 @@ object StreamingWindows {
         unix_timestamp(col("session_window.end")).as("session_end"),
         col("n_events"))
 
+  /** Sessionization chained into ranking, end-to-end on one stream: the
+    * "top N busiest sessions per bucket" composition (Structured
+    * Streaming's chained-stateful support carrying the reference's
+    * TopNHotItems pattern onto session state). Stage 1 is the
+    * watermark-closed session aggregation of [[sessionCount]]; stage 2
+    * keys each closed session to the time bucket containing its END and
+    * ranks by event count with the two-timer `TopNProcessor` (emit when
+    * the watermark passes the bucket end, clear after `latenessMs`).
+    * Session identity (key@start) keys the MapState upsert, so a session
+    * refined within the lateness budget upserts instead of duplicating.
+    * Output: RankedRow(bucket end ms, rank, "key@startSec", n_events).
+    *
+    * Scale shape: stage 1 state is per-open-session and watermark-evicted;
+    * stage 2 state is only the closed sessions of not-yet-emitted buckets.
+    * Both stages ride ONE keyed exchange each — the same plan a batch
+    * session_window + WindowGroupLimit rank pair produces.
+    *
+    * Latency note (inherent to chained stateful ops): a closed session
+    * reaches the rank stage only once the watermark has passed its end, so
+    * its bucket's emit timer necessarily lands at `watermark + 1` — the
+    * ranking emits on the NEXT watermark advance, one micro-batch after
+    * the bucket closes on a live stream.
+    */
+  def sessionTopN(
+      stream: DataFrame, key: Column, tsCol: String, gap: String,
+      delay: String, bucketMs: Long, n: Int, latenessMs: Long = 1L)
+      : org.apache.spark.sql.Dataset[TopNState.RankedRow] = {
+    import stream.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    stream
+      .withWatermark(tsCol, delay)
+      .groupBy(key.as("skey"), session_window(col(tsCol), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        // bucket end containing the session close; pure integer arithmetic
+        expr(s"((unix_millis(session_window.end) - 1) div $bucketMs + 1) * $bucketMs")
+          .as("windowEnd"),
+        concat(col("skey").cast("string"), lit("@"),
+          unix_timestamp(col("session_window.start")).cast("string")).as("key"),
+        col("n_events").as("cnt"))
+      .as[TopNState.KeyedCount]
+      .groupByKey(_.windowEnd)
+      .transformWithState(
+        new TopNProcessor(n, latenessMs),
+        TimeMode.EventTime(),
+        OutputMode.Append())
+  }
+
   /** X1 streaming: windowed top-N. Ranking windows are unsupported on
     * streaming frames, so the reference's "buffer + timer at windowEnd+1"
     * becomes foreachBatch over the aggregated (already tiny) count stream:

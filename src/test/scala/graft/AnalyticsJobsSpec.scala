@@ -24,6 +24,19 @@ class AnalyticsJobsSpec extends SparkSpec {
     assert(nTotal == graft.io.Tables.lineitem(spark, sf("sf0.001")).count())
   }
 
+  test("approx_percentile_stats: sketch answers pass the rank-error audit") {
+    val out = AnalyticsJobs.approxPercentileStats(spark, sf("sf0.001"))
+      .select($"l_returnflag", $"n", $"p50_in_bounds", $"p95_in_bounds")
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getBoolean(2), s"p50 out of bounds for ${r.getString(0)}")
+      assert(r.getBoolean(3), s"p95 out of bounds for ${r.getString(0)}")
+    }
+    val nTotal = out.map(_.getLong(1)).sum
+    assert(nTotal == graft.io.Tables.lineitem(spark, sf("sf0.001")).count())
+  }
+
   test("doc_sample: deterministic, size-bounded, priority-ranked") {
     val a = DedupJobs.docSample(spark, sf("sf0.001"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq

@@ -147,4 +147,60 @@ class StreamBatchEquivalenceSpec extends SparkSpec {
       } finally q.stop()
     }
   }
+
+  test("chained sessionization + top-N equals the batch restatement") {
+    val prevProvider = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try (1 to 3).foreach { seed =>
+      implicit val sqlCtx = spark.sqlContext
+      val data = randomEvents(seed, 150)
+      val in = MemoryStream[Event]
+      val name = s"eq_sess_topn_$seed"
+      val bucketMs = 600 * 1000L // rank closed sessions per 10-min bucket
+      val q = StreamingWindows.sessionTopN(
+          in.toDF(), $"user_id", "ts", "5 minutes", "0 seconds",
+          bucketMs, n = 3).toDF()
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        in.addData(data)
+        q.processAllAvailable()
+        // closed sessions reach the rank stage one watermark-advance after
+        // their close (chained stateful latency, see sessionTopN doc), so
+        // closing ALL buckets takes two successive watermark jumps
+        in.addData(Event(9999, ts(1000000), 999, "view", 0, "{}"))
+        q.processAllAvailable()
+        in.addData(Event(9998, ts(2000000), 999, "view", 0, "{}"))
+        q.processAllAvailable()
+        val streaming = spark.table(name).as[TopNState.RankedRow].collect()
+          .filter(r => !r.key.startsWith("999@"))
+          .map(r => (r.windowEnd, r.rank, r.key, r.cnt)).toSet
+        // batch restatement: session_window agg → bucket of session end →
+        // rank by (cnt desc, key asc) within bucket, keep top 3
+        val sessions = data.toDF()
+          .groupBy($"user_id", session_window($"ts", "5 minutes"))
+          .agg(count(lit(1)).as("cnt"))
+          .select(
+            expr(s"((unix_millis(session_window.end) - 1) div $bucketMs + 1) * $bucketMs")
+              .as("windowEnd"),
+            concat($"user_id".cast("string"), lit("@"),
+              unix_timestamp($"session_window.start").cast("string")).as("key"),
+            $"cnt")
+        val batch = graft.ops.TopN.topNPer(
+            sessions, $"windowEnd", $"cnt", $"key", 3)
+          .select($"windowEnd", $"rn".cast("int"), $"key", $"cnt")
+          .as[(Long, Int, String, Long)].collect().toSet
+        assert(streaming == batch, s"seed=$seed diverged")
+      } finally q.stop()
+    } finally {
+      prevProvider match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
