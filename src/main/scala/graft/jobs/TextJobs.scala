@@ -361,7 +361,113 @@ object TextJobs {
        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS wl
        |        FROM documents) t) u""".stripMargin
 
+  // ---- PII redaction (email/phone scrub) ----
+
+  /** PII scrubbing as a checked query. The synthetic corpus contains no
+    * PII (zero '@', zero digits — verified), so redacting raw text would
+    * gate nothing; instead BOTH engines append the same deterministic
+    * contact clause (email + 3-3-4 phone derived from doc_id) and the
+    * redaction math — match counts, replacement, fingerprint of the
+    * scrubbed text — is what gets hash-checked. One codegen'd scan,
+    * shuffle-free, exactly as scalable as the scan itself.
+    */
+  def textRedact(spark: SparkSession, sfDir: String): DataFrame = {
+    val contact = concat(col("text"),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@mail.example.com or 555-"),
+      lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+    val red = TextAnalysis.redactPii(contact)
+    Tables.documents(spark, sfDir).select(
+      col("doc_id"),
+      TextAnalysis.emailCount(contact).as("n_emails"),
+      TextAnalysis.phoneCount(contact).as("n_phones"),
+      md5(red).as("redacted_fp"),
+      length(red).cast("long").as("n_chars_redacted"))
+  }
+
+  val textRedactSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+       |      || '@mail.example.com or 555-'
+       |      || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+       |      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS c
+       |  FROM documents
+       |), r AS (
+       |  SELECT doc_id,
+       |    CAST(length(regexp_extract_all(c,
+       |      '${TextAnalysis.emailPattern}')) AS BIGINT) AS n_emails,
+       |    CAST(length(regexp_extract_all(c,
+       |      '${TextAnalysis.phonePattern}')) AS BIGINT) AS n_phones,
+       |    regexp_replace(regexp_replace(c,
+       |      '${TextAnalysis.emailPattern}', '<EMAIL>', 'g'),
+       |      '${TextAnalysis.phonePattern}', '<PHONE>', 'g') AS red
+       |  FROM t
+       |)
+       |SELECT doc_id, n_emails, n_phones, md5(red) AS redacted_fp,
+       |       CAST(length(red) AS BIGINT) AS n_chars_redacted
+       |FROM r""".stripMargin
+
+  // ---- context-window packing (training-sequence assembly) ----
+
+  private val PACK_W = 2048L // tokens per packed training sequence
+
+  /** GPT-style corpus packing: concatenate documents in deterministic
+    * (lang, doc_id) order and cut exact `PACK_W`-token training sequences,
+    * splitting documents at bin boundaries. Emits one row per
+    * (document × bin it touches): the bin, the offset inside the bin, and
+    * the tokens contributed — the manifest a sequence-assembly job needs.
+    *
+    * Scale shape: one running-sum window per lang partition (single keyed
+    * exchange), then a pure codegen explode over each doc's touched-bin
+    * range — never materializes a token-level frame, and bins are defined
+    * by integer arithmetic on cumulative counts, so any engine (and any
+    * partitioning) produces the identical packing.
+    */
+  def docPacking(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(spark, sfDir)
+      .select(col("lang"), col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n"))
+      .filter(col("n") > 0)
+      .withColumn("s", coalesce(sum(col("n")).over(w), lit(0L)))
+      .withColumn("e", col("s") + col("n") - 1)
+      .select(col("lang"), col("doc_id"), col("s"), col("e"),
+        explode(expr(s"sequence(s div $PACK_W, e div $PACK_W)")).as("bin"))
+      .select(col("lang"), col("doc_id"), col("bin"),
+        (greatest(col("s"), col("bin") * PACK_W) - col("bin") * PACK_W)
+          .as("bin_offset"),
+        (least(col("e"), col("bin") * PACK_W + (PACK_W - 1)) -
+          greatest(col("s"), col("bin") * PACK_W) + 1).as("n_toks"))
+  }
+
+  val docPackingSql: String =
+    s"""WITH t AS (
+       |  SELECT lang, doc_id,
+       |    CAST(length(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n
+       |  FROM documents
+       |), c AS (
+       |  SELECT lang, doc_id, n,
+       |    CAST(COALESCE(SUM(n) OVER (PARTITION BY lang ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s
+       |  FROM t WHERE n > 0
+       |), spans AS (
+       |  SELECT lang, doc_id, s, s + n - 1 AS e,
+       |    unnest(generate_series(s // $PACK_W, (s + n - 1) // $PACK_W)) AS bin
+       |  FROM c
+       |)
+       |SELECT lang, doc_id, bin,
+       |  GREATEST(s, bin * $PACK_W) - bin * $PACK_W AS bin_offset,
+       |  LEAST(e, bin * $PACK_W + ${PACK_W - 1})
+       |    - GREATEST(s, bin * $PACK_W) + 1 AS n_toks
+       |FROM spans""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_redact" -> textRedact,
+    "doc_packing" -> docPacking,
     "doc_chunks" -> docChunks,
     "token_rarity" -> tokenRarity,
     "source_stats" -> sourceStats,
@@ -373,6 +479,8 @@ object TextJobs {
     "text_repetition" -> textRepetition)
 
   val oracles: Map[String, String] = Map(
+    "text_redact" -> textRedactSql,
+    "doc_packing" -> docPackingSql,
     "doc_chunks" -> docChunksSql,
     "token_rarity" -> tokenRaritySql,
     "source_stats" -> sourceStatsSql,

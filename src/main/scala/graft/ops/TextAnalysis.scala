@@ -80,4 +80,25 @@ object TextAnalysis {
     */
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** PII scrubbing patterns, restricted to syntax Java regex and RE2 (the
+    * DuckDB engine) interpret identically — character classes, bounded
+    * repetition and `\b`, no lookaround — so redaction is oracle-checkable.
+    */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phonePattern = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+
+  def emailCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(emailPattern), lit(0))).cast("long")
+
+  def phoneCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(phonePattern), lit(0))).cast("long")
+
+  /** Redact emails then phone numbers to typed placeholders — a single
+    * codegen'd expression chain, same fusion story as every op here.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, emailPattern, "<EMAIL>"),
+      phonePattern, "<PHONE>")
 }
