@@ -419,21 +419,46 @@ object TextJobs {
     * (document × bin it touches): the bin, the offset inside the bin, and
     * the tokens contributed — the manifest a sequence-assembly job needs.
     *
-    * Scale shape: one running-sum window per lang partition (single keyed
-    * exchange), then a pure codegen explode over each doc's touched-bin
-    * range — never materializes a token-level frame, and bins are defined
-    * by integer arithmetic on cumulative counts, so any engine (and any
-    * partitioning) produces the identical packing.
+    * Scale shape — the distributed prefix sum, NOT a per-lang window: a
+    * window partitioned only by `lang` would run each language's cumsum as
+    * ONE task (a head language at 100 TB = billions of rows on one
+    * reducer). Instead: range-partition by (lang, doc_id), local sums per
+    * (partition, lang), a cumulative-offset window over the TINY
+    * per-partition totals frame (≤ partitions×langs rows), broadcast the
+    * offsets back, and finish with a per-(partition, lang) local cumsum —
+    * every heavy stage is bounded by a partition, and the result is
+    * partitioning-independent (prefix sums are associative; the oracle
+    * pins output equality with the sequential definition). The bin explode
+    * is pure codegen integer arithmetic — no token-level frame exists.
     */
   def docPacking(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    Tables.documents(spark, sfDir)
+    val base = Tables.documents(spark, sfDir)
       .select(col("lang"), col("doc_id"),
         TextAnalysis.tokenCount(col("text")).as("n"))
       .filter(col("n") > 0)
-      .withColumn("s", coalesce(sum(col("n")).over(w), lit(0L)))
+      .repartitionByRange(col("lang"), col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+      // both consumers must see ONE materialization: the range partitioner
+      // samples, so an uncached re-computation could cut different
+      // boundaries and hand the offset join inconsistent pids
+      .cache()
+    // per-(partition, lang) token totals — partitions×langs rows, tiny
+    val totals = base.groupBy(col("pid"), col("lang"))
+      .agg(sum(col("n")).as("part_total"))
+    val offsets = totals.withColumn("part_offset",
+      coalesce(sum(col("part_total")).over(
+        Window.partitionBy(col("lang")).orderBy(col("pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("pid"), col("lang"), col("part_offset"))
+    // local cumsum rides the (pid, lang) clustering; global start = the
+    // broadcast partition offset + the in-partition prefix
+    val wLocal = Window.partitionBy(col("pid"), col("lang"))
+      .orderBy(col("doc_id")).rowsBetween(Window.unboundedPreceding, -1)
+    base
+      .join(broadcast(offsets), Seq("pid", "lang"))
+      .withColumn("s",
+        col("part_offset") + coalesce(sum(col("n")).over(wLocal), lit(0L)))
       .withColumn("e", col("s") + col("n") - 1)
       .select(col("lang"), col("doc_id"), col("s"), col("e"),
         explode(expr(s"sequence(s div $PACK_W, e div $PACK_W)")).as("bin"))
