@@ -286,6 +286,85 @@ object DedupJobs {
        |JOIN splits sb ON sb.doc_id = v.doc_b
        |WHERE sa.split <> sb.split""".stripMargin
 
+  // ---- incremental ingestion dedup (new batch vs existing corpus) ----
+
+  private val NEW_BUCKET = 80 // md5 bucket >= 80 → the arriving 20% slice
+
+  /** The incremental-ingestion flow a production pipeline runs daily: an
+    * arriving batch (deterministically the md5-bucket ≥ 80 slice — the
+    * same hash-slice discipline as [[trainSplit]]) screened against the
+    * EXISTING corpus. Candidates come from band equi-joins BETWEEN the new
+    * and old signature sets — never new×new or old×old, so the join mass
+    * tracks cross-collisions only — and exact bigram Jaccard verifies
+    * candidates alone. Output is the reject manifest
+    * (new_id, old_id, inter, jaccard).
+    *
+    * In production the old side's grams/signatures read from the bucketed
+    * table ([[graft.ops.DedupPipeline.persistGrams]] /
+    * `fromPersistedGrams`, spec-pinned exchange-free) instead of
+    * rescanning; the gate query recomputes both sides in-session because
+    * driver queries are standalone.
+    */
+  def dedupIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val pipe = pipeline(spark, sfDir)
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long") % 100
+    val flags = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), (bucket >= NEW_BUCKET).as("is_new"))
+    val sig = pipe.signatures.join(flags, "doc_id")
+    val cand = Dedup.lshCandidatesAcross(
+        sig.filter(col("is_new")).drop("is_new"),
+        sig.filter(!col("is_new")).drop("is_new"), K, BANDS)
+      .withColumnRenamed("left_id", "new_id")
+      .withColumnRenamed("right_id", "old_id")
+    val gd = pipe.distinctGrams
+    val sizes = gd.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+    val inter = cand
+      .join(gd.alias("ga"), col("ga.doc_id") === col("new_id"))
+      .join(gd.alias("gb"),
+        col("gb.doc_id") === col("old_id") && col("gb.gh") === col("ga.gh"))
+      .groupBy(col("new_id"), col("old_id"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.toDF("new_id", "na"), "new_id")
+      .join(sizes.toDF("old_id", "nb"), "old_id")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= JACCARD_THRESHOLD)
+      .select(col("new_id"), col("old_id"), col("inter"), col("jaccard"))
+  }
+
+  val dedupIncrementalSql: String =
+    s"""WITH $bigramCte, $hashedGramCte, sig AS (
+       |  SELECT doc_id, $minhashAggSql
+       |  FROM e GROUP BY doc_id
+       |), bk AS (
+       |  SELECT doc_id, ${hexIntSql("doc_id::VARCHAR")} % 100 AS bucket
+       |  FROM documents
+       |), sn AS (
+       |  SELECT sig.* FROM sig JOIN bk USING (doc_id) WHERE bucket >= $NEW_BUCKET
+       |), so AS (
+       |  SELECT sig.* FROM sig JOIN bk USING (doc_id) WHERE bucket < $NEW_BUCKET
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS old_id
+       |  FROM sn a JOIN so b ON ($bandEqSql)
+       |), sizes AS (
+       |  SELECT doc_id, COUNT(*) AS n_grams FROM e GROUP BY doc_id
+       |), i AS (
+       |  SELECT c.new_id, c.old_id, COUNT(*) AS inter
+       |  FROM cand c
+       |  JOIN e ga ON ga.doc_id = c.new_id
+       |  JOIN e gb ON gb.doc_id = c.old_id AND gb.gh = ga.gh
+       |  GROUP BY 1, 2
+       |)
+       |SELECT new_id, old_id, inter,
+       |       CAST(inter AS DOUBLE) / (sa.n_grams + sb.n_grams - inter) AS jaccard
+       |FROM i
+       |JOIN sizes sa ON sa.doc_id = new_id
+       |JOIN sizes sb ON sb.doc_id = old_id
+       |WHERE CAST(inter AS DOUBLE) / (sa.n_grams + sb.n_grams - inter)
+       |      >= $JACCARD_THRESHOLD""".stripMargin
+
   // ---- deterministic fixed-size sampling ----
 
   private val SAMPLE_N = 100
@@ -398,6 +477,7 @@ object DedupJobs {
     "dedup_minhash_lsh" -> dedupMinhashLsh,
     "dedup_simhash" -> dedupSimhash,
     "dedup_clusters" -> dedupClusters,
+    "dedup_incremental" -> dedupIncremental,
     "ngram_jaccard" -> ngramJaccard,
     "train_split" -> trainSplit,
     "decontamination" -> decontamination)
@@ -410,6 +490,7 @@ object DedupJobs {
     "dedup_minhash_lsh" -> dedupMinhashLshSql,
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_clusters" -> dedupClustersSql,
+    "dedup_incremental" -> dedupIncrementalSql,
     "ngram_jaccard" -> ngramJaccardSql,
     "train_split" -> trainSplitSql,
     "decontamination" -> decontaminationSql)

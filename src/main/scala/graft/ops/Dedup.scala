@@ -154,6 +154,26 @@ object Dedup {
     pairs.distinct()
   }
 
+  /** LSH candidates ACROSS two signature sets (incremental ingestion: new
+    * batch vs existing corpus) — band equi-joins between the frames, never
+    * within either side, so the join mass tracks new×old collisions only.
+    * Output (left_id, right_id), deduped across bands.
+    */
+  def lshCandidatesAcross(
+      left: DataFrame, right: DataFrame, k: Int, bands: Int): DataFrame = {
+    val rowsPerBand = k / bands
+    require(bands * rowsPerBand == k, s"k=$k not divisible into $bands bands")
+    val l = left.cache().alias("a")
+    val r = right.cache().alias("b")
+    (0 until bands).map { bi =>
+      val bandEq = (0 until rowsPerBand)
+        .map(x => col(s"a.h${bi * rowsPerBand + x}") === col(s"b.h${bi * rowsPerBand + x}"))
+        .reduce(_ && _)
+      l.join(r, bandEq)
+        .select(col("a.doc_id").as("left_id"), col("b.doc_id").as("right_id"))
+    }.reduce(_ unionAll _).distinct()
+  }
+
   /** SimHash fingerprint over word hashes, `bits` wide (≤ 32 with the
     * 32-bit md5Long). One row per doc: (doc_id, simhash).
     */

@@ -140,6 +140,27 @@ class DedupSpec extends SparkSpec {
     assert(Set(out.head.getString(2), out.head.getString(3)) == Set("train", "test"))
   }
 
+  test("incremental dedup flags new-vs-old dups only, never within a side") {
+    // md5 buckets: 8→93, 16→88 (the "new batch"); 0→49, 1→50, 9→52 (old).
+    // 8 duplicates old doc 1 → flagged; 16 duplicates NEW doc 8 → must NOT
+    // be flagged (new×new is next batch's intra-corpus dedup, not this
+    // screen); 9 duplicates old doc 0 → old×old, also not flagged.
+    val dir = java.nio.file.Files.createTempDirectory("incr").toString
+    Seq(
+      (0L, "the quick brown fox jumps over the lazy dog today", "en", "s", 49L),
+      (9L, "the quick brown fox jumps over the lazy dog today", "en", "s", 49L),
+      (1L, "pack my box with five dozen brown liquor jugs now", "en", "s", 50L),
+      (8L, "pack my box with five dozen brown liquor jugs now", "en", "s", 50L),
+      (16L, "pack my box with five dozen brown liquor jugs now", "en", "s", 50L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.jobs.DedupJobs.dedupIncremental(spark, dir)
+      .select($"new_id", $"old_id", $"jaccard").collect()
+    val pairs = out.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((8L, 1L), (16L, 1L)), s"got $pairs")
+    assert(out.forall(_.getDouble(2) == 1.0))
+  }
+
   test("connected components collapse transitive dup chains to one keeper") {
     val vertices = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L).toDF("doc_id")
     // chain 1-2-3-4 (1~2, 2~3, 3~4: transitive, no direct 1~4 edge),
