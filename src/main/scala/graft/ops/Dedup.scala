@@ -346,16 +346,24 @@ object Dedup {
   def jaccardPairs(df: DataFrame, n: Int, threshold: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val norm = md5(concat_ws(" ", split(trim(col("text")), "\\s+")))
-    val keyed = df.select(col("doc_id"), col("block"), col("text"),
+    // the grouping pass hashes text in place and shuffles ONLY
+    // (doc_id, block, gk1, gk2) int rows — never the text payload
+    val keyed = df.select(col("doc_id"), col("block"),
       conv(substring(norm, 1, 15), 16, 10).cast("long").as("gk1"),
       conv(substring(norm, 16, 15), 16, 10).cast("long").as("gk2"))
-    // one exchange on (block, content-key); every doc learns its group's
-    // representative (min doc_id) in the same pass
+    // one tiny exchange on (block, content-key); every doc learns its
+    // group's representative (min doc_id) in the same pass
     val mem = keyed.withColumn("rep_id",
         min(col("doc_id")).over(
           Window.partitionBy(col("block"), col("gk1"), col("gk2"))))
       .cache()
-    val reps = mem.filter(col("doc_id") === col("rep_id"))
+    // representatives re-fetch their text by a doc_id semi-join against a
+    // second scan (columnar scans are cheap; shuffling text is not), and
+    // arrive partitioned by doc_id — which the gram window downstream
+    // needs anyway, so the word-level explode never pays its own exchange
+    val reps = df.join(
+        mem.filter(col("doc_id") === col("rep_id")).select(col("doc_id")),
+        Seq("doc_id"), "left_semi")
       .select(col("doc_id"), col("block"), col("text"))
     val (repPairs, repSizes) = jaccardCore(reps, n, threshold)
     val ids = mem.select(col("doc_id"), col("rep_id"))

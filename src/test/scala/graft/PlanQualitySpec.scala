@@ -129,6 +129,32 @@ class PlanQualitySpec extends SparkSpec {
       s"query side not broadcast:\n$p")
   }
 
+  test("doc_packing runs the distributed prefix sum, not a per-lang window") {
+    val p = plan(TextJobs.docPacking(spark, sf("sf0.001")))
+    // the heavy cumsum window must partition by (pid, lang) — a window
+    // keyed only by lang is one task per language at corpus scale
+    assert(p.contains("windowspecdefinition(pid#"),
+      s"packing cumsum lost its per-partition parallelism:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("incremental dedup joins across sets on band keys, never all-pairs") {
+    val p = plan(DedupJobs.dedupIncremental(spark, sf("sf0.001")))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"incremental screen regressed to an all-pairs join:\n$p")
+  }
+
+  test("identity compression shuffles int group keys, not gram strings") {
+    import org.apache.spark.sql.functions.col
+    val p = plan(graft.ops.Dedup.jaccardPairs(
+      graft.io.Tables.documents(spark, sf("sf0.001"))
+        .select(col("doc_id"), col("text"), col("lang").as("block")),
+      2, 0.35))
+    assert(!"Exchange hashpartitioning\\([^)]*gram#".r.findFirstIn(p).isDefined,
+      s"jaccard lineage shuffles gram strings:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("whole-stage codegen covers the scan→filter→project pipelines") {
     // "*(n)" prefixes mark WholeStageCodegen stages in the plan string
     val p = plan(TextJobs.textStats(spark, sf("sf0.001")))
