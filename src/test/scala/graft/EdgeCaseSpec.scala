@@ -90,6 +90,29 @@ class EdgeCaseSpec extends SparkSpec {
     assert(graft.jobs.TextJobs.tfidfTopK(spark, dir).count() == 0)
     assert(graft.jobs.DedupJobs.docSample(spark, dir).count() == 0)
     assert(graft.jobs.DedupJobs.corpusCuration(spark, dir).count() == 0)
+    assert(graft.jobs.TextJobs.docPacking(spark, dir).count() == 0)
+    assert(graft.jobs.TextJobs.textRedact(spark, dir).count() == 0)
+    assert(graft.jobs.DedupJobs.dedupIncremental(spark, dir).count() == 0)
+  }
+
+  test("round-4 ops are total on degenerate documents") {
+    // all-empty and token-free texts: packing skips them entirely (no
+    // zero-token bins), redaction counts zero, jaccard emits nothing
+    val dir = java.nio.file.Files.createTempDirectory("deg_docs").toString
+    Seq((1L, "", "en", "s", 0L), (2L, "   ", "en", "s", 3L),
+        (3L, "...", "en", "s", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    assert(graft.jobs.TextJobs.docPacking(spark, dir).count() == 0)
+    val red = graft.jobs.TextJobs.textRedact(spark, dir)
+      .select($"n_emails", $"n_phones").collect()
+    assert(red.length == 3 && red.forall(r => // injected contact only
+      r.getLong(0) == 1 && r.getLong(1) == 1))
+    assert(Dedup.jaccardPairs(emptyDocs, 2, 0.3).count() == 0)
+    assert(Dedup.jaccardPairsPrefix(emptyDocs, 2, 7, 20).count() == 0)
+    assert(Dedup.lshCandidatesAcross(
+      Seq.empty[(Long, Long)].toDF("doc_id", "h0"),
+      Seq.empty[(Long, Long)].toDF("doc_id", "h0"), 1, 1).count() == 0)
   }
 
   test("connected components on empty/edgeless graphs are identity") {

@@ -126,6 +126,40 @@ class TwsMachinesSpec extends SparkSpec {
     } finally q.stop()
   }}
 
+  test("TWS state AND timers survive a checkpointed restart exactly-once") { withRocksDb {
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("tws_ckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("tws_out").toString
+    val in = MemoryStream[OrderEvent]
+    def start() = OrderTimeoutStream.detectTws(in.toDS(), deadlineMs = 60000).toDF()
+      .writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+
+    val q1 = start()
+    in.addData(OrderEvent(1, "create", "a", ts(10)), OrderEvent(1, "pay", "a", ts(20)),
+      OrderEvent(2, "create", "b", ts(10))) // order 2 parks with a live timer
+    q1.processAllAvailable()
+    q1.stop()
+
+    // restart: order 2's ValueState and its 70 s deadline timer must both
+    // come back from the checkpoint; the watermark jump then fires it
+    val q2 = start()
+    in.addData(OrderEvent(3, "create", "c", ts(30)), OrderEvent(3, "pay", "c", ts(40)),
+      OrderEvent(9, "create", "", ts(10000)))
+    q2.processAllAvailable()
+    q2.stop()
+
+    val out = spark.read.parquet(outDir).as[graft.model.OrderResult].collect()
+      .filter(_.orderId != 9L)
+    val byOrder = out.groupBy(_.orderId).view.mapValues(_.map(_.resultState)).toMap
+    assert(byOrder(1L).toSeq == Seq("payed successfully")) // exactly once
+    assert(byOrder(3L).toSeq == Seq("payed successfully"))
+    assert(byOrder(2L).toSeq == Seq("timeout")) // state + timer survived
+    assert(out.length == 3)
+  }}
+
   // ---- reference fixture replays (FIXTURES.md §1 reconciliation) ----
 
   private val res = "/root/reference/src/main/resources"
