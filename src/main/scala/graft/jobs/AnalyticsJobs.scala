@@ -179,6 +179,32 @@ object AnalyticsJobs {
       |  COUNT(*) AS n
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
+  /** JSON payload extraction — the event-properties parse every UBA
+    * pipeline runs before anything else (the reference's typed-POJO CSV
+    * parse, generalized to the semi-structured case). `from_json` with an
+    * explicit schema: malformed/missing keys become NULL (never an
+    * error), the parse happens once per row in the scan projection, and
+    * column pruning still reaches parquet (only event_type + props read).
+    */
+  def eventProps(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        from_json(col("props"), lit("k LONG")).getField("k").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(col("k")).as("n_with_k"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+
+  val eventPropsSql: String =
+    """SELECT event_type, COUNT(k) AS n_with_k,
+      |       CAST(SUM(k) AS BIGINT) AS sum_k,
+      |       MIN(k) AS min_k, MAX(k) AS max_k
+      |FROM (SELECT event_type,
+      |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |      FROM events)
+      |GROUP BY event_type""".stripMargin
+
   /** The 100 TB percentile path as a CHECKED query: `approx_percentile`
     * (t-digest — mergeable partials, no per-group value sort) beside
     * [[percentileStats]]. Sketch values themselves are partitioning-
@@ -222,9 +248,11 @@ object AnalyticsJobs {
     "set_ops" -> setOps,
     "window_analytics" -> windowAnalytics,
     "percentile_stats" -> percentileStats,
-    "approx_percentile_stats" -> approxPercentileStats)
+    "approx_percentile_stats" -> approxPercentileStats,
+    "event_props" -> eventProps)
 
   val oracles: Map[String, String] = Map(
+    "event_props" -> eventPropsSql,
     "session_agg" -> sessionAggSql,
     "cube_agg" -> cubeAggSql,
     "pivot_agg" -> pivotAggSql,

@@ -290,7 +290,57 @@ object SimilarityJobs {
        |             / (COUNT(*) * 1000000.0) + 1e-9, 4) AS mean_cos
        |FROM assigned GROUP BY cent_id""".stripMargin
 
+  /** Int8 quantization manifest — the storage/serving compression step of
+    * an embedding pipeline (scale = max|v|/127 per vector, q_i = round(
+    * v_i/scale)). Sketchy floats are kept OUT of the output: the manifest
+    * emits the nano-quantized scale and integer aggregates of the
+    * quantized vector (checksum, squared norm, saturation count), so the
+    * whole row is engine-exact under the repo's +1e-9 rounding discipline.
+    * Shape: posexplode (codegen — no interpreted array lambdas) → one
+    * vec_id exchange for the max-abs window, which the final aggregation
+    * then reuses. Zero vectors quantize to all-zero, never divide by zero.
+    */
+  def embeddingQuantize(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("vec_id"))
+    val q = when(col("ma") === 0.0, lit(0L))
+      .otherwise(round(lit(127) * col("v").cast("double") / col("ma") + lit(1e-9), 0)
+        .cast("long"))
+    Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .withColumn("ma", max(abs(col("v")).cast("double")).over(w))
+      .withColumn("q", q)
+      .groupBy(col("vec_id"))
+      .agg(
+        round(max(col("ma")) / 127 * 1e9 + lit(1e-9), 0).cast("long").as("scale_q"),
+        sum(col("q")).as("checksum"),
+        sum(col("q") * col("q")).as("qnorm"),
+        sum(when(abs(col("q")) === 127, 1L).otherwise(0L)).as("n_sat"))
+  }
+
+  val embeddingQuantizeSql: String =
+    """WITH e AS (
+      |  SELECT vec_id, unnest(embedding) AS v FROM embeddings
+      |), m AS (
+      |  SELECT vec_id, v,
+      |         MAX(CAST(ABS(v) AS DOUBLE)) OVER (PARTITION BY vec_id) AS ma
+      |  FROM e
+      |), q AS (
+      |  SELECT vec_id, ma,
+      |    CASE WHEN ma = 0 THEN 0
+      |         ELSE CAST(ROUND(127 * CAST(v AS DOUBLE) / ma + 1e-9, 0) AS BIGINT)
+      |    END AS qi
+      |  FROM m
+      |)
+      |SELECT vec_id,
+      |  CAST(ROUND(MAX(ma) / 127 * 1e9 + 1e-9, 0) AS BIGINT) AS scale_q,
+      |  CAST(SUM(qi) AS BIGINT) AS checksum,
+      |  CAST(SUM(qi * qi) AS BIGINT) AS qnorm,
+      |  CAST(COUNT(*) FILTER (ABS(qi) = 127) AS BIGINT) AS n_sat
+      |FROM q GROUP BY vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "embedding_quantize" -> embeddingQuantize,
     "ann_cosine_topk" -> annCosineTopK,
     "embedding_neardup" -> embeddingNeardup,
     "ann_lsh" -> annLsh,
@@ -299,6 +349,7 @@ object SimilarityJobs {
     "embedding_clusters" -> embeddingClusters)
 
   val oracles: Map[String, String] = Map(
+    "embedding_quantize" -> embeddingQuantizeSql,
     "ann_cosine_topk" -> annCosineTopKSql,
     "embedding_neardup" -> embeddingNeardupSql,
     "ann_lsh" -> annLshSql,

@@ -37,6 +37,23 @@ class AnalyticsJobsSpec extends SparkSpec {
     assert(nTotal == graft.io.Tables.lineitem(spark, sf("sf0.001")).count())
   }
 
+  test("event_props: JSON payload extraction is total and complete") {
+    val out = AnalyticsJobs.eventProps(spark, sf("sf0.001"))
+      .select($"event_type", $"n_with_k", $"min_k", $"max_k").collect()
+    assert(out.nonEmpty)
+    out.foreach(r => assert(r.getLong(2) <= r.getLong(3)))
+    // every synthetic event carries a k property → counts cover the table
+    val nTotal = out.map(_.getLong(1)).sum
+    assert(nTotal == graft.io.Tables.events(spark, sf("sf0.001")).count())
+    // malformed / missing keys become NULL, never an error
+    val weird = Seq("{", "", "{\"other\": 1}", "{\"k\": 7}").toDF("props")
+      .select(org.apache.spark.sql.functions.from_json(
+        $"props", org.apache.spark.sql.functions.lit("k LONG"))
+        .getField("k").as("k"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    assert(weird.toSeq == Seq(None, None, None, Some(7L)))
+  }
+
   test("doc_sample: deterministic, size-bounded, priority-ranked") {
     val a = DedupJobs.docSample(spark, sf("sf0.001"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq

@@ -44,6 +44,24 @@ class SimilaritySpec extends SparkSpec {
     assert(recall > 0.5, s"recall=$recall")
   }
 
+  test("int8 quantization: exact values on a fixture, saturation flagged") {
+    // v = [1.0, -0.5, 0.25, 0]: scale = 1/127, q = [127, -64, 32, 0]
+    // (round(-63.5 + 1e-9) = -63? No: -63.4999.. rounds to -63... the
+    // nudge is +1e-9 so -0.5*127 = -63.5 -> -63 in BOTH engines, and
+    // 0.25*127 = 31.75 -> 32). checksum 127-63+32 = 96.
+    val dir = java.nio.file.Files.createTempDirectory("quant").toString
+    Seq((1L, Array(1.0f, -0.5f, 0.25f, 0.0f), 0),
+        (2L, Array(0.0f, 0.0f, 0.0f, 0.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = graft.jobs.SimilarityJobs.embeddingQuantize(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val scaleQ = math.round(1.0 / 127 * 1e9 + 1e-9) // nano-quantized scale
+    assert(out(1L) == ((scaleQ, 127L - 63 + 32, 127L * 127 + 63 * 63 + 32 * 32, 1L)))
+    assert(out(2L) == ((0L, 0L, 0L, 0L))) // zero vector: all-zero, no div0
+  }
+
   test("kmeans centroids are exact quantized means (deterministic)") {
     // two clean 2-D clusters; seeds = vecs 0 and 1, one Lloyd's round.
     // Quantization makes the means exact decimals: (1.0+0.9)/2 = 0.95 on
