@@ -36,6 +36,42 @@ class StreamingDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static corpus screen: in-flight signatures equal the batch ones") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    // corpus = batch signatures of three known docs
+    val corpus = Seq(
+      (10L, "pack my box with five dozen brown liquor jugs"),
+      (11L, "the quick brown fox jumps over the lazy dog"),
+      (12L, "completely different words entirely here now"))
+      .toDF("doc_id", "text")
+    val corpusSigs = graft.ops.Dedup
+      .minhashSignatures(corpus, col("doc_id"), col("text"), 8)
+      .withColumnRenamed("doc_id", "corpus_id")
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val q = StreamingDedup.screenAgainstCorpus(
+        in.toDF().toDF("doc_id", "text", "ts"), "ts", "0 seconds",
+        corpusSigs, k = 8, bands = 2)
+      .writeStream.format("memory").queryName("stream_screen")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        (1L, "pack my box with five dozen brown liquor jugs", ts(100)), // = 10
+        (2L, "totally unrelated arrival talking about nothing", ts(101)),
+        (3L, "one", ts(102))) // no bigrams: null signature, never matches
+      q.processAllAvailable()
+      val got = spark.table("stream_screen")
+        .select($"doc_id", $"corpus_id", $"band")
+        .as[(Long, Long, Int)].collect()
+      // identical text ⇒ identical signature ⇒ the arrival collides with
+      // its corpus twin in EVERY band — the in-flight array-lambda
+      // signature reproduces the batch gram-window signature exactly
+      assert(got.filter(_._1 == 1L).map(r => (r._2, r._3)).toSet ==
+        Set((10L, 0), (10L, 1)))
+      assert(!got.exists(r => r._1 == 2L || r._1 == 3L))
+    } finally q.stop()
+  }
+
   test("dedup state survives a checkpointed restart") {
     implicit val sqlCtx = spark.sqlContext
     val ckpt = java.nio.file.Files.createTempDirectory("dedup_ckpt").toString
