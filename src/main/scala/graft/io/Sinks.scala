@@ -46,4 +46,18 @@ object Sinks {
         }
         finally batch.unpersist()
     }
+
+  /** Curated-corpus landing layout: hive-partitioned parquet on the
+    * curation keys (lang/split/source-class …). The complement of
+    * [[Bucketing]]: bucketing pre-shuffles for exchange-free JOINS on a
+    * high-cardinality key; directory partitioning prunes whole files for
+    * FILTERS on low-cardinality keys — a `split='train' AND lang='en'`
+    * read touches only that directory subtree (PartitionFilters in the
+    * scan, asserted by SinksSpec). Caller picks keys whose cardinality
+    * product stays in the thousands — partitioning on a high-cardinality
+    * key produces a small-file explosion, which is what bucketing is for.
+    */
+  def writePartitioned(
+      df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
 }

@@ -74,6 +74,19 @@ object Sources {
       f.getItem(6).as("url"))
   }
 
+  /** JSON-lines document source — the interchange format crawl pipelines
+    * emit. Explicit schema, never inference (an inference pass scans the
+    * corpus twice and races schema drift at 100 TB); PERMISSIVE mode
+    * nulls malformed lines instead of failing the ingest, so one bad
+    * record can't kill a corpus load. Works identically as
+    * `spark.readStream` for the streaming ingest path.
+    */
+  def documentsJsonl(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+      .option("mode", "PERMISSIVE")
+      .json(path)
+
   // ---- streaming sources (S1 replay, S3, S4) ----
 
   /** S1 streaming replay: a directory of CSV files as an unbounded source. */
