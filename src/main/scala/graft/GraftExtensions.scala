@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{DotProduct, L2Norm}
+import graft.functions.{DotProduct, Int8QuantStats, L2Norm}
 
 /** Session extension registering graft's native expressions with the SQL
   * function registry, so `SELECT dot_product(a, b)` works from pure SQL:
@@ -32,6 +32,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 1, "l2_norm(arr)")
         L2Norm(args.head)
+      }))
+    e.injectFunction((
+      new FunctionIdentifier("int8_quant_stats"),
+      new ExpressionInfo(classOf[Int8QuantStats].getName, "int8_quant_stats"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "int8_quant_stats(arr)")
+        Int8QuantStats(args.head)
       }))
   }
 }

@@ -296,27 +296,20 @@ object SimilarityJobs {
     * emits the nano-quantized scale and integer aggregates of the
     * quantized vector (checksum, squared norm, saturation count), so the
     * whole row is engine-exact under the repo's +1e-9 rounding discipline.
-    * Shape: posexplode (codegen — no interpreted array lambdas) → one
-    * vec_id exchange for the max-abs window, which the final aggregation
-    * then reuses. Zero vectors quantize to all-zero, never divide by zero.
+    * Shape: one codegen'd [[graft.functions.Int8QuantStats]] expression
+    * per row — the whole manifest stays inside the scan's codegen stage
+    * with ZERO exchanges (the explode restatement would push dims× the
+    * row volume through a vec_id shuffle just to reduce per vector;
+    * plan-pinned exchange-free in PlanQualitySpec). Zero vectors quantize
+    * to all-zero, never divide by zero.
     */
-  def embeddingQuantize(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("vec_id"))
-    val q = when(col("ma") === 0.0, lit(0L))
-      .otherwise(round(lit(127) * col("v").cast("double") / col("ma") + lit(1e-9), 0)
-        .cast("long"))
+  def embeddingQuantize(spark: SparkSession, sfDir: String): DataFrame =
     Tables.load(spark, sfDir, "embeddings")
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
-      .withColumn("ma", max(abs(col("v")).cast("double")).over(w))
-      .withColumn("q", q)
-      .groupBy(col("vec_id"))
-      .agg(
-        round(max(col("ma")) / 127 * 1e9 + lit(1e-9), 0).cast("long").as("scale_q"),
-        sum(col("q")).as("checksum"),
-        sum(col("q") * col("q")).as("qnorm"),
-        sum(when(abs(col("q")) === 127, 1L).otherwise(0L)).as("n_sat"))
-  }
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.int8_quant_stats(
+          col("embedding").cast("array<double>")).as("qs"))
+      .select(col("vec_id"), col("qs.scale_q"), col("qs.checksum"),
+        col("qs.qnorm"), col("qs.n_sat"))
 
   val embeddingQuantizeSql: String =
     """WITH e AS (

@@ -155,6 +155,14 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("embedding quantization is a single exchange-free codegen scan") {
+    val p = plan(SimilarityJobs.embeddingQuantize(spark, sf("sf0.001")))
+    assert(!p.contains("Exchange"),
+      s"per-vector manifest should never shuffle:\n$p")
+    assert(p.contains("int8_quant_stats"), s"native expression missing:\n$p")
+    assert(p.contains("*(1)"), s"quantization fell out of codegen:\n$p")
+  }
+
   test("whole-stage codegen covers the scan→filter→project pipelines") {
     // "*(n)" prefixes mark WholeStageCodegen stages in the plan string
     val p = plan(TextJobs.textStats(spark, sf("sf0.001")))
