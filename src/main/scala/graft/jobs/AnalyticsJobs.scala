@@ -241,6 +241,30 @@ object AnalyticsJobs {
       |  true AS p50_in_bounds, true AS p95_in_bounds
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
+  /** The 100 TB distinct-cardinality path as a CHECKED query:
+    * `approx_count_distinct` (HyperLogLog++ — fixed-size register
+    * sketches whose partials merge on any reduction tree, so the shuffle
+    * is O(groups·sketch) where exact countDistinct must move every
+    * distinct (key, value) pair) gated beside the exact count the same
+    * way [[approxPercentileStats]] gates the t-digest: the ESTIMATE
+    * can't hash-match across engines, so the CONTRACT is the gate — the
+    * estimate must land within 5% of the exact count at rsd 1%. DuckDB's
+    * side of the boolean is `true` by construction.
+    */
+  def approxDistinct(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_exact"),
+        approx_count_distinct(col("user_id"), 0.01).as("est"))
+      .select(col("event_type"), col("n_exact"),
+        (abs(col("est") - col("n_exact")).cast("double") / col("n_exact")
+          <= 0.05).as("approx_in_bounds"))
+
+  val approxDistinctSql: String =
+    """SELECT event_type, COUNT(DISTINCT user_id) AS n_exact,
+      |       true AS approx_in_bounds
+      |FROM events GROUP BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "session_agg" -> sessionAgg,
     "cube_agg" -> cubeAgg,
@@ -249,6 +273,7 @@ object AnalyticsJobs {
     "window_analytics" -> windowAnalytics,
     "percentile_stats" -> percentileStats,
     "approx_percentile_stats" -> approxPercentileStats,
+    "approx_distinct" -> approxDistinct,
     "event_props" -> eventProps)
 
   val oracles: Map[String, String] = Map(
@@ -259,5 +284,6 @@ object AnalyticsJobs {
     "set_ops" -> setOpsSql,
     "window_analytics" -> windowAnalyticsSql,
     "percentile_stats" -> percentileStatsSql,
-    "approx_percentile_stats" -> approxPercentileStatsSql)
+    "approx_percentile_stats" -> approxPercentileStatsSql,
+    "approx_distinct" -> approxDistinctSql)
 }

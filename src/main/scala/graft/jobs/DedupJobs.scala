@@ -365,6 +365,51 @@ object DedupJobs {
        |WHERE CAST(inter AS DOUBLE) / (sa.n_grams + sb.n_grams - inter)
        |      >= $JACCARD_THRESHOLD""".stripMargin
 
+  // ---- substring-level duplication rate (suffix-array-free) ----
+
+  private val SUBSTR_W = 5
+
+  /** [[Dedup.substringDupRate]] over `documents`: per doc, the fraction of
+    * its positional 5-word windows that also appear in another document —
+    * the filter signal of exact-substring dedup without the sequential
+    * suffix array. Cross-doc only by construction (window document
+    * frequency ≥ 2); within-doc repetition is text_repetition's signal.
+    */
+  def substringDupRate(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.substringDupRate(
+      Tables.documents(spark, sfDir).select(col("doc_id"), col("text")),
+      SUBSTR_W)
+
+  /** Oracle restates the window-hash → document-frequency cascade; the
+    * positional comprehension (no list_distinct) mirrors Spark's
+    * non-distinct gram explode, and the `len(w) >= w` guard mirrors the
+    * ragged-tail filter. Integer counts divide once, as doubles, at the
+    * end — exact in both engines.
+    */
+  val substringDupRateSql: String =
+    s"""WITH g AS (
+       |  SELECT doc_id, unnest(
+       |    [array_to_string(w[i:i+${SUBSTR_W - 1}], ' ')
+       |     FOR i IN range(1, len(w) - ${SUBSTR_W - 2})]) AS gram
+       |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+       |        FROM documents)
+       |  WHERE len(w) >= $SUBSTR_W
+       |), pd AS (
+       |  SELECT doc_id, ${hexIntSql("gram")} AS gh, COUNT(*) AS c
+       |  FROM g GROUP BY 1, 2
+       |), freq AS (
+       |  SELECT gh, COUNT(*) AS n_docs FROM pd GROUP BY 1
+       |), r AS (
+       |  SELECT doc_id,
+       |         CAST(SUM(c) AS BIGINT) AS n_windows,
+       |         CAST(SUM(CASE WHEN n_docs >= 2 THEN c ELSE 0 END) AS BIGINT)
+       |           AS n_dup_windows
+       |  FROM pd JOIN freq USING (gh) GROUP BY 1
+       |)
+       |SELECT doc_id, n_windows, n_dup_windows,
+       |       CAST(n_dup_windows AS DOUBLE) / n_windows AS dup_rate
+       |FROM r""".stripMargin
+
   // ---- deterministic fixed-size sampling ----
 
   private val SAMPLE_N = 100
@@ -479,6 +524,7 @@ object DedupJobs {
     "dedup_clusters" -> dedupClusters,
     "dedup_incremental" -> dedupIncremental,
     "ngram_jaccard" -> ngramJaccard,
+    "substring_dup_rate" -> substringDupRate,
     "train_split" -> trainSplit,
     "decontamination" -> decontamination)
 
@@ -492,6 +538,7 @@ object DedupJobs {
     "dedup_clusters" -> dedupClustersSql,
     "dedup_incremental" -> dedupIncrementalSql,
     "ngram_jaccard" -> ngramJaccardSql,
+    "substring_dup_rate" -> substringDupRateSql,
     "train_split" -> trainSplitSql,
     "decontamination" -> decontaminationSql)
 }

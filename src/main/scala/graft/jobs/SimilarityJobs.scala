@@ -290,6 +290,58 @@ object SimilarityJobs {
        |             / (COUNT(*) * 1000000.0) + 1e-9, 4) AS mean_cos
        |FROM assigned GROUP BY cent_id""".stripMargin
 
+  /** SemDeDup-style semantic near-dedup (Abbas et al. 2023): cluster the
+    * corpus with trained k-means, then search near-duplicate pairs ONLY
+    * within each cell — the quadratic zone fenced by cell population
+    * instead of LSH bands. Complementary to [[embeddingNeardup]]'s
+    * sign-LSH blocking: cells follow the data distribution, so dense
+    * regions get split where fixed hyperplanes would lump them. Output
+    * (cell, vec_a, vec_b, sim) — the within-cell dup manifest a curation
+    * pass resolves with connected components + keeper choice, exactly as
+    * dedup_clusters does for text.
+    *
+    * Scale shape: assignment is the C-bounded broadcast product (the
+    * vector payload never shuffles for it); the pair stage is an equi-join
+    * on the int cell id, Σ|cell|² work — the SemDeDup contract is that C
+    * grows with the corpus to bound per-cell population.
+    */
+  def semanticDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val v = vectors(spark, sfDir).cache()
+    val cents = Similarity.kmeansCentroids(v, IVF_CENTROIDS, KM_ITERS)
+    // self-joined derived frame — cache so both pair sides read one
+    // materialization of the assign stage
+    val withCell = v.join(Similarity.ivfAssign(v, cents), "vec_id").cache()
+    val a = withCell.alias("a"); val b = withCell.alias("b")
+    a.join(b, col("a.cell") === col("b.cell") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.cell").as("cell"),
+        col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        Similarity.cosine(col("a.v"), col("a.norm"), col("b.v"), col("b.norm"))
+          .as("sim"))
+      .filter(col("sim") >= NEARDUP_THRESHOLD)
+  }
+
+  /** Oracle: the shared unrolled-k-means prefix, rn=1 assignment, then the
+    * same within-cell half-matrix join on exact rounded cosines.
+    */
+  val semanticDedupSql: String =
+    s"""WITH $kmeansPrefixSql, assigned AS (
+       |  SELECT vec_id, cent_id AS cell FROM (
+       |    SELECT e.vec_id, c.cent_id, ROW_NUMBER() OVER (
+       |      PARTITION BY e.vec_id ORDER BY
+       |        ROUND(list_cosine_similarity(e.v, c.cv) + 1e-12, 6) DESC,
+       |        c.cent_id ASC) AS rn
+       |    FROM e CROSS JOIN cent$KM_ITERS c) r
+       |  WHERE rn = 1
+       |), m AS (
+       |  SELECT a.cell, e.vec_id, e.v FROM assigned a JOIN e USING (vec_id)
+       |)
+       |SELECT a.cell, a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |       ROUND(list_cosine_similarity(a.v, b.v) + 1e-12, 6) AS sim
+       |FROM m a JOIN m b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |WHERE ROUND(list_cosine_similarity(a.v, b.v) + 1e-12, 6)
+       |      >= $NEARDUP_THRESHOLD""".stripMargin
+
   /** Int8 quantization manifest — the storage/serving compression step of
     * an embedding pipeline (scale = max|v|/127 per vector, q_i = round(
     * v_i/scale)). Sketchy floats are kept OUT of the output: the manifest
@@ -339,7 +391,8 @@ object SimilarityJobs {
     "ann_lsh" -> annLsh,
     "ann_ivf" -> annIvf,
     "ann_ivf_trained" -> annIvfTrained,
-    "embedding_clusters" -> embeddingClusters)
+    "embedding_clusters" -> embeddingClusters,
+    "semantic_dedup" -> semanticDedup)
 
   val oracles: Map[String, String] = Map(
     "embedding_quantize" -> embeddingQuantizeSql,
@@ -348,5 +401,6 @@ object SimilarityJobs {
     "ann_lsh" -> annLshSql,
     "ann_ivf" -> annIvfSql,
     "ann_ivf_trained" -> annIvfTrainedSql,
-    "embedding_clusters" -> embeddingClustersSql)
+    "embedding_clusters" -> embeddingClustersSql,
+    "semantic_dedup" -> semanticDedupSql)
 }

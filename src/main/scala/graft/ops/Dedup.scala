@@ -465,4 +465,45 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("inter"), col("jaccard"))
   }
+
+  /** Per-document duplicated-substring rate: the fraction of a document's
+    * positional `w`-word windows whose content also occurs in at least one
+    * OTHER document. The semantics of exact-substring dedup (the
+    * suffix-array pass of "Deduplicating Training Data Makes Language
+    * Models Better", Lee et al. 2022) restated for a cluster: a suffix
+    * array is inherently sequential, but "window seen elsewhere" is
+    * window-hash → document-frequency — every stage a linear scan or an
+    * int-keyed aggregation. Windows are positional, NOT a set: a phrase
+    * pasted five times counts five times, as a span measure should.
+    * Repetition purely WITHIN one document does not count (that signal is
+    * text_repetition's); duplication means a second document has the span.
+    *
+    * Scale shape: the per-(doc, hash) multiplicity agg rides the gram
+    * window's doc_id partitioning (hash(doc_id) satisfies the
+    * (doc_id, gh) clustering — no new exchange); the document-frequency
+    * agg and the join back move only the REDUCED distinct (doc, hash)
+    * frame on int keys. Nothing is quadratic in corpus size — the
+    * stop-gram f² trap of shared-gram SELF-joins cannot occur because
+    * frequency is an aggregation, not a pairing.
+    *
+    * Output (doc_id, n_windows, n_dup_windows, dup_rate); documents with
+    * fewer than `w` words have no windows and no row.
+    */
+  def substringDupRate(df: DataFrame, w: Int): DataFrame = {
+    val grams = explodedGrams(df, w, distinct = false)
+      .select(col("doc_id"), md5Long(col("gram")).as("gh"))
+    // one row per (doc, window-hash) with positional multiplicity; feeds
+    // both the document-frequency agg and the final per-doc rollup
+    val perDoc = grams.groupBy(col("doc_id"), col("gh"))
+      .agg(count(lit(1)).as("c")).cache()
+    val docFreq = perDoc.groupBy(col("gh"))
+      .agg(count(lit(1)).as("n_docs"))
+    perDoc.join(docFreq, "gh")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_windows"),
+        sum(when(col("n_docs") >= 2, col("c")).otherwise(0L))
+          .as("n_dup_windows"))
+      .withColumn("dup_rate",
+        col("n_dup_windows").cast("double") / col("n_windows"))
+  }
 }

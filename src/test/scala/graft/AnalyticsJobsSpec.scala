@@ -37,6 +37,20 @@ class AnalyticsJobsSpec extends SparkSpec {
     assert(nTotal == graft.io.Tables.lineitem(spark, sf("sf0.001")).count())
   }
 
+  test("approx_distinct: HLL estimates pass the 5% envelope, exact counts exact") {
+    import org.apache.spark.sql.functions._
+    val out = AnalyticsJobs.approxDistinct(spark, sf("sf0.001")).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getAs[Boolean]("approx_in_bounds")),
+      "an HLL estimate fell outside 5% of the exact count")
+    val exact = graft.io.Tables.events(spark, sf("sf0.001"))
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.forall(r =>
+      exact(r.getAs[String]("event_type")) == r.getAs[Long]("n_exact")))
+  }
+
   test("event_props: JSON payload extraction is total and complete") {
     val out = AnalyticsJobs.eventProps(spark, sf("sf0.001"))
       .select($"event_type", $"n_with_k", $"min_k", $"max_k").collect()

@@ -195,6 +195,28 @@ class DedupSpec extends SparkSpec {
     assert(secs < 120, f"deep-chain convergence took $secs%.1f s")
   }
 
+  test("substring dup rate counts cross-doc positional windows only") {
+    val d = Seq(
+      (1L, "a b c d e f"),        // windows: "a b c d e", "b c d e f"
+      (2L, "a b c d e x"),        // shares "a b c d e" with doc 1
+      (3L, "p q r s t"),          // one unique window
+      (4L, "too short"),          // < 5 words: no row
+      (5L, "z z z z z z"))        // "z z z z z" twice, but only in doc 5
+      .toDF("doc_id", "text")
+    val out = Dedup.substringDupRate(d, 5)
+      .orderBy($"doc_id").collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L, 2L, 3L, 5L),
+      "doc with <5 words must have no windows and no row")
+    val byId = out.map(r => r.getAs[Long]("doc_id") ->
+      (r.getAs[Long]("n_windows"), r.getAs[Long]("n_dup_windows"),
+        r.getAs[Double]("dup_rate"))).toMap
+    assert(byId(1L) == ((2L, 1L, 0.5)))
+    assert(byId(2L) == ((2L, 1L, 0.5)))
+    assert(byId(3L) == ((1L, 0L, 0.0)))
+    // within-doc repetition alone is NOT duplication (cross-doc df < 2)
+    assert(byId(5L) == ((2L, 0L, 0.0)))
+  }
+
   test("train split is deterministic and ~80/10/10") {
     val a = graft.jobs.DedupJobs.trainSplit(spark, sf("sf0.001"))
       .orderBy($"lang", $"split").collect().toSeq

@@ -155,6 +155,31 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("substring dup rate shuffles int hashes only, nothing quadratic") {
+    val p = plan(DedupJobs.substringDupRate(spark, sf("sf0.001")))
+    // frequency is an aggregation, not a pairing: no join of the gram
+    // lineage against itself, and no exchange ever carries gram strings
+    assert(!"Exchange hashpartitioning\\([^)]*gram#".r.findFirstIn(p).isDefined,
+      s"window-hash cascade shuffles gram strings:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"quadratic zone appeared:\n$p")
+  }
+
+  test("semantic dedup pairs via an int-cell equi-join, never all-pairs") {
+    val p = plan(SimilarityJobs.semanticDedup(spark, sf("sf0.001")))
+    // nested-loop joins in this plan are only the C-bounded broadcast
+    // centroid assigns (their build side is the ≤C-row centroid frame —
+    // never a data×data product); the count of their STRING occurrences
+    // varies with cross-suite cache state, so pin the structure instead:
+    // no non-broadcast quadratic node, and the pair stage keyed on the
+    // int cell id (a rewrite to a non-equi pair condition loses both)
+    assert(!p.contains("CartesianProduct"),
+      s"a non-broadcast quadratic join appeared:\n$p")
+    assert("hashpartitioning\\(cell#".r.findFirstIn(p).isDefined ||
+      "Join \\[cell#".r.findFirstIn(p).isDefined,
+      s"within-cell pair stage is not an equi-join on the cell id:\n$p")
+  }
+
   test("embedding quantization is a single exchange-free codegen scan") {
     val p = plan(SimilarityJobs.embeddingQuantize(spark, sf("sf0.001")))
     assert(!p.contains("Exchange"),

@@ -32,6 +32,26 @@ class SimilaritySpec extends SparkSpec {
     assert(!out.exists(p => p._1 == 3L || p._2 == 3L)) // opposite vector
   }
 
+  test("semantic dedup equals the all-pairs baseline restricted to cells") {
+    import graft.io.Tables
+    val sfd = sf("sf0.001")
+    val vr = Similarity.withNorm(Tables.embeddings(spark, sfd),
+      $"vec_id", $"embedding").cache()
+    val cells = Similarity.ivfAssign(vr,
+      Similarity.kmeansCentroids(vr, 16, 2))
+    // ground truth: exact all-pairs near-dups, kept only when co-celled
+    val expected = Similarity.nearDupPairs(vr, 0.35)
+      .join(cells.toDF("vec_a", "cell_a"), "vec_a")
+      .join(cells.toDF("vec_b", "cell_b"), "vec_b")
+      .filter($"cell_a" === $"cell_b")
+      .select($"cell_a".as("cell"), $"vec_a", $"vec_b", $"sim")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val got = SimilarityJobs.semanticDedup(spark, sfd)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(expected.nonEmpty, "fixture produced no within-cell near-dups")
+    assert(got == expected)
+  }
+
   test("IVF ANN beats the LSH path's recall@5 floor on real data") {
     val sfd = sf("sf0.001")
     val exact = SimilarityJobs.annCosineTopK(spark, sfd)
