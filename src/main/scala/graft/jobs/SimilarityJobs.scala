@@ -302,23 +302,19 @@ object SimilarityJobs {
     *
     * Scale shape: assignment is the C-bounded broadcast product (the
     * vector payload never shuffles for it); the pair stage is an equi-join
-    * on the int cell id, Σ|cell|² work — the SemDeDup contract is that C
-    * grows with the corpus to bound per-cell population.
+    * on the int cell id, Σ|cell|² work over DISTINCT vectors — the
+    * SemDeDup contract is that C grows with the corpus to bound per-cell
+    * population, and [[Similarity.withinCellPairs]]'s identity compression
+    * (the vector-side sibling of `Dedup.jaccardPairs`) keeps the join
+    * invariant to exact-copy multiplicity: k-means still trains on the
+    * FULL corpus (copies legitimately weight the means — training is
+    * linear), only the quadratic pair stage is compressed. The oracle
+    * states the UNcompressed semantics, so losslessness is hash-checked.
     */
   def semanticDedup(spark: SparkSession, sfDir: String): DataFrame = {
     val v = vectors(spark, sfDir).cache()
     val cents = Similarity.kmeansCentroids(v, IVF_CENTROIDS, KM_ITERS)
-    // self-joined derived frame — cache so both pair sides read one
-    // materialization of the assign stage
-    val withCell = v.join(Similarity.ivfAssign(v, cents), "vec_id").cache()
-    val a = withCell.alias("a"); val b = withCell.alias("b")
-    a.join(b, col("a.cell") === col("b.cell") &&
-        col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.cell").as("cell"),
-        col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        Similarity.cosine(col("a.v"), col("a.norm"), col("b.v"), col("b.norm"))
-          .as("sim"))
-      .filter(col("sim") >= NEARDUP_THRESHOLD)
+    Similarity.withinCellPairs(v, cents, NEARDUP_THRESHOLD)
   }
 
   /** Oracle: the shared unrolled-k-means prefix, rn=1 assignment, then the

@@ -232,6 +232,72 @@ object Similarity {
       .select(col("vec_id"), col("cent_id").as("cell"))
   }
 
+  /** Within-cell near-duplicate pairs over an explicit centroid frame (the
+    * SemDeDup pair stage) — identity-compressed, like
+    * [[Dedup.jaccardPairs]] on the text side: vectors with bit-identical
+    * content collapse to one representative per group BEFORE the
+    * within-cell half-matrix join, and representative-level pairs expand
+    * back to vector pairs afterwards. A corpus where every embedding has d
+    * exact copies (the same page embedded from d crawls) would otherwise
+    * pay d² join rows per near-dup group; compression makes the join
+    * invariant to d — only the output (which IS d² pairs, the answer
+    * itself) stays proportional. Output is bit-identical to the
+    * uncompressed form: members share their representative's cell
+    * (identical vector ⇒ identical deterministic argmax), cross-group
+    * pairs inherit the representative pair's cosine (identical values),
+    * and intra-group sims are computed by the SAME cosine expression
+    * against the representative itself, so degenerate vectors behave
+    * identically. The group key is 120 bits of md5 over the rendered
+    * vector — the grouping pass shuffles (vec_id, 2×BIGINT) rows, never
+    * the vector payload.
+    */
+  def withinCellPairs(
+      vectors: DataFrame, centroids: DataFrame, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = md5(col("v").cast("string"))
+    val keyed = vectors.select(col("vec_id"),
+      conv(substring(h, 1, 15), 16, 10).cast("long").as("gk1"),
+      conv(substring(h, 16, 15), 16, 10).cast("long").as("gk2"))
+    val mem = keyed.withColumn("rep_id",
+        min(col("vec_id")).over(Window.partitionBy(col("gk1"), col("gk2"))))
+      .select(col("vec_id"), col("rep_id")).cache()
+    val reps = vectors.join(
+        mem.filter(col("vec_id") === col("rep_id")).select(col("vec_id")),
+        Seq("vec_id"), "left_semi")
+    // self-joined derived frame — cache so both pair sides read one
+    // materialization of the assign stage
+    val withCell = reps.join(ivfAssign(reps, centroids), "vec_id").cache()
+    val a = withCell.alias("a"); val b = withCell.alias("b")
+    val repPairs = a.join(b, col("a.cell") === col("b.cell") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.cell").as("cell"),
+        col("a.vec_id").as("ra"), col("b.vec_id").as("rb"),
+        cosine(col("a.v"), col("a.norm"), col("b.v"), col("b.norm"))
+          .as("sim"))
+      .filter(col("sim") >= threshold)
+    // cross-group pairs inherit the representative pair's cell and cosine;
+    // pair ordering is re-established (member ids need not order the same
+    // way as their representatives)
+    val crossed = repPairs
+      .join(mem.toDF("da", "ra"), "ra")
+      .join(mem.toDF("db", "rb"), "rb")
+      .select(col("cell"),
+        least(col("da"), col("db")).as("vec_a"),
+        greatest(col("da"), col("db")).as("vec_b"), col("sim"))
+    // intra-group pairs: the self-cosine runs through the same expression
+    // (1.0 for any non-degenerate vector) so the threshold drops exactly
+    // the groups the uncompressed join would drop
+    val selfSim = withCell.select(col("vec_id").as("r1"), col("cell"),
+        cosine(col("v"), col("norm"), col("v"), col("norm")).as("sim"))
+      .filter(col("sim") >= threshold)
+    val m1 = mem.toDF("vec_a", "r1"); val m2 = mem.toDF("vec_b", "r2")
+    val intra = m1.join(m2,
+        col("r1") === col("r2") && col("vec_a") < col("vec_b"))
+      .join(selfSim, "r1")
+      .select(col("cell"), col("vec_a"), col("vec_b"), col("sim"))
+    crossed.unionAll(intra)
+  }
+
   /** ANN via LSH buckets with hamming-1 multi-probe: the query side probes
     * its own bucket plus each single-bit-flip neighbor, recovering most of
     * the recall lost to sign boundaries while keeping the join an equi-join

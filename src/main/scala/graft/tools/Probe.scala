@@ -16,7 +16,8 @@ import org.apache.spark.sql.functions._
 object Probe {
   private val ProbeQueries = Seq(
     "dedup_exact", "dedup_simhash", "dedup_minhash_lsh", "dedup_clusters",
-    "decontamination", "ngram_jaccard", "text_repetition", "doc_chunks")
+    "decontamination", "ngram_jaccard", "text_repetition", "doc_chunks",
+    "substring_dup_rate", "semantic_dedup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -35,6 +36,13 @@ object Probe {
         base.withColumn("doc_id", col("doc_id") + lit(k * 10000000L)))
       .reduce(_ unionAll _)
       .write.mode("overwrite").parquet(s"$probeDir/documents.parquet")
+    // same dup-heavy shape for the embedding side (every vector `copies`×,
+    // fresh ids); query/seed sets (vec_id < 20/16) keep only the originals
+    val eBase = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    (0 until copies).map(k =>
+        eBase.withColumn("vec_id", col("vec_id") + lit(k * 10000000L)))
+      .reduce(_ unionAll _)
+      .write.mode("overwrite").parquet(s"$probeDir/embeddings.parquet")
 
     def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
     def time(name: String, dir: String): Double = {

@@ -32,6 +32,33 @@ class SimilaritySpec extends SparkSpec {
     assert(!out.exists(p => p._1 == 3L || p._2 == 3L)) // opposite vector
   }
 
+  test("within-cell pairs are identity-compressed losslessly") {
+    val dup = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(1.0f, 0.0f, 0.0f)),  // exact copy of 0
+      (2L, Array(1.0f, 0.0f, 0.0f)),  // another copy
+      (3L, Array(0.9f, 0.1f, 0.0f)),  // near dup of the group
+      (4L, Array(0.0f, 1.0f, 0.0f)),  // the other seed's cell
+      (5L, Array(0.0f, 0.95f, 0.1f))) // near dup of 4
+      .toDF("vec_id", "embedding")
+    val vv = Similarity.withNorm(dup, $"vec_id", $"embedding").cache()
+    val cents = Similarity.seedCentroids(vv, 2)
+    val cells = Similarity.ivfAssign(vv, cents)
+    val expected = Similarity.nearDupPairs(vv, 0.35)
+      .join(cells.toDF("vec_a", "cell_a"), "vec_a")
+      .join(cells.toDF("vec_b", "cell_b"), "vec_b")
+      .filter($"cell_a" === $"cell_b")
+      .select($"cell_a", $"vec_a", $"vec_b", $"sim")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val got = Similarity.withinCellPairs(vv, cents, 0.35)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got == expected)
+    // the dup group really went through expansion: intra pair at sim 1.0
+    assert(got.exists(p => p._2 == 0L && p._3 == 1L && p._4 == 1.0))
+    // cross-group pair (copy 1 ~ near-dup 3) inherits the rep pair's sim
+    assert(got.exists(p => p._2 == 1L && p._3 == 3L))
+  }
+
   test("semantic dedup equals the all-pairs baseline restricted to cells") {
     import graft.io.Tables
     val sfd = sf("sf0.001")
