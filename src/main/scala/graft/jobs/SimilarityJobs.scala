@@ -338,6 +338,51 @@ object SimilarityJobs {
        |WHERE ROUND(list_cosine_similarity(a.v, b.v) + 1e-12, 6)
        |      >= $NEARDUP_THRESHOLD""".stripMargin
 
+  /** Clustering-quality report: per trained k-means cell, the
+    * majority-label purity over the labelled embedding corpus — the
+    * diagnostic a training-mix pipeline reads to decide whether the
+    * semantic clusters driving [[semanticDedup]] / curation sampling
+    * actually track content categories. Purity needs only the majority
+    * COUNT (not which label wins), so no tie-break is needed and the whole
+    * row is integer counts plus one exact double division.
+    *
+    * Scale shape: assignment is the C-bounded broadcast product; the
+    * label join and both aggs move (vec_id, cell, label) int triples —
+    * the vector payload never shuffles.
+    */
+  def clusterPurity(spark: SparkSession, sfDir: String): DataFrame = {
+    val v = vectors(spark, sfDir).cache()
+    val cents = Similarity.kmeansCentroids(v, IVF_CENTROIDS, KM_ITERS)
+    val labels = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("label"))
+    Similarity.ivfAssign(v, cents).join(labels, "vec_id")
+      .groupBy(col("cell"), col("label"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("cell"))
+      .agg(sum(col("n")).as("n_vectors"), max(col("n")).as("n_major"))
+      .select(col("cell"), col("n_vectors"), col("n_major"),
+        (col("n_major").cast("double") / col("n_vectors")).as("purity"))
+  }
+
+  val clusterPuritySql: String =
+    s"""WITH $kmeansPrefixSql, assigned AS (
+       |  SELECT vec_id, cent_id AS cell FROM (
+       |    SELECT e.vec_id, c.cent_id, ROW_NUMBER() OVER (
+       |      PARTITION BY e.vec_id ORDER BY
+       |        ROUND(list_cosine_similarity(e.v, c.cv) + 1e-12, 6) DESC,
+       |        c.cent_id ASC) AS rn
+       |    FROM e CROSS JOIN cent$KM_ITERS c) r
+       |  WHERE rn = 1
+       |), cl AS (
+       |  SELECT a.cell, emb.label, COUNT(*) AS n
+       |  FROM assigned a JOIN embeddings emb USING (vec_id)
+       |  GROUP BY 1, 2
+       |)
+       |SELECT cell, CAST(SUM(n) AS BIGINT) AS n_vectors,
+       |       CAST(MAX(n) AS BIGINT) AS n_major,
+       |       CAST(MAX(n) AS DOUBLE) / CAST(SUM(n) AS BIGINT) AS purity
+       |FROM cl GROUP BY cell""".stripMargin
+
   /** Int8 quantization manifest — the storage/serving compression step of
     * an embedding pipeline (scale = max|v|/127 per vector, q_i = round(
     * v_i/scale)). Sketchy floats are kept OUT of the output: the manifest
@@ -388,6 +433,7 @@ object SimilarityJobs {
     "ann_ivf" -> annIvf,
     "ann_ivf_trained" -> annIvfTrained,
     "embedding_clusters" -> embeddingClusters,
+    "cluster_purity" -> clusterPurity,
     "semantic_dedup" -> semanticDedup)
 
   val oracles: Map[String, String] = Map(
@@ -398,5 +444,6 @@ object SimilarityJobs {
     "ann_ivf" -> annIvfSql,
     "ann_ivf_trained" -> annIvfTrainedSql,
     "embedding_clusters" -> embeddingClustersSql,
+    "cluster_purity" -> clusterPuritySql,
     "semantic_dedup" -> semanticDedupSql)
 }

@@ -79,6 +79,21 @@ class SimilaritySpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("cluster purity: bounded ratios, counts partition the corpus") {
+    import graft.io.Tables
+    val sfd = sf("sf0.001")
+    val out = SimilarityJobs.clusterPurity(spark, sfd).collect()
+    assert(out.nonEmpty)
+    assert(out.forall { r =>
+      val p = r.getAs[Double]("purity")
+      p > 0.0 && p <= 1.0 &&
+        r.getAs[Long]("n_major") <= r.getAs[Long]("n_vectors")
+    })
+    val total = Tables.embeddings(spark, sfd).count()
+    assert(out.map(_.getAs[Long]("n_vectors")).sum == total,
+      "cells must partition the labelled corpus exactly")
+  }
+
   test("IVF ANN beats the LSH path's recall@5 floor on real data") {
     val sfd = sf("sf0.001")
     val exact = SimilarityJobs.annCosineTopK(spark, sfd)
