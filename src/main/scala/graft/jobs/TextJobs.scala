@@ -490,7 +490,103 @@ object TextJobs {
        |    - GREATEST(s, bin * $PACK_W) + 1 AS n_toks
        |FROM spans""".stripMargin
 
+  /** C4/Gopher-style format screening as per-document rule booleans: ends
+    * in terminal punctuation (C4 keeps only such lines), no curly braces
+    * (code pages), no "lorem ipsum" (placeholder pages), ≥ 5 tokens, and
+    * the Gopher mean-word-length band restated as pure INTEGER bounds
+    * (3·words ≤ alnum-chars ≤ 10·words — no division, no float). One
+    * codegen scan, shuffle-free; every rule is string/substring
+    * arithmetic identical in both engines (the terminal-punct check uses
+    * last-char IN set, not a `$`-anchored regex — Java `$` matches before
+    * a trailing newline, RE2's does not).
+    */
+  def c4Filters(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = trim(col("text"))
+    val nTok = TextAnalysis.tokenCount(col("text"))
+    val alpha = length(regexp_replace(col("text"), "[^A-Za-z0-9]", ""))
+      .cast("long")
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), nTok.as("n_tokens"),
+        substring(t, -1, 1).isin(".", "!", "?").as("terminal_punct"),
+        col("text").contains("{").as("has_braces"),
+        lower(col("text")).contains("lorem ipsum").as("has_lorem"),
+        (alpha >= nTok * 3 && alpha <= nTok * 10).as("word_len_ok"))
+      .withColumn("kept",
+        col("terminal_punct") && !col("has_braces") && !col("has_lorem") &&
+          col("n_tokens") >= 5 && col("word_len_ok"))
+  }
+
+  val c4FiltersSql: String = {
+    val nTokSql = "CAST(length(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT)"
+    val alphaSql =
+      "CAST(length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS BIGINT)"
+    s"""WITH f AS (
+       |  SELECT doc_id, $nTokSql AS n_tokens,
+       |         right(trim(text), 1) IN ('.', '!', '?') AS terminal_punct,
+       |         contains(text, '{') AS has_braces,
+       |         contains(lower(text), 'lorem ipsum') AS has_lorem,
+       |         $alphaSql >= $nTokSql * 3 AND $alphaSql <= $nTokSql * 10
+       |           AS word_len_ok
+       |  FROM documents
+       |)
+       |SELECT doc_id, n_tokens, terminal_punct, has_braces, has_lorem,
+       |       word_len_ok,
+       |       terminal_punct AND NOT has_braces AND NOT has_lorem
+       |         AND n_tokens >= 5 AND word_len_ok AS kept
+       |FROM f""".stripMargin
+  }
+
+  private val MIX_BUDGET = 20000L
+
+  /** Temperature-scaled source-mixture plan (the multilingual/multi-source
+    * sampling-rate computation, α = 0.5): per-source weights ∝ √tokens —
+    * up-weighting tail sources exactly as temperature sampling prescribes
+    * — allocated against a fixed token budget. Engine-exactness: the √ is
+    * IEEE-correctly-rounded in both engines and immediately quantized to
+    * an integer weight (the nudged round), so the allocation is BIGINT
+    * floor arithmetic and the sample rate is one exact double division.
+    * Scale shape: one token-count agg (map-side partials), then a
+    * broadcast of the 1-row weight total — the corpus never moves.
+    */
+  def mixturePlan(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = Tables.documents(spark, sfDir)
+      .groupBy(col("source"))
+      .agg(sum(TextAnalysis.tokenCount(col("text"))).as("n_tokens"))
+      .withColumn("w",
+        round(sqrt(col("n_tokens").cast("double")) + lit(1e-9), 0)
+          .cast("long"))
+    val total = counts.agg(sum(col("w")).as("tw"))
+    counts.crossJoin(broadcast(total))
+      .select(col("source"), col("n_tokens"), col("w"),
+        expr(s"(w * $MIX_BUDGET) div tw").as("alloc_tokens"))
+      .withColumn("sample_rate",
+        when(col("n_tokens") === 0, lit(0.0))
+          .otherwise(least(lit(1.0),
+            col("alloc_tokens").cast("double") / col("n_tokens"))))
+  }
+
+  val mixturePlanSql: String = {
+    val nTokSql = "CAST(length(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT)"
+    s"""WITH c AS (
+       |  SELECT source, CAST(SUM($nTokSql) AS BIGINT) AS n_tokens
+       |  FROM documents GROUP BY source
+       |), w AS (
+       |  SELECT source, n_tokens,
+       |         CAST(ROUND(sqrt(n_tokens::DOUBLE) + 1e-9, 0) AS BIGINT) AS w
+       |  FROM c
+       |), t AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM w)
+       |SELECT source, n_tokens, w,
+       |       (w * $MIX_BUDGET) // tw AS alloc_tokens,
+       |       CASE WHEN n_tokens = 0 THEN 0.0
+       |            ELSE least(1.0,
+       |              CAST((w * $MIX_BUDGET) // tw AS DOUBLE) / n_tokens)
+       |       END AS sample_rate
+       |FROM w, t""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c4_filters" -> c4Filters,
+    "mixture_plan" -> mixturePlan,
     "text_redact" -> textRedact,
     "doc_packing" -> docPacking,
     "doc_chunks" -> docChunks,
@@ -504,6 +600,8 @@ object TextJobs {
     "text_repetition" -> textRepetition)
 
   val oracles: Map[String, String] = Map(
+    "c4_filters" -> c4FiltersSql,
+    "mixture_plan" -> mixturePlanSql,
     "text_redact" -> textRedactSql,
     "doc_packing" -> docPackingSql,
     "doc_chunks" -> docChunksSql,

@@ -115,6 +115,27 @@ class EdgeCaseSpec extends SparkSpec {
       Seq.empty[(Long, Long)].toDF("doc_id", "h0"), 1, 1).count() == 0)
   }
 
+  test("substring dup rate is total on degenerate and empty documents") {
+    // empty/short/punctuation docs: no 5-word windows anywhere → no rows
+    val deg = Seq((1L, ""), (2L, "   "), (3L, "one two three four"))
+      .toDF("doc_id", "text")
+    assert(Dedup.substringDupRate(deg, 5).count() == 0)
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.substringDupRate(empty, 5).count() == 0)
+  }
+
+  test("within-cell pairs are total on empty and singleton corpora") {
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val ve = Similarity.withNorm(empty, $"vec_id", $"embedding")
+    val cents1 = Similarity.seedCentroids(
+      Similarity.withNorm(Seq((0L, Array(1.0f, 0.0f)))
+        .toDF("vec_id", "embedding"), $"vec_id", $"embedding"), 1)
+    assert(Similarity.withinCellPairs(ve, cents1, 0.5).count() == 0)
+    val one = Similarity.withNorm(Seq((7L, Array(1.0f, 0.0f)))
+      .toDF("vec_id", "embedding"), $"vec_id", $"embedding")
+    assert(Similarity.withinCellPairs(one, cents1, 0.5).count() == 0)
+  }
+
   test("connected components on empty/edgeless graphs are identity") {
     val emptyV = Seq.empty[Long].toDF("doc_id")
     val noPairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")

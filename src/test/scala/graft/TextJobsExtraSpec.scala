@@ -10,6 +10,52 @@ import graft.ops.TextAnalysis
 class TextJobsExtraSpec extends SparkSpec {
   import spark.implicits._
 
+  test("c4 filters trip each rule on a crafted fixture") {
+    val dir = java.nio.file.Files.createTempDirectory("c4_docs").toString
+    Seq(
+      (1L, "this is a perfectly normal little sentence today.", "en", "s", 49L),
+      (2L, "ends without terminal punctuation at all here", "en", "s", 45L),
+      (3L, "some code follows { return x; } done here now.", "en", "s", 46L),
+      (4L, "Lorem Ipsum dolor sit amet filler text page here.", "en", "s", 49L),
+      (5L, "too few.", "en", "s", 8L),
+      (6L, "aaaaaaaaaaaaaaaaaaaaaaaa bbbbbbbbbbbbbbbbbbbbbbbb " * 3 +
+        "cccccccccccccccccccccccc dddddddddddddddddddddddd eee.", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextJobs.c4Filters(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Boolean]("kept"))
+    assert(!out(2L).getAs[Boolean]("terminal_punct") &&
+      !out(2L).getAs[Boolean]("kept"))
+    assert(out(3L).getAs[Boolean]("has_braces") &&
+      !out(3L).getAs[Boolean]("kept"))
+    assert(out(4L).getAs[Boolean]("has_lorem") &&
+      !out(4L).getAs[Boolean]("kept"))
+    assert(out(5L).getAs[Long]("n_tokens") < 5 &&
+      !out(5L).getAs[Boolean]("kept"))
+    // mean word length 24 > 10: Gopher band violated via integer bounds
+    assert(!out(6L).getAs[Boolean]("word_len_ok") &&
+      !out(6L).getAs[Boolean]("kept"))
+  }
+
+  test("mixture plan: budget respected, rates bounded, tail up-weighted") {
+    val out = TextJobs.mixturePlan(spark, sf("sf0.001")).collect()
+    assert(out.nonEmpty)
+    assert(out.map(_.getAs[Long]("alloc_tokens")).sum <= 20000L,
+      "floor allocation must never exceed the budget")
+    assert(out.forall { r =>
+      val rate = r.getAs[Double]("sample_rate")
+      rate >= 0.0 && rate <= 1.0
+    })
+    // α=0.5 temperature: a smaller source must get an equal-or-higher
+    // sampling RATE than a bigger one (that is the point of the √)
+    val sorted = out.sortBy(_.getAs[Long]("n_tokens"))
+      .filter(_.getAs[Long]("n_tokens") > 0)
+    if (sorted.length >= 2)
+      assert(sorted.head.getAs[Double]("sample_rate") >=
+        sorted.last.getAs[Double]("sample_rate") - 1e-9)
+  }
+
   test("redactPii scrubs emails and 3-3-4 phones, counts match") {
     val docs = Seq(
       (1L, "reach alice@example.org or bob.smith+x@mail.co today"),
