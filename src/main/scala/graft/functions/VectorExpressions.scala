@@ -102,6 +102,11 @@ case class L2Norm(child: Expression) extends UnaryExpression {
   * size. Rounding matches the repo discipline exactly: +1e-9 nudge then
   * half-up — the same arithmetic the DuckDB oracle states, so the output
   * stays hash-exact. Zero and empty vectors yield the all-zero manifest.
+  * Inputs must be FINITE: a NaN element is skipped by the max-abs scan
+  * and rounds to q=0 (Math.round(NaN) == 0), a partial manifest rather
+  * than a sentinel — non-finite embeddings are an upstream data bug (the
+  * oracle's CAST(ROUND(NaN)) errors outright), so callers should screen
+  * them before quantizing.
   */
 case class Int8QuantStats(child: Expression) extends UnaryExpression {
 

@@ -16,11 +16,14 @@ object DedupJobs {
   private val BANDS = 2  // LSH bands (4 rows/band): strict, near-dups only
   private val SIMHASH_BITS = 16
 
-  /** DuckDB: first 8 md5-hex chars of `inner` as BIGINT. */
-  private def hexIntSql(inner: String): String =
+  /** DuckDB: 8 md5-hex chars of `inner` starting at `from` as BIGINT. */
+  private def hexIntSqlAt(inner: String, from: Int): String =
     (1 to 8).map { i =>
-      s"(strpos('0123456789abcdef', substr(md5($inner),$i,1))-1) * ${math.pow(16, 8 - i).toLong}::BIGINT"
+      s"(strpos('0123456789abcdef', substr(md5($inner),${from + i - 1},1))-1) * ${math.pow(16, 8 - i).toLong}::BIGINT"
     }.mkString("(", " + ", ")")
+
+  /** DuckDB: first 8 md5-hex chars of `inner` as BIGINT. */
+  private def hexIntSql(inner: String): String = hexIntSqlAt(inner, 1)
 
   private val wordsCte =
     """words AS (
@@ -395,16 +398,17 @@ object DedupJobs {
        |        FROM documents)
        |  WHERE len(w) >= $SUBSTR_W
        |), pd AS (
-       |  SELECT doc_id, ${hexIntSql("gram")} AS gh, COUNT(*) AS c
-       |  FROM g GROUP BY 1, 2
+       |  SELECT doc_id, ${hexIntSql("gram")} AS gh1,
+       |         ${hexIntSqlAt("gram", 9)} AS gh2, COUNT(*) AS c
+       |  FROM g GROUP BY 1, 2, 3
        |), freq AS (
-       |  SELECT gh, COUNT(*) AS n_docs FROM pd GROUP BY 1
+       |  SELECT gh1, gh2, COUNT(*) AS n_docs FROM pd GROUP BY 1, 2
        |), r AS (
        |  SELECT doc_id,
        |         CAST(SUM(c) AS BIGINT) AS n_windows,
        |         CAST(SUM(CASE WHEN n_docs >= 2 THEN c ELSE 0 END) AS BIGINT)
        |           AS n_dup_windows
-       |  FROM pd JOIN freq USING (gh) GROUP BY 1
+       |  FROM pd JOIN freq USING (gh1, gh2) GROUP BY 1
        |)
        |SELECT doc_id, n_windows, n_dup_windows,
        |       CAST(n_dup_windows AS DOUBLE) / n_windows AS dup_rate

@@ -320,8 +320,13 @@ object SimilarityJobs {
   /** Oracle: the shared unrolled-k-means prefix, rn=1 assignment, then the
     * same within-cell half-matrix join on exact rounded cosines.
     */
-  val semanticDedupSql: String =
-    s"""WITH $kmeansPrefixSql, assigned AS (
+  /** The rn=1 trained-cell assignment CTE shared by the semantic-dedup and
+    * purity oracles — ONE copy of the oracle-contract-critical argmax
+    * (rounded-cosine DESC, cent_id tie-break), so the discipline can't
+    * drift between restatements.
+    */
+  private def assignedCellCteSql: String =
+    s"""assigned AS (
        |  SELECT vec_id, cent_id AS cell FROM (
        |    SELECT e.vec_id, c.cent_id, ROW_NUMBER() OVER (
        |      PARTITION BY e.vec_id ORDER BY
@@ -329,7 +334,10 @@ object SimilarityJobs {
        |        c.cent_id ASC) AS rn
        |    FROM e CROSS JOIN cent$KM_ITERS c) r
        |  WHERE rn = 1
-       |), m AS (
+       |)""".stripMargin
+
+  val semanticDedupSql: String =
+    s"""WITH $kmeansPrefixSql, $assignedCellCteSql, m AS (
        |  SELECT a.cell, e.vec_id, e.v FROM assigned a JOIN e USING (vec_id)
        |)
        |SELECT a.cell, a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -365,15 +373,7 @@ object SimilarityJobs {
   }
 
   val clusterPuritySql: String =
-    s"""WITH $kmeansPrefixSql, assigned AS (
-       |  SELECT vec_id, cent_id AS cell FROM (
-       |    SELECT e.vec_id, c.cent_id, ROW_NUMBER() OVER (
-       |      PARTITION BY e.vec_id ORDER BY
-       |        ROUND(list_cosine_similarity(e.v, c.cv) + 1e-12, 6) DESC,
-       |        c.cent_id ASC) AS rn
-       |    FROM e CROSS JOIN cent$KM_ITERS c) r
-       |  WHERE rn = 1
-       |), cl AS (
+    s"""WITH $kmeansPrefixSql, $assignedCellCteSql, cl AS (
        |  SELECT a.cell, emb.label, COUNT(*) AS n
        |  FROM assigned a JOIN embeddings emb USING (vec_id)
        |  GROUP BY 1, 2
@@ -398,6 +398,10 @@ object SimilarityJobs {
     */
   def embeddingQuantize(spark: SparkSession, sfDir: String): DataFrame =
     Tables.load(spark, sfDir, "embeddings")
+      // empty/NULL vectors carry nothing to quantize; dropping them keeps
+      // the row set identical to the oracle's unnest (which emits no row
+      // for an element-less array)
+      .filter(col("embedding").isNotNull && size(col("embedding")) > 0)
       .select(col("vec_id"),
         graft.functions.VectorFunctions.int8_quant_stats(
           col("embedding").cast("array<double>")).as("qs"))

@@ -549,12 +549,15 @@ object TextJobs {
     * broadcast of the 1-row weight total — the corpus never moves.
     */
   def mixturePlan(spark: SparkSession, sfDir: String): DataFrame = {
+    // the per-source frame feeds both its own total and the final select —
+    // cache it or the corpus token-count scan runs twice
     val counts = Tables.documents(spark, sfDir)
       .groupBy(col("source"))
       .agg(sum(TextAnalysis.tokenCount(col("text"))).as("n_tokens"))
       .withColumn("w",
         round(sqrt(col("n_tokens").cast("double")) + lit(1e-9), 0)
           .cast("long"))
+      .cache()
     val total = counts.agg(sum(col("w")).as("tw"))
     counts.crossJoin(broadcast(total))
       .select(col("source"), col("n_tokens"), col("w"),

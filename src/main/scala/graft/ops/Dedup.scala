@@ -484,21 +484,29 @@ object Dedup {
     * agg and the join back move only the REDUCED distinct (doc, hash)
     * frame on int keys. Nothing is quadratic in corpus size — the
     * stop-gram f² trap of shared-gram SELF-joins cannot occur because
-    * frequency is an aggregation, not a pairing.
+    * frequency is an aggregation, not a pairing. The window key is 64
+    * bits of md5 as two 32-bit limbs: a single 32-bit key would saturate
+    * by birthday collisions at crawl scale (~10¹¹ distinct windows
+    * against 2³² buckets makes nearly every unique window share a bucket
+    * with some other document, inflating dup_rate toward 1 for clean
+    * docs); at 64 bits the per-window false-dup probability stays ~n/2⁶⁴.
     *
     * Output (doc_id, n_windows, n_dup_windows, dup_rate); documents with
     * fewer than `w` words have no windows and no row.
     */
   def substringDupRate(df: DataFrame, w: Int): DataFrame = {
     val grams = explodedGrams(df, w, distinct = false)
-      .select(col("doc_id"), md5Long(col("gram")).as("gh"))
+      .withColumn("h", md5(col("gram")))
+      .select(col("doc_id"),
+        conv(substring(col("h"), 1, 8), 16, 10).cast("long").as("gh1"),
+        conv(substring(col("h"), 9, 8), 16, 10).cast("long").as("gh2"))
     // one row per (doc, window-hash) with positional multiplicity; feeds
     // both the document-frequency agg and the final per-doc rollup
-    val perDoc = grams.groupBy(col("doc_id"), col("gh"))
+    val perDoc = grams.groupBy(col("doc_id"), col("gh1"), col("gh2"))
       .agg(count(lit(1)).as("c")).cache()
-    val docFreq = perDoc.groupBy(col("gh"))
+    val docFreq = perDoc.groupBy(col("gh1"), col("gh2"))
       .agg(count(lit(1)).as("n_docs"))
-    perDoc.join(docFreq, "gh")
+    perDoc.join(docFreq, Seq("gh1", "gh2"))
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).as("n_windows"),
         sum(when(col("n_docs") >= 2, col("c")).otherwise(0L))
