@@ -26,22 +26,40 @@ object Bench {
     // median for the same build), so one-shot numbers routinely read as 6×
     // regressions that don't exist. Medians make round-over-round bench
     // files comparable to SCALE.md §9's local medians.
+    // A failing query must surface in the JSON, not masquerade as a fast
+    // time: its first error lands in an "errors" map and its median is
+    // taken over whatever runs did succeed (NaN if none).
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to runs).map { _ =>
+      val times = (1 to runs).flatMap { _ =>
         // cached frames match by logical-plan equality, so without this a
         // query could silently reuse a previous query's (or its own prior
         // run's) cache — each measurement must stand alone
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        try {
+          fn(spark, sfDir).count()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch {
+          case e: Throwable =>
+            errors.getOrElseUpdate(name,
+              s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
+            None
+        }
       }
-      name -> times.sorted.apply(times.size / 2)
+      name -> (if (times.nonEmpty) times.sorted.apply(times.size / 2)
+               else Double.NaN)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def jstr(s: String): String =
+      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
+        .replaceAll("[\\n\\r\\t]", " ") + "\""
+    val qs = results.map { case (k, v) =>
+      jstr(k) + ":" + (if (v.isNaN) "null" else v.toString)
+    }.mkString("{", ",", "}")
+    val errs = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.values.filterNot(_.isNaN).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -139,6 +139,26 @@ object DedupJobs {
       .select(col("doc_a"), col("doc_b"), col("inter"), col("jaccard"))
   }
 
+  /** τ as the exact rational the prefix filter needs: 7/20 = 0.35. */
+  private val JACCARD_TAU_NUM = 7
+  private val JACCARD_TAU_DEN = 20
+
+  /** The composed-fence form of [[ngramJaccard]] — identity compression
+    * AND df-ordered prefix filtering, the plan a Zipf-vocabulary (real
+    * crawl) corpus needs at 100 TB. Both fences are lossless, so the
+    * SAME uncompressed oracle hash-checks it: registering it as its own
+    * gate query keeps the scale-safe plan driver-verified instead of
+    * dormant in the library (the synthetic corpus's dense vocabulary makes
+    * [[ngramJaccard]]'s plain compressed join cheaper HERE — see the Zipf
+    * crossover in `graft.tools.Probe` / SCALE.md §8).
+    */
+  def ngramJaccardPrefix(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"), col("lang").as("block"))
+    Dedup.jaccardPairsComposed(d, JACCARD_N, JACCARD_TAU_NUM, JACCARD_TAU_DEN)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("jaccard"))
+  }
+
   val ngramJaccardSql: String =
     s"""WITH e AS (
        |  SELECT DISTINCT doc_id, block, ${hexIntSql("gram")} AS gh FROM (
@@ -528,6 +548,7 @@ object DedupJobs {
     "dedup_clusters" -> dedupClusters,
     "dedup_incremental" -> dedupIncremental,
     "ngram_jaccard" -> ngramJaccard,
+    "ngram_jaccard_prefix" -> ngramJaccardPrefix,
     "substring_dup_rate" -> substringDupRate,
     "train_split" -> trainSplit,
     "decontamination" -> decontamination)
@@ -542,6 +563,9 @@ object DedupJobs {
     "dedup_clusters" -> dedupClustersSql,
     "dedup_incremental" -> dedupIncrementalSql,
     "ngram_jaccard" -> ngramJaccardSql,
+    // the composed fence is lossless, so the identical uncompressed
+    // semantics hash-check it — losslessness IS the checked contract
+    "ngram_jaccard_prefix" -> ngramJaccardSql,
     "substring_dup_rate" -> substringDupRateSql,
     "train_split" -> trainSplitSql,
     "decontamination" -> decontaminationSql)

@@ -133,12 +133,13 @@ object Dedup {
     * hashes; docs sharing any full band are candidates. Output
     * (doc_a, doc_b, est_jaccard) with est = fraction of matching hashes.
     */
-  def lshCandidates(sig: DataFrame, k: Int, bands: Int): DataFrame = {
+  def lshCandidates(sig: DataFrame, k: Int, bands: Int,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
     val rowsPerBand = k / bands
     require(bands * rowsPerBand == k, s"k=$k not divisible into $bands bands")
     // one k-vector per document — tiny; cache so the b self-joins don't
     // recompute the shingle→minhash lineage 2×bands times
-    val cached = sig.cache()
+    val cached = scope.cache(sig)
     val a = cached.alias("a")
     val b = cached.alias("b")
     val pairs = (0 until bands).map { bi =>
@@ -160,11 +161,12 @@ object Dedup {
     * Output (left_id, right_id), deduped across bands.
     */
   def lshCandidatesAcross(
-      left: DataFrame, right: DataFrame, k: Int, bands: Int): DataFrame = {
+      left: DataFrame, right: DataFrame, k: Int, bands: Int,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
     val rowsPerBand = k / bands
     require(bands * rowsPerBand == k, s"k=$k not divisible into $bands bands")
-    val l = left.cache().alias("a")
-    val r = right.cache().alias("b")
+    val l = scope.cache(left).alias("a")
+    val r = scope.cache(right).alias("b")
     (0 until bands).map { bi =>
       val bandEq = (0 until rowsPerBand)
         .map(x => col(s"a.h${bi * rowsPerBand + x}") === col(s"b.h${bi * rowsPerBand + x}"))
@@ -287,19 +289,19 @@ object Dedup {
     * prefixes).
     */
   private def jaccardCore(
-      df: DataFrame, n: Int, threshold: Double): (DataFrame, DataFrame) = {
+      df: DataFrame, n: Int, threshold: Double,
+      scope: CacheScope = CacheScope.unmanaged): (DataFrame, DataFrame) = {
     // one row per distinct (doc, gram-hash) — used three times (sizes + both
     // join sides); cache instead of recomputing the explode+lead lineage.
     // Set semantics via ONE distinct, on int keys, after hashing: the gram
     // window leaves the frame partitioned by doc_id, which clusters
     // (doc_id, block, gh) too, so this dedup adds no exchange (a string
     // distinct inside explodedGrams would be a full extra gram shuffle).
-    val g = explodedGrams(
+    val g = scope.cache(explodedGrams(
         df.select(col("doc_id"), col("block"), col("text")), n,
         distinct = false)
       .select(col("doc_id"), col("block"), md5Long(col("gram")).as("gh"))
-      .distinct()
-      .cache()
+      .distinct())
     val sizes = g.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
     val ga = g.alias("ga"); val gb = g.alias("gb")
     val inter = ga.join(gb,
@@ -340,10 +342,25 @@ object Dedup {
     * ~80k docs and silently merge distinct contents).
     *
     * The residual quadratic zone is common grams across DISTINCT contents:
-    * at Zipf-corpus scale route exact Jaccard through LSH candidates
-    * (decontamination's shape) or [[jaccardPairsPrefix]].
+    * at Zipf-corpus scale use [[jaccardPairsComposed]] (this compression
+    * plus the df-ordered prefix filter) or route through LSH candidates
+    * (decontamination's shape).
     */
-  def jaccardPairs(df: DataFrame, n: Int, threshold: Double): DataFrame = {
+  def jaccardPairs(df: DataFrame, n: Int, threshold: Double,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame =
+    identityCompressed(df, scope)(jaccardCore(_, n, threshold, scope))
+
+  /** Identity compression around any representative-level pairing core:
+    * collapse identical whitespace-normalized contents to one
+    * representative per (block, content) group, run `core` (which returns
+    * representative pairs + per-representative gram-set sizes) on the
+    * representative set only, then expand representative pairs back to
+    * document pairs. Output is bit-identical to running the uncompressed
+    * all-pairs semantics — see [[jaccardPairs]] for the contract.
+    */
+  private def identityCompressed(
+      df: DataFrame, scope: CacheScope)(
+      core: DataFrame => (DataFrame, DataFrame)): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val norm = md5(concat_ws(" ", split(trim(col("text")), "\\s+")))
     // the grouping pass hashes text in place and shuffles ONLY
@@ -352,11 +369,17 @@ object Dedup {
       conv(substring(norm, 1, 15), 16, 10).cast("long").as("gk1"),
       conv(substring(norm, 16, 15), 16, 10).cast("long").as("gk2"))
     // one tiny exchange on (block, content-key); every doc learns its
-    // group's representative (min doc_id) in the same pass
-    val mem = keyed.withColumn("rep_id",
-        min(col("doc_id")).over(
-          Window.partitionBy(col("block"), col("gk1"), col("gk2"))))
-      .cache()
+    // group's representative (min doc_id) in the same pass. Only the
+    // (doc_id, rep_id) membership is cached — the 120-bit content key and
+    // block column it was derived from are dead after this pass, and
+    // keeping them would more than double the cached bytes (the round-4
+    // driver bench showed this query's three cached frames under memory
+    // pressure).
+    val mem = scope.cache(
+      keyed.withColumn("rep_id",
+          min(col("doc_id")).over(
+            Window.partitionBy(col("block"), col("gk1"), col("gk2"))))
+        .select(col("doc_id"), col("rep_id")))
     // representatives re-fetch their text by a doc_id semi-join against a
     // second scan (columnar scans are cheap; shuffling text is not), and
     // arrive partitioned by doc_id — which the gram window downstream
@@ -365,8 +388,8 @@ object Dedup {
         mem.filter(col("doc_id") === col("rep_id")).select(col("doc_id")),
         Seq("doc_id"), "left_semi")
       .select(col("doc_id"), col("block"), col("text"))
-    val (repPairs, repSizes) = jaccardCore(reps, n, threshold)
-    val ids = mem.select(col("doc_id"), col("rep_id"))
+    val (repPairs, repSizes) = core(reps)
+    val ids = mem
     // cross-group document pairs inherit the representative pair's values;
     // doc ordering inside the pair is re-established (member ids need not
     // order the same way as their representatives)
@@ -387,6 +410,24 @@ object Dedup {
         lit(1.0).as("jaccard"))
     crossed.unionAll(intra)
   }
+
+  /** BOTH fences composed — identity compression around the df-ordered
+    * prefix-filtered core: compression removes the exact-duplicate mass
+    * that makes prefix joins lose on dup-heavy corpora (every copy of a
+    * page would re-enter candidate generation and re-verify), and the
+    * prefix filter removes the stop-gram f² zone across DISTINCT contents
+    * that compression cannot touch. Both fences are lossless, so the
+    * output is bit-identical to [[jaccardPairs]] (τ = tauNum/tauDen) and
+    * the same UNcompressed oracle hash-checks it.
+    *
+    * This is the 100 TB plan for Zipf-vocabulary (real crawl) corpora. On
+    * dense small-vocabulary data the prefix candidates approach all-pairs
+    * and [[jaccardPairs]] is cheaper — measure on a representative sample
+    * (`graft.tools.Probe`'s Zipf fixture documents the crossover).
+    */
+  def jaccardPairsComposed(df: DataFrame, n: Int, tauNum: Int, tauDen: Int,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame =
+    identityCompressed(df, scope)(prefixCore(_, n, tauNum, tauDen, scope))
 
   /** Prefix-filtered exact Jaccard join (the published set-similarity-join
     * fence for Zipf-vocabulary corpora — PPJoin/VernicaJoin family): order
@@ -422,16 +463,25 @@ object Dedup {
       .divide(lit(tauNum + tauDen)).cast("long")) + 1
 
   def jaccardPairsPrefix(
-      df: DataFrame, n: Int, tauNum: Int, tauDen: Int): DataFrame = {
+      df: DataFrame, n: Int, tauNum: Int, tauDen: Int,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame =
+    prefixCore(df, n, tauNum, tauDen, scope)._1
+
+  /** The prefix-filtered pairing core: (pairs, per-doc gram-set sizes) —
+    * the same shape [[jaccardCore]] returns, so [[identityCompressed]] can
+    * wrap either interchangeably.
+    */
+  private def prefixCore(
+      df: DataFrame, n: Int, tauNum: Int, tauDen: Int,
+      scope: CacheScope): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     require(tauNum > 0 && tauNum < tauDen, "need 0 < tau < 1")
     val threshold = tauNum.toDouble / tauDen
-    val e = explodedGrams(
+    val e = scope.cache(explodedGrams(
         df.select(col("doc_id"), col("block"), col("text")), n,
         distinct = false)
       .select(col("doc_id"), col("block"), md5Long(col("gram")).as("gh"))
-      .distinct()
-      .cache()
+      .distinct())
     val dfc = e.groupBy(col("block"), col("gh"))
       .agg(count(lit(1)).as("gram_df"))
     val wDoc = Window.partitionBy(col("doc_id"))
@@ -455,7 +505,7 @@ object Dedup {
         col("gb.doc_id") === col("doc_b") && col("gb.gh") === col("ga.gh"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("inter"))
-    inter
+    val pairs = inter
       .join(sizes.withColumnRenamed("doc_id", "doc_a")
         .withColumnRenamed("n_grams", "na"), "doc_a")
       .join(sizes.withColumnRenamed("doc_id", "doc_b")
@@ -464,6 +514,7 @@ object Dedup {
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("inter"), col("jaccard"))
+    (pairs, sizes)
   }
 
   /** Per-document duplicated-substring rate: the fraction of a document's
@@ -494,7 +545,8 @@ object Dedup {
     * Output (doc_id, n_windows, n_dup_windows, dup_rate); documents with
     * fewer than `w` words have no windows and no row.
     */
-  def substringDupRate(df: DataFrame, w: Int): DataFrame = {
+  def substringDupRate(df: DataFrame, w: Int,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
     val grams = explodedGrams(df, w, distinct = false)
       .withColumn("h", md5(col("gram")))
       .select(col("doc_id"),
@@ -502,8 +554,9 @@ object Dedup {
         conv(substring(col("h"), 9, 8), 16, 10).cast("long").as("gh2"))
     // one row per (doc, window-hash) with positional multiplicity; feeds
     // both the document-frequency agg and the final per-doc rollup
-    val perDoc = grams.groupBy(col("doc_id"), col("gh1"), col("gh2"))
-      .agg(count(lit(1)).as("c")).cache()
+    val perDoc = scope.cache(
+      grams.groupBy(col("doc_id"), col("gh1"), col("gh2"))
+        .agg(count(lit(1)).as("c")))
     val docFreq = perDoc.groupBy(col("gh1"), col("gh2"))
       .agg(count(lit(1)).as("n_docs"))
     perDoc.join(docFreq, Seq("gh1", "gh2"))

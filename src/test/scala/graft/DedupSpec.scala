@@ -93,6 +93,30 @@ class DedupSpec extends SparkSpec {
     val b = Dedup.jaccardPairsPrefix(d, 2, 7, 20) // τ = 7/20 = 0.35
       .orderBy($"doc_a", $"doc_b").collect().toSeq
     assert(a.nonEmpty && a == b)
+    // and the composed fence (compression AROUND the prefix core) is the
+    // same lossless semantics again
+    val c = Dedup.jaccardPairsComposed(d, 2, 7, 20)
+      .orderBy($"doc_a", $"doc_b").collect().toSeq
+    assert(a == c)
+  }
+
+  test("composed fence expands dup groups exactly like the plain compressed join") {
+    // the dup-heavy corpus from the identity-compression test must come out
+    // bit-identical through the prefix core too (intra pairs at 1.0 with
+    // inter = |set|, cross pairs once per member combination)
+    val dupHeavy = Seq(
+      (1L, "pack my box with five dozen brown liquor jugs", "en"),
+      (2L, "pack my box with five dozen brown liquor jugs", "en"),
+      (7L, "pack my box with five dozen brown liquor jugs", "en"),
+      (4L, "pack my box with five dozen brown liquor cups", "en"),
+      (5L, "completely different words entirely here now", "en"))
+      .toDF("doc_id", "text", "lang")
+      .select($"doc_id", $"text", $"lang".as("block"))
+    val plain = Dedup.jaccardPairs(dupHeavy, 2, 0.3)
+      .orderBy($"doc_a", $"doc_b").collect().toSeq
+    val composed = Dedup.jaccardPairsComposed(dupHeavy, 2, 6, 20) // τ = 0.3
+      .orderBy($"doc_a", $"doc_b").collect().toSeq
+    assert(plain.nonEmpty && plain == composed)
   }
 
   test("prefix length formula is integer-exact and never empties a set") {
