@@ -202,16 +202,18 @@ object Dedup {
     *
     * Scale: each iteration is one equi-join + one aggregation; iteration
     * count is the component diameter. Near-dup clusters are shallow (dups
-    * of one document), so convergence is typically a handful of rounds; the
-    * generous default budget only bounds pathological chains (which would
-    * call for the large-star/small-star variant, same skeleton) — extra
-    * budget costs nothing because the loop exits at the fixpoint. The
-    * driver loop is control flow only — all data work is distributed, and
-    * each iteration's action is the convergence count.
+    * of one document), so convergence is typically a handful of rounds.
+    * Pathological deep chains no longer exhaust the budget: after
+    * `starAfter` unconverged propagation rounds the graph is CONTRACTED
+    * through the labels found so far and finished with alternating
+    * large-star/small-star ([[starContract]]) — O(log d) rounds regardless
+    * of diameter, so a diameter-200 chain converges instead of throwing.
+    * The driver loop is control flow only — all data work is distributed,
+    * and each iteration's action is the convergence count.
     */
   def connectedComponents(
       vertices: DataFrame, pairs: DataFrame, maxIters: Int = 100,
-      checkpointEvery: Int = 10): DataFrame = {
+      checkpointEvery: Int = 10, starAfter: Int = 20): DataFrame = {
     val edges = pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
@@ -221,8 +223,7 @@ object Dedup {
     var prevCached = labels
     var converged = false
     var i = 0
-    var lastChanged = -1L
-    while (!converged && i < maxIters) {
+    while (!converged && i < math.min(starAfter, maxIters)) {
       val nbrMin = edges
         .join(labels.select(col("doc_id").as("dst"),
           col("cluster").as("nbr_cluster")), "dst")
@@ -250,18 +251,113 @@ object Dedup {
       prevCached.unpersist()
       prevCached = next
       labels = next.select(col("doc_id"), col("cluster"))
-      lastChanged = changed
       converged = changed == 0
       i += 1
     }
+    val out = if (converged) labels else {
+      // Deep-chain fallback: label(u) is already the minimum within
+      // `starAfter` hops, so mapping every edge endpoint through its label
+      // CONTRACTS each converged neighborhood to its representative; the
+      // contracted graph has the same component structure (and every true
+      // component minimum m survives contraction, because label(m) = m).
+      // Large-star/small-star then finishes in O(log d) rounds. Lossless:
+      // component minima are preserved by both phases.
+      val contracted = edges
+        .join(labels.select(col("doc_id").as("src"),
+          col("cluster").as("csrc")), "src")
+        .join(labels.select(col("doc_id").as("dst"),
+          col("cluster").as("cdst")), "dst")
+        .select(col("csrc").as("src"), col("cdst").as("dst"))
+        .filter(col("src") =!= col("dst"))
+      val roots = starContract(contracted, math.max(maxIters - i, 16))
+      labels.join(roots, labels("cluster") === roots("node"), "left")
+        .select(col("doc_id"),
+          coalesce(col("root"), col("cluster")).as("cluster"))
+    }
     edges.unpersist()
+    out
+  }
+
+  /** Alternating large-star/small-star contraction (the published
+    * MapReduce connected-components scheme for deep graphs — Kiveris et
+    * al., "Connected Components in MapReduce and Beyond", SoCC'14):
+    * large-star points every node's LARGER neighbors at the minimum of its
+    * neighborhood (incl. itself); small-star points every node's smaller
+    * neighbors (and the node) at their minimum. Each round halves long
+    * paths, so the edge set converges to per-component stars centered at
+    * the component minimum in O(log d) rounds — the fallback
+    * [[connectedComponents]] switches to when plain min-label propagation
+    * (cost = diameter rounds) exhausts its budget.
+    *
+    * Input: an edge list (src, dst); orientation and duplicates are
+    * irrelevant (canonicalized here). Output: (node, root) for every node
+    * that shares a component with a smaller node — isolated nodes and
+    * component minima have no row (callers coalesce to self).
+    *
+    * Scale shape per round: one symmetric-neighborhood min agg + two
+    * equi-joins + one agg, all on int keys; no neighborhood is ever
+    * collected into one row, so high-degree hubs spread across reducers.
+    */
+  private[ops] def starContract(
+      edgeList: DataFrame, maxRounds: Int): DataFrame = {
+    // eager checkpoint (not cache): e's plan is inlined ~12× into each
+    // round's tree (see below), so it must enter the loop as a LEAF
+    var e = edgeList
+      .select(greatest(col("src"), col("dst")).as("hi"),
+        least(col("src"), col("dst")).as("lo"))
+      .filter(col("hi") =!= col("lo")).distinct().localCheckpoint()
+    var prevCount = e.count()
+    var converged = prevCount == 0L
+    var r = 0
+    while (!converged && r < maxRounds) {
+      val sym = e.select(col("hi").as("u"), col("lo").as("v"))
+        .unionAll(e.select(col("lo").as("u"), col("hi").as("v")))
+      val mn = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
+      // large-star: (larger neighbor v of u) → min(Γ(u) ∪ {u}); every
+      // output edge has hi > lo by construction
+      val large = sym.join(mn, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("hi"), least(col("u"), col("mn")).as("lo"))
+        .distinct()
+      // small-star on the (hi > lo)-oriented result: hi's smaller
+      // neighbors are exactly its `lo`s — each of them, plus hi itself,
+      // points at their minimum
+      val mn2 = large.groupBy(col("hi")).agg(min(col("lo")).as("mn"))
+      val small = large.join(mn2, "hi")
+        .select(col("lo").as("hi"), col("mn").as("lo"))
+        .filter(col("hi") =!= col("lo"))
+        .unionAll(mn2.select(col("hi"), col("mn").as("lo")))
+        .distinct()
+      // truncate lineage EVERY round, not periodically: Catalyst logical
+      // plans are trees, and one star round references the previous edge
+      // set ~12× (sym twice in large, large thrice in small), so plan SIZE
+      // grows ~12^rounds between truncations — five un-truncated rounds
+      // overflow the tree-printer's stack, never mind the analyzer. The
+      // round is materialized for the convergence count anyway, so the
+      // eager checkpoint costs one cache write, not an extra computation.
+      val next = small.localCheckpoint()
+      val nextCount = next.count()
+      // fixpoint test: both sides are distinct sets, so equal size plus
+      // empty difference means set equality (stars map to themselves)
+      converged = nextCount == prevCount && next.exceptAll(e).count() == 0
+      e.unpersist()
+      e = next
+      prevCount = nextCount
+      r += 1
+    }
     if (!converged)
       throw new IllegalStateException(
-        s"connectedComponents did not converge in $maxIters iterations " +
-          s"($lastChanged labels still changing) — component diameter " +
-          "exceeds the budget; raise maxIters (or switch to " +
-          "large-star/small-star for deep chains)")
-    labels
+        s"starContract did not converge in $maxRounds rounds " +
+          s"($prevCount edges live) — this bounds only a runaway loop; " +
+          "O(log d) rounds suffice for any real graph")
+    // at the fixpoint each non-root node carries exactly one edge, to its
+    // component minimum; eager checkpoint so unpersisting `e` cannot force
+    // a full-loop recompute when the caller consumes the mapping
+    val roots = e.groupBy(col("hi")).agg(min(col("lo")).as("root"))
+      .select(col("hi").as("node"), col("root"))
+      .localCheckpoint()
+    e.unpersist()
+    roots
   }
 
   /** Near-dup pairs by SimHash hamming distance within a blocking key. */

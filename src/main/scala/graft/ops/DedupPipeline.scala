@@ -35,10 +35,11 @@ import org.apache.spark.sql.functions._
   */
 final class DedupPipeline private (
     docs: DataFrame, k: Int, bands: Int, n: Int,
-    persistedGrams: Option[DataFrame]) {
+    persistedGrams: Option[DataFrame], scope: CacheScope) {
 
-  def this(docs: DataFrame, k: Int = 8, bands: Int = 2, n: Int = 2) =
-    this(docs, k, bands, n, None)
+  def this(docs: DataFrame, k: Int = 8, bands: Int = 2, n: Int = 2,
+      scope: CacheScope = CacheScope.unmanaged) =
+    this(docs, k, bands, n, None, scope)
 
   /** Hashed grams (doc_id, gh): the ONE corpus scan. Duplicates preserved —
     * minhash's `min()` absorbs them in the partial agg, and a string-level
@@ -48,10 +49,9 @@ final class DedupPipeline private (
     * gram window's doc_id clustering.
     */
   val hashedGrams: DataFrame = persistedGrams.getOrElse(
-    Dedup.explodedGrams(
+    scope.cache(Dedup.explodedGrams(
         docs.select(col("doc_id"), col("text")), n, distinct = false)
-      .select(col("doc_id"), Dedup.md5Long(col("gram")).as("gh"))
-      .cache())
+      .select(col("doc_id"), Dedup.md5Long(col("gram")).as("gh"))))
 
   /** Distinct (doc_id, gh) for set-semantics consumers (Jaccard counting).
     * Derived from the cached raw grams; the gram window left them
@@ -59,13 +59,17 @@ final class DedupPipeline private (
     * runs partition-local — no new exchange.
     */
   lazy val distinctGrams: DataFrame =
-    hashedGrams.dropDuplicates("doc_id", "gh").cache()
+    scope.cache(hashedGrams.dropDuplicates("doc_id", "gh"))
 
   /** MinHash signatures (doc_id, h0..h{k-1}). */
   lazy val signatures: DataFrame = Dedup.minhashFromHashes(hashedGrams, k)
 
-  /** LSH candidate pairs (doc_a, doc_b, est_jaccard). */
-  lazy val candidates: DataFrame = Dedup.lshCandidates(signatures, k, bands)
+  /** LSH candidate pairs (doc_a, doc_b, est_jaccard). The signature cache
+    * the band self-joins share registers with this pipeline's scope —
+    * [[unpersist]] alone cannot reach it.
+    */
+  lazy val candidates: DataFrame =
+    Dedup.lshCandidates(signatures, k, bands, scope)
 
   /** Cluster labels (doc_id, cluster): every doc labelled with the minimum
     * doc_id reachable through the candidate-pair graph.
@@ -100,7 +104,10 @@ final class DedupPipeline private (
       .select(col("doc_a"), col("doc_b"), col("inter"), col("jaccard"))
   }
 
-  /** Release the cached gram frames (end of the corpus pass). */
+  /** Release the cached gram frames (end of the corpus pass). Construct
+    * with a tracking [[CacheScope]] and close THAT instead to also release
+    * operator-internal caches ([[candidates]]' signature frame).
+    */
   def unpersist(): Unit = {
     distinctGrams.unpersist()
     hashedGrams.unpersist()
@@ -127,6 +134,7 @@ object DedupPipeline {
     */
   def fromPersistedGrams(
       spark: SparkSession, table: String, docs: DataFrame,
-      k: Int = 8, bands: Int = 2, n: Int = 2): DedupPipeline =
-    new DedupPipeline(docs, k, bands, n, Some(spark.table(table)))
+      k: Int = 8, bands: Int = 2, n: Int = 2,
+      scope: CacheScope = CacheScope.unmanaged): DedupPipeline =
+    new DedupPipeline(docs, k, bands, n, Some(spark.table(table)), scope)
 }

@@ -59,10 +59,10 @@ object Similarity {
     * tunable by `planes`.
     */
   def nearDupPairsBlocked(
-      vectors: DataFrame, threshold: Double, planes: Int, dims: Int): DataFrame = {
-    val withBucket = vectors
-      .withColumn("bucket", lshBucket(col("v"), planes, dims))
-      .cache()
+      vectors: DataFrame, threshold: Double, planes: Int, dims: Int,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    val withBucket = scope.cache(vectors
+      .withColumn("bucket", lshBucket(col("v"), planes, dims)))
     val probes = withBucket.withColumn("probe",
       explode(array((lit(0) +: (0 until planes).map(j => lit(1 << j))): _*)))
       .withColumn("probe", col("bucket").bitwiseXOR(col("probe")))
@@ -144,15 +144,15 @@ object Similarity {
     */
   def ivfTopKWith(
       vectors: DataFrame, centroids: DataFrame, isQuery: Column, nprobe: Int,
-      k: Int): DataFrame = {
+      k: Int, scope: CacheScope = CacheScope.unmanaged): DataFrame = {
     // score every vector against every centroid (explicit C-bounded
     // broadcast product — C is a constant, this is the IVF assign stage,
     // not a data×data cross); drop the payload before the ranking shuffle
     val scored = vectors.crossJoin(broadcast(centroids))
       .select(col("vec_id"), col("cent_id"),
         cosine(col("v"), col("norm"), col("cv"), col("cnorm")).as("cscore"))
-    val ranked = TopN.topNPer(scored, col("vec_id"), col("cscore"),
-      col("cent_id"), math.max(nprobe, 1)).cache()
+    val ranked = scope.cache(TopN.topNPer(scored, col("vec_id"),
+      col("cscore"), col("cent_id"), math.max(nprobe, 1)))
     val cells = ranked.filter(col("rn") === 1)
       .select(col("vec_id"), col("cent_id").as("cell"))
     val corpus = vectors.join(cells, "vec_id")
@@ -195,14 +195,14 @@ object Similarity {
     * field-extracted (GetArrayStructFields, codegen; C rows, never a hot
     * path).
     */
-  def kmeansCentroids(vectors: DataFrame, c: Int, iters: Int): DataFrame = {
+  def kmeansCentroids(vectors: DataFrame, c: Int, iters: Int,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
     // quantized per-dim view: one row per (vec_id, dim), exact integers;
     // reused every iteration — cache (O(n·dims) ints)
-    val qd = vectors
+    val qd = scope.cache(vectors
       .select(col("vec_id"), posexplode(col("v")).as(Seq("d", "coord")))
       .select(col("vec_id"), col("d"),
-        round(col("coord") * KmeansQuantScale + lit(1e-9)).cast("long").as("q"))
-      .cache()
+        round(col("coord") * KmeansQuantScale + lit(1e-9)).cast("long").as("q")))
     var cents = seedCentroids(vectors, c)
     for (_ <- 0 until iters) {
       val cells = ivfAssign(vectors, cents)
@@ -252,21 +252,22 @@ object Similarity {
     * the vector payload.
     */
   def withinCellPairs(
-      vectors: DataFrame, centroids: DataFrame, threshold: Double): DataFrame = {
+      vectors: DataFrame, centroids: DataFrame, threshold: Double,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val h = md5(col("v").cast("string"))
     val keyed = vectors.select(col("vec_id"),
       conv(substring(h, 1, 15), 16, 10).cast("long").as("gk1"),
       conv(substring(h, 16, 15), 16, 10).cast("long").as("gk2"))
-    val mem = keyed.withColumn("rep_id",
+    val mem = scope.cache(keyed.withColumn("rep_id",
         min(col("vec_id")).over(Window.partitionBy(col("gk1"), col("gk2"))))
-      .select(col("vec_id"), col("rep_id")).cache()
+      .select(col("vec_id"), col("rep_id")))
     val reps = vectors.join(
         mem.filter(col("vec_id") === col("rep_id")).select(col("vec_id")),
         Seq("vec_id"), "left_semi")
     // self-joined derived frame — cache so both pair sides read one
     // materialization of the assign stage
-    val withCell = reps.join(ivfAssign(reps, centroids), "vec_id").cache()
+    val withCell = scope.cache(reps.join(ivfAssign(reps, centroids), "vec_id"))
     val a = withCell.alias("a"); val b = withCell.alias("b")
     val repPairs = a.join(b, col("a.cell") === col("b.cell") &&
         col("a.vec_id") < col("b.vec_id"))
@@ -303,10 +304,11 @@ object Similarity {
     * the recall lost to sign boundaries while keeping the join an equi-join
     * on bucket (candidates ≈ (planes+1)/2^planes of the corpus per query).
     */
-  def lshTopK(vectors: DataFrame, planes: Int, k: Int, dims: Int = 64): DataFrame = {
+  def lshTopK(vectors: DataFrame, planes: Int, k: Int, dims: Int = 64,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
     // bucketed corpus is read by both self-join sides — cache the tiny frame
-    val withBucket = vectors.withColumn("bucket", lshBucket(col("v"), planes, dims))
-      .cache()
+    val withBucket = scope.cache(
+      vectors.withColumn("bucket", lshBucket(col("v"), planes, dims)))
     val probes = withBucket.withColumn("probe",
       explode(array((lit(0) +: (0 until planes).map(j => lit(1 << j))): _*)))
       .withColumn("probe", col("bucket").bitwiseXOR(col("probe")))

@@ -16,15 +16,15 @@ import org.apache.spark.sql.functions._
   *
   * `docs` must provide (doc_id, text) and, for [[vocabTopK]], `lang`.
   */
-final class TokenPipeline(docs: DataFrame) {
+final class TokenPipeline(docs: DataFrame,
+    scope: CacheScope = CacheScope.unmanaged) {
 
   /** Per-(doc, token) counts: the ONE tokenization of the corpus. */
-  val tf: DataFrame = docs
+  val tf: DataFrame = scope.cache(docs
     .select(col("doc_id"),
       explode(TextAnalysis.tokens(lower(col("text")))).as("token"))
     .groupBy(col("doc_id"), col("token"))
-    .agg(count(lit(1)).as("tf"))
-    .cache()
+    .agg(count(lit(1)).as("tf")))
 
   /** Document frequency per token (documents containing it). */
   lazy val df: DataFrame =

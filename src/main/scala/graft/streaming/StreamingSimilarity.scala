@@ -1,0 +1,92 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.ops.Similarity
+
+/** Streaming semantic screen — the vector sibling of
+  * [[StreamingDedup.screenAgainstCorpus]], completing the streaming-ingest
+  * story for the SemDeDup path: each ARRIVING embedding is assigned its
+  * trained k-means cell in-flight and stream-static-joined against the
+  * persisted corpus cell table, so a near-duplicate of yesterday's corpus
+  * is flagged at ingest instead of waiting for the next batch pass.
+  *
+  * Scale shape: the centroid table is C-bounded and rides along as ONE
+  * broadcast row (an array of C (cent_id, cv, cnorm) structs), so cell
+  * assignment is a pure per-row computation — no state, no shuffle on the
+  * stream side. The assignment argmax is evaluated by interpreted array
+  * lambdas; the repo's no-interpreted-HOF rule targets per-PAIR hot loops
+  * (corpus × corpus), while this cost is C·dims multiplies per ARRIVAL,
+  * bounded by ingest rate — the same trade [[StreamingDedup]] makes for its
+  * in-flight minhash. The candidate join is an equi-join on the int cell
+  * id (never stream × full corpus), and the exact rounded cosine verifies
+  * candidates, exactly like the batch `semantic_dedup` pair stage.
+  *
+  * In-flight assignment is bit-equal to the batch [[Similarity.ivfAssign]]
+  * (spec-pinned): same rounded cosine (`+1e-12`, 6 decimals), same
+  * higher-score-then-lower-centroid-id total order as `TopN.topNPer`'s
+  * `(score desc, cent_id asc)` rank.
+  */
+object StreamingSimilarity {
+
+  /** The trained centroid table packed into ONE broadcastable row:
+    * (cents: array<struct<cent_id, cv, cnorm>>), sorted by cent_id. C is a
+    * model constant (SemDeDup uses √n cells at most), so this row is small
+    * by construction — the streaming analogue of the batch side's
+    * C-bounded `broadcast(centroids)`.
+    */
+  def centroidArray(centroids: DataFrame): DataFrame =
+    centroids.agg(sort_array(collect_list(struct(
+      col("cent_id"), col("cv"), col("cnorm")))).as("cents"))
+
+  /** The static side of the screen: every corpus vector with its trained
+    * cell — (corpus_id, cell, v, norm). In production this is yesterday's
+    * persisted assignment table; re-planned per micro-batch like any
+    * stream-static join side.
+    */
+  def corpusCells(corpus: DataFrame, centroids: DataFrame): DataFrame =
+    corpus.join(Similarity.ivfAssign(corpus, centroids), "vec_id")
+      .select(col("vec_id").as("corpus_id"), col("cell"), col("v"),
+        col("norm"))
+
+  /** Screen a watermarked embedding stream against an existing corpus.
+    * Input needs (vec_id, embedding: array<float>, `tsCol`); emits
+    * (vec_id, ts, cell, corpus_id, sim) for every corpus vector in the
+    * arrival's cell with rounded cosine ≥ `threshold`. Non-colliding
+    * arrivals pass the screen silently (anti-join on vec_id downstream).
+    */
+  def screenAgainstCorpus(
+      stream: DataFrame, tsCol: String, delay: String,
+      centroids: DataFrame, cells: DataFrame, threshold: Double): DataFrame = {
+    // the rounded cosine of the arriving vector against centroid struct
+    // `c` — inlined three times below because SQL lambdas cannot bind
+    // intermediates; MUST stay textually in sync with Similarity.cosine
+    def score(c: String): String =
+      s"round(aggregate(zip_with(v, $c.cv, (x, y) -> x * y), " +
+        s"cast(0.0 as double), (acc, x) -> acc + x) / (norm * $c.cnorm) " +
+        "+ 1e-12, 6)"
+    // fold over the centroid array keeping (best score, best id); strict
+    // `>` plus the `< acc.id` tie-arm IS topNPer's (score desc, id asc)
+    // total order, so iteration order cannot matter
+    val assignCell =
+      "aggregate(cents, " +
+        "named_struct('s', cast(-2.0 as double), 'id', cast(-1 as bigint)), " +
+        s"(acc, c) -> IF(${score("c")} > acc.s " +
+        s"OR (${score("c")} = acc.s AND c.cent_id < acc.id), " +
+        s"named_struct('s', ${score("c")}, 'id', c.cent_id), acc)).id"
+    val assigned = stream
+      .withWatermark(tsCol, delay)
+      .withColumn("v", col("embedding").cast("array<double>"))
+      .withColumn("norm", graft.functions.VectorFunctions.l2_norm(col("v")))
+      .crossJoin(broadcast(centroidArray(centroids)))
+      .withColumn("cell", expr(assignCell))
+      .drop("cents", "embedding")
+    assigned.alias("s").join(cells.alias("c"),
+        col("s.cell") === col("c.cell"))
+      .select(col("s.vec_id"), col(s"s.$tsCol").as(tsCol),
+        col("s.cell").as("cell"), col("c.corpus_id"),
+        Similarity.cosine(col("s.v"), col("s.norm"), col("c.v"),
+          col("c.norm")).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+}

@@ -1,63 +1,170 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Dup-heavy scaling probe (SCALE.md §8): replicates the documents table
-  * `copies`× with fresh doc_ids — the shape a crawl corpus presents to a
-  * dedup stack, where EVERY document has exact near-identical copies — and
-  * times the dedup-family registry queries on the base and replicated
-  * corpora (3 runs each, cache-cleared, medians). A query whose cost
-  * tracks true duplicate mass stays ~linear; anything inheriting the dup²
-  * join blows up here long before it would at 100 TB.
+/** Scaling probes (SCALE.md §8) — committed so every number in SCALE.md is
+  * repeatable. Three corpus shapes, selected by `SPARK_GRAFT_PROBE_MODE`
+  * (`dup` | `distinct` | `zipf` | `all`, default `all`):
+  *
+  *  - **dup**: the documents/embeddings tables replicated `copies`× with
+  *    fresh ids and IDENTICAL content — the exact-duplicate mass a crawl
+  *    presents. A query whose cost tracks true duplicate mass stays
+  *    ~linear; anything inheriting the dup² join blows up here.
+  *  - **distinct**: replicated `copies`× with PERTURBED content (one word
+  *    substituted per copy; one embedding component nudged per copy), so
+  *    identity compression cannot collapse the copies. This isolates the
+  *    residual quadratic zone — common grams / near-identical vectors
+  *    across DISTINCT contents — that the dup probe (by design) no longer
+  *    exercises.
+  *  - **zipf**: a generated Zipf(1)-vocabulary corpus (the token
+  *    distribution of real crawl text, which the synthetic table's tiny
+  *    dense vocabulary inverts) at two sizes, timing the three exact-
+  *    Jaccard plans against each other: plain identity-compressed
+  *    ([[graft.ops.Dedup.jaccardPairs]]), prefix-filtered
+  *    ([[graft.ops.Dedup.jaccardPairsPrefix]]), and the composed fence
+  *    ([[graft.ops.Dedup.jaccardPairsComposed]]) — the measured crossover
+  *    that justifies which plan each corpus shape should register.
   *
   * Usage: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt "runMain graft.tools.Probe"
   */
 object Probe {
-  private val ProbeQueries = Seq(
+  private val DupQueries = Seq(
     "dedup_exact", "dedup_simhash", "dedup_minhash_lsh", "dedup_clusters",
     "decontamination", "ngram_jaccard", "text_repetition", "doc_chunks",
     "substring_dup_rate", "semantic_dedup")
+
+  /** The residual-zone suspects: pairwise joins whose fences rely on
+    * collapsing identical content, plus the aggregation-only cascade that
+    * should be shape-immune either way.
+    */
+  private val DistinctQueries = Seq(
+    "ngram_jaccard", "ngram_jaccard_prefix", "substring_dup_rate",
+    "semantic_dedup")
+
+  private def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val copies = sys.env.getOrElse("SPARK_GRAFT_PROBE_COPIES", "4").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val probeDir = s"/tmp/graft_probe_${copies}x"
+    val mode = sys.env.getOrElse("SPARK_GRAFT_PROBE_MODE", "all")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-
-    val base = spark.read.parquet(s"$sfDir/documents.parquet")
-    (0 until copies).map(k =>
-        base.withColumn("doc_id", col("doc_id") + lit(k * 10000000L)))
-      .reduce(_ unionAll _)
-      .write.mode("overwrite").parquet(s"$probeDir/documents.parquet")
-    // same dup-heavy shape for the embedding side (every vector `copies`×,
-    // fresh ids); query/seed sets (vec_id < 20/16) keep only the originals
-    val eBase = spark.read.parquet(s"$sfDir/embeddings.parquet")
-    (0 until copies).map(k =>
-        eBase.withColumn("vec_id", col("vec_id") + lit(k * 10000000L)))
-      .reduce(_ unionAll _)
-      .write.mode("overwrite").parquet(s"$probeDir/embeddings.parquet")
-
-    def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
-    def time(name: String, dir: String): Double = {
-      spark.catalog.clearCache()
-      val t0 = System.nanoTime()
-      graft.SparkEntry.queries(name)(spark, dir).count()
-      (System.nanoTime() - t0) / 1e9
-    }
     spark.range(1000000L).selectExpr("sum(id)").collect() // JVM warmup
 
-    println(f"${"query"}%-20s ${"base"}%8s ${copies + "x"}%8s  ratio")
-    ProbeQueries.foreach { q =>
-      val b = median((1 to 3).map(_ => time(q, sfDir)))
-      val p = median((1 to 3).map(_ => time(q, probeDir)))
-      println(f"$q%-20s $b%8.2f $p%8.2f  ${p / b}%.1fx")
+    def time(thunk: => Long): Double = {
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      thunk
+      (System.nanoTime() - t0) / 1e9
+    }
+    def timeQuery(name: String, dir: String): Double =
+      time(graft.SparkEntry.queries(name)(spark, dir).count())
+
+    def replicate(perturb: Boolean): String = {
+      val tag = if (perturb) "distinct" else "dup"
+      val dir = s"/tmp/graft_probe_${tag}_${copies}x"
+      val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      (0 until copies).map { k =>
+          val fresh = base.withColumn("doc_id", col("doc_id") + lit(k * 10000000L))
+          // one word substituted per copy: normalized contents are all
+          // DISTINCT, but bigram overlap stays near-total, so every copy
+          // group is still a near-dup cluster the pair joins must resolve
+          if (perturb && k > 0)
+            fresh.withColumn("text",
+              regexp_replace(col("text"), "^\\S+", s"probeword$k"))
+          else fresh
+        }
+        .reduce(_ unionAll _)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val eBase = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      (0 until copies).map { k =>
+          val fresh = eBase.withColumn("vec_id", col("vec_id") + lit(k * 10000000L))
+          // nudge one component per copy: vectors distinct (identity
+          // compression can't collapse them) yet cosine ≈ 1 — still inside
+          // the near-dup threshold, so the within-cell join sees the mass
+          if (perturb && k > 0)
+            fresh.withColumn("embedding",
+              transform(col("embedding"), (x, i) =>
+                when(i === lit(0), x + lit(k * 1e-3f)).otherwise(x)))
+          else fresh
+        }
+        .reduce(_ unionAll _)
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      dir
+    }
+
+    def runRegistry(label: String, queries: Seq[String], probeDir: String): Unit = {
+      println(s"== $label (${copies}x, vs $sfDir) ==")
+      println(f"${"query"}%-22s ${"base"}%8s ${copies + "x"}%8s  ratio")
+      queries.foreach { q =>
+        val b = median((1 to 3).map(_ => timeQuery(q, sfDir)))
+        val p = median((1 to 3).map(_ => timeQuery(q, probeDir)))
+        println(f"$q%-22s $b%8.2f $p%8.2f  ${p / b}%.1fx")
+      }
+    }
+
+    /** Zipf(1) corpus: `nDocs` base documents of `wordsPerDoc` tokens drawn
+      * from a `vocab`-word vocabulary by inverse-CDF sampling
+      * (P(rank ≤ k) ≈ ln k / ln V ⇒ rank = V^u), plus one perturbed
+      * near-dup copy for half the documents — the head-heavy token law and
+      * near-dup structure of real crawl text. Deterministic (hash-seeded).
+      */
+    def zipfCorpus(nDocs: Int, vocab: Int, wordsPerDoc: Int): String = {
+      val dir = s"/tmp/graft_probe_zipf_$nDocs"
+      val u = (pmod(hash(col("doc_id") * lit(131071) + col("i")), lit(1048576))
+        .cast("double") + 0.5) / 1048576.0
+      val word = concat(lit("w"),
+        floor(pow(lit(vocab.toDouble), u)).cast("long"))
+      val base = spark.range(nDocs).select(col("id").as("doc_id"))
+        .select(col("doc_id"),
+          explode(sequence(lit(0), lit(wordsPerDoc - 1))).as("i"))
+        .select(col("doc_id"), col("i"), word.as("w"))
+        .groupBy(col("doc_id"))
+        .agg(concat_ws(" ", array_sort(collect_list(struct(col("i"), col("w"))))
+          .getField("w")).as("text"))
+      val nearDups = base.filter(col("doc_id") % 2 === 0)
+        .select((col("doc_id") + lit(10000000L)).as("doc_id"),
+          regexp_replace(col("text"), "^\\S+", "dupmark").as("text"))
+      base.unionAll(nearDups)
+        .select(col("doc_id"), lit("zz").as("block"), col("text"))
+        .write.mode("overwrite").parquet(dir)
+      dir
+    }
+
+    def runZipf(nDocs: Int, vocab: Int, wordsPerDoc: Int): Unit = {
+      import graft.ops.Dedup
+      val dir = zipfCorpus(nDocs, vocab, wordsPerDoc)
+      val d = () => spark.read.parquet(dir)
+      val plans: Seq[(String, () => Long)] = Seq(
+        "plain_compressed" ->
+          (() => Dedup.jaccardPairs(d(), 2, 0.35).count()),
+        "prefix_only" ->
+          (() => Dedup.jaccardPairsPrefix(d(), 2, 7, 20).count()),
+        "composed" ->
+          (() => Dedup.jaccardPairsComposed(d(), 2, 7, 20).count()))
+      println(s"== zipf corpus: $nDocs base docs (+${nDocs / 2} near-dups), " +
+        s"vocab $vocab, $wordsPerDoc w/doc ==")
+      plans.foreach { case (name, thunk) =>
+        val t = median((1 to 3).map(_ => time(thunk())))
+        println(f"$name%-22s $t%8.2f s")
+      }
+    }
+
+    if (mode == "dup" || mode == "all")
+      runRegistry("dup-heavy (identical copies)", DupQueries,
+        replicate(perturb = false))
+    if (mode == "distinct" || mode == "all")
+      runRegistry("distinct-content (perturbed copies)", DistinctQueries,
+        replicate(perturb = true))
+    if (mode == "zipf" || mode == "all") {
+      runZipf(5000, 50000, 60)
+      runZipf(20000, 50000, 60)
     }
     spark.stop()
   }

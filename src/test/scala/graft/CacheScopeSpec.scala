@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.ops.{CacheScope, Dedup}
+import graft.ops.{CacheScope, Dedup, DedupPipeline, Similarity, TokenPipeline}
 
 /** The structured cache lifecycle: operator-internal caches registered
   * with a scope are all released at `close()`, and the unmanaged default
@@ -57,6 +57,30 @@ class CacheScopeSpec extends SparkSpec {
       inside.sortBy(r => (r.getLong(0), r.getLong(1))))
     scope.close() // idempotent
     assert(scope.liveOwnedCaches == 0)
+  }
+
+  test("a composed multi-stage session leaves zero caches after its scope") {
+    // the long-lived-session shape the scope exists for: one dedup pass
+    // (whose candidates internally cache the signature frame unpersist()
+    // can't reach), one tokenization pass, and one vector pair stage, all
+    // owned by a single scope
+    val vecs = Similarity.withNorm(
+      Seq((1L, Array(1.0f, 0.0f, 0.2f)), (2L, Array(1.0f, 0.01f, 0.2f)),
+        (3L, Array(0.0f, 1.0f, 0.1f)), (4L, Array(1.0f, 0.0f, 0.2f)))
+        .toDF("vec_id", "embedding"),
+      $"vec_id", $"embedding")
+    val scope = CacheScope()
+    val pipe = new DedupPipeline(docs, 8, 2, 2, scope)
+    assert(pipe.candidates.count() >= 0 && pipe.clusters.count() == 4)
+    val tok = new TokenPipeline(docs.select($"doc_id", $"text"), scope)
+    assert(tok.tokenRarity.count() == 4)
+    val cents = Similarity.seedCentroids(vecs, 2)
+    assert(Similarity.withinCellPairs(vecs, cents, 0.9, scope).count() > 0)
+    assert(scope.liveOwnedCaches >= 4,
+      "gram, signature, tf, and vector-side caches should all be owned")
+    scope.close()
+    assert(scope.liveOwnedCaches == 0,
+      "the whole composed session must release at one close()")
   }
 
   test("the loan wrapper closes on both success and failure") {

@@ -209,14 +209,42 @@ class DedupSpec extends SparkSpec {
     val chain = (0 until n - 1).map(i => (i.toLong, i + 1L))
       .toDF("doc_a", "doc_b")
     val t0 = System.nanoTime()
+    // starAfter = 100 pins the PLAIN propagation path (this test is about
+    // lineage truncation, not the star fallback — which has its own test)
     val out = Dedup.connectedComponents(vertices, chain, maxIters = 100,
-      checkpointEvery = 5)
+      checkpointEvery = 5, starAfter = 100)
     val labels = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val secs = (System.nanoTime() - t0) / 1e9
     assert(labels.size == n && labels.values.forall(_ == 0L))
     // generous bound: ~45 iterations of two tiny distributed jobs each;
     // an untruncated 44-layer plan would blow well past this on analysis
     assert(secs < 120, f"deep-chain convergence took $secs%.1f s")
+  }
+
+  test("diameter-200 chain converges via the large-star/small-star fallback") {
+    // propagation alone would need 200 rounds; with the default
+    // starAfter=20 budget the run must SWITCH to large-star/small-star
+    // (O(log d) rounds) and still land every label on the component min —
+    // the round-4 advisor's hard-fail scenario (IllegalStateException at
+    // the budget) must be gone
+    val n = 201
+    val vertices = (0 until n).map(_.toLong).toDF("doc_id")
+    val chain = (0 until n - 1).map(i => (i.toLong, i + 1L))
+      .toDF("doc_a", "doc_b")
+    // two components: the 0..200 chain plus an isolated pair far away
+    val pairs = chain.unionAll(Seq((9000L, 9001L)).toDF("doc_a", "doc_b"))
+    val allV = vertices.unionAll(Seq(9000L, 9001L, 9500L).toDF("doc_id"))
+    val t0 = System.nanoTime()
+    val out = Dedup.connectedComponents(allV, pairs, maxIters = 60,
+      checkpointEvery = 5)
+    val labels = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert((0 until n).forall(i => labels(i.toLong) == 0L))
+    assert(labels(9000L) == 9000L && labels(9001L) == 9000L)
+    assert(labels(9500L) == 9500L, "isolated vertex keeps its own label")
+    // 20 propagation rounds + ~log2(200) star rounds of small jobs; a
+    // diameter-long loop (200 rounds) would blow well past this
+    assert(secs < 120, f"star-fallback convergence took $secs%.1f s")
   }
 
   test("substring dup rate counts cross-doc positional windows only") {

@@ -1,0 +1,111 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
+import graft.ops.Similarity
+import graft.streaming.StreamingSimilarity
+
+/** The streaming semantic screen: in-flight cell assignment must be
+  * bit-equal to the batch `ivfAssign`, and the full stream screen must
+  * emit exactly the pairs the equivalent batch computation produces —
+  * the same stream/batch-equivalence contract StreamingDedupSpec pins for
+  * the minhash screen.
+  */
+class StreamingSimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(sec: Long) = new Timestamp(sec * 1000L)
+
+  // corpus: two clearly separated directions plus mild off-axis vectors.
+  // kmeansCentroids seeds from the first `c` ids, so ids 0 and 1 span the
+  // two directions — the trained cells separate the x- and z-clusters.
+  private def corpus = Similarity.withNorm(
+    Seq(
+      (0L, Array(1.0f, 0.05f, 0.0f)),
+      (1L, Array(0.0f, 0.1f, 1.0f)),
+      (2L, Array(0.9f, 0.1f, 0.05f)),
+      (3L, Array(0.05f, 0.0f, 0.95f)))
+      .toDF("vec_id", "embedding"),
+    col("vec_id"), col("embedding"))
+
+  // arrivals: a near-copy of 10, a near-copy of 12, and an in-between
+  // vector that lands in SOME cell but matches nothing at the threshold
+  private val arrivals = Seq(
+    (1L, Array(0.99f, 0.06f, 0.01f), ts(100)),
+    (2L, Array(0.01f, 0.09f, 0.98f), ts(101)),
+    (3L, Array(0.6f, 0.5f, 0.6f), ts(102)))
+
+  test("stream screen equals the batch screen, cells and cosines included") {
+    implicit val sqlCtx = spark.sqlContext
+    val cents = Similarity.kmeansCentroids(corpus, 2, 2)
+    val cells = StreamingSimilarity.corpusCells(corpus, cents)
+    val threshold = 0.98
+
+    val in = MemoryStream[(Long, Array[Float], Timestamp)]
+    val q = StreamingSimilarity.screenAgainstCorpus(
+        in.toDF().toDF("vec_id", "embedding", "ts"), "ts", "0 seconds",
+        cents, cells, threshold)
+      .writeStream.format("memory").queryName("stream_sim_screen")
+      .outputMode("append").start()
+    val got = try {
+      in.addData(arrivals: _*)
+      q.processAllAvailable()
+      spark.table("stream_sim_screen")
+        .select($"vec_id", $"corpus_id", $"sim")
+        .as[(Long, Long, Double)].collect().toSet
+    } finally q.stop()
+
+    // batch equivalent: assign the same arrivals with ivfAssign against
+    // the same centroids, equi-join the corpus cell table, same cosine
+    val arrBatch = Similarity.withNorm(
+      arrivals.map(a => (a._1, a._2)).toDF("vec_id", "embedding"),
+      col("vec_id"), col("embedding"))
+    val expected = arrBatch
+      .join(Similarity.ivfAssign(arrBatch, cents), "vec_id")
+      .alias("s")
+      .join(cells.alias("c"), col("s.cell") === col("c.cell"))
+      .select(col("s.vec_id"),
+        col("c.corpus_id"),
+        Similarity.cosine(col("s.v"), col("s.norm"), col("c.v"),
+          col("c.norm")).as("sim"))
+      .filter(col("sim") >= threshold)
+      .as[(Long, Long, Double)].collect().toSet
+
+    assert(got == expected, s"stream $got vs batch $expected")
+    assert(got.map(_._1).contains(1L) && got.map(_._1).contains(2L))
+    assert(!got.map(_._1).contains(3L),
+      "below-threshold arrival must pass the screen silently")
+  }
+
+  test("in-flight cell assignment is bit-equal to batch ivfAssign") {
+    implicit val sqlCtx = spark.sqlContext
+    val cents = Similarity.kmeansCentroids(corpus, 2, 2)
+    val cells = StreamingSimilarity.corpusCells(corpus, cents)
+
+    // threshold -1: every corpus vector in the arrival's cell is emitted,
+    // so the output exposes the assignment itself
+    val in = MemoryStream[(Long, Array[Float], Timestamp)]
+    val q = StreamingSimilarity.screenAgainstCorpus(
+        in.toDF().toDF("vec_id", "embedding", "ts"), "ts", "0 seconds",
+        cents, cells, -1.0)
+      .writeStream.format("memory").queryName("stream_sim_cells")
+      .outputMode("append").start()
+    val streamCells = try {
+      in.addData(arrivals: _*)
+      q.processAllAvailable()
+      spark.table("stream_sim_cells")
+        .select($"vec_id", $"cell").distinct()
+        .as[(Long, Long)].collect().toMap
+    } finally q.stop()
+
+    val arrBatch = Similarity.withNorm(
+      arrivals.map(a => (a._1, a._2)).toDF("vec_id", "embedding"),
+      col("vec_id"), col("embedding"))
+    val batchCells = Similarity.ivfAssign(arrBatch, cents)
+      .as[(Long, Long)].collect().toMap
+
+    assert(streamCells == batchCells,
+      s"in-flight argmax $streamCells diverges from batch $batchCells")
+  }
+}
