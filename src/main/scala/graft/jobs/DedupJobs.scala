@@ -16,14 +16,9 @@ object DedupJobs {
   private val BANDS = 2  // LSH bands (4 rows/band): strict, near-dups only
   private val SIMHASH_BITS = 16
 
-  /** DuckDB: 8 md5-hex chars of `inner` starting at `from` as BIGINT. */
   private def hexIntSqlAt(inner: String, from: Int): String =
-    (1 to 8).map { i =>
-      s"(strpos('0123456789abcdef', substr(md5($inner),${from + i - 1},1))-1) * ${math.pow(16, 8 - i).toLong}::BIGINT"
-    }.mkString("(", " + ", ")")
-
-  /** DuckDB: first 8 md5-hex chars of `inner` as BIGINT. */
-  private def hexIntSql(inner: String): String = hexIntSqlAt(inner, 1)
+    OracleSql.hexIntSqlAt(inner, from)
+  private def hexIntSql(inner: String): String = OracleSql.hexIntSql(inner)
 
   private val wordsCte =
     """words AS (

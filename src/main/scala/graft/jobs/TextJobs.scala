@@ -587,7 +587,66 @@ object TextJobs {
        |FROM w, t""".stripMargin
   }
 
+  /** Model-based quality classification — the stage real pipelines (CCNet,
+    * DCLM) run AFTER the heuristic filters ([[c4Filters]], `text_stats`'
+    * ratio score): a linear classifier over hashed token features. Tokens
+    * hash into [[graft.functions.HashedLinearModel.Buckets]] buckets, each
+    * bucket carries an integer weight, the per-document sum is the score.
+    * The weights are a deterministic synthetic model (no trained weights
+    * ship in this container — the declared-stub discipline of
+    * `ops/Multimodal`); the operator shape is the production one, and a
+    * trained model swaps in as a broadcast bucket→weight lookup under the
+    * same contract.
+    *
+    * Scale shape: the ENTIRE model evaluation is one codegen expression
+    * inside the document scan — zero exchanges (plan-pinned). The
+    * explode-based restatement would shuffle every token of a 100 TB
+    * corpus to compute a row-local sum. Integer score exact and
+    * order-independent; the logit is one double division at the end
+    * (+1e-9-nudged 6-decimal round, the ratio discipline).
+    *
+    * Output: (doc_id, n_tokens, score_q, logit, keep).
+    */
+  def qualityClassifier(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.{HashedLinearModel => M, TextModelFunctions}
+    val toks = TextAnalysis.tokens(col("text"))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        TextModelFunctions.hashed_linear_score(toks).as("score_q"))
+      .withColumn("logit",
+        round(col("score_q").cast("double") /
+          (lit(M.WeightCenter) * greatest(col("n_tokens"), lit(1L)))
+            .cast("double") + lit(1e-9), 6))
+      .withColumn("keep", col("score_q") > 0)
+  }
+
+  val qualityClassifierSql: String = {
+    import graft.functions.{HashedLinearModel => M}
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(text, '[A-Za-z0-9]+')) AS t
+       |  FROM documents
+       |), w AS (
+       |  SELECT doc_id,
+       |         ((${OracleSql.hexIntSql("t")} % ${M.Buckets}) * ${M.WeightMul}
+       |           + ${M.WeightAdd}) % ${M.WeightMod} - ${M.WeightCenter} AS wt
+       |  FROM toks
+       |), s AS (
+       |  SELECT doc_id, COUNT(*) AS n_tokens, CAST(SUM(wt) AS BIGINT) AS score_q
+       |  FROM w GROUP BY doc_id
+       |)
+       |SELECT d.doc_id,
+       |       COALESCE(s.n_tokens, 0) AS n_tokens,
+       |       COALESCE(s.score_q, 0) AS score_q,
+       |       ROUND(CAST(COALESCE(s.score_q, 0) AS DOUBLE)
+       |             / (${M.WeightCenter} * GREATEST(COALESCE(s.n_tokens, 0), 1))
+       |             + 1e-9, 6) AS logit,
+       |       COALESCE(s.score_q, 0) > 0 AS keep
+       |FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "quality_classifier" -> qualityClassifier,
     "c4_filters" -> c4Filters,
     "mixture_plan" -> mixturePlan,
     "text_redact" -> textRedact,
@@ -603,6 +662,7 @@ object TextJobs {
     "text_repetition" -> textRepetition)
 
   val oracles: Map[String, String] = Map(
+    "quality_classifier" -> qualityClassifierSql,
     "c4_filters" -> c4FiltersSql,
     "mixture_plan" -> mixturePlanSql,
     "text_redact" -> textRedactSql,

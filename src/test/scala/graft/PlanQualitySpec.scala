@@ -188,6 +188,25 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("*(1)"), s"quantization fell out of codegen:\n$p")
   }
 
+  test("quality classifier evaluates the model inside the scan, zero exchanges") {
+    val p = plan(TextJobs.qualityClassifier(spark, sf("sf0.001")))
+    assert(!p.contains("Exchange"),
+      s"per-document model score should never shuffle:\n$p")
+    assert(p.contains("hashed_linear_score"), s"native expression missing:\n$p")
+    assert(p.contains("*(1)"), s"classifier fell out of codegen:\n$p")
+  }
+
+  test("composed jaccard fence shuffles int keys only, never all-pairs") {
+    val p = plan(DedupJobs.ngramJaccardPrefix(spark, sf("sf0.001")))
+    // both fences (identity compression + df-ordered prefix) are int-keyed:
+    // no exchange may carry gram strings, and candidate generation must be
+    // the prefix equi-join, never a quadratic fallback
+    assert(!"Exchange hashpartitioning\\([^)]*gram#".r.findFirstIn(p).isDefined,
+      s"composed jaccard lineage shuffles gram strings:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"quadratic zone appeared in the composed plan:\n$p")
+  }
+
   test("whole-stage codegen covers the scan→filter→project pipelines") {
     // "*(n)" prefixes mark WholeStageCodegen stages in the plan string
     val p = plan(TextJobs.textStats(spark, sf("sf0.001")))
