@@ -1,0 +1,70 @@
+package graft.functions
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.UnaryExpression
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graft.bridge
+import org.apache.spark.sql.types.{BooleanType, DataType}
+import org.apache.spark.util.sketch.BloomFilter
+
+/** Bloom-filter membership probe as a codegen expression.
+  *
+  * The 100 TB pattern this enables: when a small frame (a daily ingest
+  * batch) must be matched against a huge one (the existing corpus), build
+  * a Bloom filter over the SMALL side's join keys on the driver, ship it
+  * inside the plan, and filter the huge side's scan with it BEFORE the
+  * shuffle — the big side's exchange then carries only rows that might
+  * match, O(true collisions + fpp·corpus) instead of O(corpus). Bloom
+  * filters have no false negatives, so as a PRE-filter ahead of an exact
+  * equi-join the rewrite is lossless: false positives survive the scan
+  * but die in the join, and the final output is bit-identical (the
+  * pattern `Dedup.lshCandidatesAcrossBloom` hash-checks against the
+  * unfiltered oracle).
+  *
+  * The filter ships as its serialized bytes (`BloomFilter` is Spark's
+  * `util.sketch` — in-box, stable serialized form) and is deserialized
+  * once per executor codegen instance, not per row. Interpreted fallback
+  * deserializes lazily on first eval.
+  */
+case class BloomMightContain(bloomBytes: Array[Byte], child: Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "bloom_might_contain"
+
+  @transient private lazy val bloom: BloomFilter =
+    BloomFilter.readFrom(new ByteArrayInputStream(bloomBytes))
+
+  override def nullSafeEval(a: Any): Any =
+    bloom.mightContainLong(a.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bytesRef = ctx.addReferenceObj("bloomBytes", bloomBytes, "byte[]")
+    val cls = classOf[BloomFilter].getName
+    val field = ctx.addMutableState(cls, "bloomFilter", v =>
+      s"""try {
+         |  $v = $cls.readFrom(new java.io.ByteArrayInputStream($bytesRef));
+         |} catch (java.io.IOException e) {
+         |  throw new RuntimeException(e);
+         |}""".stripMargin)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $field.mightContainLong($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BloomMightContain =
+    copy(child = newChild)
+}
+
+object SketchFunctions {
+  /** Column API over [[BloomMightContain]]: does `key` (a LONG column)
+    * possibly belong to `bloom`? Serializes the filter once at plan
+    * construction.
+    */
+  def bloom_might_contain(bloom: BloomFilter, key: Column): Column = {
+    val out = new ByteArrayOutputStream()
+    bloom.writeTo(out)
+    bridge.column(BloomMightContain(out.toByteArray, bridge.expression(key)))
+  }
+}

@@ -323,16 +323,37 @@ object DedupJobs {
     * rescanning; the gate query recomputes both sides in-session because
     * driver queries are standalone.
     */
-  def dedupIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+  def dedupIncremental(spark: SparkSession, sfDir: String): DataFrame =
+    incrementalScreen(spark, sfDir, Dedup.lshCandidatesAcross(_, _, K, BANDS))
+
+  /** [[dedupIncremental]] with the Bloom prescreen on the corpus side
+    * ([[Dedup.lshCandidatesAcrossBloom]]): a Bloom filter over the
+    * arriving batch's band keys prunes the old-corpus signature scan
+    * before the band joins. Registered as its own gate query under the
+    * SAME oracle as `dedup_incremental` — Bloom filters have no false
+    * negatives and the exact band join drops the false positives, so
+    * hash-equality against the unfiltered semantics IS the losslessness
+    * check (the `ngram_jaccard_prefix` discipline). At this SF the
+    * prescreen costs more than it saves; at 100 TB it is the difference
+    * between shuffling the corpus's signature table and shuffling only
+    * the rows that might collide with today's batch.
+    */
+  def dedupIncrementalBloom(spark: SparkSession, sfDir: String): DataFrame =
+    incrementalScreen(spark, sfDir,
+      Dedup.lshCandidatesAcrossBloom(_, _, K, BANDS))
+
+  private def incrementalScreen(
+      spark: SparkSession, sfDir: String,
+      across: (DataFrame, DataFrame) => DataFrame): DataFrame = {
     val pipe = pipeline(spark, sfDir)
     val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
       .cast("long") % 100
     val flags = Tables.documents(spark, sfDir)
       .select(col("doc_id"), (bucket >= NEW_BUCKET).as("is_new"))
     val sig = pipe.signatures.join(flags, "doc_id")
-    val cand = Dedup.lshCandidatesAcross(
+    val cand = across(
         sig.filter(col("is_new")).drop("is_new"),
-        sig.filter(!col("is_new")).drop("is_new"), K, BANDS)
+        sig.filter(!col("is_new")).drop("is_new"))
       .withColumnRenamed("left_id", "new_id")
       .withColumnRenamed("right_id", "old_id")
     val gd = pipe.distinctGrams
@@ -542,6 +563,7 @@ object DedupJobs {
     "dedup_simhash" -> dedupSimhash,
     "dedup_clusters" -> dedupClusters,
     "dedup_incremental" -> dedupIncremental,
+    "dedup_incremental_bloom" -> dedupIncrementalBloom,
     "ngram_jaccard" -> ngramJaccard,
     "ngram_jaccard_prefix" -> ngramJaccardPrefix,
     "substring_dup_rate" -> substringDupRate,
@@ -557,6 +579,9 @@ object DedupJobs {
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_clusters" -> dedupClustersSql,
     "dedup_incremental" -> dedupIncrementalSql,
+    // Bloom prescreen is lossless (no false negatives + exact join), so
+    // the unfiltered semantics hash-check it — losslessness IS the gate
+    "dedup_incremental_bloom" -> dedupIncrementalSql,
     "ngram_jaccard" -> ngramJaccardSql,
     // the composed fence is lossless, so the identical uncompressed
     // semantics hash-check it — losslessness IS the checked contract

@@ -176,6 +176,43 @@ object Dedup {
     }.reduce(_ unionAll _).distinct()
   }
 
+  /** [[lshCandidatesAcross]] with a Bloom prescreen on the big side — the
+    * incremental-ingestion shape at 100 TB. `left` is the SMALL frame (the
+    * arriving batch's signatures), `right` the huge one (the corpus
+    * signature table): a Bloom filter over every band key of `left` is
+    * built driver-side (two actions over the small frame only) and filters
+    * `right`'s scan BEFORE the band joins, so the corpus-side exchange
+    * carries only rows whose band keys might collide with the batch —
+    * O(true collisions + fpp·corpus) rows instead of the whole corpus.
+    *
+    * Lossless by the no-false-negative property: any old row truly sharing
+    * a band with a new row has that band key in the filter and survives
+    * the prescreen; false positives die in the exact band equi-join that
+    * follows (the joins still match on the real h-columns, never on the
+    * 64-bit band-key hash, so hash collisions cannot fabricate pairs).
+    * Output is bit-identical to [[lshCandidatesAcross]] — the gate query
+    * reuses the unfiltered oracle, so losslessness is hash-checked.
+    */
+  def lshCandidatesAcrossBloom(
+      left: DataFrame, right: DataFrame, k: Int, bands: Int,
+      fpp: Double = 0.01, scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    val rowsPerBand = k / bands
+    require(bands * rowsPerBand == k, s"k=$k not divisible into $bands bands")
+    val l = scope.cache(left)
+    // one 64-bit key per (row, band): band index + the band's hash columns
+    def bandKey(bi: Int): Column =
+      xxhash64((lit(bi) +: (0 until rowsPerBand)
+        .map(r => col(s"h${bi * rowsPerBand + r}"))): _*)
+    val keys = (0 until bands).map(bi => l.select(bandKey(bi).as("bk")))
+      .reduce(_ unionAll _)
+    val expected = math.max(l.count() * bands, 1L)
+    val bloom = keys.stat.bloomFilter("bk", expected, fpp)
+    val keep = (0 until bands)
+      .map(bi => graft.functions.SketchFunctions.bloom_might_contain(bloom, bandKey(bi)))
+      .reduce(_ || _)
+    lshCandidatesAcross(l, right.filter(keep), k, bands, scope)
+  }
+
   /** SimHash fingerprint over word hashes, `bits` wide (≤ 32 with the
     * 32-bit md5Long). One row per doc: (doc_id, simhash).
     */
