@@ -501,19 +501,9 @@ object TextJobs {
     * a trailing newline, RE2's does not).
     */
   def c4Filters(spark: SparkSession, sfDir: String): DataFrame = {
-    val t = trim(col("text"))
-    val nTok = TextAnalysis.tokenCount(col("text"))
-    val alpha = length(regexp_replace(col("text"), "[^A-Za-z0-9]", ""))
-      .cast("long")
+    val flags = TextAnalysis.c4Columns(col("text"))
     Tables.documents(spark, sfDir)
-      .select(col("doc_id"), nTok.as("n_tokens"),
-        substring(t, -1, 1).isin(".", "!", "?").as("terminal_punct"),
-        col("text").contains("{").as("has_braces"),
-        lower(col("text")).contains("lorem ipsum").as("has_lorem"),
-        (alpha >= nTok * 3 && alpha <= nTok * 10).as("word_len_ok"))
-      .withColumn("kept",
-        col("terminal_punct") && !col("has_braces") && !col("has_lorem") &&
-          col("n_tokens") >= 5 && col("word_len_ok"))
+      .select(col("doc_id") +: flags.map { case (n, c) => c.as(n) }: _*)
   }
 
   val c4FiltersSql: String = {

@@ -75,6 +75,33 @@ object TextAnalysis {
     }
   }
 
+  /** The C4/Gopher format-rule columns over a text column, in gate-query
+    * order: (n_tokens, terminal_punct, has_braces, has_lorem, word_len_ok,
+    * kept). Shared by the batch gate query (`TextJobs.c4Filters`) and the
+    * in-flight ingest screen (`streaming/StreamingText`) so stream and
+    * batch decisions are the same expressions by construction. Rules are
+    * pure string/substring/integer arithmetic (the mean-word-length band
+    * is integer bounds, no division) — one codegen scan, identical in
+    * DuckDB (the terminal-punct check is last-char IN set, not `$`-anchored
+    * regex: Java `$` matches before a trailing newline, RE2's does not).
+    */
+  def c4Columns(text: Column): Seq[(String, Column)] = {
+    val t = trim(text)
+    val nTok = tokenCount(text)
+    val alpha = length(regexp_replace(text, "[^A-Za-z0-9]", "")).cast("long")
+    val terminal = substring(t, -1, 1).isin(".", "!", "?")
+    val braces = text.contains("{")
+    val lorem = lower(text).contains("lorem ipsum")
+    val wordLen = alpha >= nTok * 3 && alpha <= nTok * 10
+    Seq(
+      "n_tokens" -> nTok,
+      "terminal_punct" -> terminal,
+      "has_braces" -> braces,
+      "has_lorem" -> lorem,
+      "word_len_ok" -> wordLen,
+      "kept" -> (terminal && !braces && !lorem && nTok >= 5 && wordLen))
+  }
+
   /** Normalized-content fingerprint: md5 of lowercased, whitespace-collapsed
     * text — the exact-dedup key. (Near-dup fingerprints live in Dedup.)
     */

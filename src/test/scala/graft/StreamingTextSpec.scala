@@ -1,0 +1,57 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.streaming.StreamingText
+
+/** The stateless ingest screen must emit, on a stream, exactly the rows
+  * and decisions the same expressions produce in batch — including the
+  * custom codegen classifier expression, which this spec proves runs
+  * inside streaming micro-batch plans.
+  */
+class StreamingTextSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(sec: Long) = new Timestamp(sec * 1000L)
+
+  private val arrivals = Seq(
+    (1L, "this is a perfectly normal little sentence today.", ts(100)),
+    (2L, "ends without terminal punctuation at all here", ts(101)),
+    (3L, "code page follows { return x; } and then ends here.", ts(102)),
+    (4L, "short.", ts(103)),
+    (5L, "contact me at alice@example.com for all the details today.", ts(104)))
+
+  test("stream screen equals the batch screen row for row") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val q = StreamingText.screen(in.toDF().toDF("doc_id", "text", "ts"))
+      .writeStream.format("memory").queryName("stream_text_screen")
+      .outputMode("append").start()
+    val got = try {
+      in.addData(arrivals: _*)
+      q.processAllAvailable()
+      spark.table("stream_text_screen").drop("ts").collect()
+        .map(_.toSeq).toSet
+    } finally q.stop()
+
+    val want = StreamingText.screen(
+        arrivals.toDF("doc_id", "text", "ts")).drop("ts")
+      .collect().map(_.toSeq).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+
+    // and the screen actually screens: doc 1 admitted, 2 (no terminal
+    // punct), 3 (braces), 4 (too short) rejected; 5's email is scrubbed
+    val byId = spark.table("stream_text_screen").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(byId(1L).getAs[Boolean]("kept"))
+    assert(!byId(2L).getAs[Boolean]("kept"))
+    assert(!byId(3L).getAs[Boolean]("kept"))
+    assert(!byId(4L).getAs[Boolean]("kept"))
+    assert(!byId(5L).getAs[String]("text_redacted").contains("alice@"))
+    byId.values.foreach { r =>
+      assert(r.getAs[Boolean]("admit") ==
+        (r.getAs[Boolean]("kept") && r.getAs[Boolean]("keep_model")))
+    }
+  }
+}
