@@ -429,7 +429,42 @@ object SimilarityJobs {
       |  CAST(COUNT(*) FILTER (ABS(qi) = 127) AS BIGINT) AS n_sat
       |FROM q GROUP BY vec_id""".stripMargin
 
+  private val PROJECT_DIMS = 8
+
+  /** Johnson–Lindenstrauss random projection manifest
+    * ([[Similarity.randomProject]]): each 64-dim embedding onto 8 fixed
+    * pseudo-random hyperplanes — the coordinate-COUNT compression
+    * complementing [[embeddingQuantize]]'s coordinate-width compression.
+    * All `outDims` dot products run as codegen expressions inside the
+    * scan (zero exchanges, plan-pinned); both engines loop dot products
+    * in identical element order, so the nudged 6-decimal doubles
+    * hash-match.
+    */
+  def embeddingProject(spark: SparkSession, sfDir: String): DataFrame =
+    Similarity.randomProject(
+      Tables.load(spark, sfDir, "embeddings")
+        .filter(col("embedding").isNotNull && size(col("embedding")) > 0)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v")),
+      PROJECT_DIMS, DIMS)
+
+  val embeddingProjectSql: String = {
+    val cols = (0 until PROJECT_DIMS).map { o =>
+      val w = (0 until DIMS)
+        .map(d => Similarity.projWeight(o, d))
+        .mkString("[", ", ", "]")
+      s"ROUND(list_dot_product(v, $w) + 1e-12, 6) AS p$o"
+    }.mkString(",\n       ")
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |  WHERE embedding IS NOT NULL AND len(embedding) > 0
+       |)
+       |SELECT vec_id,
+       |       $cols
+       |FROM e""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "embedding_project" -> embeddingProject,
     "embedding_quantize" -> embeddingQuantize,
     "ann_cosine_topk" -> annCosineTopK,
     "embedding_neardup" -> embeddingNeardup,
@@ -441,6 +476,7 @@ object SimilarityJobs {
     "semantic_dedup" -> semanticDedup)
 
   val oracles: Map[String, String] = Map(
+    "embedding_project" -> embeddingProjectSql,
     "embedding_quantize" -> embeddingQuantizeSql,
     "ann_cosine_topk" -> annCosineTopKSql,
     "embedding_neardup" -> embeddingNeardupSql,

@@ -107,6 +107,52 @@ object Similarity {
       when(s > 0, lit(1 << j)).otherwise(lit(0))
     }.reduce(_ + _)
 
+  /** Projection-plane weight in [-1, 1): a splitmix64-style avalanche of
+    * (plane, dim). [[planeWeight]]'s LCG-ish mix is NOT reused here: its
+    * rows are cyclic shifts of one period-97 sequence (measured 0.82
+    * inter-plane correlation) — harmless for [[lshBucket]]'s one-bit
+    * signs, fatal for a projection, whose planes must be near-orthogonal
+    * in expectation (the avalanche mix measures ≤ 0.40). 20 mantissa bits
+    * keep the decimal literal short; Scala's `Double.toString` round-trips,
+    * so the SQL oracle's parsed literal is the identical double.
+    */
+  def projWeight(o: Int, d: Int): Double = {
+    var z = o.toLong * 0x9E3779B97F4A7C15L + d.toLong * 0xBF58476D1CE4E5B9L +
+      0x94D049BB133111EBL
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z = z ^ (z >>> 31)
+    ((z & 0xFFFFFL).toDouble / 0x80000L.toDouble) - 1.0
+  }
+
+  /** Random projection (Johnson–Lindenstrauss) of each vector onto
+    * `outDims` fixed pseudo-random hyperplanes — the vector-compression
+    * sibling of int8 quantization: where quantization shrinks each
+    * coordinate, projection shrinks the coordinate COUNT (64→8 cuts
+    * storage and pairwise-scoring flops 8×). The contract is the JL one —
+    * pairwise-distance/cosine preservation with error ∝ 1/√outDims, NOT
+    * top-k survival: on near-uniform vectors (tiny neighbor margins, like
+    * the synthetic driver embeddings) even a true Gaussian projection
+    * scrambles top-k, while the distance error still decays on schedule
+    * (spec-measured: mean |Δcos| 0.29 → 0.20 → 0.14 at 8 → 16 → 32 dims,
+    * the √2 ladder). Use it for coarse pre-filters and sketch storage;
+    * keep exact rerank on the full vectors.
+    *
+    * Per row it is `outDims` codegen'd [[graft.functions.DotProduct]]s
+    * against plan-time literal weight arrays — inside the scan stage,
+    * zero exchanges at any corpus size, the same shape as
+    * [[lshBucket]]/`Int8QuantStats`. Both engines loop the dot product in
+    * identical element order, so the doubles agree bit-for-bit and the
+    * +1e-12-nudged 6-decimal round (the cosine discipline) hash-matches.
+    * Output: (vec_id, p0..p{outDims-1}).
+    */
+  def randomProject(vectors: DataFrame, outDims: Int, dims: Int): DataFrame =
+    vectors.select(col("vec_id") +: (0 until outDims).map { o =>
+      val w = array((0 until dims).map(d => lit(projWeight(o, d))): _*)
+      round(graft.functions.VectorFunctions.dot_product(col("v"), w)
+        + lit(1e-12), 6).as(s"p$o")
+    }: _*)
+
   /** IVF (inverted-file) ANN: assign every vector to its nearest centroid
     * cell, probe the `nprobe` cells nearest each query, exact-cosine rank
     * within probed cells. The operator shape is production IVF; centroid
