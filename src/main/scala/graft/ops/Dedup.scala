@@ -205,8 +205,12 @@ object Dedup {
         .map(r => col(s"h${bi * rowsPerBand + r}"))): _*)
     val keys = (0 until bands).map(bi => l.select(bandKey(bi).as("bk")))
       .reduce(_ unionAll _)
-    val expected = math.max(l.count() * bands, 1L)
-    val bloom = keys.stat.bloomFilter("bk", expected, fpp)
+    val nLeft = l.count()
+    if (nLeft == 0)
+      // nothing arriving ⇒ no candidates; also `stat.bloomFilter` NPEs on
+      // an empty frame (its aggregate yields null), so don't build one
+      return l.select(col("doc_id").as("left_id"), col("doc_id").as("right_id"))
+    val bloom = keys.stat.bloomFilter("bk", nLeft * bands, fpp)
     val keep = (0 until bands)
       .map(bi => graft.functions.SketchFunctions.bloom_might_contain(bloom, bandKey(bi)))
       .reduce(_ || _)

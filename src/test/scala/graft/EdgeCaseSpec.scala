@@ -95,6 +95,26 @@ class EdgeCaseSpec extends SparkSpec {
     assert(graft.jobs.DedupJobs.dedupIncremental(spark, dir).count() == 0)
   }
 
+  test("round-5 ops are total on empty and degenerate inputs") {
+    val dir = java.nio.file.Files.createTempDirectory("empty_r5").toString
+    Seq.empty[(Long, String, String, String, Long)]
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    assert(graft.jobs.TextJobs.qualityClassifier(spark, dir).count() == 0)
+    assert(graft.jobs.SimilarityJobs.embeddingProject(spark, dir).count() == 0)
+    // Bloom prescreen with an EMPTY new batch: stat.bloomFilter over zero
+    // rows must not throw, and the screen returns nothing
+    assert(graft.jobs.DedupJobs.dedupIncrementalBloom(spark, dir).count() == 0)
+    // streaming text screen is stateless — batch-mode totality on
+    // degenerate text (the stream plans the identical expressions)
+    val weird = Seq((1L, ""), (2L, "   "), (3L, "{")).toDF("doc_id", "text")
+    val screened = graft.streaming.StreamingText.screen(weird).collect()
+    assert(screened.length == 3)
+    screened.foreach(r => assert(!r.getAs[Boolean]("admit")))
+  }
+
   test("round-4 ops are total on degenerate documents") {
     // all-empty and token-free texts: packing skips them entirely (no
     // zero-token bins), redaction counts zero, jaccard emits nothing
