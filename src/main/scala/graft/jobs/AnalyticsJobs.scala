@@ -196,6 +196,47 @@ object AnalyticsJobs {
         min(col("k")).as("min_k"),
         max(col("k")).as("max_k"))
 
+  /** Path analysis — the event-type transition matrix: per user, events
+    * ordered by (ts, event_id), each consecutive pair contributes one
+    * (from_type, to_type) edge; counts plus distinct-user support per
+    * edge. The classic UBA "what do users do next" query the reference's
+    * hot-items family points at but never materializes.
+    *
+    * 100 TB shape: the lead() window partitions by user_id (high
+    * cardinality — thousands of rows per reducer, not per-type megatasks),
+    * and the transition agg is a two-phase hash aggregate over ≤ |types|²
+    * keys. No text, no payload, one exchange on user_id + one tiny agg
+    * exchange.
+    */
+  def eventPaths(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"),
+        count_distinct(col("user_id")).as("n_users"))
+  }
+
+  /** Oracle: identical lead() restatement; (ts, event_id) ordering is a
+    * total order (event_id unique) so both engines derive the same edge
+    * set.
+    */
+  val eventPathsSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type,
+      |         LEAD(event_type) OVER (
+      |           PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+      |  FROM events
+      |)
+      |SELECT event_type AS from_type, to_type, COUNT(*) AS n,
+      |       COUNT(DISTINCT user_id) AS n_users
+      |FROM e WHERE to_type IS NOT NULL
+      |GROUP BY 1, 2""".stripMargin
+
   val eventPropsSql: String =
     """SELECT event_type, COUNT(k) AS n_with_k,
       |       CAST(SUM(k) AS BIGINT) AS sum_k,
@@ -274,10 +315,12 @@ object AnalyticsJobs {
     "percentile_stats" -> percentileStats,
     "approx_percentile_stats" -> approxPercentileStats,
     "approx_distinct" -> approxDistinct,
-    "event_props" -> eventProps)
+    "event_props" -> eventProps,
+    "event_paths" -> eventPaths)
 
   val oracles: Map[String, String] = Map(
     "event_props" -> eventPropsSql,
+    "event_paths" -> eventPathsSql,
     "session_agg" -> sessionAggSql,
     "cube_agg" -> cubeAggSql,
     "pivot_agg" -> pivotAggSql,

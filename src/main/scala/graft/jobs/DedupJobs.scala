@@ -450,6 +450,60 @@ object DedupJobs {
        |       CAST(n_dup_windows AS DOUBLE) / n_windows AS dup_rate
        |FROM r""".stripMargin
 
+  /** [[Dedup.substringDedupClean]] over `documents`: the REMOVAL step the
+    * rate query measures — every token inside a cross-document duplicated
+    * 5-word window is dropped and the cleaned text re-emitted. Together
+    * with substring_dup_rate this completes the exact-substring-dedup
+    * story: measure, then clean.
+    */
+  def substringDedupClean(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.substringDedupClean(
+      Tables.documents(spark, sfDir).select(col("doc_id"), col("text")),
+      SUBSTR_W)
+
+  /** Oracle restates tokenize → window-hash → cross-doc frequency →
+    * covered-position expansion → ordered rebuild. `string_agg` skips the
+    * removed (NULL) tokens and orders by position — the exact contract of
+    * Spark's sorted collect_list rebuild; COALESCE('') matches
+    * `concat_ws` on an all-removed document.
+    */
+  val substringDedupCleanSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+       |  FROM documents
+       |), tok AS (
+       |  SELECT doc_id, unnest(range(1, len(w) + 1)) AS i, w FROM d
+       |), t AS (
+       |  SELECT doc_id, i - 1 AS pos, w[i] AS tok FROM tok
+       |), g AS (
+       |  SELECT doc_id, i - 1 AS spos,
+       |         array_to_string(w[i:i+${SUBSTR_W - 1}], ' ') AS gram
+       |  FROM tok WHERE i <= len(w) - ${SUBSTR_W - 1}
+       |), occ AS (
+       |  SELECT doc_id, spos, ${OracleSql.hexIntSql("gram")} AS gh1,
+       |         ${OracleSql.hexIntSqlAt("gram", 9)} AS gh2
+       |  FROM g
+       |), freq AS (
+       |  SELECT gh1, gh2, COUNT(DISTINCT doc_id) AS n_docs
+       |  FROM occ GROUP BY 1, 2
+       |), cov AS (
+       |  SELECT DISTINCT o.doc_id, o.spos + off.j AS pos
+       |  FROM occ o
+       |  JOIN freq USING (gh1, gh2),
+       |       (SELECT unnest(range(0, $SUBSTR_W)) AS j) off
+       |  WHERE freq.n_docs >= 2
+       |), fl AS (
+       |  SELECT t.doc_id, t.pos, t.tok, cov.pos IS NOT NULL AS rm
+       |  FROM t LEFT JOIN cov ON t.doc_id = cov.doc_id AND t.pos = cov.pos
+       |)
+       |SELECT doc_id,
+       |       COUNT(*) AS n_tokens,
+       |       CAST(SUM(CASE WHEN rm THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_removed,
+       |       COALESCE(string_agg(CASE WHEN NOT rm THEN tok END, ' '
+       |                           ORDER BY pos), '') AS clean_text
+       |FROM fl GROUP BY doc_id""".stripMargin
+
   // ---- deterministic fixed-size sampling ----
 
   private val SAMPLE_N = 100
@@ -567,6 +621,7 @@ object DedupJobs {
     "ngram_jaccard" -> ngramJaccard,
     "ngram_jaccard_prefix" -> ngramJaccardPrefix,
     "substring_dup_rate" -> substringDupRate,
+    "substring_dedup_clean" -> substringDedupClean,
     "train_split" -> trainSplit,
     "decontamination" -> decontamination)
 
@@ -587,6 +642,7 @@ object DedupJobs {
     // semantics hash-check it — losslessness IS the checked contract
     "ngram_jaccard_prefix" -> ngramJaccardSql,
     "substring_dup_rate" -> substringDupRateSql,
+    "substring_dedup_clean" -> substringDedupCleanSql,
     "train_split" -> trainSplitSql,
     "decontamination" -> decontaminationSql)
 }

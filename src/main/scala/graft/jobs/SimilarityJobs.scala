@@ -463,7 +463,103 @@ object SimilarityJobs {
        |FROM e""".stripMargin
   }
 
+  private val PQ_M = 4
+  private val PQ_K = 16
+
+  /** [[Similarity.pqCodes]] over `embeddings`: 4 subspaces × 16 seed codes
+    * — each 64-dim vector compressed to 4 small ints + its reconstruction
+    * error. Completes the storage half of IVF-PQ next to the existing IVF
+    * routing half.
+    */
+  def pqCodes(spark: SparkSession, sfDir: String): DataFrame =
+    Similarity.pqCodes(vectors(spark, sfDir), PQ_M, PQ_K, DIMS)
+
+  /** Oracle restates subspace slicing, the micro-quantized squared-L2
+    * argmin (same association order, same +1e-9 nudge, code-id tie-break)
+    * and the integer error sum divided once at the end.
+    */
+  val pqCodesSql: String = {
+    val sub = DIMS / PQ_M
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |), sv AS (
+       |  SELECT vec_id, s, v[s*$sub+1 : s*$sub+$sub] AS sv
+       |  FROM e, (SELECT unnest(range(0, $PQ_M)) AS s) subs
+       |), cb AS (
+       |  SELECT s, CAST(vec_id AS INTEGER) AS code, sv AS cv
+       |  FROM sv WHERE vec_id < $PQ_K
+       |), scored AS (
+       |  SELECT vec_id, s, code,
+       |         CAST(ROUND((list_dot_product(sv, sv)
+       |                     - 2.0 * list_dot_product(sv, cv)
+       |                     + list_dot_product(cv, cv)) * 1000000.0
+       |                    + 1e-9, 0) AS BIGINT) AS qdist
+       |  FROM sv JOIN cb USING (s)
+       |), best AS (
+       |  SELECT vec_id, s, qdist, code FROM (
+       |    SELECT *, ROW_NUMBER() OVER (
+       |      PARTITION BY vec_id, s ORDER BY qdist, code) AS rn
+       |    FROM scored) r
+       |  WHERE rn = 1
+       |)
+       |SELECT vec_id,
+       |       ${(0 until PQ_M).map(s =>
+            s"MAX(CASE WHEN s = $s THEN code END) AS c$s").mkString(",\n       ")},
+       |       CAST(SUM(qdist) AS DOUBLE) / 1000000.0 AS recon_err
+       |FROM best GROUP BY vec_id""".stripMargin
+  }
+
+  /** [[Similarity.pqAdcTopK]]: PQ asymmetric-distance search for the first
+    * 20 vectors — corpus scanned as 4 ints per vector, scores are integer
+    * micro sums (exact in any aggregation order).
+    */
+  def pqAdcTopK(spark: SparkSession, sfDir: String): DataFrame =
+    Similarity.pqAdcTopK(vectors(spark, sfDir), col("vec_id") < N_QUERIES,
+      PQ_M, PQ_K, DIMS, TOP_K)
+
+  /** Oracle: the query distance table is the scored frame restricted to
+    * query ids; ADC = m table lookups summed as integers — exact.
+    */
+  val pqAdcTopKSql: String = {
+    val sub = DIMS / PQ_M
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |), sv AS (
+       |  SELECT vec_id, s, v[s*$sub+1 : s*$sub+$sub] AS sv
+       |  FROM e, (SELECT unnest(range(0, $PQ_M)) AS s) subs
+       |), cb AS (
+       |  SELECT s, CAST(vec_id AS INTEGER) AS code, sv AS cv
+       |  FROM sv WHERE vec_id < $PQ_K
+       |), scored AS (
+       |  SELECT vec_id, s, code,
+       |         CAST(ROUND((list_dot_product(sv, sv)
+       |                     - 2.0 * list_dot_product(sv, cv)
+       |                     + list_dot_product(cv, cv)) * 1000000.0
+       |                    + 1e-9, 0) AS BIGINT) AS qdist
+       |  FROM sv JOIN cb USING (s)
+       |), codes AS (
+       |  SELECT vec_id, s, code FROM (
+       |    SELECT *, ROW_NUMBER() OVER (
+       |      PARTITION BY vec_id, s ORDER BY qdist, code) AS rn
+       |    FROM scored) r
+       |  WHERE rn = 1
+       |), adc AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+       |         CAST(SUM(q.qdist) AS BIGINT) AS adist
+       |  FROM codes c JOIN scored q USING (s, code)
+       |  WHERE q.vec_id < $N_QUERIES AND q.vec_id <> c.vec_id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT query_id, vec_id AS neighbor_id, adist, rn FROM (
+       |  SELECT *, ROW_NUMBER() OVER (
+       |    PARTITION BY query_id ORDER BY adist, vec_id) AS rn
+       |  FROM adc) ranked
+       |WHERE rn <= $TOP_K""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pq_codes" -> pqCodes,
+    "pq_adc_topk" -> pqAdcTopK,
     "embedding_project" -> embeddingProject,
     "embedding_quantize" -> embeddingQuantize,
     "ann_cosine_topk" -> annCosineTopK,
@@ -476,6 +572,8 @@ object SimilarityJobs {
     "semantic_dedup" -> semanticDedup)
 
   val oracles: Map[String, String] = Map(
+    "pq_codes" -> pqCodesSql,
+    "pq_adc_topk" -> pqAdcTopKSql,
     "embedding_project" -> embeddingProjectSql,
     "embedding_quantize" -> embeddingQuantizeSql,
     "ann_cosine_topk" -> annCosineTopKSql,

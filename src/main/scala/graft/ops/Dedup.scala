@@ -704,4 +704,66 @@ object Dedup {
       .withColumn("dup_rate",
         col("n_dup_windows").cast("double") / col("n_windows"))
   }
+
+  /** Exact substring deduplication (the removal step the rate metric
+    * measures — Lee et al. "Deduplicating Training Data Makes Language
+    * Models Better", reference capability class): drop every token that
+    * lies inside a `w`-token window whose hash occurs in ≥ 2 DISTINCT
+    * documents, and re-emit the cleaned text.
+    *
+    * Semantics (oracle-stated): token at position q of doc d is removed
+    * iff some window start p with p ≤ q ≤ p+w-1 has cross-document
+    * frequency ≥ 2. Documents shorter than `w` have no windows and pass
+    * through verbatim. Output (doc_id, n_tokens, n_removed, clean_text)
+    * with clean_text the kept tokens joined by single spaces ('' when
+    * everything was removed).
+    *
+    * 100 TB shape: the same int-keyed window-hash cascade as
+    * [[substringDupRate]] — the frequency pass shuffles only
+    * (gh1, gh2, doc) int rows, never text. Duplicated-window starts
+    * expand to covered positions by a constant-width `sequence`
+    * explode (≤ w× the DUPLICATED windows only, not the corpus), and the
+    * rebuild is one per-doc aggregation whose collect_list is bounded by
+    * document length — the per-doc sort is the reassembly contract, not a
+    * global sort. Two-limb 64-bit keys as in the rate query
+    * (birthday-safe at crawl scale).
+    */
+  def substringDedupClean(df: DataFrame, w: Int,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ws = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    // one tokenize pass feeds both the window hashes and the rebuild
+    val words = scope.cache(df.select(col("doc_id"),
+      posexplode(split(trim(col("text")), "\\s+")).as(Seq("pos", "tok"))))
+    val withParts = (1 until w).foldLeft(words) { (acc, j) =>
+      acc.withColumn(s"t$j", lead(col("tok"), j).over(ws))
+    }
+    val parts = col("tok") +: (1 until w).map(j => col(s"t$j"))
+    val occ = withParts.filter(parts.last.isNotNull)
+      .select(col("doc_id"), col("pos").as("spos"),
+        md5(concat_ws(" ", parts: _*)).as("h"))
+      .select(col("doc_id"), col("spos"),
+        conv(substring(col("h"), 1, 8), 16, 10).cast("long").as("gh1"),
+        conv(substring(col("h"), 9, 8), 16, 10).cast("long").as("gh2"))
+    // distinct docs per window hash; dup windows are the ones shared
+    // across documents (within-doc repeats alone don't trigger removal —
+    // text_repetition covers those)
+    val docFreq = occ.select(col("doc_id"), col("gh1"), col("gh2")).distinct()
+      .groupBy(col("gh1"), col("gh2")).agg(count(lit(1)).as("n_docs"))
+    val covered = occ
+      .join(docFreq.filter(col("n_docs") >= 2), Seq("gh1", "gh2"))
+      .select(col("doc_id"),
+        explode(sequence(col("spos"), col("spos") + lit(w - 1))).as("pos"))
+      .distinct()
+    words
+      .join(covered.withColumn("rm", lit(true)), Seq("doc_id", "pos"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("rm"), 1L).otherwise(0L)).as("n_removed"),
+        concat_ws(" ", transform(
+          filter(sort_array(collect_list(struct(col("pos"),
+            when(col("rm").isNull, col("tok")).as("tok")))),
+            x => x.getField("tok").isNotNull),
+          x => x.getField("tok"))).as("clean_text"))
+  }
 }

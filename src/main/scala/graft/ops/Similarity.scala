@@ -370,4 +370,122 @@ object Similarity {
         cosine(col("a.v"), col("a.norm"), col("b.v"), col("b.norm")).as("sim"))
     TopN.topNPer(scored, col("query_id"), col("sim"), col("neighbor_id"), k)
   }
+
+  /** Product quantization (Jégou et al., the IVF-PQ storage half): split
+    * each `dims`-vector into `m` contiguous subspaces and replace each
+    * subvector with the id of its nearest codebook entry — `m` small ints
+    * per vector instead of `dims` floats (64 doubles → 4 bytes here; with
+    * int8 quantization and JL projection this completes the
+    * embedding-compression triple: coordinate width, coordinate count,
+    * coordinate identity).
+    *
+    * Codebook: the subvectors of the first `k` vectors by id — the same
+    * deterministic seeding contract as [[seedCentroids]], so both engines
+    * derive it from the data alone (swap in per-subspace
+    * [[kmeansCentroids]] for trained codebooks; the assignment pipeline is
+    * identical).
+    *
+    * Distances are exact squared L2 per subspace, quantized to integer
+    * micros BEFORE the argmin (round(d·10⁶ + 1e-9)): the argmin key and
+    * the summed reconstruction error are both integers, so partial-agg
+    * order can't perturb ties or totals, and ONE double division at the
+    * end re-scales (the engine-exact distributed-mean discipline).
+    * The argmin itself is `min(struct(qdist, code))` — a partial-aggregable
+    * two-phase agg, NOT a window sort: at corpus scale the m·k scored rows
+    * per vector collapse map-side.
+    *
+    * 100 TB shape: codebook is broadcast (m·k rows); the corpus explodes to
+    * m subvector rows per vector (constant fan-out, partition-local),
+    * scores against the broadcast, and aggregates back to one row per
+    * vector — the payload never shuffles, exactly the IVF-assign shape.
+    *
+    * Output: (vec_id, c0..c{m-1}, recon_err).
+    */
+  /** Subvector explode of (vec_id, v): one row per (vec_id, s, sv). */
+  private def pqSubvectors(vectors: DataFrame, m: Int, sub: Int): DataFrame =
+    vectors.select(col("vec_id"),
+      posexplode(array((0 until m).map(s =>
+        slice(col("v"), s * sub + 1, sub)): _*)).as(Seq("s", "sv")))
+
+  /** Micro-quantized squared L2 between a subvector and a codebook entry:
+    * |a-b|² = a·a − 2·a·b + b·b, evaluated in the same association order
+    * as the oracle's SQL so the doubles agree bit-for-bit pre-rounding,
+    * then rounded to integer micros (+1e-9 nudge) — the argmin key, the
+    * reconstruction error, and the ADC score are all integers from here.
+    */
+  private def pqQdist: Column = {
+    val dist = dot(col("sv"), col("sv")) - lit(2.0) * dot(col("sv"), col("cv")) +
+      dot(col("cv"), col("cv"))
+    round(dist * lit(1e6) + lit(1e-9), 0).cast("long")
+  }
+
+  /** Per-(vector, subspace) nearest codebook entry: (vec_id, s, qdist,
+    * code). The codebook is the subvectors of the first `k` vectors
+    * ([[seedCentroids]]' contract), broadcast; the argmin is
+    * `min(struct(qdist, code))` — partial-aggregable, no window sort.
+    */
+  def pqAssign(vectors: DataFrame, m: Int, k: Int, dims: Int): DataFrame = {
+    require(dims % m == 0, s"dims=$dims not divisible by m=$m")
+    val subv = pqSubvectors(vectors, m, dims / m)
+    val cb = broadcast(subv.filter(col("vec_id") < k)
+      .select(col("s"), col("vec_id").cast("int").as("code"),
+        col("sv").as("cv")))
+    subv.join(cb, "s")
+      .select(col("vec_id"), col("s"), col("code"), pqQdist.as("qdist"))
+      .groupBy(col("vec_id"), col("s"))
+      .agg(min(struct(col("qdist"), col("code"))).as("b"))
+      .select(col("vec_id"), col("s"),
+        col("b.qdist").as("qdist"), col("b.code").as("code"))
+  }
+
+  def pqCodes(vectors: DataFrame, m: Int, k: Int, dims: Int): DataFrame = {
+    val best = pqAssign(vectors, m, k, dims)
+    val aggs = (0 until m).map(s =>
+      max(when(col("s") === s, col("code"))).as(s"c$s")) :+
+      (sum(col("qdist")).cast("double") / lit(1e6)).as("recon_err")
+    best.groupBy(col("vec_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** PQ asymmetric-distance ANN (the search half of IVF-PQ): the corpus is
+    * represented ONLY by its codes; each query precomputes its distance
+    * table — qdist(query subvector, codebook entry) for all m·k entries —
+    * and a corpus vector's score is the sum of m table lookups, never a
+    * full-vector scan.
+    *
+    * Shape: corpus codes (m int rows per vector) equi-join the broadcast
+    * query distance table on (s, code) — every (query, vector) pair
+    * matches exactly m rows, so the sum-per-pair agg needs no distinct —
+    * then an integer-keyed top-k. The full-precision corpus payload is
+    * touched only while coding; search scans 4 ints per vector. Scores
+    * are integer micro sums end-to-end: exact in any partial-agg order,
+    * bit-identical in the oracle.
+    *
+    * Output: (query_id, neighbor_id, adist, rn) — adist ascending (it's a
+    * distance), neighbor_id tie-break.
+    */
+  def pqAdcTopK(vectors: DataFrame, isQuery: Column, m: Int, k: Int,
+      dims: Int, topK: Int): DataFrame = {
+    require(dims % m == 0, s"dims=$dims not divisible by m=$m")
+    val sub = dims / m
+    val codes = pqAssign(vectors, m, k, dims)
+      .select(col("vec_id"), col("s"), col("code"))
+    val subv = pqSubvectors(vectors.filter(isQuery), m, sub)
+      .select(col("vec_id").as("query_id"), col("s"), col("sv"))
+    val cb = broadcast(pqSubvectors(vectors.filter(col("vec_id") < k), m, sub)
+      .select(col("s"), col("vec_id").cast("int").as("code"),
+        col("sv").as("cv")))
+    val qtab = broadcast(subv.join(cb, "s")
+      .select(col("query_id"), col("s"), col("code"), pqQdist.as("qdist")))
+    val adc = codes.join(qtab, Seq("s", "code"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("qdist")).as("adist"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist").asc, col("vec_id").asc)
+    adc.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= topK)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("adist"), col("rn"))
+  }
 }

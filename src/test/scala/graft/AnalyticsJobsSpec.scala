@@ -126,4 +126,18 @@ class AnalyticsJobsSpec extends SparkSpec {
     val cohortSize = out.filter(_._2 == 0).map(t => t._1 -> t._3).toMap
     assert(out.forall(t => t._3 <= cohortSize(t._1)))
   }
+
+  test("event_paths: edge counts sum to N - U, support bounded by count") {
+    val out = AnalyticsJobs.eventPaths(spark, sf("sf0.001"))
+      .select($"from_type", $"to_type", $"n", $"n_users")
+      .as[(String, String, Long, Long)].collect()
+    assert(out.nonEmpty)
+    // each user with c events contributes exactly c-1 transitions
+    val ev = graft.io.Tables.events(spark, sf("sf0.001"))
+    val n = ev.count(); val u = ev.select($"user_id").distinct().count()
+    assert(out.map(_._3).sum == n - u)
+    assert(out.forall(t => t._4 >= 1 && t._4 <= t._3))
+    // the edge set is a subset of types × types, no null endpoints
+    assert(out.forall(t => t._1 != null && t._2 != null))
+  }
 }

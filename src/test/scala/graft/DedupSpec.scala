@@ -287,4 +287,28 @@ class DedupSpec extends SparkSpec {
     // strict 4-row bands: candidates ≪ all pairs (124,750 at 500 docs)
     assert(out < 1000)
   }
+
+  test("substring dedup clean removes cross-doc windows, keeps the rest") {
+    val d = Seq(
+      (1L, "a b c d e f"),          // shares window "a b c d e" with doc 2
+      (2L, "z a b c d e y"),
+      (3L, "short doc"))            // < 5 tokens: passes through verbatim
+      .toDF("doc_id", "text")
+    val out = Dedup.substringDedupClean(d, 5).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_removed"),
+          r.getAs[String]("clean_text"))).toMap
+    // doc 1: positions 0-4 covered by the shared window start at 0; "f" kept
+    assert(out(1L) == ((6L, 5L, "f")))
+    // doc 2: the shared window starts at 1 → positions 1-5; "z y" kept
+    assert(out(2L) == ((7L, 5L, "z y")))
+    // doc 3 has no windows — emitted whole
+    assert(out(3L) == ((2L, 0L, "short doc")))
+    // a fully-removed doc reassembles to '' (matches the oracle's COALESCE)
+    val all = Seq((1L, "p q r s t"), (2L, "p q r s t"))
+      .toDF("doc_id", "text")
+    val cleaned = Dedup.substringDedupClean(all, 5).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("clean_text")).toMap
+    assert(cleaned(1L) == "" && cleaned(2L) == "")
+  }
 }

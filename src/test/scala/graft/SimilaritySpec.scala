@@ -168,4 +168,42 @@ class SimilaritySpec extends SparkSpec {
     // lossy by design, but must beat a trivial bucket-only filter
     assert(recall > 0.3, s"recall=$recall")
   }
+
+  test("PQ codes: codebook members reconstruct exactly, others argmin") {
+    val pq = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 1.0f)),   // codebook entry 0
+      (1L, Array(0.0f, 1.0f, 1.0f, 0.0f)),   // codebook entry 1
+      (2L, Array(1.0f, 0.0f, 1.0f, 0.0f)),   // s0→code0, s1→code1, err 0
+      (3L, Array(0.9f, 0.1f, 0.0f, 0.9f)))   // both subspaces nearest code0
+      .toDF("vec_id", "embedding")
+    val vv = Similarity.withNorm(pq, $"vec_id", $"embedding")
+    val out = Similarity.pqCodes(vv, m = 2, k = 2, dims = 4).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Int]("c0"), r.getAs[Int]("c1"),
+          r.getAs[Double]("recon_err"))).toMap
+    assert(out(0L) == ((0, 0, 0.0)))
+    assert(out(1L) == ((1, 1, 0.0)))
+    assert(out(2L) == ((0, 1, 0.0)))
+    val (c0, c1, err) = out(3L)
+    assert(c0 == 0 && c1 == 0)
+    // s0 dist ≈ .01+.01, s1 dist ≈ .01 → ~0.03 (float-noise tolerance)
+    assert(math.abs(err - 0.03) < 1e-4, s"err=$err")
+  }
+
+  test("PQ ADC search ranks by summed code-table distances") {
+    val pq = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 1.0f)),   // codebook 0; the query
+      (1L, Array(0.0f, 1.0f, 1.0f, 0.0f)),   // codebook 1: both subs far
+      (2L, Array(1.0f, 0.0f, 1.0f, 0.0f)),   // s0 matches, s1 far
+      (3L, Array(1.0f, 0.0f, 0.0f, 1.0f)))   // codes (0,0): ADC dist 0
+      .toDF("vec_id", "embedding")
+    val vv = Similarity.withNorm(pq, $"vec_id", $"embedding")
+    val out = Similarity
+      .pqAdcTopK(vv, $"vec_id" < 1, m = 2, k = 2, dims = 4, topK = 3)
+      .orderBy($"rn")
+      .select($"neighbor_id", $"adist").as[(Long, Long)].collect().toSeq
+    // v3 reconstructs to the query's own codes (0 distance), v2 shares
+    // only s0, v1 differs in both subspaces (each |a-b|² = 2 → 2·10⁶)
+    assert(out == Seq((3L, 0L), (2L, 2000000L), (1L, 4000000L)))
+  }
 }
