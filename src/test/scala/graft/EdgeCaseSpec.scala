@@ -144,6 +144,28 @@ class EdgeCaseSpec extends SparkSpec {
     assert(Dedup.substringDupRate(empty, 5).count() == 0)
   }
 
+  test("substring dedup clean is total on degenerate and empty documents") {
+    // window-free docs pass through whole (unlike the rate metric, every
+    // doc with tokens gets a row — the clean op must not lose documents)
+    val deg = Seq((1L, ""), (2L, "one two three four"))
+      .toDF("doc_id", "text")
+    val out = Dedup.substringDedupClean(deg, 5).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_removed"), r.getAs[String]("clean_text"))).toMap
+    assert(out.size == 2)
+    assert(out(1L)._1 == 0L)
+    assert(out(2L) == ((0L, "one two three four")))
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.substringDedupClean(empty, 5).count() == 0)
+  }
+
+  test("PQ coding and ADC search are total on empty corpora") {
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val ve = Similarity.withNorm(empty, $"vec_id", $"embedding")
+    assert(Similarity.pqCodes(ve, 2, 2, 4).count() == 0)
+    assert(Similarity.pqAdcTopK(ve, $"vec_id" < 1, 2, 2, 4, 3).count() == 0)
+  }
+
   test("within-cell pairs are total on empty and singleton corpora") {
     val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
     val ve = Similarity.withNorm(empty, $"vec_id", $"embedding")

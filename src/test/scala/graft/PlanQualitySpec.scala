@@ -212,4 +212,34 @@ class PlanQualitySpec extends SparkSpec {
     val p = plan(TextJobs.textStats(spark, sf("sf0.001")))
     assert(p.contains("*(1)"), s"text stats fell out of codegen:\n$p")
   }
+
+  test("substring dedup clean: int-keyed exchanges, no quadratic zone") {
+    val p = plan(DedupJobs.substringDedupClean(spark, sf("sf0.001")))
+    // the frequency cascade and the covered-position join key on ints
+    // (doc_id, pos, gh1, gh2) — token strings ride as payload but may
+    // never be a partitioning key
+    assert(!"Exchange hashpartitioning\\([^)]*tok#".r.findFirstIn(p).isDefined,
+      s"clean cascade partitions on token strings:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"quadratic zone appeared:\n$p")
+  }
+
+  test("PQ coding and ADC search broadcast the codebook, shuffle only ints") {
+    val pc = plan(SimilarityJobs.pqCodes(spark, sf("sf0.001")))
+    assert(pc.contains("BroadcastHashJoin"), s"codebook not broadcast:\n$pc")
+    assert(!"Exchange hashpartitioning\\([^)]*sv#".r.findFirstIn(pc).isDefined,
+      s"subvector payload used as an exchange key:\n$pc")
+    val pa = plan(SimilarityJobs.pqAdcTopK(spark, sf("sf0.001")))
+    assert(pa.contains("BroadcastHashJoin"),
+      s"query distance table not broadcast:\n$pa")
+    assert(!pa.contains("CartesianProduct") &&
+      !pa.contains("BroadcastNestedLoopJoin"),
+      s"ADC regressed to an all-pairs join:\n$pa")
+  }
+
+  test("event_paths prunes the events scan to the referenced columns") {
+    val p = plan(AnalyticsJobs.eventPaths(spark, sf("sf0.001")))
+    assert(!p.contains("value#") && !p.contains("props#"),
+      s"events scan reads columns event_paths never uses:\n$p")
+  }
 }
