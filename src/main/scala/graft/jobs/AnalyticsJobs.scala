@@ -196,6 +196,66 @@ object AnalyticsJobs {
         min(col("k")).as("min_k"),
         max(col("k")).as("max_k"))
 
+  private val JOURNEY_STEPS = 8
+  private val JOURNEY_TOP = 20
+
+  /** Journey analysis — the session-level sibling of [[eventPaths]]: per
+    * (user, 30-min session window), the ordered event-type sequence
+    * truncated to the first 8 steps, then the top 20 most frequent
+    * journeys with session and user support. Sessionization shares
+    * [[sessionAgg]]'s gap contract.
+    *
+    * 100 TB shape: sessions build in one user-keyed exchange (the
+    * session_window agg); the journey string is a bounded per-session
+    * rollup (≤ 8 steps, collect_list bounded by session length); the
+    * journey count is a two-phase agg over journey-string keys and the
+    * global top-20 is orderBy+limit — TakeOrderedAndProject, never a
+    * single-partition window.
+    */
+  def sessionPaths(spark: SparkSession, sfDir: String): DataFrame = {
+    val journeys = Tables.events(spark, sfDir)
+      .groupBy(col("user_id"), session_window(col("ts"), GAP))
+      .agg(sort_array(collect_list(
+        struct(col("ts"), col("event_id"), col("event_type")))).as("evs"))
+      .select(col("user_id"),
+        concat_ws(">", transform(slice(col("evs"), 1, JOURNEY_STEPS),
+          x => x.getField("event_type"))).as("journey"))
+    journeys.groupBy(col("journey"))
+      .agg(count(lit(1)).as("n_sessions"),
+        count_distinct(col("user_id")).as("n_users"))
+      .orderBy(col("n_sessions").desc, col("journey").asc)
+      .limit(JOURNEY_TOP)
+  }
+
+  /** Oracle: the sessionAgg gaps-and-islands restatement, journeys via
+    * ordered list() truncated to 8, counts, and the same
+    * deterministically tie-broken top-20.
+    */
+  val sessionPathsSql: String =
+    s"""WITH marked AS (
+       |  SELECT user_id, ts, event_id, event_type,
+       |    CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) > ${GAP_SEC}000000
+       |         OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+       |), numbered AS (
+       |  SELECT *, SUM(new_session) OVER (
+       |    PARTITION BY user_id ORDER BY ts
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+       |  FROM marked
+       |), journeys AS (
+       |  SELECT user_id,
+       |         array_to_string(
+       |           (list(event_type ORDER BY ts, event_id))[1:$JOURNEY_STEPS],
+       |           '>') AS journey
+       |  FROM numbered GROUP BY user_id, session_id
+       |)
+       |SELECT journey, COUNT(*) AS n_sessions,
+       |       COUNT(DISTINCT user_id) AS n_users
+       |FROM journeys GROUP BY journey
+       |ORDER BY n_sessions DESC, journey ASC
+       |LIMIT $JOURNEY_TOP""".stripMargin
+
   /** Path analysis — the event-type transition matrix: per user, events
     * ordered by (ts, event_id), each consecutive pair contributes one
     * (from_type, to_type) edge; counts plus distinct-user support per
@@ -316,11 +376,13 @@ object AnalyticsJobs {
     "approx_percentile_stats" -> approxPercentileStats,
     "approx_distinct" -> approxDistinct,
     "event_props" -> eventProps,
-    "event_paths" -> eventPaths)
+    "event_paths" -> eventPaths,
+    "session_paths" -> sessionPaths)
 
   val oracles: Map[String, String] = Map(
     "event_props" -> eventPropsSql,
     "event_paths" -> eventPathsSql,
+    "session_paths" -> sessionPathsSql,
     "session_agg" -> sessionAggSql,
     "cube_agg" -> cubeAggSql,
     "pivot_agg" -> pivotAggSql,

@@ -140,4 +140,19 @@ class AnalyticsJobsSpec extends SparkSpec {
     // the edge set is a subset of types × types, no null endpoints
     assert(out.forall(t => t._1 != null && t._2 != null))
   }
+
+  test("session_paths: top journeys ordered, support bounded, steps capped") {
+    val out = AnalyticsJobs.sessionPaths(spark, sf("sf0.001"))
+      .select($"journey", $"n_sessions", $"n_users")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(out.nonEmpty && out.size <= 20)
+    // ordering contract: count desc, journey asc at ties
+    assert(out == out.sortBy(t => (-t._2, t._1)))
+    assert(out.forall(t => t._3 >= 1 && t._3 <= t._2))
+    // journeys are truncated to 8 steps
+    assert(out.forall(_._1.split(">").length <= 8))
+    // total listed sessions cannot exceed the session count
+    val nSessions = AnalyticsJobs.sessionAgg(spark, sf("sf0.001")).count()
+    assert(out.map(_._2).sum <= nSessions)
+  }
 }
