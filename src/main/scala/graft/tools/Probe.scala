@@ -32,7 +32,7 @@ object Probe {
   private val DupQueries = Seq(
     "dedup_exact", "dedup_simhash", "dedup_minhash_lsh", "dedup_clusters",
     "decontamination", "ngram_jaccard", "text_repetition", "doc_chunks",
-    "substring_dup_rate", "semantic_dedup")
+    "substring_dup_rate", "substring_dedup_clean", "semantic_dedup")
 
   /** The residual-zone suspects: pairwise joins whose fences rely on
     * collapsing identical content, plus the aggregation-only cascade that
@@ -40,7 +40,7 @@ object Probe {
     */
   private val DistinctQueries = Seq(
     "ngram_jaccard", "ngram_jaccard_prefix", "substring_dup_rate",
-    "semantic_dedup")
+    "substring_dedup_clean", "semantic_dedup")
 
   private def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
 
