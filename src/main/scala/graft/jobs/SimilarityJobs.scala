@@ -509,6 +509,75 @@ object SimilarityJobs {
        |FROM best GROUP BY vec_id""".stripMargin
   }
 
+  /** [[Similarity.pqCodesTrained]]: one L2 Lloyd's refinement of the seed
+    * codebook, then the same coding — the checked form of the "trained
+    * codebooks swap in" claim.
+    */
+  def pqCodesTrained(spark: SparkSession, sfDir: String): DataFrame =
+    Similarity.pqCodesTrained(vectors(spark, sfDir), PQ_M, PQ_K, DIMS)
+
+  /** Oracle unrolls the refinement: seed argmin, per-(s, code, dim)
+    * BIGINT sums → one double division per coordinate (list rebuilt in
+    * dim order, the k-means discipline), re-assign against the refined
+    * entries.
+    */
+  val pqCodesTrainedSql: String = {
+    val sub = DIMS / PQ_M
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |), sv AS (
+       |  SELECT vec_id, s, v[s*$sub+1 : s*$sub+$sub] AS sv
+       |  FROM e, (SELECT unnest(range(0, $PQ_M)) AS s) subs
+       |), cb AS (
+       |  SELECT s, CAST(vec_id AS INTEGER) AS code, sv AS cv
+       |  FROM sv WHERE vec_id < $PQ_K
+       |), scored0 AS (
+       |  SELECT vec_id, s, code,
+       |         CAST(ROUND((list_dot_product(sv, sv)
+       |                     - 2.0 * list_dot_product(sv, cv)
+       |                     + list_dot_product(cv, cv)) * 1000000.0
+       |                    + 1e-9, 0) AS BIGINT) AS qdist
+       |  FROM sv JOIN cb USING (s)
+       |), a0 AS (
+       |  SELECT vec_id, s, code FROM (
+       |    SELECT *, ROW_NUMBER() OVER (
+       |      PARTITION BY vec_id, s ORDER BY qdist, code) AS rn
+       |    FROM scored0) r
+       |  WHERE rn = 1
+       |), qd AS (
+       |  SELECT vec_id, s, u.t.d AS d, u.t.q AS q FROM (
+       |    SELECT vec_id, s, unnest(
+       |      [{'d': i, 'q': CAST(ROUND(sv[i] * 1000000.0 + 1e-9) AS BIGINT)}
+       |       FOR i IN range(1, len(sv) + 1)]) AS t
+       |    FROM sv) u
+       |), cb1 AS (
+       |  SELECT s, code, list(coord ORDER BY d) AS cv FROM (
+       |    SELECT a0.s, a0.code, qd.d,
+       |           CAST(SUM(qd.q) AS DOUBLE) / (COUNT(*) * 1000000.0) AS coord
+       |    FROM qd JOIN a0 ON qd.vec_id = a0.vec_id AND qd.s = a0.s
+       |    GROUP BY a0.s, a0.code, qd.d) mm
+       |  GROUP BY s, code
+       |), scored1 AS (
+       |  SELECT sv.vec_id, sv.s, cb1.code,
+       |         CAST(ROUND((list_dot_product(sv, sv)
+       |                     - 2.0 * list_dot_product(sv, cv)
+       |                     + list_dot_product(cv, cv)) * 1000000.0
+       |                    + 1e-9, 0) AS BIGINT) AS qdist
+       |  FROM sv JOIN cb1 USING (s)
+       |), best AS (
+       |  SELECT vec_id, s, qdist, code FROM (
+       |    SELECT *, ROW_NUMBER() OVER (
+       |      PARTITION BY vec_id, s ORDER BY qdist, code) AS rn
+       |    FROM scored1) r
+       |  WHERE rn = 1
+       |)
+       |SELECT vec_id,
+       |       ${(0 until PQ_M).map(s =>
+            s"MAX(CASE WHEN s = $s THEN code END) AS c$s").mkString(",\n       ")},
+       |       CAST(SUM(qdist) AS DOUBLE) / 1000000.0 AS recon_err
+       |FROM best GROUP BY vec_id""".stripMargin
+  }
+
   /** [[Similarity.pqAdcTopK]]: PQ asymmetric-distance search for the first
     * 20 vectors — corpus scanned as 4 ints per vector, scores are integer
     * micro sums (exact in any aggregation order).
@@ -559,6 +628,7 @@ object SimilarityJobs {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pq_codes" -> pqCodes,
+    "pq_codes_trained" -> pqCodesTrained,
     "pq_adc_topk" -> pqAdcTopK,
     "embedding_project" -> embeddingProject,
     "embedding_quantize" -> embeddingQuantize,
@@ -573,6 +643,7 @@ object SimilarityJobs {
 
   val oracles: Map[String, String] = Map(
     "pq_codes" -> pqCodesSql,
+    "pq_codes_trained" -> pqCodesTrainedSql,
     "pq_adc_topk" -> pqAdcTopKSql,
     "embedding_project" -> embeddingProjectSql,
     "embedding_quantize" -> embeddingQuantizeSql,

@@ -446,6 +446,48 @@ object Similarity {
     best.groupBy(col("vec_id")).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** PQ with a TRAINED codebook: one Lloyd's refinement iteration in L2 —
+    * seed-codebook assignment ([[pqAssign]]), per-(subspace, code)
+    * codebook rebuild as quantized means (the [[kmeansCentroids]]
+    * integer-sum discipline: BIGINT coordinate sums are order-independent,
+    * ONE double division per coordinate), then re-assignment against the
+    * refined entries. The refinement is uniform over the subspace column —
+    * one aggregation trains all m codebooks at once, no per-subspace
+    * loop — and empty cells simply drop out of the refined codebook in
+    * both engines. Output schema identical to [[pqCodes]]; reconstruction
+    * error is never higher in aggregate (that is the spec's contract).
+    */
+  def pqCodesTrained(vectors: DataFrame, m: Int, k: Int, dims: Int): DataFrame = {
+    require(dims % m == 0, s"dims=$dims not divisible by m=$m")
+    val subv = pqSubvectors(vectors, m, dims / m)
+    val assign0 = pqAssign(vectors, m, k, dims)
+      .select(col("vec_id"), col("s"), col("code"))
+    val qd = subv
+      .select(col("vec_id"), col("s"),
+        posexplode(col("sv")).as(Seq("d", "coord")))
+      .select(col("vec_id"), col("s"), col("d"),
+        round(col("coord") * KmeansQuantScale + lit(1e-9))
+          .cast("long").as("q"))
+    val cb1 = broadcast(qd.join(assign0, Seq("vec_id", "s"))
+      .groupBy(col("s"), col("code"), col("d"))
+      .agg(sum(col("q")).as("sq"), count(lit(1)).as("n"))
+      .groupBy(col("s"), col("code"))
+      .agg(sort_array(collect_list(struct(col("d"),
+        (col("sq").cast("double") / (col("n") * KmeansQuantScale))
+          .as("coord")))).as("arr"))
+      .select(col("s"), col("code"), col("arr.coord").as("cv")))
+    val best = subv.join(cb1, "s")
+      .select(col("vec_id"), col("s"), col("code"), pqQdist.as("qdist"))
+      .groupBy(col("vec_id"), col("s"))
+      .agg(min(struct(col("qdist"), col("code"))).as("b"))
+      .select(col("vec_id"), col("s"),
+        col("b.qdist").as("qdist"), col("b.code").as("code"))
+    val aggs = (0 until m).map(s =>
+      max(when(col("s") === s, col("code"))).as(s"c$s")) :+
+      (sum(col("qdist")).cast("double") / lit(1e6)).as("recon_err")
+    best.groupBy(col("vec_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** PQ asymmetric-distance ANN (the search half of IVF-PQ): the corpus is
     * represented ONLY by its codes; each query precomputes its distance
     * table — qdist(query subvector, codebook entry) for all m·k entries —

@@ -190,6 +190,18 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(err - 0.03) < 1e-4, s"err=$err")
   }
 
+  test("trained PQ never increases total reconstruction error") {
+    // Lloyd's monotonicity: re-assign ≤ refined-entry error ≤ seed error
+    val sfd = sf("sf0.001")
+    val seed = SimilarityJobs.pqCodes(spark, sfd)
+      .agg(sum($"recon_err")).as[Double].head()
+    val trained = SimilarityJobs.pqCodesTrained(spark, sfd)
+      .agg(sum($"recon_err")).as[Double].head()
+    assert(trained <= seed + 1e-3, s"trained=$trained seed=$seed")
+    // and it should actually help on random data, not just not hurt
+    assert(trained < seed, s"refinement was a no-op: $trained vs $seed")
+  }
+
   test("PQ ADC search ranks by summed code-table distances") {
     val pq = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f, 1.0f)),   // codebook 0; the query
