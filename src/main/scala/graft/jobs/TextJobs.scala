@@ -635,8 +635,135 @@ object TextJobs {
        |FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id""".stripMargin
   }
 
+  /** IN-ENGINE TRAINED quality classifier — the checked form of
+    * [[qualityClassifier]]'s "trained weights swap in as a broadcast
+    * bucket lookup" claim. Supervision comes from the corpus itself: the
+    * quality-score heuristic labels documents (quality ≥ 0.4 — a rule
+    * whose signal, stopword counts and length, genuinely lives in the
+    * token buckets the model sees; the C4 `kept` rule is degenerate on
+    * this corpus, no terminal punctuation anywhere), and a
+    * Rocchio/centroid-difference pass learns one integer weight per
+    * hashed token bucket —
+    * weight_b = round(1000·(mean count in kept docs − mean count in
+    * dropped docs)). Training is pure aggregation: BIGINT per-class
+    * bucket-count sums (order-independent), ONE double division per
+    * class at the end, nudged rounding — the k-means discipline applied
+    * to a text model. Scoring is the identical bucket contract as the
+    * synthetic model: feats ⨝ broadcast(weights) → exact integer sum.
+    *
+    * 100 TB shape: weights ≤ Buckets rows (broadcast-bounded like IVF
+    * centroids), the corpus shuffles only (doc, bucket, count) int rows,
+    * and both training and scoring reuse the same feature frame.
+    *
+    * Output: (doc_id, score_t, keep_trained, label_c4).
+    */
+  def qualityClassifierTrained(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.{HashedLinearModel => M}
+    import graft.ops.Dedup
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val keptCol = TextAnalysis.qualityScore(
+      TextAnalysis.tokenCount(col("text")),
+      TextAnalysis.stopwordCount(col("text"))) >= 0.4
+    val labels = docs.select(col("doc_id"), keptCol.as("kept"))
+    val feats = docs
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("t"))
+      .select(col("doc_id"), (Dedup.md5Long(col("t")) % M.Buckets).as("b"))
+      .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("cnt"))
+    val nCls = broadcast(labels.agg(
+      sum(when(col("kept"), 1L).otherwise(0L)).as("ng"),
+      sum(when(col("kept"), 0L).otherwise(1L)).as("nb")))
+    val stats = feats.join(labels, "doc_id")
+      .groupBy(col("b"))
+      .agg(coalesce(sum(when(col("kept"), col("cnt"))), lit(0L)).as("sg"),
+        coalesce(sum(when(!col("kept"), col("cnt"))), lit(0L)).as("sb"))
+      .crossJoin(nCls)
+    val weights = broadcast(stats
+      .select(col("b"), col("sg"), col("sb"), col("ng"), col("nb"),
+        round(lit(1000.0) * col("sg") / greatest(col("ng"), lit(1L))
+          - lit(1000.0) * col("sb") / greatest(col("nb"), lit(1L))
+          + lit(1e-9)).cast("long").as("w")))
+    // the Rocchio decision boundary: w·x > (w·μ_good + w·μ_bad)/2 — the
+    // midpoint between the class centroids' own scores (a 0 threshold is
+    // degenerate when one class dominates every bucket, e.g. longer docs)
+    val theta = broadcast(weights
+      .agg(sum(col("w") * col("sg")).as("swg"),
+        sum(col("w") * col("sb")).as("swb"),
+        max(col("ng")).as("ng"), max(col("nb")).as("nb"))
+      .select(((col("swg").cast("double") / greatest(col("ng"), lit(1L))
+        + col("swb").cast("double") / greatest(col("nb"), lit(1L)))
+        / lit(2.0)).as("theta")))
+    val scores = feats.join(weights.select(col("b"), col("w")), "b")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt") * col("w")).as("score_t"))
+    labels.join(scores, Seq("doc_id"), "left").crossJoin(theta)
+      .select(col("doc_id"),
+        coalesce(col("score_t"), lit(0L)).as("score_t"),
+        (coalesce(col("score_t"), lit(0L)).cast("double") > col("theta"))
+          .as("keep_trained"),
+        col("kept").as("label_q"))
+  }
+
+  /** Oracle restates label rule, bucket features, per-class BIGINT sums,
+    * the nudged weight rounding (identical association order), and the
+    * exact integer scoring join.
+    */
+  val qualityClassifierTrainedSql: String = {
+    import graft.functions.{HashedLinearModel => M}
+    val nTok = "CAST(length(regexp_extract_all(text, '[A-Za-z0-9]+')) AS DOUBLE)"
+    val nStop = "CAST(length(regexp_extract_all(text, " +
+      "'\\b(the|a|of|and|to|in|is|on|for|with)\\b')) AS DOUBLE)"
+    s"""WITH labels AS (
+       |  SELECT doc_id,
+       |         ROUND(least($nTok / 100.0, 1.0) * 0.6
+       |           + ($nStop / CAST(greatest(
+       |               length(regexp_extract_all(text, '[A-Za-z0-9]+')), 1)
+       |               AS DOUBLE)) * 0.4
+       |           + 1e-9, 4) >= 0.4 AS kept
+       |  FROM documents
+       |), toks AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(text, '[A-Za-z0-9]+')) AS t
+       |  FROM documents
+       |), feats AS (
+       |  SELECT doc_id, ${OracleSql.hexIntSql("t")} % ${M.Buckets} AS b,
+       |         COUNT(*) AS cnt
+       |  FROM toks GROUP BY 1, 2
+       |), ncls AS (
+       |  SELECT CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS ng,
+       |         CAST(SUM(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS nb
+       |  FROM labels
+       |), stats AS (
+       |  SELECT b,
+       |         CAST(COALESCE(SUM(CASE WHEN kept THEN cnt END), 0) AS BIGINT)
+       |           AS sg,
+       |         CAST(COALESCE(SUM(CASE WHEN NOT kept THEN cnt END), 0) AS BIGINT)
+       |           AS sb
+       |  FROM feats JOIN labels USING (doc_id) GROUP BY b
+       |), weights AS (
+       |  SELECT b, sg, sb, ng, nb,
+       |         CAST(ROUND(1000.0 * sg / GREATEST(ng, 1)
+       |                    - 1000.0 * sb / GREATEST(nb, 1) + 1e-9, 0) AS BIGINT)
+       |           AS w
+       |  FROM stats CROSS JOIN ncls
+       |), theta AS (
+       |  SELECT (CAST(SUM(w * sg) AS DOUBLE) / GREATEST(MAX(ng), 1)
+       |          + CAST(SUM(w * sb) AS DOUBLE) / GREATEST(MAX(nb), 1))
+       |         / 2.0 AS theta
+       |  FROM weights
+       |), scores AS (
+       |  SELECT doc_id, CAST(SUM(cnt * w) AS BIGINT) AS score_t
+       |  FROM feats JOIN weights USING (b) GROUP BY doc_id
+       |)
+       |SELECT l.doc_id,
+       |       COALESCE(s.score_t, 0) AS score_t,
+       |       CAST(COALESCE(s.score_t, 0) AS DOUBLE) > theta AS keep_trained,
+       |       l.kept AS label_q
+       |FROM labels l LEFT JOIN scores s ON l.doc_id = s.doc_id
+       |CROSS JOIN theta""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "quality_classifier" -> qualityClassifier,
+    "quality_classifier_trained" -> qualityClassifierTrained,
     "c4_filters" -> c4Filters,
     "mixture_plan" -> mixturePlan,
     "text_redact" -> textRedact,
@@ -653,6 +780,7 @@ object TextJobs {
 
   val oracles: Map[String, String] = Map(
     "quality_classifier" -> qualityClassifierSql,
+    "quality_classifier_trained" -> qualityClassifierTrainedSql,
     "c4_filters" -> c4FiltersSql,
     "mixture_plan" -> mixturePlanSql,
     "text_redact" -> textRedactSql,

@@ -74,6 +74,18 @@ class TextModelSpec extends SparkSpec {
     assert(ws.count(_ > 0) > 10000 && ws.count(_ < 0) > 10000)
   }
 
+  test("trained classifier fits its own labels better than the majority class") {
+    val out = TextJobs.qualityClassifierTrained(spark, sf("sf0.001"))
+      .select(col("keep_trained"), col("label_q")).collect()
+      .map(r => (r.getBoolean(0), r.getBoolean(1)))
+    assert(out.length == 500) // total over the corpus, no doc lost
+    val acc = out.count(t => t._1 == t._2).toDouble / out.length
+    val majority = math.max(out.count(_._2), out.count(!_._2)).toDouble / out.length
+    // Rocchio on its own training labels must beat always-majority —
+    // the weights actually encode the classes, not a constant
+    assert(acc > majority, s"acc=$acc majority=$majority")
+  }
+
   test("logit is the exact one-division ratio of the integer score") {
     val dir = java.nio.file.Files.createTempDirectory("qc_docs2").toString
     docs.withColumn("lang", lit("en")).withColumn("source", lit("s"))
