@@ -196,6 +196,28 @@ object AnalyticsJobs {
         min(col("k")).as("min_k"),
         max(col("k")).as("max_k"))
 
+  private val HIST_BIN = 25.0
+
+  /** Value-distribution histogram: fixed-width bins (25.0) of `value` per
+    * event type — the profiling query behind outlier fences and bin-packed
+    * sampling plans. One two-phase hash aggregate over (type, bin) int
+    * keys; floor(x/width) is IEEE-identical in both engines, and the bin
+    * sums use the session_agg 2-decimal nudged-rounding contract.
+    */
+  def valueHistogram(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("event_type"),
+        floor(col("value") / lit(HIST_BIN)).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value")) + lit(1e-9), 2).as("sum_value"))
+
+  val valueHistogramSql: String =
+    s"""SELECT event_type,
+       |       CAST(FLOOR(value / $HIST_BIN) AS BIGINT) AS bin,
+       |       COUNT(*) AS n,
+       |       ROUND(SUM(value) + 1e-9, 2) AS sum_value
+       |FROM events GROUP BY 1, 2""".stripMargin
+
   private val JOURNEY_STEPS = 8
   private val JOURNEY_TOP = 20
 
@@ -377,12 +399,14 @@ object AnalyticsJobs {
     "approx_distinct" -> approxDistinct,
     "event_props" -> eventProps,
     "event_paths" -> eventPaths,
-    "session_paths" -> sessionPaths)
+    "session_paths" -> sessionPaths,
+    "value_histogram" -> valueHistogram)
 
   val oracles: Map[String, String] = Map(
     "event_props" -> eventPropsSql,
     "event_paths" -> eventPathsSql,
     "session_paths" -> sessionPathsSql,
+    "value_histogram" -> valueHistogramSql,
     "session_agg" -> sessionAggSql,
     "cube_agg" -> cubeAggSql,
     "pivot_agg" -> pivotAggSql,

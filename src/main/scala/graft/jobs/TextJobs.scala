@@ -107,6 +107,55 @@ object TextJobs {
        |  FROM c) r
        |WHERE rn <= $VOCAB_K""".stripMargin
 
+  private val COVERAGE_V = 20
+
+  /** Tokenizer-vocabulary coverage: build the global top-V vocabulary
+    * (count-ranked, token tie-break) and report each document's
+    * out-of-vocabulary token count and rate — the signal a tokenizer/vocab
+    * decision reads (what fraction of the corpus a V-entry vocab covers).
+    *
+    * 100 TB shape: vocab is a global orderBy+limit (TakeOrderedAndProject,
+    * per-partition top-V + one V-row merge) broadcast to a membership
+    * join; per-doc counts ride the token explode's doc_id grouping. Docs
+    * with zero tokens have no rows (the [[substringDupRate]] convention).
+    */
+  def vocabCoverage(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        explode(TextAnalysis.tokens(lower(col("text")))).as("t"))
+    val vocab = broadcast(toks.groupBy(col("t"))
+      .agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("t").asc)
+      .limit(COVERAGE_V)
+      .select(col("t"), lit(true).as("inv")))
+    toks.join(vocab, Seq("t"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("inv").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        col("n_oov").cast("double") / col("n_tokens"))
+  }
+
+  val vocabCoverageSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |         unnest(regexp_extract_all(lower(text), '[A-Za-z0-9]+')) AS t
+       |  FROM documents
+       |), vocab AS (
+       |  SELECT t FROM (
+       |    SELECT t, COUNT(*) AS c FROM toks GROUP BY t
+       |    ORDER BY c DESC, t ASC LIMIT $COVERAGE_V) v
+       |), f AS (
+       |  SELECT toks.doc_id, vocab.t IS NOT NULL AS inv
+       |  FROM toks LEFT JOIN vocab ON toks.t = vocab.t
+       |)
+       |SELECT doc_id, COUNT(*) AS n_tokens,
+       |       CAST(SUM(CASE WHEN NOT inv THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_oov,
+       |       CAST(SUM(CASE WHEN NOT inv THEN 1 ELSE 0 END) AS DOUBLE)
+       |         / COUNT(*) AS oov_rate
+       |FROM f GROUP BY doc_id""".stripMargin
+
   private val TFIDF_K = 3
 
   /** Characteristic terms per document: TF-IDF in ratio form — score =
@@ -775,6 +824,7 @@ object TextJobs {
     "text_langid" -> textLangid,
     "doc_fingerprint" -> docFingerprint,
     "vocab_topk" -> vocabTopK,
+    "vocab_coverage" -> vocabCoverage,
     "tfidf_topk" -> tfidfTopK,
     "text_repetition" -> textRepetition)
 
@@ -792,6 +842,7 @@ object TextJobs {
     "text_langid" -> textLangidSql,
     "doc_fingerprint" -> docFingerprintSql,
     "vocab_topk" -> vocabTopKSql,
+    "vocab_coverage" -> vocabCoverageSql,
     "tfidf_topk" -> tfidfTopKSql,
     "text_repetition" -> textRepetitionSql)
 }

@@ -155,4 +155,18 @@ class AnalyticsJobsSpec extends SparkSpec {
     val nSessions = AnalyticsJobs.sessionAgg(spark, sf("sf0.001")).count()
     assert(out.map(_._2).sum <= nSessions)
   }
+
+  test("value_histogram: bins partition the events, sums stay in-bin") {
+    val out = AnalyticsJobs.valueHistogram(spark, sf("sf0.001"))
+      .select($"event_type", $"bin", $"n", $"sum_value")
+      .as[(String, Long, Long, Double)].collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_._2 >= 0)) // value domain is non-negative
+    val total = graft.io.Tables.events(spark, sf("sf0.001")).count()
+    assert(out.map(_._3).sum == total)
+    // each bin's mass sits inside [bin*25*n, (bin+1)*25*n)
+    out.foreach { case (_, bin, n, sv) =>
+      assert(sv >= bin * 25.0 * n - 0.01 && sv < (bin + 1) * 25.0 * n + 0.01)
+    }
+  }
 }

@@ -104,4 +104,19 @@ class TextJobsExtraSpec extends SparkSpec {
     assert(perDoc.count() == expected.count())
     out.unpersist()
   }
+
+  test("vocab_coverage: rates bounded, totals cover the corpus, OOV exists") {
+    val out = TextJobs.vocabCoverage(spark, sf("sf0.001"))
+      .select($"doc_id", $"n_tokens", $"n_oov", $"oov_rate")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(out.length == 500)
+    assert(out.forall(t => t._3 >= 0 && t._3 <= t._2))
+    assert(out.forall(t => t._4 >= 0.0 && t._4 <= 1.0))
+    // the 20-entry vocab cannot cover the 31-token corpus: OOV mass exists
+    assert(out.map(_._3).sum > 0)
+    val want = graft.io.Tables.documents(spark, sf("sf0.001"))
+      .select(sum(graft.ops.TextAnalysis.tokenCount($"text")))
+      .as[Long].head()
+    assert(out.map(_._2).sum == want)
+  }
 }
