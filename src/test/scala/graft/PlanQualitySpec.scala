@@ -242,4 +242,15 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("value#") && !p.contains("props#"),
       s"events scan reads columns event_paths never uses:\n$p")
   }
+
+  test("session_paths: global top-20 via TakeOrderedAndProject, vocab_coverage broadcast") {
+    val p = plan(AnalyticsJobs.sessionPaths(spark, sf("sf0.001")))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"journey top-20 lost its per-partition merge:\n$p")
+    val pv = plan(TextJobs.vocabCoverage(spark, sf("sf0.001")))
+    assert(pv.contains("TakeOrderedAndProject"),
+      s"vocab build lost its per-partition top-V merge:\n$pv")
+    assert(pv.contains("BroadcastHashJoin"),
+      s"vocab membership join not broadcast:\n$pv")
+  }
 }
