@@ -57,6 +57,50 @@ case class BloomMightContain(bloomBytes: Array[Byte], child: Expression)
     copy(child = newChild)
 }
 
+/** Count-min-sketch point estimate as a codegen expression: the frequency
+  * side of the mergeable-sketch family (Bloom = membership, HLL++ =
+  * cardinality, t-digest = quantiles, CMS = per-key counts). The sketch is
+  * built distributed by Spark's `count_min_sketch` aggregate (counter
+  * sums — commutative, so the sketch is identical under any partial-agg
+  * order), ships in the plan as its serialized bytes, and each probe is a
+  * d-row counter lookup. CMS guarantees est ≥ true count, and
+  * est ≤ true + ε·N with confidence 1−δ — the checked-query gate.
+  *
+  * Child is a STRING column; the probe hashes the UTF8 bytes exactly as
+  * the aggregate added them.
+  */
+case class CmsEstimate(cmsBytes: Array[Byte], child: Expression)
+    extends UnaryExpression {
+  import org.apache.spark.util.sketch.CountMinSketch
+  import org.apache.spark.sql.types.LongType
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "cms_estimate"
+
+  @transient private lazy val cms: CountMinSketch =
+    CountMinSketch.readFrom(new ByteArrayInputStream(cmsBytes))
+
+  override def nullSafeEval(a: Any): Any =
+    cms.estimateCount(
+      a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bytesRef = ctx.addReferenceObj("cmsBytes", cmsBytes, "byte[]")
+    val cls = classOf[CountMinSketch].getName
+    val field = ctx.addMutableState(cls, "cmsSketch", v =>
+      s"""try {
+         |  $v = $cls.readFrom(new java.io.ByteArrayInputStream($bytesRef));
+         |} catch (java.io.IOException e) {
+         |  throw new RuntimeException(e);
+         |}""".stripMargin)
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = $field.estimateCount($a.getBytes());")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CmsEstimate =
+    copy(child = newChild)
+}
+
 object SketchFunctions {
   /** Column API over [[BloomMightContain]]: does `key` (a LONG column)
     * possibly belong to `bloom`? Serializes the filter once at plan
@@ -67,4 +111,11 @@ object SketchFunctions {
     bloom.writeTo(out)
     bridge.column(BloomMightContain(out.toByteArray, bridge.expression(key)))
   }
+
+  /** Column API over [[CmsEstimate]]: the sketch's estimated count of
+    * `key` (a STRING column), from serialized count-min-sketch bytes
+    * (Spark's `count_min_sketch` aggregate output).
+    */
+  def cms_estimate(cmsBytes: Array[Byte], key: Column): Column =
+    bridge.column(CmsEstimate(cmsBytes, bridge.expression(key)))
 }

@@ -156,6 +156,53 @@ object TextJobs {
        |         / COUNT(*) AS oov_rate
        |FROM f GROUP BY doc_id""".stripMargin
 
+  private val HH_K = 10
+  private val HH_EPS = 0.001
+  private val HH_SEED = 42
+
+  /** Count-min-sketch heavy hitters — the frequency member of the gated
+    * sketch family (Bloom membership / HLL++ cardinality / t-digest
+    * quantiles / CMS counts): the exact global top-K tokens, each probed
+    * against a distributed `count_min_sketch` of the whole token stream,
+    * gated by the CMS contract (est ≥ exact, est ≤ exact + ε·N). At
+    * 100 TB the sketch replaces the exact count cascade wherever a
+    * bounded over-estimate suffices (candidate pruning, mixture weights):
+    * counter sums are commutative, so the distributed sketch is
+    * identical under any partial-agg order and merges across corpus
+    * shards for free.
+    *
+    * Like [[AnalyticsJobs.approxDistinct]], the estimate itself can't
+    * hash-match a DuckDB oracle — the CONTRACT is the gate; the exact
+    * top-K rows are hash-checked.
+    */
+  def heavyHitters(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Tables.documents(spark, sfDir)
+      .select(explode(TextAnalysis.tokens(lower(col("text")))).as("t"))
+    val built = toks.agg(
+      expr(s"count_min_sketch(t, CAST($HH_EPS AS DOUBLE), " +
+        s"CAST(0.99 AS DOUBLE), $HH_SEED)").as("cms"),
+      count(lit(1)).as("total")).head()
+    val bytes = built.getAs[Array[Byte]]("cms")
+    val slack = math.ceil(HH_EPS * built.getAs[Long]("total")).toLong
+    toks.groupBy(col("t")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("t").asc).limit(HH_K)
+      .select(col("t").as("token"), col("n"),
+        graft.functions.SketchFunctions.cms_estimate(bytes, col("t"))
+          .as("est"))
+      .select(col("token"), col("n"),
+        (col("est") >= col("n") && col("est") <= col("n") + lit(slack))
+          .as("cms_in_bounds"))
+  }
+
+  val heavyHittersSql: String =
+    s"""WITH t AS (
+       |  SELECT unnest(regexp_extract_all(lower(text), '[A-Za-z0-9]+')) AS t
+       |  FROM documents
+       |)
+       |SELECT t AS token, COUNT(*) AS n, true AS cms_in_bounds
+       |FROM t GROUP BY t
+       |ORDER BY n DESC, token ASC LIMIT $HH_K""".stripMargin
+
   private val TFIDF_K = 3
 
   /** Characteristic terms per document: TF-IDF in ratio form — score =
@@ -825,6 +872,7 @@ object TextJobs {
     "doc_fingerprint" -> docFingerprint,
     "vocab_topk" -> vocabTopK,
     "vocab_coverage" -> vocabCoverage,
+    "heavy_hitters" -> heavyHitters,
     "tfidf_topk" -> tfidfTopK,
     "text_repetition" -> textRepetition)
 
@@ -843,6 +891,7 @@ object TextJobs {
     "doc_fingerprint" -> docFingerprintSql,
     "vocab_topk" -> vocabTopKSql,
     "vocab_coverage" -> vocabCoverageSql,
+    "heavy_hitters" -> heavyHittersSql,
     "tfidf_topk" -> tfidfTopKSql,
     "text_repetition" -> textRepetitionSql)
 }

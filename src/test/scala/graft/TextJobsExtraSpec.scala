@@ -119,4 +119,19 @@ class TextJobsExtraSpec extends SparkSpec {
       .as[Long].head()
     assert(out.map(_._2).sum == want)
   }
+
+  test("heavy_hitters: CMS estimates pass the ε·N gate on the exact top-K") {
+    val out = TextJobs.heavyHitters(spark, sf("sf0.001"))
+      .select($"token", $"n", $"cms_in_bounds")
+      .as[(String, Long, Boolean)].collect()
+    assert(out.length == 10)
+    assert(out.forall(_._3), "a CMS estimate fell outside the ε·N envelope")
+    // exact top-K agrees with a direct count
+    val direct = graft.io.Tables.documents(spark, sf("sf0.001"))
+      .select(explode(graft.ops.TextAnalysis.tokens(lower($"text"))).as("t"))
+      .groupBy($"t").count()
+      .orderBy($"count".desc, $"t".asc).limit(10)
+      .as[(String, Long)].collect().toSeq
+    assert(out.map(t => (t._1, t._2)).toSeq == direct)
+  }
 }
