@@ -467,10 +467,14 @@ object DedupJobs {
     * Spark's sorted collect_list rebuild; COALESCE('') matches
     * `concat_ws` on an all-removed document.
     */
-  val substringDedupCleanSql: String =
-    s"""WITH d AS (
+  /** The clean cascade's CTE chain over an arbitrary (doc_id, text)
+    * source relation — shared by the standalone oracle and the composed
+    * curation pipeline's (which runs it on the deduped subset).
+    */
+  private def substringCleanCteSql(src: String): String =
+    s"""d AS (
        |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
-       |  FROM documents
+       |  FROM $src
        |), tok AS (
        |  SELECT doc_id, unnest(range(1, len(w) + 1)) AS i, w FROM d
        |), t AS (
@@ -495,14 +499,19 @@ object DedupJobs {
        |), fl AS (
        |  SELECT t.doc_id, t.pos, t.tok, cov.pos IS NOT NULL AS rm
        |  FROM t LEFT JOIN cov ON t.doc_id = cov.doc_id AND t.pos = cov.pos
-       |)
-       |SELECT doc_id,
-       |       COUNT(*) AS n_tokens,
-       |       CAST(SUM(CASE WHEN rm THEN 1 ELSE 0 END) AS BIGINT)
-       |         AS n_removed,
-       |       COALESCE(string_agg(CASE WHEN NOT rm THEN tok END, ' '
-       |                           ORDER BY pos), '') AS clean_text
-       |FROM fl GROUP BY doc_id""".stripMargin
+       |), cleaned AS (
+       |  SELECT doc_id,
+       |         COUNT(*) AS n_tokens,
+       |         CAST(SUM(CASE WHEN rm THEN 1 ELSE 0 END) AS BIGINT)
+       |           AS n_removed,
+       |         COALESCE(string_agg(CASE WHEN NOT rm THEN tok END, ' '
+       |                             ORDER BY pos), '') AS clean_text
+       |  FROM fl GROUP BY doc_id
+       |)""".stripMargin
+
+  val substringDedupCleanSql: String =
+    s"""WITH ${substringCleanCteSql("documents")}
+       |SELECT doc_id, n_tokens, n_removed, clean_text FROM cleaned""".stripMargin
 
   // ---- deterministic fixed-size sampling ----
 
@@ -608,9 +617,81 @@ object DedupJobs {
        |FROM scored WHERE quality >= 0.5 GROUP BY 1, 2""".stripMargin
   }
 
+  /** The composed curation pipeline over the round-5 surface: exact-dedup
+    * keepers → substring-dedup CLEANING of the deduped corpus (cross-doc
+    * duplicated 5-grams removed, window frequencies computed within the
+    * deduped set — clean after dedup, the production order) → re-scored
+    * quality on the CLEANED text → per-source accounting. The answer a
+    * curation run actually reads: how much each source shrinks at each
+    * stage and what survives.
+    *
+    * Every stage is an already-hash-checked operator; the composition is
+    * checked end-to-end as its own oracle (CTE-chained from the same
+    * shared SQL fragments, so the two declarations cannot drift).
+    */
+  def curationPipeline(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.ops.TextAnalysis
+    val d = Tables.documents(spark, sfDir)
+    val keepers = d
+      .groupBy(TextAnalysis.fingerprint(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val deduped = d.join(keepers, Seq("doc_id"), "left_semi")
+    val cleaned = Dedup.substringDedupClean(
+      deduped.select(col("doc_id"), col("text")), SUBSTR_W)
+    val scored = cleaned
+      .join(d.select(col("doc_id"), col("source")), "doc_id")
+      .withColumn("n_tok_c", TextAnalysis.tokenCount(col("clean_text")))
+      .withColumn("q", TextAnalysis.qualityScore(col("n_tok_c"),
+        TextAnalysis.stopwordCount(col("clean_text"))))
+    val ins = d.groupBy(col("source")).agg(count(lit(1)).as("docs_in"))
+    scored.groupBy(col("source"))
+      .agg(count(lit(1)).as("docs_deduped"),
+        sum(col("n_removed")).as("tokens_removed"),
+        sum(when(col("q") >= 0.4, 1L).otherwise(0L)).as("docs_kept"),
+        sum(when(col("q") >= 0.4, col("n_tok_c")).otherwise(0L))
+          .as("tokens_kept"))
+      .join(ins, "source")
+      .select(col("source"), col("docs_in"), col("docs_deduped"),
+        col("tokens_removed"), col("docs_kept"), col("tokens_kept"))
+  }
+
+  val curationPipelineSql: String = {
+    val nTokC =
+      "CAST(length(regexp_extract_all(clean_text, '[A-Za-z0-9]+')) AS BIGINT)"
+    val nStopC = "CAST(length(regexp_extract_all(clean_text, " +
+      "'\\b(the|a|of|and|to|in|is|on|for|with)\\b')) AS BIGINT)"
+    val qualityC =
+      s"""ROUND(least(CAST($nTokC AS DOUBLE) / 100.0, 1.0) * 0.6 +
+         |    (CAST($nStopC AS DOUBLE) / CAST(greatest($nTokC, 1) AS DOUBLE)) * 0.4
+         |    + 1e-9, 4)""".stripMargin
+    s"""WITH keep AS (
+       |  SELECT MIN(doc_id) AS doc_id FROM documents
+       |  GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+       |), dd AS (
+       |  SELECT doc.doc_id, doc.text FROM documents doc JOIN keep USING (doc_id)
+       |), ${substringCleanCteSql("dd")}, scored AS (
+       |  SELECT doc.source, c.n_removed, $nTokC AS n_tok_c,
+       |         $qualityC AS q
+       |  FROM cleaned c JOIN documents doc ON c.doc_id = doc.doc_id
+       |), ins AS (
+       |  SELECT source, COUNT(*) AS docs_in FROM documents GROUP BY source
+       |)
+       |SELECT s.source, ins.docs_in,
+       |       COUNT(*) AS docs_deduped,
+       |       CAST(SUM(s.n_removed) AS BIGINT) AS tokens_removed,
+       |       CAST(SUM(CASE WHEN s.q >= 0.4 THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS docs_kept,
+       |       CAST(SUM(CASE WHEN s.q >= 0.4 THEN s.n_tok_c ELSE 0 END)
+       |            AS BIGINT) AS tokens_kept
+       |FROM scored s JOIN ins USING (source)
+       |GROUP BY s.source, ins.docs_in""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> dedupExact,
     "corpus_curation" -> corpusCuration,
+    "curation_pipeline" -> curationPipeline,
     "doc_sample" -> docSample,
     "stratified_sample" -> stratifiedSample,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
@@ -628,6 +709,7 @@ object DedupJobs {
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
     "corpus_curation" -> corpusCurationSql,
+    "curation_pipeline" -> curationPipelineSql,
     "doc_sample" -> docSampleSql,
     "stratified_sample" -> stratifiedSampleSql,
     "dedup_minhash_lsh" -> dedupMinhashLshSql,

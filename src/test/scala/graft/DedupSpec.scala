@@ -311,4 +311,23 @@ class DedupSpec extends SparkSpec {
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("clean_text")).toMap
     assert(cleaned(1L) == "" && cleaned(2L) == "")
   }
+
+  test("curation pipeline: per-source funnel monotone, totals consistent") {
+    val out = DedupJobs.curationPipeline(spark, sf("sf0.001"))
+      .select($"source", $"docs_in", $"docs_deduped", $"tokens_removed",
+        $"docs_kept", $"tokens_kept")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (src, in, dd, rm, kept, tok) =>
+      assert(in >= dd && dd >= kept, s"funnel not monotone for $src")
+      assert(rm >= 0 && tok >= 0)
+    }
+    // deduped total equals the exact-dedup keeper count
+    val keepers = Dedup.exact(
+      graft.io.Tables.documents(spark, sf("sf0.001")), $"doc_id", $"text")
+      .count()
+    assert(out.map(_._3).sum == keepers)
+    // docs_in totals cover the corpus
+    assert(out.map(_._2).sum == 500L)
+  }
 }
