@@ -59,7 +59,17 @@ object Bench {
     val errs = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
     val total = results.values.filterNot(_.isNaN).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    println(line)
+    // The driver captures stdout with a bounded tail, which has truncated
+    // the per-query map past ~65 queries; persist the full line so every
+    // registered query's median survives the round (see CLAUDE.md).
+    try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("/tmp/bench_full.json"),
+        line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case _: java.io.IOException => () }
     spark.stop()
   }
 }

@@ -101,6 +101,57 @@ case class CmsEstimate(cmsBytes: Array[Byte], child: Expression)
     copy(child = newChild)
 }
 
+/** [[CmsEstimate]] with the sketch as a COLUMN (BinaryType) instead of a
+  * plan literal: the lazy form — the sketch aggregate stays a 1-row frame
+  * inside the plan (cross-joined broadcast), so building the query plan
+  * triggers no driver action and an empty corpus (NULL sketch, zero probe
+  * rows) never deserializes anything. The deserialized sketch is memoized
+  * per byte-array reference, so consecutive rows probing the same
+  * broadcast sketch pay the ~100 KB decode once per codegen instance,
+  * not per row.
+  */
+case class CmsEstimateOf(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  import org.apache.spark.util.sketch.CountMinSketch
+  import org.apache.spark.sql.types.LongType
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "cms_estimate_of"
+
+  @transient private var lastBytes: Array[Byte] = _
+  @transient private var cms: CountMinSketch = _
+
+  override def nullSafeEval(b: Any, k: Any): Any = {
+    val bytes = b.asInstanceOf[Array[Byte]]
+    if (!(bytes eq lastBytes)) {
+      cms = CountMinSketch.readFrom(new ByteArrayInputStream(bytes))
+      lastBytes = bytes
+    }
+    cms.estimateCount(
+      k.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = classOf[CountMinSketch].getName
+    val lastField = ctx.addMutableState("byte[]", "cmsLastBytes")
+    val cmsField = ctx.addMutableState(cls, "cmsOfSketch")
+    nullSafeCodeGen(ctx, ev, (b, k) =>
+      s"""if ($b != $lastField) {
+         |  try {
+         |    $cmsField = $cls.readFrom(new java.io.ByteArrayInputStream($b));
+         |  } catch (java.io.IOException e) {
+         |    throw new RuntimeException(e);
+         |  }
+         |  $lastField = $b;
+         |}
+         |${ev.value} = $cmsField.estimateCount($k.getBytes());""".stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CmsEstimateOf =
+    copy(left = newLeft, right = newRight)
+}
+
 object SketchFunctions {
   /** Column API over [[BloomMightContain]]: does `key` (a LONG column)
     * possibly belong to `bloom`? Serializes the filter once at plan
@@ -118,4 +169,11 @@ object SketchFunctions {
     */
   def cms_estimate(cmsBytes: Array[Byte], key: Column): Column =
     bridge.column(CmsEstimate(cmsBytes, bridge.expression(key)))
+
+  /** Column API over [[CmsEstimateOf]]: the estimated count of `key`
+    * (STRING column) under `cms` (BINARY column — typically a 1-row
+    * broadcast aggregate of `count_min_sketch`).
+    */
+  def cms_estimate_of(cms: Column, key: Column): Column =
+    bridge.column(CmsEstimateOf(bridge.expression(cms), bridge.expression(key)))
 }

@@ -160,6 +160,26 @@ object SimilarityJobs {
 
   private val KM_ITERS = 2
 
+  /** Train the k-means centroids, materialize the tiny (C-row) result,
+    * and RELEASE the O(n·dims) quantized-dim training scaffolding before
+    * returning. Round 5's driver bench showed three live caches during
+    * `semantic_dedup`'s pair join — the vector frame, k-means' exploded
+    * `qd` view, and the pair membership map — compounding under memory
+    * pressure into a 3× median regression; the `qd` cache is dead weight
+    * the moment the centroids exist. The eager count here is C rows
+    * (bounded, like connectedComponents' convergence count), not a
+    * corpus-scale driver action.
+    */
+  private def trainedCents(v: DataFrame): DataFrame = {
+    val training = graft.ops.CacheScope()
+    try {
+      val cents = Similarity
+        .kmeansCentroids(v, IVF_CENTROIDS, KM_ITERS, training).cache()
+      cents.count()
+      cents
+    } finally training.close()
+  }
+
   /** IVF over TRAINED centroids: `KM_ITERS` rounds of Lloyd's k-means from
     * the deterministic seeds, then the identical probe pipeline. The
     * engine-exactness trick is integer quantization
@@ -174,8 +194,7 @@ object SimilarityJobs {
     // assign rounds, and the final assign/probe/verify stages — cache it
     // so the parquet scan + norm computation runs once
     val v = vectors(spark, sfDir).cache()
-    Similarity.ivfTopKWith(v,
-      Similarity.kmeansCentroids(v, IVF_CENTROIDS, KM_ITERS),
+    Similarity.ivfTopKWith(v, trainedCents(v),
       col("vec_id") < N_QUERIES, nprobe = IVF_NPROBE, k = TOP_K)
   }
 
@@ -259,7 +278,7 @@ object SimilarityJobs {
     */
   def embeddingClusters(spark: SparkSession, sfDir: String): DataFrame = {
     val v = vectors(spark, sfDir).cache()
-    val cents = Similarity.kmeansCentroids(v, IVF_CENTROIDS, KM_ITERS)
+    val cents = trainedCents(v)
     val scored = v.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("cent_id"),
         Similarity.cosine(col("v"), col("norm"), col("cv"), col("cnorm"))
@@ -313,8 +332,7 @@ object SimilarityJobs {
     */
   def semanticDedup(spark: SparkSession, sfDir: String): DataFrame = {
     val v = vectors(spark, sfDir).cache()
-    val cents = Similarity.kmeansCentroids(v, IVF_CENTROIDS, KM_ITERS)
-    Similarity.withinCellPairs(v, cents, NEARDUP_THRESHOLD)
+    Similarity.withinCellPairs(v, trainedCents(v), NEARDUP_THRESHOLD)
   }
 
   /** Oracle: the shared unrolled-k-means prefix, rn=1 assignment, then the
@@ -360,7 +378,7 @@ object SimilarityJobs {
     */
   def clusterPurity(spark: SparkSession, sfDir: String): DataFrame = {
     val v = vectors(spark, sfDir).cache()
-    val cents = Similarity.kmeansCentroids(v, IVF_CENTROIDS, KM_ITERS)
+    val cents = trainedCents(v)
     val labels = Tables.load(spark, sfDir, "embeddings")
       .select(col("vec_id"), col("label"))
     Similarity.ivfAssign(v, cents).join(labels, "vec_id")

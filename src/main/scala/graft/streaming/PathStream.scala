@@ -69,7 +69,13 @@ object PathStream {
         rows: Iterator[PathEvent],
         timerValues: TimerValues): Iterator[PathEdge] = {
       rows.foreach(pending.appendValue)
-      getHandle.registerTimer(timerValues.getCurrentWatermarkInMs() + 1)
+      // Arm the resolution timer only when no live timer already covers
+      // the next watermark advance: a fresh wm+1 every micro-batch would
+      // accumulate one pending timer per batch for a hot key (each firing
+      // as a guarded no-op until drain) — churn, not correctness.
+      val next = timerValues.getCurrentWatermarkInMs() + 1
+      if (!getHandle.listTimers().exists(_ >= next))
+        getHandle.registerTimer(next)
       Iterator.empty
     }
 
