@@ -134,4 +134,22 @@ class TextJobsExtraSpec extends SparkSpec {
       .as[(String, Long)].collect().toSeq
     assert(out.map(t => (t._1, t._2)).toSeq == direct)
   }
+
+  test("bpe_merges learns the hand-computed merge table") {
+    // vocab: aaab ×3, aab ×1.
+    //   r1: (a,a) = 3·2 + 1 = 7 → aaab=[aa,a,b] (GREEDY: [a,a,a]→[aa,a]),
+    //       aab=[aa,b]
+    //   r2: (aa,a)=3 TIES (a,b)=3 → left_sym tie-break picks (a,b) →
+    //       aaab=[aa,ab]; aab untouched ([aa,b] has no (a,b) pair)
+    //   r3: (aa,ab)=3;  r4: (aa,b)=1;  r5/r6: no pairs left → no rows
+    val dir = java.nio.file.Files.createTempDirectory("bpe_docs").toString
+    Seq((1L, "aaab aaab aaab", "en", "s", 14L), (2L, "aab", "en", "s", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextJobs.bpeMerges(spark, dir)
+      .as[(Long, String, String, Long)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (1L, "a", "a", 7L), (2L, "a", "b", 3L),
+      (3L, "aa", "ab", 3L), (4L, "aa", "b", 1L)))
+  }
 }
