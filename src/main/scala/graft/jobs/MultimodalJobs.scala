@@ -39,14 +39,23 @@ object MultimodalJobs {
   private val STRIPES = 4
   private val FRAME_TARGET = 8
 
-  /** Decode → stripe features over the binary payloads (stubbed codec,
-    * real plumbing). The library keeps the vector form (`AssetFeatures
-    * .feature`); the declared query flattens it to one scalar column per
-    * stripe so the output is a plain comparable relation.
+  /** Decode → stripe features over the binary payloads. IMAGE rows
+    * (doc_id % 3 == 0) carry REAL synthesized PNGs decoded through
+    * `javax.imageio` — the oracle recomputes their expected pixels
+    * arithmetically (`Multimodal.pixelValue`; PNG round-trip is lossless),
+    * so a broken decoder fails the hash gate. Audio/video rows keep the
+    * opaque payload + stub decode. The library keeps the vector form
+    * (`AssetFeatures.feature`); the declared query flattens it to one
+    * scalar column per stripe so the output is a plain comparable relation.
     */
   def multimodalFeatures(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val opaque = Multimodal.assetsFromDocuments(spark, docs)
+      .where(col("kind") =!= "image")
+    val images = Multimodal.imageAssets(spark,
+      docs.where(col("doc_id") % 3 === 0))
     val feats = Multimodal.extractFeatures(
-      Multimodal.assetsFromDocuments(spark, Tables.documents(spark, sfDir)),
+      opaque.unionByName(images),
       stripes = STRIPES, frameTarget = FRAME_TARGET).toDF()
     val stripeCols = (0 until STRIPES)
       .map(i => col("feature")(i).as(s"stripe_$i"))
@@ -55,10 +64,15 @@ object MultimodalJobs {
         col("frames_sampled").cast("long").as("frames_sampled")) ++ stripeCols: _*)
   }
 
-  /** DuckDB restatement of the stub pipeline: the "decoded pixels" are the
-    * UTF-8 bytes of `text` (exactly what `decodeStub` yields), read
-    * positionally out of `hex(encode(text))`; stripe bounds are the same
-    * integer-division cuts; rounding uses the shared `+1e-9` nudge.
+  /** DuckDB restatement of the decode pipeline. Audio/video rows: the
+    * "decoded samples" are the UTF-8 bytes of `text` (exactly what
+    * `decodeStub` yields), read positionally out of `hex(encode(text))`.
+    * IMAGE rows: the expected pixels of the synthesized PNGs, recomputed
+    * arithmetically from `Multimodal.pixelValue`'s formula — the Spark
+    * side reaches the same bytes only by encoding a real PNG and decoding
+    * it back through `javax.imageio`, so this branch hash-checks the
+    * actual codec round-trip. Stripe bounds are the same integer-division
+    * cuts; rounding uses the shared `+1e-9` nudge.
     */
   val multimodalFeaturesSql: String = {
     val hexDigit = (off: String) =>
@@ -73,29 +87,42 @@ object MultimodalJobs {
     val sOut = (0 until STRIPES)
       .map(s => s"ROUND(COALESCE(s$s, 0.0) + 1e-9, 4) AS stripe_$s")
       .mkString(",\n  ")
-    s"""WITH b AS (
+    s"""WITH txt AS (
        |  SELECT doc_id, hex(encode(text)) AS h,
        |         octet_length(encode(text)) AS n,
        |         1 + doc_id % 30 AS nf
-       |  FROM documents
+       |  FROM documents WHERE doc_id % 3 <> 0
+       |), img AS (
+       |  SELECT doc_id, 8 + doc_id % 5 AS w,
+       |         (8 + doc_id % 5) * (6 + doc_id % 4) AS n,
+       |         1 + doc_id % 30 AS nf
+       |  FROM documents WHERE doc_id % 3 = 0
+       |), meta AS (
+       |  SELECT doc_id, n, nf FROM txt
+       |  UNION ALL SELECT doc_id, n, nf FROM img
        |), bytes AS (
        |  SELECT doc_id, n,
        |    ${hexDigit("2*i + 1")} * 16 + ${hexDigit("2*i + 2")} AS byte,
        |    CASE $stripeCase ELSE ${STRIPES - 1} END AS stripe
-       |  FROM (SELECT doc_id, h, n, unnest(range(0, n)) AS i FROM b)
+       |  FROM (SELECT doc_id, h, n, unnest(range(0, n)) AS i FROM txt)
+       |  UNION ALL
+       |  SELECT doc_id, n,
+       |    (31 * doc_id + 7 * (i % w) + 13 * (i // w)) % 256 AS byte,
+       |    CASE $stripeCase ELSE ${STRIPES - 1} END AS stripe
+       |  FROM (SELECT doc_id, w, n, unnest(range(0, n)) AS i FROM img)
        |), sm AS (
        |  SELECT doc_id, stripe, AVG(byte) AS m FROM bytes GROUP BY 1, 2
        |), agg AS (
        |  SELECT doc_id, $sCols FROM sm GROUP BY doc_id
        |)
-       |SELECT b.doc_id AS asset_id,
-       |  CAST(b.n AS BIGINT) AS n_bytes,
+       |SELECT meta.doc_id AS asset_id,
+       |  CAST(meta.n AS BIGINT) AS n_bytes,
        |  ROUND(($sSum) / $STRIPES + 1e-9, 4) AS mean_byte,
        |  LEAST($FRAME_TARGET,
        |    (nf + CAST(ceil(nf / $FRAME_TARGET.0) AS BIGINT) - 1)
        |      // CAST(ceil(nf / $FRAME_TARGET.0) AS BIGINT)) AS frames_sampled,
        |  $sOut
-       |FROM b LEFT JOIN agg ON agg.doc_id = b.doc_id""".stripMargin
+       |FROM meta LEFT JOIN agg ON agg.doc_id = meta.doc_id""".stripMargin
   }
 
   private val RESIZE_MAX_SIDE = 64

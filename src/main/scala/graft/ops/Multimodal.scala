@@ -9,10 +9,12 @@ import org.apache.spark.sql.functions._
   * The Spark-side plumbing is real and tested — schema, partition-preserving
   * `mapPartitions` (the Scala analog of Python's `mapInPandas` batch UDFs:
   * same iterator-of-batches contract, same narrow-stage placement), batch
-  * shape. The codec itself is STUBBED with a deterministic fake (this
-  * container has no image/audio libs): `decodeStub` derives "pixels" from
-  * the payload bytes. Swap `decodeStub` for a real decoder
-  * (JNI/ffmpeg/ImageIO) without touching any plumbing.
+  * shape. The IMAGE codec is real: PNG payloads decode through
+  * `javax.imageio` (JDK-shipped, zero new dependencies) to row-major
+  * grayscale pixels. Audio/video remain STUBBED with a deterministic fake
+  * (no codec libs in this container): `decodeStub` derives "samples" from
+  * the payload bytes — swap it for a real decoder (JNI/ffmpeg) without
+  * touching any plumbing.
   *
   * Scale notes: payloads never pass through a shuffle — every stage is a
   * narrow `mapPartitions` over the scan, so a 100 TB binary corpus streams
@@ -57,9 +59,87 @@ object Multimodal {
   }
 
   /** STUB decoder — deterministic fake: "pixels" are the payload bytes.
-    * Real implementation would decode image/audio here.
+    * Stands in for audio/video (no codec libs in this container).
     */
   private def decodeStub(a: Asset): Array[Byte] = a.content
+
+  private val PngMagic: Array[Byte] =
+    Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte)
+
+  private def isPng(bytes: Array[Byte]): Boolean =
+    bytes.length > 8 && bytes(0) == PngMagic(0) && bytes(1) == PngMagic(1) &&
+      bytes(2) == PngMagic(2) && bytes(3) == PngMagic(3)
+
+  /** Dispatching decoder: image payloads that really are PNGs go through
+    * `javax.imageio` (in the JDK — no new dependency) and yield row-major
+    * 8-bit grayscale pixels; everything else falls back to the stub. The
+    * image path is REAL: a broken decoder fails the `multimodal_features`
+    * oracle, because the gate recomputes the expected pixels of the
+    * synthesized PNGs arithmetically (PNG is lossless, so
+    * decode(encode(g)) = g).
+    */
+  private[graft] def decode(a: Asset): Array[Byte] =
+    if (a.kind == "image" && isPng(a.content)) {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(a.content))
+      val w = img.getWidth; val h = img.getHeight
+      val raster = img.getRaster
+      val out = new Array[Byte](w * h)
+      var y = 0; var i = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { out(i) = raster.getSample(x, y, 0).toByte; i += 1; x += 1 }
+        y += 1
+      }
+      out
+    } else decodeStub(a)
+
+  /** Deterministic grayscale test-pattern value for pixel (x, y) of the
+    * asset `id` — shared by the PNG synthesizer AND the DuckDB oracle
+    * restatement (the `g(doc,x,y)` both sides must agree on).
+    */
+  def pixelValue(id: Long, x: Int, y: Int): Int =
+    (((id * 31 + x * 7 + y * 13) % 256 + 256) % 256).toInt
+
+  /** Encode a real PNG via `javax.imageio` with pixel (x,y) = gray(x,y). */
+  def encodePng(w: Int, h: Int, gray: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { raster.setSample(x, y, 0, gray(x, y) & 0xff); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** True decoded dimensions of the synthesized PNG for `id` — tiny tiles
+    * (≤ 12×9) so per-row encode cost stays negligible at bench SFs while
+    * the decode contract is exercised on real bytes.
+    */
+  def pngDims(id: Long): (Int, Int) =
+    ((8 + id % 5).toInt, (6 + id % 4).toInt)
+
+  /** Image-kind assets with REAL payloads: each row carries an actual PNG
+    * of the deterministic [[pixelValue]] pattern, with width/height set to
+    * the true decoded dimensions. `docs` needs only `doc_id`; frame
+    * metadata keeps the fixture's 1 + id % 30 formula so feature rows stay
+    * comparable with the opaque fixture's.
+    */
+  def imageAssets(spark: SparkSession, docs: DataFrame): Dataset[Asset] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val (w, h) = pngDims(id)
+        Asset(id, encodePng(w, h, (x, y) => pixelValue(id, x, y)),
+          "image", w, h, (1 + id % 30).toInt)
+      }
+    }
+  }
 
   /** Deterministic frame sampling: every ceil(n/target)-th frame index. */
   def sampleFrameIndices(nFrames: Int, target: Int): Seq[Int] = {
@@ -81,7 +161,7 @@ object Multimodal {
     import assets.sparkSession.implicits._
     assets.mapPartitions { it =>
       it.map { a =>
-        val px = decodeStub(a)
+        val px = decode(a)
         val n = px.length
         val stripeMeans = Array.tabulate(stripes) { s =>
           val lo = n.toLong * s / stripes

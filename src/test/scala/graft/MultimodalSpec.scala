@@ -42,6 +42,39 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("PNG encode → javax.imageio decode round-trips the exact pixels") {
+    val (w, h) = (11, 7)
+    val png = Multimodal.encodePng(w, h, (x, y) => Multimodal.pixelValue(42L, x, y))
+    // a REAL PNG: magic bytes + ImageIO parses it
+    assert(png.take(4).toSeq == Seq(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte))
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    assert(img.getWidth == w && img.getHeight == h)
+    for (y <- 0 until h; x <- 0 until w)
+      assert(img.getRaster.getSample(x, y, 0) == Multimodal.pixelValue(42L, x, y))
+  }
+
+  test("image assets decode through the real codec, not the stub") {
+    val assets = Multimodal.imageAssets(spark,
+      graft.io.Tables.documents(spark, sf("sf0.001")).select("doc_id").limit(6))
+    val feats = Multimodal.extractFeatures(assets, stripes = 4, frameTarget = 8)
+      .collect().map(f => f.asset_id -> f).toMap
+    assets.collect().foreach { a =>
+      val (w, h) = Multimodal.pngDims(a.asset_id)
+      // n_bytes is the DECODED pixel count (w*h), not the PNG payload size
+      assert(feats(a.asset_id).n_bytes == w.toLong * h)
+      assert(feats(a.asset_id).n_bytes != a.content.length)
+      // expected mean from the arithmetic pattern, via the stub's stripe math
+      val px = Array.tabulate(w * h)(i =>
+        Multimodal.pixelValue(a.asset_id, i % w, i / w))
+      val stripeMeans = (0 until 4).map { s =>
+        val lo = (w * h) * s / 4; val hi = (w * h) * (s + 1) / 4
+        px.slice(lo, hi).map(_.toLong).sum.toDouble / (hi - lo)
+      }
+      val exp = stripeMeans.sum / 4
+      assert(math.abs(feats(a.asset_id).mean_byte - exp) < 1e-3)
+    }
+  }
+
   test("frame sampling is deterministic and bounded") {
     assert(Multimodal.sampleFrameIndices(30, 8).length <= 8)
     assert(Multimodal.sampleFrameIndices(3, 8) == Seq(0, 1, 2))
