@@ -222,6 +222,84 @@ object TextJobs {
        |$out""".stripMargin
   }
 
+  /** DuckDB: first 15 md5-hex chars of `inner` as a 60-bit BIGINT (the
+    * [[OracleSql.hexIntSql]] shape widened past birthday range for
+    * corpus-scale bigram vocabularies).
+    */
+  private def hex60Sql(inner: String): String =
+    (1 to 15).map { i =>
+      s"(strpos('0123456789abcdef', substr(md5($inner),$i,1))-1) * ${math.pow(16, 15 - i).toLong}::BIGINT"
+    }.mkString("(", " + ", ")")
+
+  private def hash60(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** CCNet-style n-gram LM quality scoring with ENGINE-EXACT integer
+    * arithmetic: train a hashed-bigram model on the corpus (c_bi = count
+    * of bigram, c_prev = count of its prefix), then score each document
+    * by its total "surprise" — per bigram,
+    * `length(bin(c_prev div c_bi))` = floor(log2(c_prev/c_bi)) + 1, the
+    * BIT WIDTH of the inverse conditional frequency. This keeps the
+    * perplexity-filter semantics (boilerplate scores low, rare/garbled
+    * text scores high) while replacing `ln` — the one libm call whose
+    * last-ulp behavior differs across engines — with integer division
+    * and a binary-digit count both engines compute identically.
+    * Self-scoring the training corpus means every bigram exists in the
+    * model, so no smoothing branch is needed.
+    *
+    * 100 TB shape: bigram extraction rides the posexplode + lead window
+    * partitioned by doc_id (high-cardinality key); the model is two
+    * two-phase aggregations on 60-bit int hash keys; scoring is shuffle
+    * equi-joins on those int keys (a corpus-scale model is NOT
+    * broadcastable — this is deliberately the TF-IDF join shape, not a
+    * broadcast), then one per-doc aggregation. Text never shuffles —
+    * only (doc_id, ph, bh) int triples. Docs with < 2 tokens have no
+    * bigrams and no row (the [[substringDupRate]] convention).
+    */
+  def lmSurprise(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val pairs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        posexplode(TextAnalysis.tokens(lower(col("text")))).as(Seq("pos", "w")))
+      .withColumn("nxt", lead(col("w"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      // model training and scoring both read this frame; only int
+      // hashes leave it
+      .select(col("doc_id"), hash60(col("w")).as("ph"),
+        hash60(concat_ws(" ", col("w"), col("nxt"))).as("bh"))
+      .cache()
+    val cb = pairs.groupBy(col("bh")).agg(count(lit(1)).as("c_bi"))
+    val cp = pairs.groupBy(col("ph")).agg(count(lit(1)).as("c_prev"))
+    pairs.join(cb, "bh").join(cp, "ph")
+      .withColumn("surprise", length(bin(expr("c_prev div c_bi"))).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("surprise")).as("surprise_bits"),
+        round(sum(col("surprise")).cast("double") / count(lit(1))
+          + lit(1e-9), 4).as("mean_surprise"))
+  }
+
+  val lmSurpriseSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '[A-Za-z0-9]+') AS w
+       |  FROM documents
+       |), pairs AS (
+       |  SELECT doc_id, ${hex60Sql("w[i]")} AS ph,
+       |         ${hex60Sql("w[i] || ' ' || w[i + 1]")} AS bh
+       |  FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM tok)
+       |), cb AS (
+       |  SELECT bh, COUNT(*) AS c_bi FROM pairs GROUP BY bh
+       |), cp AS (
+       |  SELECT ph, COUNT(*) AS c_prev FROM pairs GROUP BY ph
+       |)
+       |SELECT doc_id, COUNT(*) AS n_bigrams,
+       |       CAST(SUM(length(bin(c_prev // c_bi))) AS BIGINT) AS surprise_bits,
+       |       ROUND(CAST(SUM(length(bin(c_prev // c_bi))) AS DOUBLE)
+       |             / COUNT(*) + 1e-9, 4) AS mean_surprise
+       |FROM pairs JOIN cb USING (bh) JOIN cp USING (ph)
+       |GROUP BY doc_id""".stripMargin
+
   private val COVERAGE_V = 20
 
   /** Tokenizer-vocabulary coverage: build the global top-V vocabulary
@@ -1002,6 +1080,7 @@ object TextJobs {
     "doc_fingerprint" -> docFingerprint,
     "vocab_topk" -> vocabTopK,
     "bpe_merges" -> bpeMerges,
+    "lm_surprise" -> lmSurprise,
     "vocab_coverage" -> vocabCoverage,
     "heavy_hitters" -> heavyHitters,
     "tfidf_topk" -> tfidfTopK,
@@ -1022,6 +1101,7 @@ object TextJobs {
     "doc_fingerprint" -> docFingerprintSql,
     "vocab_topk" -> vocabTopKSql,
     "bpe_merges" -> bpeMergesSql,
+    "lm_surprise" -> lmSurpriseSql,
     "vocab_coverage" -> vocabCoverageSql,
     "heavy_hitters" -> heavyHittersSql,
     "tfidf_topk" -> tfidfTopKSql,

@@ -135,6 +135,38 @@ class TextJobsExtraSpec extends SparkSpec {
     assert(out.map(t => (t._1, t._2)).toSeq == direct)
   }
 
+  test("lm_surprise: boilerplate scores low, unique text scores high") {
+    val dir = java.nio.file.Files.createTempDirectory("lm_docs").toString
+    val boiler = "click here to subscribe now"
+    // 6 identical boilerplate docs, one unique doc sharing no bigrams
+    val docs = (1L to 6L).map(i => (i, boiler, "en", "s", 0L)) :+
+      ((7L, "quantum marmalade debugging freight elegy", "en", "s", 0L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextJobs.lmSurprise(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("mean_surprise"))
+      .toMap
+    // boilerplate bigrams: every prefix occurrence is followed by the same
+    // token → c_prev = c_bi → surprise = length(bin(1)) = 1 bit per bigram;
+    // fully-unique text also floors at 1 bit (c_prev = c_bi = 1) — the
+    // signal lives in SHARED prefixes with rare continuations, below
+    (1L to 6L).foreach(i => assert(out(i) == 1.0))
+    assert(out(7L) == 1.0)
+    val dir2 = java.nio.file.Files.createTempDirectory("lm_docs2").toString
+    (docs :+ ((8L, "click here to unsubscribe forever", "en", "s", 0L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir2/documents.parquet")
+    val out2 = TextJobs.lmSurprise(spark, dir2).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("mean_surprise"))
+      .toMap
+    // doc 8 shares prefixes "click/here/to" (now 7-8 occurrences each) but
+    // diverges after "to": its (to, unsubscribe) bigram is 1-of-8 for that
+    // prefix → floor(log2(8)) + 1 = 4 bits of surprise on that bigram,
+    // while the boilerplate docs stay near 1 bit
+    assert(out2(8L) > out2(1L))
+    assert(out2(1L) < 1.5)
+  }
+
   test("bpe_merges learns the hand-computed merge table") {
     // vocab: aaab ×3, aab ×1.
     //   r1: (a,a) = 3·2 + 1 = 7 → aaab=[aa,a,b] (GREEDY: [a,a,a]→[aa,a]),
