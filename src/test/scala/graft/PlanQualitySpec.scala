@@ -253,4 +253,36 @@ class PlanQualitySpec extends SparkSpec {
     assert(pv.contains("BroadcastHashJoin"),
       s"vocab membership join not broadcast:\n$pv")
   }
+
+  test("source_caps: WindowGroupLimit cap, no corpus-wide sort, text never shuffles") {
+    val p = plan(DedupJobs.sourceCaps(spark, sf("sf0.001")))
+    assert(p.contains("WindowGroupLimit"),
+      s"per-cell cap lost its pre-exchange group limit:\n$p")
+    assert(!"Exchange hashpartitioning\\([^)]*text#".r.findFirstIn(p).isDefined,
+      s"document text used as an exchange key:\n$p")
+  }
+
+  test("lm_surprise: model joins are int-keyed, text never shuffles") {
+    val p = plan(TextJobs.lmSurprise(spark, sf("sf0.001")))
+    // bigram extraction hashes in place; every exchange downstream carries
+    // (doc_id, ph, bh) ints — a token/text string key would mean the
+    // hashing moved above a shuffle
+    assert(!"Exchange hashpartitioning\\([^)]*(text|w|nxt)#".r.findFirstIn(p).isDefined,
+      s"LM pipeline shuffles token strings:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"LM scoring regressed to an all-pairs join:\n$p")
+    // model training + scoring read ONE cached bigram frame
+    assert(p.contains("InMemoryTableScan"),
+      s"bigram frame not shared between model and scoring:\n$p")
+  }
+
+  test("bpe_merges: one distributed count, then a narrow single-task trainer") {
+    val p = plan(TextJobs.bpeMerges(spark, sf("sf0.001")))
+    // the k merge rounds must not re-introduce per-round exchanges: the
+    // only exchanges are the word count's partial/final pair plus the
+    // coalesce(1) funnel — regression = exchange count growing with k
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 2, s"BPE trainer pays per-round exchanges:\n$p")
+  }
 }
