@@ -297,6 +297,81 @@ object DedupJobs {
         col("split_a"), col("split_b"))
   }
 
+  private val CONTAM_W = 8
+
+  /** Exact n-gram contamination check — the GPT-3/Llama eval-overlap
+    * method, complementing [[decontamination]]'s whole-document LSH
+    * near-dup screen: a TRAIN document is contaminated where any of its
+    * `CONTAM_W`-word positional windows also occurs in a val/test
+    * document. Output: every train doc with windows, its window count,
+    * how many of its window occurrences collide with the eval side, and
+    * the exact rate.
+    *
+    * Scale shape (the [[substringDupRate]] aggregation cascade, split
+    * across the train/eval boundary): one tokenize + window-hash scan —
+    * the split label is md5(doc_id) arithmetic, not a join — one
+    * aggregation to per-(doc, window) counts on 64-bit int keys, then a
+    * LEFT SEMI join of train windows against eval windows (no distinct on
+    * the eval side: semi-join is multiplicity-insensitive). Nothing is
+    * ever quadratic in documents, text never shuffles, and the eval side
+    * at 100 TB is the small relation (benchmarks, not corpus) — the join
+    * side Spark will broadcast on its own when it fits.
+    */
+  def ngramContamination(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val pd = Dedup.explodedGrams(
+        Tables.documents(spark, sfDir).select(col("doc_id"), col("text")),
+        CONTAM_W, distinct = false)
+      .select(col("doc_id"),
+        conv(substring(md5(col("gram")), 1, 8), 16, 10).cast("long").as("gh1"),
+        conv(substring(md5(col("gram")), 9, 8), 16, 10).cast("long").as("gh2"),
+        (splitCol(spark) === "train").as("is_train"))
+      .groupBy(col("doc_id"), col("is_train"), col("gh1"), col("gh2"))
+      .agg(count(lit(1)).as("c"))
+      .cache()
+    val trainPd = pd.filter(col("is_train"))
+    val evalWins = pd.filter(!col("is_train")).select(col("gh1"), col("gh2"))
+    val contam = trainPd
+      .join(evalWins, Seq("gh1", "gh2"), "left_semi")
+      .groupBy(col("doc_id")).agg(sum(col("c")).as("n_contam"))
+    trainPd.groupBy(col("doc_id")).agg(sum(col("c")).as("n_windows"))
+      .join(contam, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_windows"),
+        coalesce(col("n_contam"), lit(0L)).as("n_contam"),
+        (coalesce(col("n_contam"), lit(0L)).cast("double") / col("n_windows"))
+          .as("contam_rate"))
+  }
+
+  val ngramContaminationSql: String =
+    s"""WITH g AS (
+       |  SELECT doc_id, unnest(
+       |    [array_to_string(w[i:i+${CONTAM_W - 1}], ' ')
+       |     FOR i IN range(1, len(w) - ${CONTAM_W - 2})]) AS gram
+       |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+       |        FROM documents)
+       |  WHERE len(w) >= $CONTAM_W
+       |), pd AS (
+       |  SELECT doc_id, ${hexIntSql("gram")} AS gh1,
+       |         ${hexIntSqlAt("gram", 9)} AS gh2,
+       |         ${hexIntSql("doc_id::VARCHAR")} % 100 < 80 AS is_train,
+       |         COUNT(*) AS c
+       |  FROM g GROUP BY 1, 2, 3, 4
+       |), contam AS (
+       |  SELECT t.doc_id, CAST(SUM(t.c) AS BIGINT) AS n_contam
+       |  FROM (SELECT * FROM pd WHERE is_train) t
+       |  WHERE EXISTS (SELECT 1 FROM pd e
+       |                WHERE NOT e.is_train
+       |                  AND e.gh1 = t.gh1 AND e.gh2 = t.gh2)
+       |  GROUP BY 1
+       |)
+       |SELECT s.doc_id, s.n_windows,
+       |       COALESCE(c.n_contam, 0) AS n_contam,
+       |       CAST(COALESCE(c.n_contam, 0) AS DOUBLE) / s.n_windows
+       |         AS contam_rate
+       |FROM (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_windows
+       |      FROM pd WHERE is_train GROUP BY 1) s
+       |LEFT JOIN contam c USING (doc_id)""".stripMargin
+
   /** The oracle restates the same LSH-candidate → exact-verify pipeline:
     * every stage is deterministic md5 arithmetic, so DuckDB reproduces the
     * candidate set bit-for-bit.
@@ -789,6 +864,7 @@ object DedupJobs {
     "dedup_clusters" -> dedupClusters,
     "dedup_incremental" -> dedupIncremental,
     "dedup_incremental_bloom" -> dedupIncrementalBloom,
+    "ngram_contamination" -> ngramContamination,
     "ngram_jaccard" -> ngramJaccard,
     "ngram_jaccard_prefix" -> ngramJaccardPrefix,
     "substring_dup_rate" -> substringDupRate,
@@ -810,6 +886,7 @@ object DedupJobs {
     // Bloom prescreen is lossless (no false negatives + exact join), so
     // the unfiltered semantics hash-check it — losslessness IS the gate
     "dedup_incremental_bloom" -> dedupIncrementalSql,
+    "ngram_contamination" -> ngramContaminationSql,
     "ngram_jaccard" -> ngramJaccardSql,
     // the composed fence is lossless, so the identical uncompressed
     // semantics (at the gate's τ) hash-check it — losslessness IS the

@@ -115,6 +115,33 @@ class EdgeCaseSpec extends SparkSpec {
     screened.foreach(r => assert(!r.getAs[Boolean]("admit")))
   }
 
+  test("round-6 ops are total on empty and degenerate documents") {
+    val dir = java.nio.file.Files.createTempDirectory("empty_r6").toString
+    Seq.empty[(Long, String, String, String, Long)]
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // empty corpus: no words → no merges, no bigrams, no cells, no sketch
+    assert(graft.jobs.TextJobs.bpeMerges(spark, dir).count() == 0)
+    assert(graft.jobs.TextJobs.lmSurprise(spark, dir).count() == 0)
+    assert(graft.jobs.DedupJobs.sourceCaps(spark, dir).count() == 0)
+    assert(graft.jobs.DedupJobs.ngramContamination(spark, dir).count() == 0)
+    // lazy CMS: constructing AND running heavy_hitters on an empty corpus
+    // must not NPE (the sketch aggregate yields NULL but is never probed)
+    assert(graft.jobs.TextJobs.heavyHitters(spark, dir).count() == 0)
+    // single short doc: no CONTAM_W-word window, no bigram for 1 token
+    val dir2 = java.nio.file.Files.createTempDirectory("tiny_r6").toString
+    Seq((1L, "one", "en", "s", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir2/documents.parquet")
+    assert(graft.jobs.TextJobs.lmSurprise(spark, dir2).count() == 0)
+    assert(graft.jobs.DedupJobs.ngramContamination(spark, dir2).count() == 0)
+    // the cap never drops below the cell population when it doesn't bind
+    val caps = graft.jobs.DedupJobs.sourceCaps(spark, dir2).collect()
+    assert(caps.length == 1 &&
+      caps.head.getAs[Long]("docs_in") == 1 &&
+      caps.head.getAs[Long]("docs_kept") == 1)
+  }
+
   test("round-4 ops are total on degenerate documents") {
     // all-empty and token-free texts: packing skips them entirely (no
     // zero-token bins), redaction counts zero, jaccard emits nothing
