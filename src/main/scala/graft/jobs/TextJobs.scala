@@ -136,58 +136,112 @@ object TextJobs {
     * full (count desc, left, right) lexicographic tie-breaks are
     * deterministic and ASCII-collation-identical in both engines.
     */
-  def bpeMerges(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    // corpus-scale stage, fully distributed: one tokenize + two-phase count
-    val wc = Tables.documents(spark, sfDir)
-      .select(explode(TextAnalysis.tokens(lower(col("text")))).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-    // vocab-scale stage: the k-round trainer over the (word, cnt) table
-    wc.as[(String, Long)].coalesce(1).mapPartitions { it =>
-      var vocab = it.map { case (w, c) =>
-        (w.toCharArray.map(_.toString): Array[String], c)
-      }.toArray
-      Iterator.unfold(1) { r =>
-        if (r > BPE_ROUNDS) None
-        else {
-          val counts = scala.collection.mutable.HashMap
-            .empty[(String, String), Long]
-          vocab.foreach { case (syms, c) =>
-            var i = 0
-            while (i < syms.length - 1) {
-              val k = (syms(i), syms(i + 1))
-              counts.update(k, counts.getOrElse(k, 0L) + c)
-              i += 1
-            }
-          }
-          if (counts.isEmpty) None
-          else {
-            // argmax with the full deterministic tie-break:
-            // count desc, left asc, right asc
-            val ((l, rr), c) = counts.minBy { case ((a, b), v) => (-v, a, b) }
-            vocab = vocab.map { case (syms, c0) =>
-              val merged = Array.newBuilder[String]
-              var i = 0
-              while (i < syms.length) {
-                if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == rr) {
-                  merged += l + rr; i += 2 // greedy left-to-right, non-overlapping
-                } else { merged += syms(i); i += 1 }
-              }
-              (merged.result(), c0)
-            }
-            Some(((r.toLong, l, rr, c), r + 1))
-          }
+  /** The in-memory trainer pass shared by [[bpeMerges]] and [[bpeEncode]]:
+    * up to `rounds` greedy merge rounds over (word, symbols, count),
+    * returning the merge table and the final symbolization. Stops early
+    * when no adjacent pair remains.
+    */
+  private def trainBpeRounds(
+      vocab0: Array[(String, Array[String], Long)], rounds: Int)
+      : (List[(Long, String, String, Long)],
+         Array[(String, Array[String], Long)]) = {
+    var vocab = vocab0
+    val merges = List.newBuilder[(Long, String, String, Long)]
+    var r = 1
+    var done = false
+    while (r <= rounds && !done) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      vocab.foreach { case (_, syms, c) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + c)
+          i += 1
         }
       }
+      if (counts.isEmpty) done = true
+      else {
+        // argmax with the full deterministic tie-break:
+        // count desc, left asc, right asc
+        val ((l, rr), c) = counts.minBy { case ((a, b), v) => (-v, a, b) }
+        vocab = vocab.map { case (w, syms, c0) =>
+          val merged = Array.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == rr) {
+              merged += l + rr; i += 2 // greedy left-to-right, non-overlapping
+            } else { merged += syms(i); i += 1 }
+          }
+          (w, merged.result(), c0)
+        }
+        merges += ((r.toLong, l, rr, c))
+        r += 1
+      }
+    }
+    (merges.result(), vocab)
+  }
+
+  /** The distributed corpus stage both BPE queries share: one tokenize +
+    * two-phase word count.
+    */
+  private def wordCounts(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(explode(TextAnalysis.tokens(lower(col("text")))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+
+  def bpeMerges(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    // vocab-scale stage: the k-round trainer over the (word, cnt) table
+    wordCounts(spark, sfDir).as[(String, Long)].coalesce(1).mapPartitions { it =>
+      val vocab0 = it.map { case (w, c) =>
+        (w, w.toCharArray.map(_.toString): Array[String], c)
+      }.toArray
+      trainBpeRounds(vocab0, BPE_ROUNDS)._1.iterator
     }.toDF("round", "left_sym", "right_sym", "pair_count")
   }
 
-  /** Oracle: the k merge rounds unrolled as CTE pairs (the
-    * `cent$KM_ITERS` discipline) — `p_r` recounts pairs from `v_{r-1}`,
-    * `m_r` takes the deterministic argmax, `v_r` applies the merge with
-    * the same `replace` semantics.
+  /** Tokenize-under-the-learned-tokenizer accounting — the number a
+    * training pipeline actually consumes from BPE: per document, how many
+    * tokens the [[bpeMerges]] merge table yields, vs whitespace words.
+    * The trainer's final vocab IS the encoder (every corpus word's
+    * symbolization after k merges), so encoding a document is a
+    * vocab-lookup: explode words → pre-aggregate per-(doc, word) → join
+    * the (word → n_syms) table on 60-bit int keys → per-doc sums. The
+    * corpus never re-tokenizes per merge, text never shuffles, and the
+    * single-task trainer output joins back as an ordinary (broadcastable,
+    * vocab-sized) relation.
     */
-  val bpeMergesSql: String = {
+  def bpeEncode(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val enc = wordCounts(spark, sfDir).as[(String, Long)]
+      .coalesce(1).mapPartitions { it =>
+        val vocab0 = it.map { case (w, c) =>
+          (w, w.toCharArray.map(_.toString): Array[String], c)
+        }.toArray
+        trainBpeRounds(vocab0, BPE_ROUNDS)._2.iterator
+          .map { case (w, syms, _) => (w, syms.length.toLong) }
+      }.toDF("w", "n_syms")
+      .select(hash60(col("w")).as("wh"), col("n_syms"))
+    val dw = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        explode(TextAnalysis.tokens(lower(col("text")))).as("w"))
+      .groupBy(col("doc_id"), hash60(col("w")).as("wh"))
+      .agg(count(lit(1)).as("k"))
+    dw.join(enc, "wh")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("k")).as("n_words"),
+        sum(col("k") * col("n_syms")).as("n_bpe_tokens"),
+        round(sum(col("k") * col("n_syms")).cast("double") / sum(col("k"))
+          + lit(1e-9), 4).as("tokens_per_word"))
+  }
+
+  /** The k merge rounds unrolled as CTE triples (the `cent$KM_ITERS`
+    * discipline) — `p_r` recounts pairs from `v_{r-1}`, `m_r` takes the
+    * deterministic argmax, `v_r` applies the merge with the same
+    * `replace` semantics, carrying the original word through for the
+    * encoder's lookup. Shared by the merges and encode oracles.
+    */
+  private val bpeVocabCtes: String = {
     val roundCtes = (1 to BPE_ROUNDS).map { r =>
       s"""p$r AS (
          |  SELECT s[i] AS left_sym, s[i + 1] AS right_sym,
@@ -201,26 +255,53 @@ object TextJobs {
          |  SELECT left_sym, right_sym, pair_count FROM p$r
          |  ORDER BY pair_count DESC, left_sym ASC, right_sym ASC LIMIT 1
          |), v$r AS (
-         |  SELECT replace(repr, '|' || m.left_sym || '||' || m.right_sym || '|',
-         |           '|' || m.left_sym || m.right_sym || '|') AS repr, cnt
-         |  FROM v${r - 1}, m$r m
+         |  -- LEFT JOIN ON TRUE: an exhausted merge table (m empty before
+         |  -- round k) must pass the vocab through unchanged, not empty it
+         |  SELECT w, COALESCE(replace(repr,
+         |           '|' || m.left_sym || '||' || m.right_sym || '|',
+         |           '|' || m.left_sym || m.right_sym || '|'), repr) AS repr, cnt
+         |  FROM v${r - 1} LEFT JOIN m$r m ON TRUE
          |)""".stripMargin
     }.mkString(", ")
-    val out = (1 to BPE_ROUNDS).map { r =>
-      s"SELECT CAST($r AS BIGINT) AS round, left_sym, right_sym, pair_count FROM m$r"
-    }.mkString("\nUNION ALL ")
-    s"""WITH wc AS (
+    s"""wc AS (
        |  SELECT w, COUNT(*) AS cnt FROM (
        |    SELECT unnest(regexp_extract_all(lower(text), '[A-Za-z0-9]+')) AS w
        |    FROM documents)
        |  GROUP BY w
        |), v0 AS (
-       |  SELECT substr('|' || regexp_replace(w, '(.)', '\\1||', 'g'),
+       |  SELECT w, substr('|' || regexp_replace(w, '(.)', '\\1||', 'g'),
        |           1, 3 * length(w)) AS repr, cnt
        |  FROM wc
-       |), $roundCtes
-       |$out""".stripMargin
+       |), $roundCtes""".stripMargin
   }
+
+  val bpeMergesSql: String = {
+    val out = (1 to BPE_ROUNDS).map { r =>
+      s"SELECT CAST($r AS BIGINT) AS round, left_sym, right_sym, pair_count FROM m$r"
+    }.mkString("\nUNION ALL ")
+    s"WITH $bpeVocabCtes\n$out"
+  }
+
+  /** Oracle: the final `v_k` symbolization IS the encoder — count its
+    * symbols per word and join the documents' word multiplicities.
+    */
+  val bpeEncodeSql: String =
+    s"""WITH $bpeVocabCtes, enc AS (
+       |  SELECT w, CAST(len(string_split(substr(repr, 2, length(repr) - 2),
+       |           '||')) AS BIGINT) AS n_syms
+       |  FROM v$BPE_ROUNDS
+       |), dw AS (
+       |  SELECT doc_id, w, COUNT(*) AS k FROM (
+       |    SELECT doc_id, unnest(regexp_extract_all(lower(text), '[A-Za-z0-9]+')) AS w
+       |    FROM documents)
+       |  GROUP BY 1, 2
+       |)
+       |SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_words,
+       |       CAST(SUM(k * n_syms) AS BIGINT) AS n_bpe_tokens,
+       |       ROUND(CAST(SUM(k * n_syms) AS DOUBLE) / CAST(SUM(k) AS BIGINT)
+       |             + 1e-9, 4) AS tokens_per_word
+       |FROM dw JOIN enc USING (w)
+       |GROUP BY doc_id""".stripMargin
 
   /** DuckDB: first 15 md5-hex chars of `inner` as a 60-bit BIGINT (the
     * [[OracleSql.hexIntSql]] shape widened past birthday range for
@@ -1080,6 +1161,7 @@ object TextJobs {
     "doc_fingerprint" -> docFingerprint,
     "vocab_topk" -> vocabTopK,
     "bpe_merges" -> bpeMerges,
+    "bpe_encode" -> bpeEncode,
     "lm_surprise" -> lmSurprise,
     "vocab_coverage" -> vocabCoverage,
     "heavy_hitters" -> heavyHitters,
@@ -1101,6 +1183,7 @@ object TextJobs {
     "doc_fingerprint" -> docFingerprintSql,
     "vocab_topk" -> vocabTopKSql,
     "bpe_merges" -> bpeMergesSql,
+    "bpe_encode" -> bpeEncodeSql,
     "lm_surprise" -> lmSurpriseSql,
     "vocab_coverage" -> vocabCoverageSql,
     "heavy_hitters" -> heavyHittersSql,

@@ -21,6 +21,21 @@ object PureFunctionProps extends Properties("graft.pure") {
       Multimodal.sampleFrameIndices(n, target) == (0 until n)
     }
 
+  // The codec contract multimodal_features' oracle leans on: the PNG
+  // round-trip is LOSSLESS, so decode(encode(g)) recovers g exactly for
+  // any dims and any 0-255 pattern.
+  property("encodePng → ImageIO decode is pixel-exact for arbitrary patterns") =
+    Prop.forAll(Gen.chooseNum(1, 24), Gen.chooseNum(1, 24),
+        Gen.chooseNum(Long.MinValue, Long.MaxValue)) { (w, h, seed) =>
+      def g(x: Int, y: Int): Int =
+        (((seed * 31 + x * 7 + y * 13) % 256 + 256) % 256).toInt
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(Multimodal.encodePng(w, h, g)))
+      img.getWidth == w && img.getHeight == h &&
+        (0 until h).forall(y => (0 until w).forall(x =>
+          img.getRaster.getSample(x, y, 0) == g(x, y)))
+    }
+
   // The minhash-multiplier invariant CLAUDE.md records: small multipliers
   // correlate the k argmins and blow up LSH candidates ~13×. Every a_j must
   // be odd, land in [2^29, 2^30) (large, and a_j·h < 2^62 overflow-free),

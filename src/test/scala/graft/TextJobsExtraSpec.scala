@@ -183,5 +183,10 @@ class TextJobsExtraSpec extends SparkSpec {
     assert(out.toSeq == Seq(
       (1L, "a", "a", 7L), (2L, "a", "b", 3L),
       (3L, "aa", "ab", 3L), (4L, "aa", "b", 1L)))
+    // the merges exhaust at round 4 (< BPE_ROUNDS): both words collapse to
+    // ONE token each, and the pass-through rounds must not lose the vocab
+    val enc = TextJobs.bpeEncode(spark, dir)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(enc.toSeq == Seq((1L, 3L, 3L, 1.0), (2L, 1L, 1L, 1.0)))
   }
 }
