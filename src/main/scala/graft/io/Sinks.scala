@@ -47,6 +47,45 @@ object Sinks {
         finally batch.unpersist()
     }
 
+  /** K2, true retractions: emulate a Flink retract stream
+    * (`HotItemWithSql.java:77`'s `toRetractStream` print) over an
+    * UPDATE-mode result. Spark re-emits changed rows but never retracts
+    * the stale ones; this `foreachBatch` body closes that gap by diffing
+    * each batch against the previously-emitted result table: a changed
+    * key emits `(false, oldRow)` then `(true, newRow)` — exactly the
+    * Flink changelog a user diffing console output expects — and a new
+    * key emits `(true, row)` alone.
+    *
+    * The previous-result snapshot lives driver-side, which is correct
+    * here by construction: retract streams decorate RESULT tables (top-N
+    * per window, windowed counts) that are orders of magnitude smaller
+    * than the input — the same boundedness argument as Flink's own
+    * retract-stream materialization. Not for corpus-sized results.
+    */
+  def retractBatches(keyCols: Seq[String])(emit: (Boolean, Row) => Unit)
+      : (DataFrame, Long) => Unit = {
+    val prev = scala.collection.mutable.HashMap.empty[Seq[Any], Row]
+    (batch: DataFrame, _: Long) => {
+      batch.collect().foreach { row =>
+        val k = keyCols.map(c => row.getAs[Any](c))
+        prev.get(k) match {
+          case Some(old) if old == row => () // update mode may re-emit equal rows
+          case Some(old) =>
+            emit(false, old); emit(true, row); prev(k) = row
+          case None =>
+            emit(true, row); prev(k) = row
+        }
+      }
+    }
+  }
+
+  /** K2 retract console: [[retractBatches]] wired to the Flink-style
+    * `(true/false, row)` print.
+    */
+  def retractConsole(df: DataFrame, keyCols: Seq[String]): DataStreamWriter[Row] =
+    df.writeStream.outputMode("update").foreachBatch(
+      retractBatches(keyCols) { (add, row) => println(s"($add,$row)") })
+
   /** Curated-corpus landing layout: hive-partitioned parquet on the
     * curation keys (lang/split/source-class …). The complement of
     * [[Bucketing]]: bucketing pre-shuffles for exchange-free JOINS on a

@@ -40,4 +40,31 @@ class SinksSpec extends SparkSpec {
     val good = rows.filter(r => !r.isNullAt(0)).map(_.getLong(0)).toSet
     assert(good == Set(1L, 2L)) // the malformed line nulls, never throws
   }
+
+  test("retract sink emits the Flink changelog: (false, old) then (true, new)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Long)]
+    val counts = in.toDF().toDF("item", "n")
+      .groupBy($"item").agg(count(lit(1)).as("cnt"))
+    val log = scala.collection.mutable.ArrayBuffer.empty[(Boolean, Seq[Any])]
+    val q = counts.writeStream.outputMode("update")
+      .foreachBatch(Sinks.retractBatches(Seq("item")) { (add, row) =>
+        log.synchronized { log += ((add, row.toSeq)) }
+      }).start()
+    try {
+      in.addData(("a", 1L), ("b", 1L)); q.processAllAvailable()
+      in.addData(("a", 2L)); q.processAllAvailable() // a: 2 → retract (a,1)
+      in.addData(("a", 3L), ("c", 1L)); q.processAllAvailable()
+    } finally q.stop()
+    val aLog = log.filter(_._2.head == "a").toList
+    assert(aLog == List(
+      (true, Seq("a", 1L)),
+      (false, Seq("a", 1L)), (true, Seq("a", 2L)),
+      (false, Seq("a", 2L)), (true, Seq("a", 3L))),
+      s"changelog for 'a' diverged: $aLog")
+    // untouched keys never retract
+    assert(log.filter(_._2.head == "b").toList == List((true, Seq("b", 1L))))
+    assert(log.filter(_._2.head == "c").toList == List((true, Seq("c", 1L))))
+  }
 }
