@@ -32,7 +32,11 @@ object Probe {
   private val DupQueries = Seq(
     "dedup_exact", "dedup_simhash", "dedup_minhash_lsh", "dedup_clusters",
     "decontamination", "ngram_jaccard", "text_repetition", "doc_chunks",
-    "substring_dup_rate", "substring_dedup_clean", "semantic_dedup")
+    "substring_dup_rate", "substring_dedup_clean", "semantic_dedup",
+    // round 6: trainer cost must track VOCAB (flat under dup mass), the
+    // scoring/contamination cascades must stay linear
+    "bpe_merges", "bpe_encode", "lm_surprise", "ngram_contamination",
+    "source_caps")
 
   /** The residual-zone suspects: pairwise joins whose fences rely on
     * collapsing identical content, plus the aggregation-only cascade that
@@ -99,7 +103,13 @@ object Probe {
       dir
     }
 
-    def runRegistry(label: String, queries: Seq[String], probeDir: String): Unit = {
+    // optional comma-separated restriction, e.g.
+    // SPARK_GRAFT_PROBE_QUERIES=bpe_merges,lm_surprise
+    val only = sys.env.get("SPARK_GRAFT_PROBE_QUERIES")
+      .map(_.split(",").map(_.trim).toSet)
+
+    def runRegistry(label: String, queries0: Seq[String], probeDir: String): Unit = {
+      val queries = only.fold(queries0)(s => queries0.filter(s))
       println(s"== $label (${copies}x, vs $sfDir) ==")
       println(f"${"query"}%-22s ${"base"}%8s ${copies + "x"}%8s  ratio")
       queries.foreach { q =>
