@@ -41,21 +41,26 @@ object MultimodalJobs {
 
   /** Decode → stripe features over the binary payloads. IMAGE rows
     * (doc_id % 3 == 0) carry REAL synthesized PNGs decoded through
-    * `javax.imageio` — the oracle recomputes their expected pixels
-    * arithmetically (`Multimodal.pixelValue`; PNG round-trip is lossless),
-    * so a broken decoder fails the hash gate. Audio/video rows keep the
-    * opaque payload + stub decode. The library keeps the vector form
-    * (`AssetFeatures.feature`); the declared query flattens it to one
-    * scalar column per stripe so the output is a plain comparable relation.
+    * `javax.imageio`; AUDIO rows (doc_id % 3 == 1) carry REAL synthesized
+    * WAVs decoded through `javax.sound.sampled` — the oracle recomputes
+    * both expected pixel/sample streams arithmetically
+    * (`Multimodal.pixelValue`; PNG and PCM round-trips are lossless), so a
+    * broken decoder fails the hash gate. Video rows keep the opaque
+    * payload + stub decode (no JDK video codec exists). The library keeps
+    * the vector form (`AssetFeatures.feature`); the declared query
+    * flattens it to one scalar column per stripe so the output is a plain
+    * comparable relation.
     */
   def multimodalFeatures(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
     val opaque = Multimodal.assetsFromDocuments(spark, docs)
-      .where(col("kind") =!= "image")
+      .where(col("kind") === "video")
     val images = Multimodal.imageAssets(spark,
       docs.where(col("doc_id") % 3 === 0))
+    val audio = Multimodal.audioAssets(spark,
+      docs.where(col("doc_id") % 3 === 1))
     val feats = Multimodal.extractFeatures(
-      opaque.unionByName(images),
+      opaque.unionByName(images).unionByName(audio),
       stripes = STRIPES, frameTarget = FRAME_TARGET).toDF()
     val stripeCols = (0 until STRIPES)
       .map(i => col("feature")(i).as(s"stripe_$i"))
@@ -91,15 +96,19 @@ object MultimodalJobs {
        |  SELECT doc_id, hex(encode(text)) AS h,
        |         octet_length(encode(text)) AS n,
        |         1 + doc_id % 30 AS nf
-       |  FROM documents WHERE doc_id % 3 <> 0
+       |  FROM documents WHERE doc_id % 3 = 2
        |), img AS (
        |  SELECT doc_id, 8 + doc_id % 5 AS w,
        |         (8 + doc_id % 5) * (6 + doc_id % 4) AS n,
        |         1 + doc_id % 30 AS nf
        |  FROM documents WHERE doc_id % 3 = 0
+       |), aud AS (
+       |  SELECT doc_id, 48 + doc_id % 56 AS n, 1 + doc_id % 30 AS nf
+       |  FROM documents WHERE doc_id % 3 = 1
        |), meta AS (
        |  SELECT doc_id, n, nf FROM txt
        |  UNION ALL SELECT doc_id, n, nf FROM img
+       |  UNION ALL SELECT doc_id, n, nf FROM aud
        |), bytes AS (
        |  SELECT doc_id, n,
        |    ${hexDigit("2*i + 1")} * 16 + ${hexDigit("2*i + 2")} AS byte,
@@ -110,6 +119,11 @@ object MultimodalJobs {
        |    (31 * doc_id + 7 * (i % w) + 13 * (i // w)) % 256 AS byte,
        |    CASE $stripeCase ELSE ${STRIPES - 1} END AS stripe
        |  FROM (SELECT doc_id, w, n, unnest(range(0, n)) AS i FROM img)
+       |  UNION ALL
+       |  SELECT doc_id, n,
+       |    (31 * doc_id + 7 * i) % 256 AS byte,
+       |    CASE $stripeCase ELSE ${STRIPES - 1} END AS stripe
+       |  FROM (SELECT doc_id, n, unnest(range(0, n)) AS i FROM aud)
        |), sm AS (
        |  SELECT doc_id, stripe, AVG(byte) AS m FROM bytes GROUP BY 1, 2
        |), agg AS (

@@ -9,11 +9,12 @@ import org.apache.spark.sql.functions._
   * The Spark-side plumbing is real and tested — schema, partition-preserving
   * `mapPartitions` (the Scala analog of Python's `mapInPandas` batch UDFs:
   * same iterator-of-batches contract, same narrow-stage placement), batch
-  * shape. The IMAGE codec is real: PNG payloads decode through
-  * `javax.imageio` (JDK-shipped, zero new dependencies) to row-major
-  * grayscale pixels. Audio/video remain STUBBED with a deterministic fake
-  * (no codec libs in this container): `decodeStub` derives "samples" from
-  * the payload bytes — swap it for a real decoder (JNI/ffmpeg) without
+  * shape. The IMAGE and AUDIO codecs are real: PNG payloads decode through
+  * `javax.imageio` to row-major grayscale pixels, WAV payloads through
+  * `javax.sound.sampled` to unsigned 8-bit PCM samples (both JDK-shipped,
+  * zero new dependencies). Video remains STUBBED with a deterministic fake
+  * (no JDK video codec exists): `decodeStub` derives "frames" from the
+  * payload bytes — swap it for a real decoder (JNI/ffmpeg) without
   * touching any plumbing.
   *
   * Scale notes: payloads never pass through a shuffle — every stage is a
@@ -70,16 +71,27 @@ object Multimodal {
     bytes.length > 8 && bytes(0) == PngMagic(0) && bytes(1) == PngMagic(1) &&
       bytes(2) == PngMagic(2) && bytes(3) == PngMagic(3)
 
+  private def isWav(bytes: Array[Byte]): Boolean =
+    bytes.length > 12 && bytes(0) == 'R' && bytes(1) == 'I' &&
+      bytes(2) == 'F' && bytes(3) == 'F' &&
+      bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E'
+
   /** Dispatching decoder: image payloads that really are PNGs go through
-    * `javax.imageio` (in the JDK — no new dependency) and yield row-major
-    * 8-bit grayscale pixels; everything else falls back to the stub. The
-    * image path is REAL: a broken decoder fails the `multimodal_features`
-    * oracle, because the gate recomputes the expected pixels of the
-    * synthesized PNGs arithmetically (PNG is lossless, so
-    * decode(encode(g)) = g).
+    * `javax.imageio`, audio payloads that really are WAVs go through
+    * `javax.sound.sampled` (both in the JDK — no new dependency), yielding
+    * row-major grayscale pixels / unsigned 8-bit PCM samples; video (no
+    * JDK codec exists) and unrecognized payloads fall back to the stub.
+    * Both real paths are oracle-enforced: a broken decoder fails the
+    * `multimodal_features` hash gate, because it recomputes the expected
+    * pixels/samples of the synthesized payloads arithmetically (PNG and
+    * PCM are lossless, so decode(encode(g)) = g).
     */
   private[graft] def decode(a: Asset): Array[Byte] =
-    if (a.kind == "image" && isPng(a.content)) {
+    if (a.kind == "audio" && isWav(a.content)) {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(a.content))
+      try in.readAllBytes() finally in.close()
+    } else if (a.kind == "image" && isPng(a.content)) {
       val img = javax.imageio.ImageIO.read(
         new java.io.ByteArrayInputStream(a.content))
       val w = img.getWidth; val h = img.getHeight
@@ -123,6 +135,41 @@ object Multimodal {
     */
   def pngDims(id: Long): (Int, Int) =
     ((8 + id % 5).toInt, (6 + id % 4).toInt)
+
+  /** Encode a real single-channel 8-bit-PCM WAV via `javax.sound.sampled`
+    * with sample i = gray(i) (unsigned). PCM is uncompressed, so the
+    * decode side recovers the samples bit-exactly.
+    */
+  def encodeWav(n: Int, sample: Int => Int): Array[Byte] = {
+    val pcm = Array.tabulate(n)(i => (sample(i) & 0xff).toByte)
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 8, 1, false, false)
+    val in = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(in,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Decoded sample count of the synthesized WAV for `id` — small clips
+    * (48–103 samples), the audio sibling of [[pngDims]].
+    */
+  def wavSamples(id: Long): Int = (48 + id % 56).toInt
+
+  /** Audio-kind assets with REAL payloads: each row carries an actual WAV
+    * of the deterministic [[pixelValue]] pattern (sample i =
+    * pixelValue(id, i, 0)); the audio sibling of [[imageAssets]].
+    */
+  def audioAssets(spark: SparkSession, docs: DataFrame): Dataset[Asset] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val n = wavSamples(id)
+        Asset(id, encodeWav(n, i => pixelValue(id, i, 0)),
+          "audio", 0, 0, (1 + id % 30).toInt)
+      }
+    }
+  }
 
   /** Image-kind assets with REAL payloads: each row carries an actual PNG
     * of the deterministic [[pixelValue]] pattern, with width/height set to

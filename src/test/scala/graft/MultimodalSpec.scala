@@ -75,6 +75,18 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("WAV encode → javax.sound.sampled decode round-trips the exact samples") {
+    val n = 53
+    val wav = Multimodal.encodeWav(n, i => Multimodal.pixelValue(7L, i, 0))
+    assert(wav.take(4).map(_.toChar).mkString == "RIFF") // a REAL WAV
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(wav))
+    val pcm = try in.readAllBytes() finally in.close()
+    assert(pcm.length == n)
+    (0 until n).foreach(i =>
+      assert((pcm(i) & 0xff) == Multimodal.pixelValue(7L, i, 0)))
+  }
+
   test("frame sampling is deterministic and bounded") {
     assert(Multimodal.sampleFrameIndices(30, 8).length <= 8)
     assert(Multimodal.sampleFrameIndices(3, 8) == Seq(0, 1, 2))
