@@ -731,6 +731,50 @@ object DedupJobs {
        |GROUP BY c.source, ins.docs_in, ins.tokens_in""".stripMargin
   }
 
+  /** Deterministic global training order — the "global shuffle" step a
+    * training-data pipeline runs last: every document gets a reproducible
+    * position `seq` in the hash-shuffled interleave (order by md5
+    * priority, doc_id tie-break), so any engine/run/partitioning
+    * materializes the identical training sequence and sources arrive
+    * naturally interleaved.
+    *
+    * 100 TB shape: a global ROW_NUMBER is the canonical single-partition
+    * funnel, so the sequence is assigned with the [[TextJobs.docPacking]]
+    * distributed prefix-sum pattern instead: range-partition by the
+    * shuffle key (CACHED — the partitioner samples, two materializations
+    * could cut different boundaries), per-partition counts → one tiny
+    * offsets frame → broadcast join + per-partition local rank. Work per
+    * task is one local sort; the only global structure is the
+    * partition-count-sized offsets cumsum.
+    */
+  def trainingOrder(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        Dedup.md5Long(col("doc_id").cast("string")).as("priority"))
+      .repartitionByRange(col("priority"), col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+      .cache()
+    val offsets = base.groupBy(col("pid"))
+      .agg(count(lit(1)).as("part_n"))
+      .withColumn("part_offset",
+        coalesce(sum(col("part_n")).over(
+          Window.orderBy(col("pid"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("pid"), col("part_offset"))
+    val wLocal = Window.partitionBy(col("pid"))
+      .orderBy(col("priority").asc, col("doc_id").asc)
+    base.join(broadcast(offsets), "pid")
+      .withColumn("seq", col("part_offset") + row_number().over(wLocal))
+      .select(col("doc_id"), col("source"), col("priority"), col("seq"))
+  }
+
+  val trainingOrderSql: String =
+    s"""SELECT doc_id, source, ${hexIntSql("doc_id::VARCHAR")} AS priority,
+       |       ROW_NUMBER() OVER (
+       |         ORDER BY ${hexIntSql("doc_id::VARCHAR")} ASC, doc_id ASC) AS seq
+       |FROM documents""".stripMargin
+
   // ---- end-to-end corpus curation (the composed pipeline story) ----
 
   /** The composed training-data curation pass a user of this library runs:
@@ -859,6 +903,7 @@ object DedupJobs {
     "doc_sample" -> docSample,
     "stratified_sample" -> stratifiedSample,
     "source_caps" -> sourceCaps,
+    "training_order" -> trainingOrder,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
     "dedup_simhash" -> dedupSimhash,
     "dedup_clusters" -> dedupClusters,
@@ -879,6 +924,7 @@ object DedupJobs {
     "doc_sample" -> docSampleSql,
     "stratified_sample" -> stratifiedSampleSql,
     "source_caps" -> sourceCapsSql,
+    "training_order" -> trainingOrderSql,
     "dedup_minhash_lsh" -> dedupMinhashLshSql,
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_clusters" -> dedupClustersSql,

@@ -277,6 +277,19 @@ class PlanQualitySpec extends SparkSpec {
       s"bigram frame not shared between model and scoring:\n$p")
   }
 
+  test("training_order assigns the global sequence without a corpus-wide funnel") {
+    val p = plan(DedupJobs.trainingOrder(spark, sf("sf0.001")))
+    // the corpus-side rank window must be per-partition (pid-keyed), with
+    // range partitioning carrying the global order; the only
+    // single-partition exchange is the partition-count-sized offsets frame
+    assert(p.contains("rangepartitioning"),
+      s"lost the range partitioning that carries global order:\n$p")
+    assert(p.contains("windowspecdefinition(pid#"),
+      s"rank window not per-partition:\n$p")
+    assert("Exchange SinglePartition".r.findAllIn(p).length <= 1,
+      s"corpus-wide single-partition funnel appeared:\n$p")
+  }
+
   test("bpe_merges: one distributed count, then a narrow single-task trainer") {
     val p = plan(TextJobs.bpeMerges(spark, sf("sf0.001")))
     // the k merge rounds must not re-introduce per-round exchanges: the
