@@ -69,4 +69,40 @@ class HotPagesPipelineSpec extends SparkSpec {
       }
     }
   }
+
+  test("allowedLateness re-fire surfaces as a Flink retract changelog (W5+K2)") {
+    // The reference keeps window state 1 extra minute and RE-EMITS an
+    // updated count per late event (`HotPages.java:78`), retracting the
+    // stale row in the changelog. Composition here: widened watermark
+    // (disorder 5 s + lateness 60 s) accepts the late row, update mode
+    // re-emits the count, and Sinks.retractBatches reconstructs the
+    // (false, old) / (true, new) pairs the Flink console shows.
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Hit]
+    val counts = in.toDS().toDF()
+      .withColumn("ts", timestamp_millis($"tsMs"))
+      .withWatermark("ts", "65 seconds") // 5 s disorder + 60 s lateness
+      .groupBy(window($"ts", "10 minutes"), $"key")
+      .agg(count(lit(1)).as("cnt"))
+      .select($"window.start".as("ws"), $"key", $"cnt")
+    val log = scala.collection.mutable.ArrayBuffer.empty[(Boolean, Long)]
+    val q = counts.writeStream.outputMode("update")
+      .foreachBatch(graft.io.Sinks.retractBatches(Seq("ws", "key")) {
+        (add, row) =>
+          if (row.getAs[String]("key") == "/home")
+            log.synchronized { log += ((add, row.getAs[Long]("cnt"))) }
+      }).start()
+    try {
+      // two on-time hits in the [600 s, 1200 s) window; watermark → 735 s
+      in.addData(Hit("/home", 700000L), Hit("/home", 800000L))
+      q.processAllAvailable()
+      // 750 s is LATE for the reference (behind its 795 s disorder-only
+      // watermark) but inside the 60 s lateness budget — it must re-fire
+      // the window as retract(2) + add(3), not vanish
+      in.addData(Hit("/home", 750000L))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(log.toList == List((true, 2L), (false, 2L), (true, 3L)),
+      s"late re-fire changelog diverged: $log")
+  }
 }
