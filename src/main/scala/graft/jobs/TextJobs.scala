@@ -361,6 +361,85 @@ object TextJobs {
           + lit(1e-9), 4).as("mean_surprise"))
   }
 
+  /** The CCNet configuration of [[lmSurprise]]: the bigram model is
+    * trained on the HIGH-QUALITY subset only (quality ≥ 0.4 — the same
+    * supervision split `quality_classifier_trained` uses), and EVERY
+    * document scores against that reference model. Bigrams absent from
+    * the model are out-of-model (real pipelines smooth them; here they
+    * are counted — `n_oov` — and excluded from the surprise sum, keeping
+    * every emitted number engine-exact): a doc that looks nothing like
+    * the clean corpus shows up as high `oov_rate`, one made of clean-
+    * corpus boilerplate as low `mean_surprise`. Same join shape as
+    * [[lmSurprise]] — the model side shrinks, an extra left join carries
+    * the OOV bit.
+    */
+  def lmSurpriseRef(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val d = Tables.documents(spark, sfDir)
+    val quality = TextAnalysis.qualityScore(
+      TextAnalysis.tokenCount(col("text")),
+      TextAnalysis.stopwordCount(col("text")))
+    val pairsOf = (docs: DataFrame) => docs
+      .select(col("doc_id"),
+        posexplode(TextAnalysis.tokens(lower(col("text")))).as(Seq("pos", "w")))
+      .withColumn("nxt", lead(col("w"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .select(col("doc_id"), hash60(col("w")).as("ph"),
+        hash60(concat_ws(" ", col("w"), col("nxt"))).as("bh"))
+    val ref = pairsOf(d.where(quality >= 0.4)).cache()
+    val cb = ref.groupBy(col("bh")).agg(count(lit(1)).as("c_bi"))
+    val cp = ref.groupBy(col("ph")).agg(count(lit(1)).as("c_prev"))
+    pairsOf(d)
+      .join(cb, Seq("bh"), "left")
+      .join(cp, Seq("ph"), "left")
+      .withColumn("surprise",
+        when(col("c_bi").isNotNull && col("c_prev").isNotNull,
+          length(bin(expr("c_prev div c_bi"))).cast("long")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("surprise").isNull, 1L).otherwise(0L)).as("n_oov"),
+        coalesce(sum(col("surprise")), lit(0L)).as("surprise_bits"),
+        round(sum(when(col("surprise").isNull, 1L).otherwise(0L))
+          .cast("double") / count(lit(1)) + lit(1e-9), 4).as("oov_rate"))
+  }
+
+  val lmSurpriseRefSql: String = {
+    val nTokSql =
+      "CAST(length(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT)"
+    val nStopSql =
+      "CAST(length(regexp_extract_all(text, '\\b(the|a|of|and|to|in|is|on|for|with)\\b')) AS BIGINT)"
+    val qualitySql =
+      s"""ROUND(least(CAST($nTokSql AS DOUBLE) / 100.0, 1.0) * 0.6 +
+         |    (CAST($nStopSql AS DOUBLE) / CAST(greatest($nTokSql, 1) AS DOUBLE)) * 0.4
+         |    + 1e-9, 4)""".stripMargin
+    s"""WITH tok AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '[A-Za-z0-9]+') AS w,
+       |         $qualitySql AS q
+       |  FROM documents
+       |), pairs AS (
+       |  SELECT doc_id, q, ${hex60Sql("w[i]")} AS ph,
+       |         ${hex60Sql("w[i] || ' ' || w[i + 1]")} AS bh
+       |  FROM (SELECT doc_id, q, w, unnest(range(1, len(w))) AS i FROM tok)
+       |), cb AS (
+       |  SELECT bh, COUNT(*) AS c_bi FROM pairs WHERE q >= 0.4 GROUP BY bh
+       |), cp AS (
+       |  SELECT ph, COUNT(*) AS c_prev FROM pairs WHERE q >= 0.4 GROUP BY ph
+       |)
+       |SELECT doc_id, COUNT(*) AS n_bigrams,
+       |       CAST(SUM(CASE WHEN c_bi IS NULL OR c_prev IS NULL
+       |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       |       CAST(COALESCE(SUM(CASE WHEN c_bi IS NOT NULL AND c_prev IS NOT NULL
+       |                     THEN length(bin(c_prev // c_bi)) END), 0) AS BIGINT)
+       |         AS surprise_bits,
+       |       ROUND(CAST(SUM(CASE WHEN c_bi IS NULL OR c_prev IS NULL
+       |                          THEN 1 ELSE 0 END) AS DOUBLE)
+       |             / COUNT(*) + 1e-9, 4) AS oov_rate
+       |FROM pairs
+       |LEFT JOIN cb USING (bh) LEFT JOIN cp USING (ph)
+       |GROUP BY doc_id""".stripMargin
+  }
+
   val lmSurpriseSql: String =
     s"""WITH tok AS (
        |  SELECT doc_id, regexp_extract_all(lower(text), '[A-Za-z0-9]+') AS w
@@ -1163,6 +1242,7 @@ object TextJobs {
     "bpe_merges" -> bpeMerges,
     "bpe_encode" -> bpeEncode,
     "lm_surprise" -> lmSurprise,
+    "lm_surprise_ref" -> lmSurpriseRef,
     "vocab_coverage" -> vocabCoverage,
     "heavy_hitters" -> heavyHitters,
     "tfidf_topk" -> tfidfTopK,
@@ -1185,6 +1265,7 @@ object TextJobs {
     "bpe_merges" -> bpeMergesSql,
     "bpe_encode" -> bpeEncodeSql,
     "lm_surprise" -> lmSurpriseSql,
+    "lm_surprise_ref" -> lmSurpriseRefSql,
     "vocab_coverage" -> vocabCoverageSql,
     "heavy_hitters" -> heavyHittersSql,
     "tfidf_topk" -> tfidfTopKSql,
