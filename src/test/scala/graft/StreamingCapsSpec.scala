@@ -50,4 +50,35 @@ class StreamingCapsSpec extends SparkSpec {
       } finally q.stop()
     }
   }
+
+  test("randomized batching: admitted per cell = min(cap, arrivals), exactly once each") {
+    withRocksDb {
+      implicit val sqlCtx = spark.sqlContext
+      val rnd = new scala.util.Random(20260813L)
+      val arrivals = (1L to 120L).map { id =>
+        DocArrival(id, s"src${rnd.nextInt(4)}", Seq("en", "de")(rnd.nextInt(2)), s"t$id")
+      }
+      val in = MemoryStream[DocArrival]
+      val q = StreamingCaps.admitFirstN(in.toDS(), cap = 7)
+        .writeStream.format("memory").queryName("stream_caps_rand")
+        .outputMode("update").start()
+      try {
+        // random batch boundaries: the per-cell count must survive any split
+        var rest = arrivals
+        while (rest.nonEmpty) {
+          val n = 1 + rnd.nextInt(40)
+          in.addData(rest.take(n): _*); q.processAllAvailable()
+          rest = rest.drop(n)
+        }
+        val out = spark.table("stream_caps_rand")
+          .as[(Long, String, String, Boolean)].collect()
+        assert(out.length == arrivals.length) // every arrival gated exactly once
+        val admitted = out.filter(_._4).groupBy(r => (r._2, r._3))
+          .view.mapValues(_.length).toMap
+        val expected = arrivals.groupBy(a => (a.source, a.lang))
+          .view.mapValues(g => math.min(7, g.length)).toMap
+        assert(admitted == expected)
+      } finally q.stop()
+    }
+  }
 }
