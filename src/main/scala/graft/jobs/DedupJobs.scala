@@ -775,6 +775,118 @@ object DedupJobs {
        |         ORDER BY ${hexIntSql("doc_id::VARCHAR")} ASC, doc_id ASC) AS seq
        |FROM documents""".stripMargin
 
+  /** The round-6 surface composed into one checked funnel: per-cell
+    * hash-priority caps → exact-dedup keepers within the capped set →
+    * deterministic split → exact 8-gram decontamination of the train
+    * side — the admission path a training corpus takes before
+    * [[trainingOrder]] sequences it. Every document carries its stage
+    * flags, so the funnel is ONE conditional aggregation per source (no
+    * per-stage joins of aggregates, no zero-row sources dropped).
+    *
+    * Scale shape: cap = WindowGroupLimit; keepers = fingerprint hash-agg;
+    * contamination = the [[ngramContamination]] window-hash semi-join
+    * restricted to the already-capped-and-deduped universe (each fence
+    * shrinks the next stage's input); one final source-sized aggregation.
+    * Text never shuffles — flags and int hashes do.
+    */
+  def curationScreened(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.ops.TextAnalysis
+    val w = Window.partitionBy(col("source"), col("lang"))
+      .orderBy(col("priority").asc, col("doc_id").asc)
+    val flagged = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("lang"), col("text"),
+        Dedup.md5Long(col("doc_id").cast("string")).as("priority"),
+        TextAnalysis.tokenCount(col("text")).as("n_tok"))
+      .withColumn("capped", row_number().over(w) <= CAP_PER_CELL)
+    val keepers = flagged.filter(col("capped"))
+      .groupBy(TextAnalysis.fingerprint(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"), lit(true).as("keeper"))
+    val staged = flagged
+      .join(keepers, Seq("doc_id"), "left")
+      .withColumn("keeper", col("capped") && coalesce(col("keeper"), lit(false)))
+      .withColumn("is_train", splitCol(spark) === "train")
+      .cache()
+    // contamination universe: the deduped survivors only
+    val pd = Dedup.explodedGrams(
+        staged.filter(col("keeper")).select(col("doc_id"), col("text")),
+        CONTAM_W, distinct = false)
+      .join(staged.select(col("doc_id"), col("is_train")), "doc_id")
+      .select(col("doc_id"), col("is_train"),
+        conv(substring(md5(col("gram")), 1, 8), 16, 10).cast("long").as("gh1"),
+        conv(substring(md5(col("gram")), 9, 8), 16, 10).cast("long").as("gh2"))
+    val contaminated = pd.filter(col("is_train"))
+      .join(pd.filter(!col("is_train")).select(col("gh1"), col("gh2")),
+        Seq("gh1", "gh2"), "left_semi")
+      .select(col("doc_id")).distinct()
+      .withColumn("contam", lit(true))
+    staged.join(contaminated, Seq("doc_id"), "left")
+      .withColumn("clean", col("keeper") && col("is_train") &&
+        !coalesce(col("contam"), lit(false)))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("docs_in"),
+        sum(when(col("capped"), 1L).otherwise(0L)).as("docs_capped"),
+        sum(when(col("keeper"), 1L).otherwise(0L)).as("docs_deduped"),
+        sum(when(col("keeper") && col("is_train"), 1L).otherwise(0L))
+          .as("docs_train"),
+        sum(when(col("clean"), 1L).otherwise(0L)).as("docs_clean"),
+        sum(when(col("clean"), col("n_tok")).otherwise(0L)).as("tokens_clean"))
+  }
+
+  val curationScreenedSql: String = {
+    val nTokSql =
+      "CAST(length(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT)"
+    s"""WITH pr AS (
+       |  SELECT doc_id, source, lang, text,
+       |         ${hexIntSql("doc_id::VARCHAR")} AS priority, $nTokSql AS n_tok,
+       |         ${hexIntSql("doc_id::VARCHAR")} % 100 < 80 AS is_train
+       |  FROM documents
+       |), flags AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY source, lang
+       |           ORDER BY priority ASC, doc_id ASC) <= $CAP_PER_CELL AS capped
+       |  FROM pr
+       |), keep AS (
+       |  SELECT MIN(doc_id) AS doc_id, true AS keeper FROM flags WHERE capped
+       |  GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+       |), staged AS (
+       |  SELECT f.*, f.capped AND COALESCE(k.keeper, false) AS keeper
+       |  FROM flags f LEFT JOIN keep k USING (doc_id)
+       |), g AS (
+       |  SELECT s.doc_id, s.is_train, ${hexIntSql("gram")} AS gh1,
+       |         ${hexIntSqlAt("gram", 9)} AS gh2
+       |  FROM (
+       |    SELECT doc_id, is_train, unnest(
+       |      [array_to_string(w[i:i+${CONTAM_W - 1}], ' ')
+       |       FOR i IN range(1, len(w) - ${CONTAM_W - 2})]) AS gram
+       |    FROM (SELECT doc_id, is_train,
+       |                 string_split_regex(trim(text), '\\s+') AS w
+       |          FROM staged WHERE keeper)
+       |    WHERE len(w) >= $CONTAM_W) s
+       |), contam AS (
+       |  SELECT DISTINCT t.doc_id, true AS contam
+       |  FROM (SELECT * FROM g WHERE is_train) t
+       |  WHERE EXISTS (SELECT 1 FROM g e
+       |                WHERE NOT e.is_train
+       |                  AND e.gh1 = t.gh1 AND e.gh2 = t.gh2)
+       |)
+       |SELECT s.source, COUNT(*) AS docs_in,
+       |  CAST(SUM(CASE WHEN s.capped THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS docs_capped,
+       |  CAST(SUM(CASE WHEN s.keeper THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS docs_deduped,
+       |  CAST(SUM(CASE WHEN s.keeper AND s.is_train THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS docs_train,
+       |  CAST(SUM(CASE WHEN s.keeper AND s.is_train
+       |                 AND NOT COALESCE(c.contam, false)
+       |            THEN 1 ELSE 0 END) AS BIGINT) AS docs_clean,
+       |  CAST(SUM(CASE WHEN s.keeper AND s.is_train
+       |                 AND NOT COALESCE(c.contam, false)
+       |            THEN s.n_tok ELSE 0 END) AS BIGINT) AS tokens_clean
+       |FROM staged s LEFT JOIN contam c USING (doc_id)
+       |GROUP BY s.source""".stripMargin
+  }
+
   // ---- end-to-end corpus curation (the composed pipeline story) ----
 
   /** The composed training-data curation pass a user of this library runs:
@@ -904,6 +1016,7 @@ object DedupJobs {
     "stratified_sample" -> stratifiedSample,
     "source_caps" -> sourceCaps,
     "training_order" -> trainingOrder,
+    "curation_screened" -> curationScreened,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
     "dedup_simhash" -> dedupSimhash,
     "dedup_clusters" -> dedupClusters,
@@ -925,6 +1038,7 @@ object DedupJobs {
     "stratified_sample" -> stratifiedSampleSql,
     "source_caps" -> sourceCapsSql,
     "training_order" -> trainingOrderSql,
+    "curation_screened" -> curationScreenedSql,
     "dedup_minhash_lsh" -> dedupMinhashLshSql,
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_clusters" -> dedupClustersSql,
