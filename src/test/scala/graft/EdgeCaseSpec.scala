@@ -125,6 +125,10 @@ class EdgeCaseSpec extends SparkSpec {
     assert(graft.jobs.TextJobs.lmSurprise(spark, dir).count() == 0)
     assert(graft.jobs.DedupJobs.sourceCaps(spark, dir).count() == 0)
     assert(graft.jobs.DedupJobs.ngramContamination(spark, dir).count() == 0)
+    assert(graft.jobs.DedupJobs.trainingOrder(spark, dir).count() == 0)
+    assert(graft.jobs.DedupJobs.curationScreened(spark, dir).count() == 0)
+    assert(graft.jobs.TextJobs.lmSurpriseRef(spark, dir).count() == 0)
+    assert(graft.jobs.TextJobs.bpeEncode(spark, dir).count() == 0)
     // lazy CMS: constructing AND running heavy_hitters on an empty corpus
     // must not NPE (the sketch aggregate yields NULL but is never probed)
     assert(graft.jobs.TextJobs.heavyHitters(spark, dir).count() == 0)
