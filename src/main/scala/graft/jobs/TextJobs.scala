@@ -67,6 +67,46 @@ object TextJobs {
        |FROM s""".stripMargin
   }
 
+  /** Language-ID evaluation: the confusion matrix of [[textLangid]]'s
+    * prediction against the labeled `lang` column, with exact per-truth
+    * recall — the eval table a pipeline reads before trusting a langid
+    * gate. One scan + one (|langs|²)-sized aggregation; the rate is the
+    * usual one exact double division.
+    */
+  def langConfusion(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+      .select(col("lang"),
+        TextAnalysis.predictedLang(col("text")).as("pred_lang"))
+    val totals = d.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+    d.groupBy(col("lang"), col("pred_lang")).agg(count(lit(1)).as("n"))
+      .join(totals, "lang")
+      .select(col("lang"), col("pred_lang"), col("n"),
+        round(col("n").cast("double") / col("n_lang") + lit(1e-9), 4)
+          .as("rate"))
+  }
+
+  val langConfusionSql: String = {
+    val scores = TextAnalysis.langMarkers.map { case (l, pat) =>
+      s"CAST(length(regexp_extract_all(text, '$pat')) AS BIGINT) AS score_$l"
+    }.mkString(",\n  ")
+    val langs = TextAnalysis.langMarkers.map(_._1)
+    val best = langs.map(l => s"score_$l").mkString("greatest(", ", ", ")")
+    val caseChain = langs
+      .map(l => s"WHEN score_$l > 0 AND score_$l = $best THEN '$l'")
+      .mkString("CASE ", " ", " ELSE 'und' END")
+    s"""WITH s AS (
+       |  SELECT lang, $caseChain AS pred_lang FROM (
+       |    SELECT lang, text, $scores FROM documents)
+       |), c AS (
+       |  SELECT lang, pred_lang, COUNT(*) AS n FROM s GROUP BY 1, 2
+       |), t AS (
+       |  SELECT lang, COUNT(*) AS n_lang FROM s GROUP BY 1
+       |)
+       |SELECT c.lang, c.pred_lang, c.n,
+       |       ROUND(CAST(c.n AS DOUBLE) / t.n_lang + 1e-9, 4) AS rate
+       |FROM c JOIN t USING (lang)""".stripMargin
+  }
+
   def docFingerprint(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir).select(
       col("doc_id"),
@@ -1237,6 +1277,7 @@ object TextJobs {
     "source_stats" -> sourceStats,
     "text_stats" -> textStats,
     "text_langid" -> textLangid,
+    "lang_confusion" -> langConfusion,
     "doc_fingerprint" -> docFingerprint,
     "vocab_topk" -> vocabTopK,
     "bpe_merges" -> bpeMerges,
@@ -1260,6 +1301,7 @@ object TextJobs {
     "source_stats" -> sourceStatsSql,
     "text_stats" -> textStatsSql,
     "text_langid" -> textLangidSql,
+    "lang_confusion" -> langConfusionSql,
     "doc_fingerprint" -> docFingerprintSql,
     "vocab_topk" -> vocabTopKSql,
     "bpe_merges" -> bpeMergesSql,
