@@ -352,7 +352,7 @@ object TextJobs {
       s"(strpos('0123456789abcdef', substr(md5($inner),$i,1))-1) * ${math.pow(16, 15 - i).toLong}::BIGINT"
     }.mkString("(", " + ", ")")
 
-  private def hash60(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+  private[graft] def hash60(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
   /** CCNet-style n-gram LM quality scoring with ENGINE-EXACT integer
@@ -413,24 +413,40 @@ object TextJobs {
     * [[lmSurprise]] — the model side shrinks, an extra left join carries
     * the OOV bit.
     */
-  def lmSurpriseRef(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Per-document hashed bigram keys (ph, bh) — the shared lineage of the
+    * batch LM queries and the model the streaming screen joins against.
+    */
+  private def lmPairs(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val d = Tables.documents(spark, sfDir)
-    val quality = TextAnalysis.qualityScore(
-      TextAnalysis.tokenCount(col("text")),
-      TextAnalysis.stopwordCount(col("text")))
-    val pairsOf = (docs: DataFrame) => docs
+    docs
       .select(col("doc_id"),
         posexplode(TextAnalysis.tokens(lower(col("text")))).as(Seq("pos", "w")))
       .withColumn("nxt", lead(col("w"), 1).over(w))
       .filter(col("nxt").isNotNull)
       .select(col("doc_id"), hash60(col("w")).as("ph"),
         hash60(concat_ws(" ", col("w"), col("nxt"))).as("bh"))
-    val ref = pairsOf(d.where(quality >= 0.4)).cache()
-    val cb = ref.groupBy(col("bh")).agg(count(lit(1)).as("c_bi"))
-    val cp = ref.groupBy(col("ph")).agg(count(lit(1)).as("c_prev"))
-    pairsOf(d)
+  }
+
+  /** The persisted reference model of [[lmSurpriseRef]] as two count
+    * frames — (bh, c_bi) and (ph, c_prev) — trained on the high-quality
+    * subset. Public so the streaming screen (`streaming/StreamingLm`)
+    * scores against EXACTLY the batch model.
+    */
+  def lmRefModel(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
+    val quality = TextAnalysis.qualityScore(
+      TextAnalysis.tokenCount(col("text")),
+      TextAnalysis.stopwordCount(col("text")))
+    val ref = lmPairs(
+      Tables.documents(spark, sfDir).where(quality >= 0.4)).cache()
+    (ref.groupBy(col("bh")).agg(count(lit(1)).as("c_bi")),
+      ref.groupBy(col("ph")).agg(count(lit(1)).as("c_prev")))
+  }
+
+  def lmSurpriseRef(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+    val (cb, cp) = lmRefModel(spark, sfDir)
+    lmPairs(d)
       .join(cb, Seq("bh"), "left")
       .join(cp, Seq("ph"), "left")
       .withColumn("surprise",
