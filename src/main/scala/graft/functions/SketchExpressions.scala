@@ -106,9 +106,12 @@ case class CmsEstimate(cmsBytes: Array[Byte], child: Expression)
   * inside the plan (cross-joined broadcast), so building the query plan
   * triggers no driver action and an empty corpus (NULL sketch, zero probe
   * rows) never deserializes anything. The deserialized sketch is memoized
-  * per byte-array reference, so consecutive rows probing the same
-  * broadcast sketch pay the ~100 KB decode once per codegen instance,
-  * not per row.
+  * per byte-array CONTENT (`Arrays.equals`, not reference — UnsafeRow's
+  * `getBinary` returns a fresh copy per access, so a reference memo would
+  * never hit under codegen): consecutive rows probing the same broadcast
+  * sketch pay one vectorized memcmp instead of the ~100 KB deserialize +
+  * allocation per row. Content equality keeps the memo exact — no
+  * fingerprint aliasing can ever reuse the wrong sketch.
   */
 case class CmsEstimateOf(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
@@ -123,10 +126,12 @@ case class CmsEstimateOf(left: Expression, right: Expression)
 
   override def nullSafeEval(b: Any, k: Any): Any = {
     val bytes = b.asInstanceOf[Array[Byte]]
-    if (!(bytes eq lastBytes)) {
+    // Arrays.equals short-circuits on the same-reference and
+    // length-mismatch cases, so the common paths are cheap
+    if (!java.util.Arrays.equals(bytes, lastBytes)) {
       cms = CountMinSketch.readFrom(new ByteArrayInputStream(bytes))
-      lastBytes = bytes
     }
+    lastBytes = bytes
     cms.estimateCount(
       k.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes)
   }
@@ -136,14 +141,14 @@ case class CmsEstimateOf(left: Expression, right: Expression)
     val lastField = ctx.addMutableState("byte[]", "cmsLastBytes")
     val cmsField = ctx.addMutableState(cls, "cmsOfSketch")
     nullSafeCodeGen(ctx, ev, (b, k) =>
-      s"""if ($b != $lastField) {
+      s"""if (!java.util.Arrays.equals($b, $lastField)) {
          |  try {
          |    $cmsField = $cls.readFrom(new java.io.ByteArrayInputStream($b));
          |  } catch (java.io.IOException e) {
          |    throw new RuntimeException(e);
          |  }
-         |  $lastField = $b;
          |}
+         |$lastField = $b;
          |${ev.value} = $cmsField.estimateCount($k.getBytes());""".stripMargin)
   }
 

@@ -61,6 +61,13 @@ object Sinks {
     * per window, windowed counts) that are orders of magnitude smaller
     * than the input — the same boundedness argument as Flink's own
     * retract-stream materialization. Not for corpus-sized results.
+    *
+    * SCALAR COLUMNS ONLY: the `old == row` re-emit suppression relies on
+    * `Row` equality, which compares array/binary-typed columns by
+    * reference in some Row implementations — a result table carrying an
+    * array column could emit spurious retract/add pairs for unchanged
+    * rows. All current call sites carry scalars; normalize (e.g.
+    * stringify) array columns before wiring them through a retract sink.
     */
   def retractBatches(keyCols: Seq[String])(emit: (Boolean, Row) => Unit)
       : (DataFrame, Long) => Unit = {

@@ -452,7 +452,10 @@ object DedupJobs {
       .cast("long") % 100
     val flags = Tables.documents(spark, sfDir)
       .select(col("doc_id"), (bucket >= NEW_BUCKET).as("is_new"))
-    val sig = pipe.signatures.join(flags, "doc_id")
+    // both side-filters read the flagged signature frame — cache it so
+    // the 8-way min aggregation over the gram cache runs once, not per
+    // side (n_docs × 9 ints; the across-join caches then fill from it)
+    val sig = pipe.signatures.join(flags, "doc_id").cache()
     val cand = across(
         sig.filter(col("is_new")).drop("is_new"),
         sig.filter(!col("is_new")).drop("is_new"))

@@ -74,9 +74,14 @@ object TextJobs {
     * usual one exact double division.
     */
   def langConfusion(spark: SparkSession, sfDir: String): DataFrame = {
+    // both the per-truth totals and the confusion cells read this frame —
+    // cache the (lang, pred_lang) projection so the document scan and the
+    // per-language regex marker counts run once (house pattern for shared
+    // derived frames, cf. vocabCoverage/heavyHitters)
     val d = Tables.documents(spark, sfDir)
       .select(col("lang"),
         TextAnalysis.predictedLang(col("text")).as("pred_lang"))
+      .cache()
     val totals = d.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
     d.groupBy(col("lang"), col("pred_lang")).agg(count(lit(1)).as("n"))
       .join(totals, "lang")

@@ -155,9 +155,34 @@ object Dedup {
     pairs.distinct()
   }
 
+  /** Signature rows unpivoted to one row per (doc, band): (id, bi, bk)
+    * with `bk` the band's hash columns as a STRUCT — the exact band
+    * content, never a lossy hash of it, so joining on (bi, bk) is
+    * bit-exact band equality. The unpivot-then-join form replaces a
+    * per-band join cascade with ONE equi-join: same pair set, one codegen
+    * unit and one exchange per side instead of `bands` of each (the
+    * cascade's near-identical generated joins were the dominant
+    * cold-codegen cost of the incremental gate queries on the round-6
+    * driver bench).
+    */
+  private def bandRows(
+      sig: DataFrame, k: Int, bands: Int, idAs: String): DataFrame = {
+    val rpb = k / bands
+    val rows = (0 until bands).map { bi =>
+      struct(lit(bi).as("bi"),
+        struct((0 until rpb).map(r => col(s"h${bi * rpb + r}").as(s"x$r")): _*)
+          .as("bk"))
+    }
+    sig.select(col("doc_id").as(idAs), explode(array(rows: _*)).as("b"))
+      .select(col(idAs), col("b.bi").as("bi"), col("b.bk").as("bk"))
+  }
+
   /** LSH candidates ACROSS two signature sets (incremental ingestion: new
-    * batch vs existing corpus) — band equi-joins between the frames, never
-    * within either side, so the join mass tracks new×old collisions only.
+    * batch vs existing corpus) — one band-row equi-join BETWEEN the
+    * frames ([[bandRows]]), never within either side, so the join mass
+    * tracks new×old collisions only. No internal caches: each side is
+    * read exactly once (cache the inputs upstream if they are derived —
+    * the incremental gate queries cache their flagged signature frame).
     * Output (left_id, right_id), deduped across bands.
     */
   def lshCandidatesAcross(
@@ -165,15 +190,9 @@ object Dedup {
       scope: CacheScope = CacheScope.unmanaged): DataFrame = {
     val rowsPerBand = k / bands
     require(bands * rowsPerBand == k, s"k=$k not divisible into $bands bands")
-    val l = scope.cache(left).alias("a")
-    val r = scope.cache(right).alias("b")
-    (0 until bands).map { bi =>
-      val bandEq = (0 until rowsPerBand)
-        .map(x => col(s"a.h${bi * rowsPerBand + x}") === col(s"b.h${bi * rowsPerBand + x}"))
-        .reduce(_ && _)
-      l.join(r, bandEq)
-        .select(col("a.doc_id").as("left_id"), col("b.doc_id").as("right_id"))
-    }.reduce(_ unionAll _).distinct()
+    bandRows(left, k, bands, "left_id")
+      .join(bandRows(right, k, bands, "right_id"), Seq("bi", "bk"))
+      .select(col("left_id"), col("right_id")).distinct()
   }
 
   /** [[lshCandidatesAcross]] with a Bloom prescreen on the big side — the
@@ -181,15 +200,15 @@ object Dedup {
     * arriving batch's signatures), `right` the huge one (the corpus
     * signature table): a Bloom filter over every band key of `left` is
     * built driver-side (two actions over the small frame only) and filters
-    * `right`'s scan BEFORE the band joins, so the corpus-side exchange
-    * carries only rows whose band keys might collide with the batch —
+    * `right`'s band rows BEFORE the join, so the corpus-side exchange
+    * carries only band rows whose keys might collide with the batch —
     * O(true collisions + fpp·corpus) rows instead of the whole corpus.
     *
     * Lossless by the no-false-negative property: any old row truly sharing
     * a band with a new row has that band key in the filter and survives
-    * the prescreen; false positives die in the exact band equi-join that
-    * follows (the joins still match on the real h-columns, never on the
-    * 64-bit band-key hash, so hash collisions cannot fabricate pairs).
+    * the prescreen; false positives die in the exact band-row equi-join
+    * that follows (the join matches on the real h-column struct, never on
+    * the 64-bit band-key hash, so hash collisions cannot fabricate pairs).
     * Output is bit-identical to [[lshCandidatesAcross]] — the gate query
     * reuses the unfiltered oracle, so losslessness is hash-checked.
     */
@@ -198,23 +217,23 @@ object Dedup {
       fpp: Double = 0.01, scope: CacheScope = CacheScope.unmanaged): DataFrame = {
     val rowsPerBand = k / bands
     require(bands * rowsPerBand == k, s"k=$k not divisible into $bands bands")
-    val l = scope.cache(left)
-    // one 64-bit key per (row, band): band index + the band's hash columns
-    def bandKey(bi: Int): Column =
-      xxhash64((lit(bi) +: (0 until rowsPerBand)
-        .map(r => col(s"h${bi * rowsPerBand + r}"))): _*)
-    val keys = (0 until bands).map(bi => l.select(bandKey(bi).as("bk")))
-      .reduce(_ unionAll _)
-    val nLeft = l.count()
-    if (nLeft == 0)
+    // the batch's band rows feed three consumers (count, Bloom build, the
+    // join probe) — cache them; the corpus's surviving band rows feed only
+    // the one join, so they stay uncached
+    val la = scope.cache(bandRows(left, k, bands, "left_id"))
+    // one 64-bit key per band row: band index + the band's hash columns
+    val key = xxhash64(
+      (col("bi") +: (0 until rowsPerBand).map(r => col(s"bk.x$r"))): _*)
+    val nLeftBands = la.count()
+    if (nLeftBands == 0)
       // nothing arriving ⇒ no candidates; also `stat.bloomFilter` NPEs on
       // an empty frame (its aggregate yields null), so don't build one
-      return l.select(col("doc_id").as("left_id"), col("doc_id").as("right_id"))
-    val bloom = keys.stat.bloomFilter("bk", nLeft * bands, fpp)
-    val keep = (0 until bands)
-      .map(bi => graft.functions.SketchFunctions.bloom_might_contain(bloom, bandKey(bi)))
-      .reduce(_ || _)
-    lshCandidatesAcross(l, right.filter(keep), k, bands, scope)
+      return la.select(col("left_id"), col("left_id").as("right_id"))
+    val bloom = la.select(key.as("bk64")).stat.bloomFilter("bk64", nLeftBands, fpp)
+    val rb = bandRows(right, k, bands, "right_id")
+      .filter(graft.functions.SketchFunctions.bloom_might_contain(bloom, key))
+    la.join(rb, Seq("bi", "bk"))
+      .select(col("left_id"), col("right_id")).distinct()
   }
 
   /** SimHash fingerprint over word hashes, `bits` wide (≤ 32 with the

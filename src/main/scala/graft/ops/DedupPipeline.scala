@@ -41,28 +41,44 @@ final class DedupPipeline private (
       scope: CacheScope = CacheScope.unmanaged) =
     this(docs, k, bands, n, None, scope)
 
-  /** Hashed grams (doc_id, gh): the ONE corpus scan. Duplicates preserved —
-    * minhash's `min()` absorbs them in the partial agg, and a string-level
-    * distinct here would be a full extra shuffle of every gram (the
-    * round-2 regression this class exists to prevent). When re-opened from
-    * a bucketed table the scan is skipped and the bucketing replaces the
-    * gram window's doc_id clustering.
+  /** Hashed grams (doc_id, gh): the ONE corpus scan, UNCACHED — its sole
+    * in-memory consumer is [[distinctGrams]]' partition-local dedup (and
+    * [[DedupPipeline.persistGrams]]' one write pass), so the distinct
+    * frame is the right thing to materialize: every downstream read —
+    * signatures, sizes, verification — is duplicate-insensitive or
+    * set-semantics, and caching the raw frame TOO doubled the pipeline's
+    * cached bytes for no second reader (the round-6 driver bench showed
+    * the incremental-dedup queries paying for exactly that footprint).
+    * A string-level distinct would still be wrong here — the dedup runs
+    * on int hashes riding the gram window's doc_id clustering (the
+    * round-2/round-3 rules). When re-opened from a bucketed table the
+    * scan is skipped and the bucketing replaces the window's clustering.
     */
   val hashedGrams: DataFrame = persistedGrams.getOrElse(
-    scope.cache(Dedup.explodedGrams(
+    Dedup.explodedGrams(
         docs.select(col("doc_id"), col("text")), n, distinct = false)
-      .select(col("doc_id"), Dedup.md5Long(col("gram")).as("gh"))))
+      .select(col("doc_id"), Dedup.md5Long(col("gram")).as("gh")))
 
-  /** Distinct (doc_id, gh) for set-semantics consumers (Jaccard counting).
-    * Derived from the cached raw grams; the gram window left them
-    * partitioned by doc_id, which clusters (doc_id, gh) too, so this dedup
-    * runs partition-local — no new exchange.
+  /** Distinct (doc_id, gh): THE cached frame of the pass — strictly
+    * smaller than the raw grams, and every downstream stage reads it. The
+    * gram window left the raw frame partitioned by doc_id, which clusters
+    * (doc_id, gh) too, so this dedup runs partition-local — no new
+    * exchange.
     */
   lazy val distinctGrams: DataFrame =
     scope.cache(hashedGrams.dropDuplicates("doc_id", "gh"))
 
-  /** MinHash signatures (doc_id, h0..h{k-1}). */
-  lazy val signatures: DataFrame = Dedup.minhashFromHashes(hashedGrams, k)
+  /** MinHash signatures (doc_id, h0..h{k-1}). `min()` is
+    * duplicate-insensitive, so the signatures over the distinct gram set
+    * are bit-identical to signatures over the raw grams (the oracle's
+    * min-over-all-grams SQL keeps hash-checking this) — in-memory they
+    * read the ONE cached frame; over a persisted bucketed table they read
+    * the table directly, preserving the spec-pinned exchange-free agg
+    * (a cache in between would hide the bucketed partitioning — the
+    * round-3 AQE-in-cache rule).
+    */
+  lazy val signatures: DataFrame = Dedup.minhashFromHashes(
+    if (persistedGrams.isDefined) hashedGrams else distinctGrams, k)
 
   /** LSH candidate pairs (doc_a, doc_b, est_jaccard). The signature cache
     * the band self-joins share registers with this pipeline's scope —
@@ -104,14 +120,12 @@ final class DedupPipeline private (
       .select(col("doc_a"), col("doc_b"), col("inter"), col("jaccard"))
   }
 
-  /** Release the cached gram frames (end of the corpus pass). Construct
+  /** Release the cached gram frame (end of the corpus pass). Construct
     * with a tracking [[CacheScope]] and close THAT instead to also release
     * operator-internal caches ([[candidates]]' signature frame).
     */
-  def unpersist(): Unit = {
+  def unpersist(): Unit =
     distinctGrams.unpersist()
-    hashedGrams.unpersist()
-  }
 }
 
 object DedupPipeline {

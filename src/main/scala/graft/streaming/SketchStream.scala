@@ -26,7 +26,7 @@ import org.apache.spark.util.sketch.CountMinSketch
   * deterministic while HLL-style estimates are not).
   *
   * Reference anchor: the per-key incremental-aggregate shape of
-  * `flink-uba`'s windowed counts (CountAgg, HotItems.java:60) applied to
+  * `flink-uba`'s windowed counts (CountAgg, hotitem/HotItem.java:60) applied to
   * a sketch accumulator instead of a scalar.
   */
 object SketchStream {

@@ -20,10 +20,13 @@ class DedupPipelineSpec extends SparkSpec {
       val nClusters = pipe.clusters.count()
       val nVerified = pipe.verifiedPairs(0.35).count()
       assert(nCand > 0 && nClusters > 0 && nVerified >= 0)
-      // the shared scan is cached exactly once (storage level set), so the
-      // three materializations paid for one gram lineage
-      assert(pipe.hashedGrams.storageLevel.useMemory,
-        "hashedGrams is not cached — every output recomputes the gram scan")
+      // the shared scan is materialized exactly once — as the DISTINCT
+      // gram frame (the raw frame stays uncached: its only reader is the
+      // distinct dedup, and a second cached copy is pure footprint)
+      assert(pipe.distinctGrams.storageLevel.useMemory,
+        "distinctGrams is not cached — every output recomputes the gram scan")
+      assert(!pipe.hashedGrams.storageLevel.useMemory,
+        "raw hashedGrams cached too — doubles the pipeline's cached bytes")
       // verified pairs are a subset of the candidates
       assert(nVerified <= nCand)
     } finally pipe.unpersist()
