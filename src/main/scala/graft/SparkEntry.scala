@@ -12,12 +12,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     HotItemsJobs.queries ++ OrderJobs.queries ++ RelationalJobs.queries ++
       TextJobs.queries ++ DedupJobs.queries ++ SimilarityJobs.queries ++
-      MultimodalJobs.queries ++ AnalyticsJobs.queries ++ FunnelJobs.queries
+      MultimodalJobs.queries ++ AnalyticsJobs.queries ++ FunnelJobs.queries ++
+      ArtifactJobs.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     HotItemsJobs.oracles ++ OrderJobs.oracles ++ RelationalJobs.oracles ++
       TextJobs.oracles ++ DedupJobs.oracles ++ SimilarityJobs.oracles ++
-      MultimodalJobs.oracles ++ AnalyticsJobs.oracles ++ FunnelJobs.oracles
+      MultimodalJobs.oracles ++ AnalyticsJobs.oracles ++ FunnelJobs.oracles ++
+      ArtifactJobs.oracles
 }

@@ -1,0 +1,101 @@
+package graft.jobs
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.Similarity
+
+/** Persist-then-score: the production train-once/score-many shape.
+  *
+  * Every trained model in the registry ([[Similarity.kmeansCentroids]]
+  * IVF centroids, [[TextJobs.rocchioTrain]] quality weights, the
+  * [[TextJobs.bpeEncoderTable]] tokenizer vocabulary) is an artifact a
+  * real pipeline trains ONCE, writes to storage, and scores from many
+  * times — the in-line trained twins re-train per query run, which
+  * verifies the training math but not the artifact round-trip. Each
+  * query here writes the trained model to parquet, re-reads it, and
+  * scores from the LOADED frame; the oracle is the in-line twin's SQL
+  * unchanged, so the driver hash-gate proves the round-trip is lossless
+  * (parquet stores doubles/longs bit-exactly — IEEE-754 and two's
+  * complement round-trip; no string re-parsing anywhere on the path).
+  *
+  * Scale shape: all three artifacts are model-sized (C centroids,
+  * 2^bucket-bounded weight rows, vocab-sized encoder table), so the
+  * write is a single-task parquet file and the scoring side re-reads it
+  * as an ordinary broadcastable relation — exactly how a 100 TB scoring
+  * job would consume a model trained yesterday. Reference semantics:
+  * the reference trains nothing (flink-uba's state is per-key windows,
+  * e.g. HotItems.java:36-70 aggregates); this surface exists for the
+  * LLM-data-pipeline mandate, not reference parity.
+  */
+object ArtifactJobs {
+
+  /** Artifact store root — per-JVM temp space (model files, not data). */
+  private lazy val root: java.nio.file.Path = {
+    val p = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_artifacts")
+    java.nio.file.Files.createDirectories(p)
+    p
+  }
+
+  /** Write a model-sized frame as a one-file parquet artifact and hand
+    * back the LOADED frame — the round-trip is the point of the test.
+    */
+  private def persist(spark: SparkSession, name: String,
+      model: DataFrame): DataFrame = {
+    val path = root.resolve(name).toString
+    model.coalesce(1).write.mode("overwrite").parquet(path)
+    spark.read.parquet(path)
+  }
+
+  /** IVF ANN scored against centroids LOADED from parquet: train k-means
+    * (identical to `ann_ivf_trained`), persist the (cent_id, cv, cnorm)
+    * frame, release the training cache, probe from the load.
+    */
+  def annIvfFromArtifact(spark: SparkSession, sfDir: String): DataFrame = {
+    val v = SimilarityJobs.vectors(spark, sfDir).cache()
+    val trained = SimilarityJobs.trainedCents(v)
+    val loaded = persist(spark, "ivf_centroids", trained)
+    trained.unpersist() // scoring must touch only the artifact
+    Similarity.ivfTopKWith(v, loaded,
+      col("vec_id") < SimilarityJobs.N_QUERIES,
+      nprobe = SimilarityJobs.IVF_NPROBE, k = SimilarityJobs.TOP_K)
+  }
+
+  /** Rocchio quality classifier scoring from persisted (b, w) weights
+    * and the 1-row midpoint-threshold frame.
+    */
+  def qualityFromArtifact(spark: SparkSession, sfDir: String): DataFrame = {
+    val (weights, theta) = TextJobs.rocchioTrain(spark, sfDir)
+    val loadedW = persist(spark, "rocchio_weights",
+      weights.select(col("b"), col("w")))
+    val loadedT = persist(spark, "rocchio_theta", theta)
+    TextJobs.rocchioScore(spark, sfDir, loadedW, loadedT)
+  }
+
+  /** BPE token accounting against a tokenizer table LOADED from parquet:
+    * the persisted form is the readable (word, n_syms) vocabulary; the
+    * scorer hashes it to the 60-bit join key exactly as the in-line
+    * trained twin does.
+    */
+  def bpeEncodeFromArtifact(spark: SparkSession, sfDir: String): DataFrame = {
+    val loaded = persist(spark, "bpe_encoder",
+      TextJobs.bpeEncoderTable(spark, sfDir))
+    TextJobs.bpeEncodeWith(spark, sfDir,
+      loaded.select(TextJobs.hash60(col("w")).as("wh"), col("n_syms")))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_ivf_from_artifact" -> annIvfFromArtifact,
+    "quality_from_artifact" -> qualityFromArtifact,
+    "bpe_encode_from_artifact" -> bpeEncodeFromArtifact)
+
+  /** The oracles are the in-line twins' SQL VERBATIM: DuckDB computes the
+    * trained result directly; hash-equality then proves the parquet
+    * round-trip changed nothing.
+    */
+  val oracles: Map[String, String] = Map(
+    "ann_ivf_from_artifact" -> SimilarityJobs.annIvfTrainedSql,
+    "quality_from_artifact" -> TextJobs.qualityClassifierTrainedSql,
+    "bpe_encode_from_artifact" -> TextJobs.bpeEncodeSql)
+}

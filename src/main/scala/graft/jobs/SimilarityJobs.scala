@@ -13,8 +13,8 @@ import graft.ops.Similarity
   */
 object SimilarityJobs {
 
-  private val TOP_K = 5
-  private val N_QUERIES = 20 // query set: vec_id < 20
+  private[jobs] val TOP_K = 5
+  private[jobs] val N_QUERIES = 20 // query set: vec_id < 20
   private val NEARDUP_THRESHOLD = 0.35
   private val PLANES = 5
   private val DIMS = 64
@@ -39,7 +39,7 @@ object SimilarityJobs {
   private val probeListSql: String =
     (0 +: (0 until PLANES).map(1 << _)).mkString("[", ", ", "]")
 
-  private def vectors(spark: SparkSession, sfDir: String): DataFrame =
+  private[jobs] def vectors(spark: SparkSession, sfDir: String): DataFrame =
     Similarity.withNorm(Tables.embeddings(spark, sfDir),
       col("vec_id"), col("embedding"))
 
@@ -115,8 +115,8 @@ object SimilarityJobs {
        |  FROM s) ranked
        |WHERE rn <= $TOP_K""".stripMargin
 
-  private val IVF_CENTROIDS = 16
-  private val IVF_NPROBE = 4
+  private[jobs] val IVF_CENTROIDS = 16
+  private[jobs] val IVF_NPROBE = 4
 
   /** IVF ANN (the second scale path beside sign-LSH): deterministic
     * centroids → cell assignment → nprobe probing → exact-cosine rank.
@@ -170,7 +170,7 @@ object SimilarityJobs {
     * (bounded, like connectedComponents' convergence count), not a
     * corpus-scale driver action.
     */
-  private def trainedCents(v: DataFrame): DataFrame = {
+  private[jobs] def trainedCents(v: DataFrame): DataFrame = {
     val training = graft.ops.CacheScope()
     try {
       val cents = Similarity

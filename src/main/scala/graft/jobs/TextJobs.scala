@@ -256,9 +256,20 @@ object TextJobs {
     * single-task trainer output joins back as an ordinary (broadcastable,
     * vocab-sized) relation.
     */
-  def bpeEncode(spark: SparkSession, sfDir: String): DataFrame = {
+  def bpeEncode(spark: SparkSession, sfDir: String): DataFrame =
+    bpeEncodeWith(spark, sfDir,
+      bpeEncoderTable(spark, sfDir)
+        .select(hash60(col("w")).as("wh"), col("n_syms")))
+
+  /** The trained tokenizer as a persistable artifact: (w, n_syms) — each
+    * corpus word's symbol count after [[BPE_ROUNDS]] merges. Vocab-sized
+    * (broadcastable); [[ArtifactJobs]] writes it to parquet and scores
+    * from the load.
+    */
+  private[jobs] def bpeEncoderTable(
+      spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val enc = wordCounts(spark, sfDir).as[(String, Long)]
+    wordCounts(spark, sfDir).as[(String, Long)]
       .coalesce(1).mapPartitions { it =>
         val vocab0 = it.map { case (w, c) =>
           (w, w.toCharArray.map(_.toString): Array[String], c)
@@ -266,7 +277,13 @@ object TextJobs {
         trainBpeRounds(vocab0, BPE_ROUNDS)._2.iterator
           .map { case (w, syms, _) => (w, syms.length.toLong) }
       }.toDF("w", "n_syms")
-      .select(hash60(col("w")).as("wh"), col("n_syms"))
+  }
+
+  /** The scoring half of [[bpeEncode]]: per-doc token accounting against
+    * an encoder lookup table (wh, n_syms) — in-line trained or loaded.
+    */
+  private[jobs] def bpeEncodeWith(spark: SparkSession, sfDir: String,
+      enc: DataFrame): DataFrame = {
     val dw = Tables.documents(spark, sfDir)
       .select(col("doc_id"),
         explode(TextAnalysis.tokens(lower(col("text")))).as("w"))
@@ -1183,17 +1200,39 @@ object TextJobs {
     * Output: (doc_id, score_t, keep_trained, label_q).
     */
   def qualityClassifierTrained(spark: SparkSession, sfDir: String): DataFrame = {
+    val (weights, theta) = rocchioTrain(spark, sfDir)
+    rocchioScore(spark, sfDir, weights.select(col("b"), col("w")), theta)
+  }
+
+  /** Heuristic supervision labels (doc_id, kept): quality ≥ 0.4. */
+  private[jobs] def rocchioLabels(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir).select(col("doc_id"),
+      (TextAnalysis.qualityScore(
+        TextAnalysis.tokenCount(col("text")),
+        TextAnalysis.stopwordCount(col("text"))) >= 0.4).as("kept"))
+
+  /** Hashed-bucket count features (doc_id, b, cnt) — shared verbatim by
+    * the training and scoring passes, so a persisted model scores the
+    * exact feature space it was trained on.
+    */
+  private[jobs] def rocchioFeats(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.functions.{HashedLinearModel => M}
     import graft.ops.Dedup
-    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
-    val keptCol = TextAnalysis.qualityScore(
-      TextAnalysis.tokenCount(col("text")),
-      TextAnalysis.stopwordCount(col("text"))) >= 0.4
-    val labels = docs.select(col("doc_id"), keptCol.as("kept"))
-    val feats = docs
+    Tables.documents(spark, sfDir)
       .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("t"))
       .select(col("doc_id"), (Dedup.md5Long(col("t")) % M.Buckets).as("b"))
       .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("cnt"))
+  }
+
+  /** The training half: per-bucket Rocchio weights (b, sg, sb, ng, nb, w)
+    * and the 1-row midpoint threshold frame (theta) — both
+    * broadcast-bounded model artifacts a production pipeline persists
+    * once and scores from many times ([[ArtifactJobs]]).
+    */
+  private[jobs] def rocchioTrain(
+      spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
+    val labels = rocchioLabels(spark, sfDir)
+    val feats = rocchioFeats(spark, sfDir)
     val nCls = broadcast(labels.agg(
       sum(when(col("kept"), 1L).otherwise(0L)).as("ng"),
       sum(when(col("kept"), 0L).otherwise(1L)).as("nb")))
@@ -1217,10 +1256,21 @@ object TextJobs {
       .select(((col("swg").cast("double") / greatest(col("ng"), lit(1L))
         + col("swb").cast("double") / greatest(col("nb"), lit(1L)))
         / lit(2.0)).as("theta")))
-    val scores = feats.join(weights.select(col("b"), col("w")), "b")
+    (weights, theta)
+  }
+
+  /** The scoring half: exact integer scoring join against a (b, w) weight
+    * table + 1-row theta frame — in-line trained or loaded from parquet,
+    * the arithmetic is identical.
+    */
+  private[jobs] def rocchioScore(spark: SparkSession, sfDir: String,
+      weightsBW: DataFrame, theta: DataFrame): DataFrame = {
+    val labels = rocchioLabels(spark, sfDir)
+    val scores = rocchioFeats(spark, sfDir)
+      .join(broadcast(weightsBW), "b")
       .groupBy(col("doc_id"))
       .agg(sum(col("cnt") * col("w")).as("score_t"))
-    labels.join(scores, Seq("doc_id"), "left").crossJoin(theta)
+    labels.join(scores, Seq("doc_id"), "left").crossJoin(broadcast(theta))
       .select(col("doc_id"),
         coalesce(col("score_t"), lit(0L)).as("score_t"),
         (coalesce(col("score_t"), lit(0L)).cast("double") > col("theta"))

@@ -1,0 +1,59 @@
+package graft
+
+import graft.jobs.{ArtifactJobs, SimilarityJobs, TextJobs}
+
+/** Persist-then-score round-trip: each `*_from_artifact` query must be
+  * bit-identical to its in-line trained twin — the artifact (parquet
+  * write + read of the trained model) is the ONLY difference between the
+  * two plans, so any drift is a lossy round-trip.
+  */
+class ArtifactJobsSpec extends SparkSpec {
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Set[String] = {
+    val cols = df.columns.sorted.toIndexedSeq
+    df.selectExpr(cols: _*).collect()
+      .map(_.toSeq.map(String.valueOf).mkString("|")).toSet
+  }
+
+  private def assertTwin(name: String,
+      artifact: org.apache.spark.sql.DataFrame,
+      inline: org.apache.spark.sql.DataFrame): Unit = {
+    assert(artifact.columns.sorted.sameElements(inline.columns.sorted),
+      s"$name schema drift")
+    val a = rows(artifact)
+    val b = rows(inline)
+    assert(a == b, s"$name artifact round-trip drift: " +
+      s"only-artifact=${(a -- b).take(3)} only-inline=${(b -- a).take(3)}")
+  }
+
+  test("ann_ivf_from_artifact equals ann_ivf_trained") {
+    assertTwin("ann_ivf",
+      ArtifactJobs.annIvfFromArtifact(spark, sf("sf0.001")),
+      SimilarityJobs.annIvfTrained(spark, sf("sf0.001")))
+    spark.catalog.clearCache()
+  }
+
+  test("quality_from_artifact equals quality_classifier_trained") {
+    assertTwin("quality",
+      ArtifactJobs.qualityFromArtifact(spark, sf("sf0.001")),
+      TextJobs.qualityClassifierTrained(spark, sf("sf0.001")))
+    spark.catalog.clearCache()
+  }
+
+  test("bpe_encode_from_artifact equals bpe_encode") {
+    assertTwin("bpe_encode",
+      ArtifactJobs.bpeEncodeFromArtifact(spark, sf("sf0.001")),
+      TextJobs.bpeEncode(spark, sf("sf0.001")))
+    spark.catalog.clearCache()
+  }
+
+  test("artifacts land on disk as readable parquet models") {
+    ArtifactJobs.bpeEncodeFromArtifact(spark, sf("sf0.001")).count()
+    val p = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_artifacts", "bpe_encoder")
+    assert(java.nio.file.Files.exists(p), "bpe_encoder artifact missing")
+    val loaded = spark.read.parquet(p.toString)
+    assert(loaded.columns.toSet == Set("w", "n_syms"))
+    assert(loaded.count() > 0)
+  }
+}
