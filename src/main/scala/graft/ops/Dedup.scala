@@ -307,7 +307,10 @@ object Dedup {
       // at the shallow convergence near-dup clusters actually exhibit.
       val next = if ((i + 1) % checkpointEvery == 0) next0.localCheckpoint()
                  else next0.cache()
+      val t0 = System.nanoTime()
       val changed = next.filter(col("chg")).count() // materializes the cache
+      if (sys.env.contains("GRAFT_CC_VERBOSE"))
+        println(f"[cc] round $i: changed=$changed ${(System.nanoTime() - t0) / 1e9}%.3f s")
       prevCached.unpersist()
       prevCached = next
       labels = next.select(col("doc_id"), col("cluster"))
