@@ -644,10 +644,83 @@ object SimilarityJobs {
        |WHERE rn <= $TOP_K""".stripMargin
   }
 
+  /** [[Similarity.ivfPqTopK]]: the composed billion-vector layout — IVF
+    * cells (seed centroids, as `ann_ivf`) prune the corpus to each
+    * query's $IVF_NPROBE probed cells; inside them the ADC scan reads
+    * only the $PQ_M-int PQ codes. No full-corpus exact-distance stage
+    * exists in the plan (spec + PlanAudit pinned).
+    */
+  def annIvfPq(spark: SparkSession, sfDir: String): DataFrame = {
+    val v = vectors(spark, sfDir)
+    Similarity.ivfPqTopK(v, Similarity.seedCentroids(v, IVF_CENTROIDS),
+      col("vec_id") < N_QUERIES, nprobe = IVF_NPROBE,
+      m = PQ_M, k = PQ_K, dims = DIMS, topK = TOP_K)
+  }
+
+  /** Oracle: `ann_ivf`'s cell/probe CTEs composed with `pq_adc_topk`'s
+    * code/distance-table CTEs; the ADC sum runs only over probed-cell
+    * candidates. Integer micros end-to-end — hash-exact.
+    */
+  val annIvfPqSql: String = {
+    val sub = DIMS / PQ_M
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |), cent AS (
+       |  SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < $IVF_CENTROIDS
+       |), ranked AS (
+       |  SELECT e.vec_id, cent.cent_id,
+       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+       |      ROUND(list_cosine_similarity(e.v, cent.cv) + 1e-12, 6) DESC,
+       |      cent.cent_id ASC) AS rn
+       |  FROM e CROSS JOIN cent
+       |), cells AS (
+       |  SELECT e.vec_id, r.cent_id AS cell
+       |  FROM e JOIN ranked r ON r.vec_id = e.vec_id AND r.rn = 1
+       |), probes AS (
+       |  SELECT e.vec_id AS query_id, r.cent_id AS cell
+       |  FROM e JOIN ranked r ON r.vec_id = e.vec_id AND r.rn <= $IVF_NPROBE
+       |  WHERE e.vec_id < $N_QUERIES
+       |), sv AS (
+       |  SELECT vec_id, s, v[s*$sub+1 : s*$sub+$sub] AS sv
+       |  FROM e, (SELECT unnest(range(0, $PQ_M)) AS s) subs
+       |), cb AS (
+       |  SELECT s, CAST(vec_id AS INTEGER) AS code, sv AS cv
+       |  FROM sv WHERE vec_id < $PQ_K
+       |), scored AS (
+       |  SELECT vec_id, s, code,
+       |         CAST(ROUND((list_dot_product(sv, sv)
+       |                     - 2.0 * list_dot_product(sv, cv)
+       |                     + list_dot_product(cv, cv)) * 1000000.0
+       |                    + 1e-9, 0) AS BIGINT) AS qdist
+       |  FROM sv JOIN cb USING (s)
+       |), codes AS (
+       |  SELECT vec_id, s, code FROM (
+       |    SELECT *, ROW_NUMBER() OVER (
+       |      PARTITION BY vec_id, s ORDER BY qdist, code) AS rn
+       |    FROM scored) r
+       |  WHERE rn = 1
+       |), adc AS (
+       |  SELECT p.query_id, m.vec_id,
+       |         CAST(SUM(q.qdist) AS BIGINT) AS adist
+       |  FROM probes p
+       |  JOIN cells m ON m.cell = p.cell AND m.vec_id <> p.query_id
+       |  JOIN codes c ON c.vec_id = m.vec_id
+       |  JOIN scored q ON q.vec_id = p.query_id
+       |              AND q.s = c.s AND q.code = c.code
+       |  GROUP BY 1, 2
+       |)
+       |SELECT query_id, vec_id AS neighbor_id, adist, rn FROM (
+       |  SELECT *, ROW_NUMBER() OVER (
+       |    PARTITION BY query_id ORDER BY adist, vec_id) AS rn
+       |  FROM adc) final
+       |WHERE rn <= $TOP_K""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pq_codes" -> pqCodes,
     "pq_codes_trained" -> pqCodesTrained,
     "pq_adc_topk" -> pqAdcTopK,
+    "ann_ivf_pq" -> annIvfPq,
     "embedding_project" -> embeddingProject,
     "embedding_quantize" -> embeddingQuantize,
     "ann_cosine_topk" -> annCosineTopK,
@@ -663,6 +736,7 @@ object SimilarityJobs {
     "pq_codes" -> pqCodesSql,
     "pq_codes_trained" -> pqCodesTrainedSql,
     "pq_adc_topk" -> pqAdcTopKSql,
+    "ann_ivf_pq" -> annIvfPqSql,
     "embedding_project" -> embeddingProjectSql,
     "embedding_quantize" -> embeddingQuantizeSql,
     "ann_cosine_topk" -> annCosineTopKSql,

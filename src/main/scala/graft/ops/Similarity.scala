@@ -530,4 +530,74 @@ object Similarity {
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         col("adist"), col("rn"))
   }
+
+  /** IVF × PQ: the billion-vector ANN layout — IVF cells prune the
+    * corpus to the query's `nprobe` nearest partitions, and INSIDE the
+    * surviving cells the asymmetric-distance scan reads only the m-int
+    * PQ codes. The two halves are exactly [[ivfTopKWith]]'s probe
+    * pipeline and [[pqAdcTopK]]'s table-lookup scoring, composed: no
+    * full-precision corpus vector is ever touched after coding, and no
+    * exact distance is computed corpus-wide — the only full-corpus
+    * stages are the two C-/k-bounded broadcast assigns (cells and
+    * codes).
+    *
+    * Join discipline: a corpus vector lives in exactly ONE cell (rn = 1
+    * argmax) and each query probes DISTINCT cells, so a candidate pair
+    * materializes at most once — no distinct needed anywhere (the
+    * multiplicity-1 rule). The per-query distance tables are
+    * (queries·m·k) rows, broadcast; candidate codes equi-join them on
+    * (query_id, s, code) and each pair matches exactly m rows, so the
+    * ADC sum needs no dedup either. Scores are integer micros
+    * end-to-end ([[pqQdist]]) — exact under any partial-agg order,
+    * bit-identical in the oracle.
+    *
+    * Output: (query_id, neighbor_id, adist, rn) — adist ascending,
+    * neighbor_id tie-break. Neighbors outside the probed cells are
+    * invisible (that is the IVF recall trade, spec-measured).
+    */
+  def ivfPqTopK(vectors: DataFrame, centroids: DataFrame, isQuery: Column,
+      nprobe: Int, m: Int, k: Int, dims: Int, topK: Int,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    require(dims % m == 0, s"dims=$dims not divisible by m=$m")
+    val sub = dims / m
+    // IVF half: rank centroids per vector; rn=1 is the cell assignment,
+    // rn<=nprobe the query's probe list — one shared ranking, cached
+    val scored = vectors.crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("cent_id"),
+        cosine(col("v"), col("norm"), col("cv"), col("cnorm")).as("cscore"))
+    val ranked = scope.cache(TopN.topNPer(scored, col("vec_id"),
+      col("cscore"), col("cent_id"), math.max(nprobe, 1)))
+    val cells = ranked.filter(col("rn") === 1)
+      .select(col("vec_id"), col("cent_id").as("cell"))
+    val probes = vectors.filter(isQuery).select(col("vec_id").as("query_id"))
+      .join(ranked.filter(col("rn") <= nprobe)
+        .select(col("vec_id").as("query_id"), col("cent_id").as("cell")),
+        "query_id")
+    // PQ half: corpus codes (m ints per vector) + broadcast per-query
+    // distance tables over the seed codebook
+    val codes = pqAssign(vectors, m, k, dims)
+      .select(col("vec_id"), col("s"), col("code"))
+    val cb = broadcast(pqSubvectors(vectors.filter(col("vec_id") < k), m, sub)
+      .select(col("s"), col("vec_id").cast("int").as("code"),
+        col("sv").as("cv")))
+    val qtab = broadcast(pqSubvectors(vectors.filter(isQuery), m, sub)
+      .select(col("vec_id").as("query_id"), col("s"), col("sv"))
+      .join(cb, "s")
+      .select(col("query_id"), col("s"), col("code"), pqQdist.as("qdist")))
+    // candidates = probed cells only; then the ADC table-lookup sum
+    val cand = probes.join(cells, "cell")
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"))
+    val adc = cand.join(codes, "vec_id")
+      .join(qtab, Seq("query_id", "s", "code"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("qdist")).as("adist"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist").asc, col("vec_id").asc)
+    adc.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= topK)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("adist"), col("rn"))
+  }
 }
