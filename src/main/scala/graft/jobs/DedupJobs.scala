@@ -297,7 +297,34 @@ object DedupJobs {
         col("split_a"), col("split_b"))
   }
 
-  private val CONTAM_W = 8
+  private[graft] val CONTAM_W = 8
+
+  /** The two sides of the decontamination screen as standalone frames,
+    * for the STREAMING twin ([[graft.streaming.StreamingDecontam]]): the
+    * train-split documents (what arrives at ingest in production — new
+    * docs are all "train") and the DISTINCT eval-split window-hash table
+    * (what production persists once per eval refresh; distinctness is
+    * part of the contract — the stream side marks collisions with a
+    * LEFT join, which must not multiply occurrence rows).
+    */
+  private[graft] def trainDocs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .filter(splitCol(spark) === "train")
+      .select(col("doc_id"), col("text"))
+
+  private[graft] def evalWindowHashes(
+      spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    Dedup.explodedGrams(
+        Tables.documents(spark, sfDir)
+          .filter(splitCol(spark) =!= "train")
+          .select(col("doc_id"), col("text")),
+        CONTAM_W, distinct = false)
+      .select(
+        conv(substring(md5(col("gram")), 1, 8), 16, 10).cast("long").as("gh1"),
+        conv(substring(md5(col("gram")), 9, 8), 16, 10).cast("long").as("gh2"))
+      .distinct()
+  }
 
   /** Exact n-gram contamination check — the GPT-3/Llama eval-overlap
     * method, complementing [[decontamination]]'s whole-document LSH
