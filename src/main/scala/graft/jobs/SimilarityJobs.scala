@@ -716,11 +716,56 @@ object SimilarityJobs {
        |WHERE rn <= $TOP_K""".stripMargin
   }
 
+  private val PQ_SHORTLIST = 3 * TOP_K
+
+  /** [[Similarity.ivfPqRerank]]: the served billion-vector layout — the
+    * ADC scan of `ann_ivf_pq` keeps a 3·k shortlist per query and ONLY
+    * that shortlist is re-scored with exact cosine against the
+    * full-precision vectors (O(queries·shortlist) exact distances,
+    * corpus-size-independent). Recovers most of the recall the double
+    * quantization gives up (spec-measured vs `ann_ivf_pq`).
+    */
+  def annIvfPqRerank(spark: SparkSession, sfDir: String): DataFrame = {
+    val v = vectors(spark, sfDir)
+    Similarity.ivfPqRerank(v, Similarity.seedCentroids(v, IVF_CENTROIDS),
+      col("vec_id") < N_QUERIES, nprobe = IVF_NPROBE,
+      m = PQ_M, k = PQ_K, dims = DIMS, topK = TOP_K,
+      shortlist = PQ_SHORTLIST)
+  }
+
+  /** Oracle: `ann_ivf_pq`'s CTEs with the ADC ranking truncated at the
+    * shortlist depth, then the exact rounded-cosine re-rank.
+    */
+  val annIvfPqRerankSql: String = {
+    val adcPrefix = annIvfPqSql
+      .substring(0, annIvfPqSql.indexOf("\n)\nSELECT"))
+    s"""$adcPrefix
+       |), short AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT *, ROW_NUMBER() OVER (
+       |      PARTITION BY query_id ORDER BY adist, vec_id) AS srn
+       |    FROM adc) s
+       |  WHERE srn <= $PQ_SHORTLIST
+       |), rescored AS (
+       |  SELECT s.query_id, s.vec_id,
+       |    ROUND(list_cosine_similarity(q.v, n.v) + 1e-12, 6) AS sim
+       |  FROM short s
+       |  JOIN e q ON q.vec_id = s.query_id
+       |  JOIN e n ON n.vec_id = s.vec_id
+       |)
+       |SELECT query_id, vec_id AS neighbor_id, sim, rn FROM (
+       |  SELECT *, ROW_NUMBER() OVER (
+       |    PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rn
+       |  FROM rescored) final
+       |WHERE rn <= $TOP_K""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pq_codes" -> pqCodes,
     "pq_codes_trained" -> pqCodesTrained,
     "pq_adc_topk" -> pqAdcTopK,
     "ann_ivf_pq" -> annIvfPq,
+    "ann_ivf_pq_rerank" -> annIvfPqRerank,
     "embedding_project" -> embeddingProject,
     "embedding_quantize" -> embeddingQuantize,
     "ann_cosine_topk" -> annCosineTopK,
@@ -737,6 +782,7 @@ object SimilarityJobs {
     "pq_codes_trained" -> pqCodesTrainedSql,
     "pq_adc_topk" -> pqAdcTopKSql,
     "ann_ivf_pq" -> annIvfPqSql,
+    "ann_ivf_pq_rerank" -> annIvfPqRerankSql,
     "embedding_project" -> embeddingProjectSql,
     "embedding_quantize" -> embeddingQuantizeSql,
     "ann_cosine_topk" -> annCosineTopKSql,

@@ -558,6 +558,22 @@ object Similarity {
   def ivfPqTopK(vectors: DataFrame, centroids: DataFrame, isQuery: Column,
       nprobe: Int, m: Int, k: Int, dims: Int, topK: Int,
       scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    val adc = ivfPqAdc(vectors, centroids, isQuery, nprobe, m, k, dims, scope)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist").asc, col("vec_id").asc)
+    adc.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= topK)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("adist"), col("rn"))
+  }
+
+  /** The candidate-scoring core of [[ivfPqTopK]]: per (query, probed-cell
+    * member) ADC integer-micro distance, un-ranked.
+    */
+  private def ivfPqAdc(vectors: DataFrame, centroids: DataFrame,
+      isQuery: Column, nprobe: Int, m: Int, k: Int, dims: Int,
+      scope: CacheScope): DataFrame = {
     require(dims % m == 0, s"dims=$dims not divisible by m=$m")
     val sub = dims / m
     // IVF half: rank centroids per vector; rn=1 is the cell assignment,
@@ -588,16 +604,47 @@ object Similarity {
     val cand = probes.join(cells, "cell")
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id"))
-    val adc = cand.join(codes, "vec_id")
+    cand.join(codes, "vec_id")
       .join(qtab, Seq("query_id", "s", "code"))
       .groupBy(col("query_id"), col("vec_id"))
       .agg(sum(col("qdist")).as("adist"))
+  }
+
+  /** [[ivfPqTopK]] with the production recall lever: the ADC scan selects
+    * a `shortlist`-deep candidate set per query (cheap — codes only), and
+    * ONLY those rows are re-scored with the exact cosine against the
+    * full-precision vectors. Exact distances are computed on
+    * O(queries · shortlist) pairs — bounded by the shortlist constant,
+    * never corpus-sized — which recovers most of the recall the double
+    * quantization (cell pruning × PQ) gives up, at a cost independent of
+    * corpus scale. This staged ADC-then-rerank shape is the standard
+    * billion-vector serving layout (IVFADC with refinement).
+    *
+    * Output: (query_id, neighbor_id, sim, rn) — exact rounded cosine,
+    * descending, neighbor_id tie-break; comparable row-for-row with
+    * [[ivfTopKWith]]'s output at the same k.
+    */
+  def ivfPqRerank(vectors: DataFrame, centroids: DataFrame, isQuery: Column,
+      nprobe: Int, m: Int, k: Int, dims: Int, topK: Int, shortlist: Int,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("query_id"))
+    val adc = ivfPqAdc(vectors, centroids, isQuery, nprobe, m, k, dims, scope)
+    val wAdc = Window.partitionBy(col("query_id"))
       .orderBy(col("adist").asc, col("vec_id").asc)
-    adc.withColumn("rn", row_number().over(w).cast("long"))
+    val short = adc.withColumn("srn", row_number().over(wAdc))
+      .filter(col("srn") <= shortlist)
+      .select(col("query_id"), col("vec_id"))
+    val scored = short
+      .join(vectors.select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("norm").as("qn")), "query_id")
+      .join(vectors.select(col("vec_id"), col("v"), col("norm")), "vec_id")
+      .select(col("query_id"), col("vec_id"),
+        cosine(col("qv"), col("qn"), col("v"), col("norm")).as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    scored.withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= topK)
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        col("adist"), col("rn"))
+        col("sim"), col("rn"))
   }
 }

@@ -179,6 +179,23 @@ class SimilaritySpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("IVF-PQ exact re-rank recovers recall over the raw ADC ranking") {
+    val sfd = sf("sf0.001")
+    val exact = SimilarityJobs.annCosineTopK(spark, sfd)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val adcOnly = SimilarityJobs.annIvfPq(spark, sfd)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val reranked = SimilarityJobs.annIvfPqRerank(spark, sfd)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val rAdc = (exact intersect adcOnly).size.toDouble / exact.size
+    val rRerank = (exact intersect reranked).size.toDouble / exact.size
+    // the rerank stage exists to buy recall back from the PQ loss at a
+    // corpus-size-independent cost; measured 0.26 -> ~0.5 at sf0.001
+    assert(rRerank >= rAdc, s"rerank=$rRerank < adc=$rAdc")
+    assert(rRerank > 0.4, s"rerank recall=$rRerank")
+    spark.catalog.clearCache()
+  }
+
   test("LSH ANN achieves good recall@5 vs brute force on real data") {
     val sfd = sf("sf0.001")
     val vv = Similarity.withNorm(
