@@ -85,10 +85,24 @@ object ArtifactJobs {
       loaded.select(TextJobs.hash60(col("w")).as("wh"), col("n_syms")))
   }
 
+  /** PQ encoding against a codebook LOADED from parquet: train the
+    * refined (s, code, cv) codebook (identical to `pq_codes_trained`),
+    * persist its m·k rows, encode the corpus from the load.
+    */
+  def pqCodesFromArtifact(spark: SparkSession, sfDir: String): DataFrame = {
+    val v = SimilarityJobs.vectors(spark, sfDir)
+    val loaded = persist(spark, "pq_codebook",
+      Similarity.pqTrainCodebook(v, SimilarityJobs.PQ_M,
+        SimilarityJobs.PQ_K, SimilarityJobs.DIMS))
+    Similarity.pqEncodeWith(v, loaded,
+      SimilarityJobs.PQ_M, SimilarityJobs.DIMS)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_ivf_from_artifact" -> annIvfFromArtifact,
     "quality_from_artifact" -> qualityFromArtifact,
-    "bpe_encode_from_artifact" -> bpeEncodeFromArtifact)
+    "bpe_encode_from_artifact" -> bpeEncodeFromArtifact,
+    "pq_codes_from_artifact" -> pqCodesFromArtifact)
 
   /** The oracles are the in-line twins' SQL VERBATIM: DuckDB computes the
     * trained result directly; hash-equality then proves the parquet
@@ -97,5 +111,6 @@ object ArtifactJobs {
   val oracles: Map[String, String] = Map(
     "ann_ivf_from_artifact" -> SimilarityJobs.annIvfTrainedSql,
     "quality_from_artifact" -> TextJobs.qualityClassifierTrainedSql,
-    "bpe_encode_from_artifact" -> TextJobs.bpeEncodeSql)
+    "bpe_encode_from_artifact" -> TextJobs.bpeEncodeSql,
+    "pq_codes_from_artifact" -> SimilarityJobs.pqCodesTrainedSql)
 }

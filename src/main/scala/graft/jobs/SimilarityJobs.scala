@@ -17,7 +17,7 @@ object SimilarityJobs {
   private[jobs] val N_QUERIES = 20 // query set: vec_id < 20
   private val NEARDUP_THRESHOLD = 0.35
   private val PLANES = 5
-  private val DIMS = 64
+  private[jobs] val DIMS = 64
 
   /** Sign-LSH bucket assignment restated for DuckDB: the plane weights are
     * deterministic integer arithmetic ([[Similarity.planeWeight]]) emitted
@@ -481,8 +481,8 @@ object SimilarityJobs {
        |FROM e""".stripMargin
   }
 
-  private val PQ_M = 4
-  private val PQ_K = 16
+  private[jobs] val PQ_M = 4
+  private[jobs] val PQ_K = 16
 
   /** [[Similarity.pqCodes]] over `embeddings`: 4 subspaces × 16 seed codes
     * — each 64-dim vector compressed to 4 small ints + its reconstruction

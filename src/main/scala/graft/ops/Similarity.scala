@@ -457,7 +457,15 @@ object Similarity {
     * both engines. Output schema identical to [[pqCodes]]; reconstruction
     * error is never higher in aggregate (that is the spec's contract).
     */
-  def pqCodesTrained(vectors: DataFrame, m: Int, k: Int, dims: Int): DataFrame = {
+  def pqCodesTrained(vectors: DataFrame, m: Int, k: Int, dims: Int): DataFrame =
+    pqEncodeWith(vectors, pqTrainCodebook(vectors, m, k, dims), m, dims)
+
+  /** The training half of [[pqCodesTrained]]: the refined codebook
+    * (s, code, cv) — a model-sized artifact (m·k rows) a production
+    * pipeline persists once and encodes against many times
+    * ([[graft.jobs.ArtifactJobs]]).
+    */
+  def pqTrainCodebook(vectors: DataFrame, m: Int, k: Int, dims: Int): DataFrame = {
     require(dims % m == 0, s"dims=$dims not divisible by m=$m")
     val subv = pqSubvectors(vectors, m, dims / m)
     val assign0 = pqAssign(vectors, m, k, dims)
@@ -468,15 +476,26 @@ object Similarity {
       .select(col("vec_id"), col("s"), col("d"),
         round(col("coord") * KmeansQuantScale + lit(1e-9))
           .cast("long").as("q"))
-    val cb1 = broadcast(qd.join(assign0, Seq("vec_id", "s"))
+    qd.join(assign0, Seq("vec_id", "s"))
       .groupBy(col("s"), col("code"), col("d"))
       .agg(sum(col("q")).as("sq"), count(lit(1)).as("n"))
       .groupBy(col("s"), col("code"))
       .agg(sort_array(collect_list(struct(col("d"),
         (col("sq").cast("double") / (col("n") * KmeansQuantScale))
           .as("coord")))).as("arr"))
-      .select(col("s"), col("code"), col("arr.coord").as("cv")))
-    val best = subv.join(cb1, "s")
+      .select(col("s"), col("code"), col("arr.coord").as("cv"))
+  }
+
+  /** The encoding half: assign every vector's subvectors to their nearest
+    * entry of an explicit (s, code, cv) codebook — trained in-line or
+    * loaded from storage, the arithmetic is identical. Output schema of
+    * [[pqCodes]]: (vec_id, c0..c{m-1}, recon_err).
+    */
+  def pqEncodeWith(vectors: DataFrame, codebook: DataFrame, m: Int,
+      dims: Int): DataFrame = {
+    require(dims % m == 0, s"dims=$dims not divisible by m=$m")
+    val subv = pqSubvectors(vectors, m, dims / m)
+    val best = subv.join(broadcast(codebook), "s")
       .select(col("vec_id"), col("s"), col("code"), pqQdist.as("qdist"))
       .groupBy(col("vec_id"), col("s"))
       .agg(min(struct(col("qdist"), col("code"))).as("b"))

@@ -47,6 +47,13 @@ class ArtifactJobsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("pq_codes_from_artifact equals pq_codes_trained") {
+    assertTwin("pq_codes",
+      ArtifactJobs.pqCodesFromArtifact(spark, sf("sf0.001")),
+      graft.jobs.SimilarityJobs.pqCodesTrained(spark, sf("sf0.001")))
+    spark.catalog.clearCache()
+  }
+
   test("artifacts land on disk as readable parquet models") {
     ArtifactJobs.bpeEncodeFromArtifact(spark, sf("sf0.001")).count()
     val p = java.nio.file.Paths.get(
