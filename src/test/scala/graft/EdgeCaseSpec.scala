@@ -197,6 +197,30 @@ class EdgeCaseSpec extends SparkSpec {
     assert(Similarity.pqAdcTopK(ve, $"vec_id" < 1, 2, 2, 4, 3).count() == 0)
   }
 
+  test("round-7 ops are total on empty and degenerate inputs") {
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val ve = Similarity.withNorm(empty, $"vec_id", $"embedding")
+    val emptyCents = Similarity.seedCentroids(ve, 2)
+    // IVF x PQ composition and its re-rank on an empty corpus
+    assert(Similarity.ivfPqTopK(ve, emptyCents, $"vec_id" < 1,
+      nprobe = 2, m = 2, k = 2, dims = 4, topK = 3).count() == 0)
+    assert(Similarity.ivfPqRerank(ve, emptyCents, $"vec_id" < 1,
+      nprobe = 2, m = 2, k = 2, dims = 4, topK = 3, shortlist = 9)
+      .count() == 0)
+    // codebook train/encode halves on empty input
+    assert(Similarity.pqTrainCodebook(ve, 2, 2, 4).count() == 0)
+    assert(Similarity.pqEncodeWith(ve,
+      Similarity.pqTrainCodebook(ve, 2, 2, 4), 2, 4).count() == 0)
+    // a singleton corpus: its one vector is the whole codebook and cell
+    val one = Similarity.withNorm(
+      Seq((0L, Array(1.0f, 0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding"),
+      $"vec_id", $"embedding")
+    // no self-pairs -> empty answer, but nothing throws
+    assert(Similarity.ivfPqTopK(one, Similarity.seedCentroids(one, 2),
+      $"vec_id" < 1, nprobe = 2, m = 2, k = 2, dims = 4, topK = 3)
+      .count() == 0)
+  }
+
   test("within-cell pairs are total on empty and singleton corpora") {
     val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
     val ve = Similarity.withNorm(empty, $"vec_id", $"embedding")
