@@ -760,12 +760,61 @@ object SimilarityJobs {
        |WHERE rn <= $TOP_K""".stripMargin
   }
 
+  /** [[Similarity.hardNegatives]]: top-5 similar-but-differently-labelled
+    * neighbors per query over the IVF index — the contrastive-training
+    * mining query.
+    */
+  def hardNegatives(spark: SparkSession, sfDir: String): DataFrame = {
+    val v = vectors(spark, sfDir)
+    Similarity.hardNegatives(v,
+      Tables.load(spark, sfDir, "embeddings")
+        .select(col("vec_id"), col("label")),
+      Similarity.seedCentroids(v, IVF_CENTROIDS),
+      col("vec_id") < N_QUERIES, nprobe = IVF_NPROBE, k = TOP_K)
+  }
+
+  /** Oracle: `ann_ivf`'s CTEs with the label join and mismatch filter
+    * ahead of the rank.
+    */
+  val hardNegativesSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings
+       |), cent AS (
+       |  SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < $IVF_CENTROIDS
+       |), ranked AS (
+       |  SELECT e.vec_id, cent.cent_id,
+       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+       |      ROUND(list_cosine_similarity(e.v, cent.cv) + 1e-12, 6) DESC,
+       |      cent.cent_id ASC) AS rn
+       |  FROM e CROSS JOIN cent
+       |), cells AS (
+       |  SELECT e.vec_id, e.v, e.label, r.cent_id AS cell
+       |  FROM e JOIN ranked r ON r.vec_id = e.vec_id AND r.rn = 1
+       |), probes AS (
+       |  SELECT e.vec_id AS query_id, e.v AS qv, e.label AS qlabel,
+       |         r.cent_id AS cell
+       |  FROM e JOIN ranked r ON r.vec_id = e.vec_id AND r.rn <= $IVF_NPROBE
+       |  WHERE e.vec_id < $N_QUERIES
+       |), s AS (
+       |  SELECT p.query_id, c.vec_id AS neighbor_id, c.label AS neg_label,
+       |    ROUND(list_cosine_similarity(p.qv, c.v) + 1e-12, 6) AS sim
+       |  FROM probes p JOIN cells c
+       |    ON c.cell = p.cell AND c.vec_id <> p.query_id
+       |   AND c.label <> p.qlabel
+       |)
+       |SELECT query_id, neighbor_id, neg_label, sim, rn FROM (
+       |  SELECT *, ROW_NUMBER() OVER (
+       |    PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rn
+       |  FROM s) final
+       |WHERE rn <= $TOP_K""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pq_codes" -> pqCodes,
     "pq_codes_trained" -> pqCodesTrained,
     "pq_adc_topk" -> pqAdcTopK,
     "ann_ivf_pq" -> annIvfPq,
     "ann_ivf_pq_rerank" -> annIvfPqRerank,
+    "hard_negatives" -> hardNegatives,
     "embedding_project" -> embeddingProject,
     "embedding_quantize" -> embeddingQuantize,
     "ann_cosine_topk" -> annCosineTopK,
@@ -783,6 +832,7 @@ object SimilarityJobs {
     "pq_adc_topk" -> pqAdcTopKSql,
     "ann_ivf_pq" -> annIvfPqSql,
     "ann_ivf_pq_rerank" -> annIvfPqRerankSql,
+    "hard_negatives" -> hardNegativesSql,
     "embedding_project" -> embeddingProjectSql,
     "embedding_quantize" -> embeddingQuantizeSql,
     "ann_cosine_topk" -> annCosineTopKSql,

