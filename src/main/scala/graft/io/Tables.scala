@@ -31,16 +31,26 @@ object Tables {
   def documents(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")
 
-  /** `events` ships as parquet TIMESTAMP(NANOS) which Spark's vectorized
-    * reader rejects ([PARQUET_TYPE_ILLEGAL]). We read nanos as Long
-    * (`spark.sql.legacy.parquet.nanosAsLong`) and truncate to microseconds —
-    * integer division, never double math: epoch-nanos ≈ 1.7e18 exceeds a
-    * double's 53-bit mantissa.
+  /** `events.ts` has shipped in two physical forms across driver rounds:
+    * parquet TIMESTAMP(NANOS) — which Spark's vectorized reader rejects
+    * ([PARQUET_TYPE_ILLEGAL]), so we read nanos as Long
+    * (`spark.sql.legacy.parquet.nanosAsLong`) and truncate to microseconds
+    * with integer division (never double math: epoch-nanos ≈ 1.7e18 exceeds
+    * a double's 53-bit mantissa) — and plain TIMESTAMP micros (NTZ), which
+    * needs only a wall-clock-preserving cast (every session pins
+    * `spark.sql.session.timeZone=UTC`, so NTZ→TIMESTAMP is the identity on
+    * the stored micros, matching DuckDB's naive read of the same file).
+    * Dispatch on the loaded dtype so both generations of testdata read
+    * identically.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, sfDir, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val df = load(spark, sfDir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ => df.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 
   /** Register every table as a temp view for the SQL surface. */

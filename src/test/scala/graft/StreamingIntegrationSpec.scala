@@ -21,13 +21,17 @@ class StreamingIntegrationSpec extends SparkSpec {
     Files.createSymbolicLink(dir.resolve("events.parquet"),
       java.nio.file.Paths.get(s"$sfd/events.parquet"))
     // events parquet → OrderEvent stream (signup≈create, purchase≈pay);
-    // schema must be the RAW file schema (ts = int64 nanos), converted
-    // after the scan exactly like Tables.events
+    // schema must be the RAW file schema, converted after the scan exactly
+    // like Tables.events (which dispatches on the shipped ts dtype)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val rawSchema = spark.read.parquet(s"$sfd/events.parquet").schema
+    val tsConv =
+      if (rawSchema("ts").dataType == org.apache.spark.sql.types.LongType)
+        expr("timestamp_micros(ts div 1000)")
+      else $"ts".cast("timestamp")
     val stream = spark.readStream.schema(rawSchema)
       .parquet(dir.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withColumn("ts", tsConv)
       .filter($"event_type".isin("signup", "purchase"))
       .select($"user_id".as("orderId"),
         when($"event_type" === "signup", "create").otherwise("pay").as("eventType"),
