@@ -41,15 +41,27 @@ object Tables {
     * `spark.sql.session.timeZone=UTC`, so NTZ→TIMESTAMP is the identity on
     * the stored micros, matching DuckDB's naive read of the same file).
     * Dispatch on the loaded dtype so both generations of testdata read
-    * identically.
+    * identically; any OTHER dtype (a third schema generation — string,
+    * millis-as-long, …) fails fast here instead of silently producing
+    * nulls or shifted values downstream.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the NTZ→TIMESTAMP cast below is wall-clock-preserving ONLY under a
+    // UTC session; enforce the pin here rather than trusting every
+    // session builder to carry it
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     val df = load(spark, sfDir, "events")
+    import org.apache.spark.sql.types._
     df.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
+      case LongType =>
         df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case _ => df.withColumn("ts", col("ts").cast("timestamp"))
+      case TimestampNTZType | TimestampType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case other => throw new IllegalStateException(
+        s"events.ts has unsupported dtype $other; expected legacy " +
+          "nanos-as-LONG or TIMESTAMP[_NTZ] micros — teach Tables.events " +
+          "the new generation explicitly instead of guessing a cast")
     }
   }
 

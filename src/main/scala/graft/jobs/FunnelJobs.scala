@@ -10,9 +10,10 @@ import graft.io.Tables
   * and one broadcast-joinable stage frame, no self-join of the raw events.
   *
   * All time arithmetic runs on integer epoch-microseconds (`unix_micros` /
-  * DuckDB `epoch_us`): the events table is nanos parquet, and comparing
-  * truncated micros in BOTH engines keeps sub-microsecond orderings from
-  * diverging between them.
+  * DuckDB `epoch_us`): the events table has shipped as both nanos-as-long
+  * and TIMESTAMP-micros parquet ([[graft.io.Tables.events]] dispatches on
+  * dtype), and comparing integer micros in BOTH engines keeps
+  * sub-microsecond orderings from diverging between them.
   */
 object FunnelJobs {
 

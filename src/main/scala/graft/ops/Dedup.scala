@@ -270,13 +270,84 @@ object Dedup {
     * of diameter, so a diameter-200 chain converges instead of throwing.
     * The driver loop is control flow only — all data work is distributed,
     * and each iteration's action is the convergence count.
+    *
+    * Scale shape: the near-dup edge set is proportional to DUP PAIRS,
+    * not to the corpus — orders of magnitude smaller than the vertex
+    * frame at any realistic dup rate, and the fixpoint over it is a
+    * SEQUENTIAL recurrence with no parallelism worth buying (the
+    * round-6 BPE lesson: k chained rounds of a frame that fits in one
+    * task = k×3 exchanges of pure scheduling). So when one count of the
+    * candidate pairs shows ≤ `singleTaskEdgeLimit` rows, the component
+    * labels are resolved by UNION-FIND (min-rooted, path-compressed)
+    * inside ONE executor task (`coalesce(1).mapPartitions` — no driver
+    * collect), and the resulting (node → component-min) map — bounded by
+    * 2·|pairs| rows — is broadcast-joined back onto the corpus-sized
+    * vertex frame, which therefore never shuffles at all. Above the
+    * limit the distributed min-label loop below runs (three exchanges
+    * per round, diameter rounds, star-contraction fallback for deep
+    * chains) — the correct shape when the dup graph itself is too big
+    * for one task's memory.
     */
   def connectedComponents(
       vertices: DataFrame, pairs: DataFrame, maxIters: Int = 100,
-      checkpointEvery: Int = 10, starAfter: Int = 20): DataFrame = {
-    val edges = pairs
+      checkpointEvery: Int = 10, starAfter: Int = 20,
+      singleTaskEdgeLimit: Long = 1000000L): DataFrame =
+    connectedComponentsInstrumented(vertices, pairs, maxIters,
+      checkpointEvery, starAfter, singleTaskEdgeLimit)._1
+
+  /** [[connectedComponents]] plus (propagation rounds used, converged
+    * without the star fallback) — lets specs pin WHICH path finished
+    * (single-task union-find reports 0 rounds; the distributed loop
+    * reports its round count), which the output alone cannot reveal
+    * because every path lands the same labels.
+    */
+  private[graft] def connectedComponentsInstrumented(
+      vertices: DataFrame, pairs: DataFrame, maxIters: Int = 100,
+      checkpointEvery: Int = 10, starAfter: Int = 20,
+      singleTaskEdgeLimit: Long = 1000000L): (DataFrame, Int, Boolean) = {
+    val spark = vertices.sparkSession
+    import spark.implicits._
+    val pr = pairs
+      .select(col("doc_a").cast("long"), col("doc_b").cast("long")).cache()
+    // one count() materializes the pair cache (every path reads it next)
+    // and picks the resolution strategy
+    if (pr.count() <= singleTaskEdgeLimit) {
+      // Single-task union-find over the dup-pair graph. Orientation and
+      // duplicate pairs are irrelevant to union-find, so the symmetric
+      // union + distinct the distributed loop needs are skipped too.
+      // localCheckpoint (eager) so the pair cache can be released before
+      // the caller consumes the output.
+      val mapping = pr.as[(Long, Long)].coalesce(1).mapPartitions { it =>
+        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent(r) != r) r = parent(r)
+          var c = x
+          while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+          r
+        }
+        it.foreach { case (a, b) =>
+          if (!parent.contains(a)) parent.update(a, a)
+          if (!parent.contains(b)) parent.update(b, b)
+          val ra = find(a); val rb = find(b)
+          // union by MIN root — the component minimum the oracle's
+          // transitive-closure MIN reproduces; path compression keeps the
+          // min-union chains short
+          if (ra < rb) parent.update(rb, ra)
+          else if (rb < ra) parent.update(ra, rb)
+        }
+        parent.keys.toArray.iterator.map(k => (k, find(k)))
+      }.toDF("node", "root").localCheckpoint()
+      pr.unpersist()
+      val out = vertices.join(broadcast(mapping),
+          col("doc_id") === col("node"), "left")
+        .select(col("doc_id"),
+          coalesce(col("root"), col("doc_id")).as("cluster"))
+      return (out, 0, true)
+    }
+    val edges = pr
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .unionAll(pr.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct().cache()
     var labels = vertices.select(col("doc_id"), col("doc_id").as("cluster"))
       .cache()
@@ -338,7 +409,8 @@ object Dedup {
           coalesce(col("root"), col("cluster")).as("cluster"))
     }
     edges.unpersist()
-    out
+    pr.unpersist()
+    (out, i, converged)
   }
 
   /** Alternating large-star/small-star contraction (the published

@@ -209,10 +209,13 @@ class DedupSpec extends SparkSpec {
     val chain = (0 until n - 1).map(i => (i.toLong, i + 1L))
       .toDF("doc_a", "doc_b")
     val t0 = System.nanoTime()
-    // starAfter = 100 pins the PLAIN propagation path (this test is about
-    // lineage truncation, not the star fallback — which has its own test)
+    // starAfter = 100 + singleTaskEdgeLimit = 0 pin the PLAIN one-hop
+    // shuffle propagation path (this test is about lineage truncation at
+    // ~44 nested rounds; pointer jumping on the broadcast path would
+    // converge in ~7 and leave truncation untested — that path has its
+    // own test below)
     val out = Dedup.connectedComponents(vertices, chain, maxIters = 100,
-      checkpointEvery = 5, starAfter = 100)
+      checkpointEvery = 5, starAfter = 100, singleTaskEdgeLimit = 0L)
     val labels = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val secs = (System.nanoTime() - t0) / 1e9
     assert(labels.size == n && labels.values.forall(_ == 0L))
@@ -221,12 +224,32 @@ class DedupSpec extends SparkSpec {
     assert(secs < 120, f"deep-chain convergence took $secs%.1f s")
   }
 
+  test("small graphs resolve in one union-find task, zero rounds") {
+    // 60-deep path under the default single-task limit: the distributed
+    // loop would need 59 propagation rounds (or the star fallback); the
+    // union-find path must land every label on the component min with
+    // ZERO distributed rounds — and the corpus-sized vertex frame never
+    // shuffles (one broadcast join back).
+    val n = 60
+    val vertices = (0 until n).map(_.toLong).toDF("doc_id")
+    val chain = (0 until n - 1).map(i => (i.toLong, i + 1L))
+      .toDF("doc_a", "doc_b")
+    val (out, rounds, done) = Dedup.connectedComponentsInstrumented(
+      vertices, chain, maxIters = 100, checkpointEvery = 5)
+    val labels = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == n && labels.values.forall(_ == 0L))
+    assert(done && rounds == 0,
+      s"expected the single-task union-find path, got $rounds rounds")
+  }
+
   test("diameter-200 chain converges via the large-star/small-star fallback") {
     // propagation alone would need 200 rounds; with the default
     // starAfter=20 budget the run must SWITCH to large-star/small-star
     // (O(log d) rounds) and still land every label on the component min —
     // the round-4 advisor's hard-fail scenario (IllegalStateException at
-    // the budget) must be gone
+    // the budget) must be gone. singleTaskEdgeLimit=0 pins the DISTRIBUTED
+    // path: with broadcast + pointer jumping active this graph converges
+    // before the star budget and the fallback would go untested.
     val n = 201
     val vertices = (0 until n).map(_.toLong).toDF("doc_id")
     val chain = (0 until n - 1).map(i => (i.toLong, i + 1L))
@@ -236,7 +259,7 @@ class DedupSpec extends SparkSpec {
     val allV = vertices.unionAll(Seq(9000L, 9001L, 9500L).toDF("doc_id"))
     val t0 = System.nanoTime()
     val out = Dedup.connectedComponents(allV, pairs, maxIters = 60,
-      checkpointEvery = 5)
+      checkpointEvery = 5, singleTaskEdgeLimit = 0L)
     val labels = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val secs = (System.nanoTime() - t0) / 1e9
     assert((0 until n).forall(i => labels(i.toLong) == 0L))
