@@ -63,12 +63,15 @@ object ArtifactJobs {
   }
 
   /** Rocchio quality classifier scoring from persisted (b, w) weights
-    * and the 1-row midpoint-threshold frame.
+    * and the 1-row midpoint-threshold frame. The trained model comes from
+    * the same content-memoized pass `quality_classifier_trained` scores
+    * from ([[TextJobs.rocchioModel]]), so benching the pair trains once;
+    * what THIS query adds — and the oracle hash-checks — is the parquet
+    * round-trip: scoring touches only the loaded artifact.
     */
   def qualityFromArtifact(spark: SparkSession, sfDir: String): DataFrame = {
-    val (weights, theta) = TextJobs.rocchioTrain(spark, sfDir)
-    val loadedW = persist(spark, "rocchio_weights",
-      weights.select(col("b"), col("w")))
+    val (weights, theta) = TextJobs.rocchioModel(spark, sfDir)
+    val loadedW = persist(spark, "rocchio_weights", weights)
     val loadedT = persist(spark, "rocchio_theta", theta)
     TextJobs.rocchioScore(spark, sfDir, loadedW, loadedT)
   }
@@ -98,11 +101,38 @@ object ArtifactJobs {
       SimilarityJobs.PQ_M, SimilarityJobs.DIMS)
   }
 
+  /** The full served billion-vector layout from artifacts: persist ALL
+    * FOUR index frames — IVF centroids, per-vector cell assignments,
+    * per-vector PQ codes, PQ codebook — release the builders, and answer
+    * queries entirely from the loads ([[Similarity.ivfPqRerankServed]]:
+    * query-only probe ranking + broadcast distance tables + in-cell code
+    * scan + shortlist exact re-rank). The oracle is `ann_ivf_pq_rerank`'s
+    * SQL verbatim, so hash-equality proves serving from storage loses
+    * nothing vs the in-line composed pipeline.
+    */
+  def annIvfPqFromArtifact(spark: SparkSession, sfDir: String): DataFrame = {
+    import SimilarityJobs._
+    val v = SimilarityJobs.vectors(spark, sfDir)
+    val cents = persist(spark, "ivfpq_centroids",
+      Similarity.seedCentroids(v, IVF_CENTROIDS))
+    val cells = persist(spark, "ivfpq_cells",
+      Similarity.ivfCells(v, Similarity.seedCentroids(v, IVF_CENTROIDS)))
+    val codes = persist(spark, "ivfpq_codes",
+      Similarity.pqAssign(v, PQ_M, PQ_K, DIMS)
+        .select(col("vec_id"), col("s"), col("code")))
+    val codebook = persist(spark, "ivfpq_codebook",
+      Similarity.pqSeedCodebook(v, PQ_M, PQ_K, DIMS))
+    Similarity.ivfPqRerankServed(v, cents, cells, codes, codebook,
+      col("vec_id") < N_QUERIES, nprobe = IVF_NPROBE, m = PQ_M,
+      dims = DIMS, topK = TOP_K, shortlist = PQ_SHORTLIST)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_ivf_from_artifact" -> annIvfFromArtifact,
     "quality_from_artifact" -> qualityFromArtifact,
     "bpe_encode_from_artifact" -> bpeEncodeFromArtifact,
-    "pq_codes_from_artifact" -> pqCodesFromArtifact)
+    "pq_codes_from_artifact" -> pqCodesFromArtifact,
+    "ann_ivf_pq_from_artifact" -> annIvfPqFromArtifact)
 
   /** The oracles are the in-line twins' SQL VERBATIM: DuckDB computes the
     * trained result directly; hash-equality then proves the parquet
@@ -112,5 +142,6 @@ object ArtifactJobs {
     "ann_ivf_from_artifact" -> SimilarityJobs.annIvfTrainedSql,
     "quality_from_artifact" -> TextJobs.qualityClassifierTrainedSql,
     "bpe_encode_from_artifact" -> TextJobs.bpeEncodeSql,
-    "pq_codes_from_artifact" -> SimilarityJobs.pqCodesTrainedSql)
+    "pq_codes_from_artifact" -> SimilarityJobs.pqCodesTrainedSql,
+    "ann_ivf_pq_from_artifact" -> SimilarityJobs.annIvfPqRerankSql)
 }

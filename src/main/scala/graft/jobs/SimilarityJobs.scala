@@ -716,7 +716,7 @@ object SimilarityJobs {
        |WHERE rn <= $TOP_K""".stripMargin
   }
 
-  private val PQ_SHORTLIST = 3 * TOP_K
+  private[jobs] val PQ_SHORTLIST = 3 * TOP_K
 
   /** [[Similarity.ivfPqRerank]]: the served billion-vector layout — the
     * ADC scan of `ann_ivf_pq` keeps a 3·k shortlist per query and ONLY

@@ -691,9 +691,18 @@ object Similarity {
     */
   def ivfPqRerank(vectors: DataFrame, centroids: DataFrame, isQuery: Column,
       nprobe: Int, m: Int, k: Int, dims: Int, topK: Int, shortlist: Int,
-      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+      scope: CacheScope = CacheScope.unmanaged): DataFrame =
+    adcShortlistRerank(
+      ivfPqAdc(vectors, centroids, isQuery, nprobe, m, k, dims, scope),
+      vectors, topK, shortlist)
+
+  /** The shared tail of the staged serving layout: truncate the ADC
+    * candidates at `shortlist` per query, exact-cosine re-score ONLY the
+    * shortlist against the full-precision vectors, rank at `topK`.
+    */
+  private def adcShortlistRerank(adc: DataFrame, vectors: DataFrame,
+      topK: Int, shortlist: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val adc = ivfPqAdc(vectors, centroids, isQuery, nprobe, m, k, dims, scope)
     val wAdc = Window.partitionBy(col("query_id"))
       .orderBy(col("adist").asc, col("vec_id").asc)
     val short = adc.withColumn("srn", row_number().over(wAdc))
@@ -711,5 +720,66 @@ object Similarity {
       .filter(col("rn") <= topK)
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         col("sim"), col("rn"))
+  }
+
+  /** The persistable halves of the IVF×PQ index — exactly the frames a
+    * serving deployment lands once and probes many times:
+    * cell assignment (vec_id, cell) for every vector and the seed PQ
+    * codebook (s, code, cv). Codes come from [[pqAssign]]. All three are
+    * derived with the SAME expressions the in-line [[ivfPqTopK]] path
+    * uses, so a parquet round-trip of them reproduces its output
+    * bit-for-bit (longs/ints exact, doubles round-trip exactly).
+    */
+  def ivfCells(vectors: DataFrame, centroids: DataFrame): DataFrame = {
+    val scored = vectors.crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("cent_id"),
+        cosine(col("v"), col("norm"), col("cv"), col("cnorm")).as("cscore"))
+    TopN.topNPer(scored, col("vec_id"), col("cscore"), col("cent_id"), 1)
+      .select(col("vec_id"), col("cent_id").as("cell"))
+  }
+
+  def pqSeedCodebook(vectors: DataFrame, m: Int, k: Int, dims: Int): DataFrame = {
+    require(dims % m == 0, s"dims=$dims not divisible by m=$m")
+    pqSubvectors(vectors.filter(col("vec_id") < k), m, dims / m)
+      .select(col("s"), col("vec_id").cast("int").as("code"),
+        col("sv").as("cv"))
+  }
+
+  /** [[ivfPqRerank]] SERVED from a persisted index: `centroids`
+    * (cent_id, cv, cnorm), `cells` (vec_id, cell), `codes`
+    * (vec_id, s, code) and `codebook` (s, code, cv) arrive as loaded
+    * frames — NO training or assignment stage exists in this plan. At
+    * serve time only the QUERY vectors are ranked against the broadcast
+    * centroids (the probe list) and tabled against the broadcast
+    * codebook (the ADC distance tables); the corpus is touched exactly
+    * twice — the m-int code scan inside probed cells and the
+    * shortlist-bounded exact re-rank against the full-precision store.
+    * Output is bit-identical to [[ivfPqRerank]] over the same index
+    * parameters (the artifact gate's hash-equality claim).
+    */
+  def ivfPqRerankServed(vectors: DataFrame, centroids: DataFrame,
+      cells: DataFrame, codes: DataFrame, codebook: DataFrame,
+      isQuery: Column, nprobe: Int, m: Int, dims: Int, topK: Int,
+      shortlist: Int): DataFrame = {
+    require(dims % m == 0, s"dims=$dims not divisible by m=$m")
+    val sub = dims / m
+    val qScored = vectors.filter(isQuery).crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("cent_id"),
+        cosine(col("v"), col("norm"), col("cv"), col("cnorm")).as("cscore"))
+    val probes = TopN.topNPer(qScored, col("vec_id"), col("cscore"),
+        col("cent_id"), math.max(nprobe, 1))
+      .select(col("vec_id").as("query_id"), col("cent_id").as("cell"))
+    val qtab = broadcast(pqSubvectors(vectors.filter(isQuery), m, sub)
+      .select(col("vec_id").as("query_id"), col("s"), col("sv"))
+      .join(broadcast(codebook), "s")
+      .select(col("query_id"), col("s"), col("code"), pqQdist.as("qdist")))
+    val cand = probes.join(cells, "cell")
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"))
+    val adc = cand.join(codes, "vec_id")
+      .join(qtab, Seq("query_id", "s", "code"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("qdist")).as("adist"))
+    adcShortlistRerank(adc, vectors, topK, shortlist)
   }
 }

@@ -54,6 +54,26 @@ class ArtifactJobsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("ann_ivf_pq_from_artifact equals ann_ivf_pq_rerank") {
+    assertTwin("ann_ivf_pq",
+      ArtifactJobs.annIvfPqFromArtifact(spark, sf("sf0.001")),
+      SimilarityJobs.annIvfPqRerank(spark, sf("sf0.001")))
+    spark.catalog.clearCache()
+  }
+
+  test("served IVF-PQ plan scans the four index artifacts, corpus only for queries+rerank") {
+    // the serving claim: no assignment/training stage — cells, codes,
+    // codebook, centroids all come FROM STORAGE; the only embeddings
+    // scans are the query-side ranking/tables and the shortlist re-rank
+    val df = ArtifactJobs.annIvfPqFromArtifact(spark, sf("sf0.001"))
+    val plan = df.queryExecution.executedPlan.toString
+    for (a <- Seq("ivfpq_centroids", "ivfpq_cells", "ivfpq_codes",
+        "ivfpq_codebook"))
+      assert(plan.contains(a), s"plan must scan the $a artifact; got:\n" +
+        plan.linesIterator.filter(_.contains("FileScan")).mkString("\n"))
+    spark.catalog.clearCache()
+  }
+
   test("artifacts land on disk as readable parquet models") {
     ArtifactJobs.bpeEncodeFromArtifact(spark, sf("sf0.001")).count()
     val p = java.nio.file.Paths.get(
