@@ -176,13 +176,88 @@ object MultimodalJobs {
        |    AS BIGINT) AS n_bytes -- take(keep) can't exceed the payload
        |FROM s""".stripMargin
 
+  private val NEARDUP_MAX_HAMMING = 3
+  // 63 fingerprint bits split 16/16/16/15: 4 bands > maxHamming = 3, so
+  // the pigeonhole recall guarantee holds
+  private[jobs] val NEARDUP_BANDS: Seq[(Int, Int)] =
+    Seq((0, 16), (16, 16), (32, 16), (48, 15))
+
+  /** Perceptual-hash image near-dup (the LAION-style image dedup step):
+    * REAL PNG payloads ([[Multimodal.neardupImageAssets]]) decode through
+    * `javax.imageio`, hash to a 63-bit dHash
+    * ([[Multimodal.dHash63]]), and pair up through banded Hamming LSH
+    * with identity compression ([[graft.ops.Dedup.hammingPairs]]) —
+    * per-band int equi-joins on distinct fingerprints, never all-pairs.
+    * The oracle recomputes the pixels arithmetically (PNG is lossless),
+    * re-derives the dHash bit-for-bit, and takes ALL pairs within the
+    * Hamming radius — hash-equality therefore proves both the real
+    * decode path and the LSH's losslessness at this radius.
+    */
+  def imageNeardup(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Dedup.hammingPairs(
+      Multimodal.imageFingerprints(spark, Tables.documents(spark, sfDir)),
+      NEARDUP_BANDS, NEARDUP_MAX_HAMMING)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+
+  /** The dHash pipeline restated: pixel mix (two multiplicative steps mod
+    * 2^31−1 with xor-shifts between — every intermediate < 2^47, BIGINT-
+    * exact), per-id perturbation, floor-scaled 9×8 grid samples, 63-bit
+    * pack (SUM of shifted bits; DuckDB SUM(BIGINT) is HUGEINT, hence the
+    * cast), then brute-force all pairs within the radius.
+    */
+  val imageNeardupSql: String =
+    s"""WITH grid AS (
+       |  SELECT gr, gc FROM (SELECT unnest(range(0, 8)) AS gr),
+       |                     (SELECT unnest(range(0, 8)) AS gc)
+       |  WHERE NOT (gr = 7 AND gc = 7)
+       |), dim AS (
+       |  SELECT doc_id, doc_id // ${Multimodal.NeardupGroup} AS base,
+       |         16 + (doc_id // ${Multimodal.NeardupGroup}) % 5 AS w,
+       |         12 + (doc_id // ${Multimodal.NeardupGroup}) % 4 AS h
+       |  FROM documents
+       |), samples AS (
+       |  SELECT doc_id, base, gr, gc, pos,
+       |         CASE WHEN pos = 0 THEN gc * w // 9
+       |              ELSE (gc + 1) * w // 9 END AS x,
+       |         gr * h // 8 AS y
+       |  FROM dim CROSS JOIN grid CROSS JOIN (SELECT unnest([0, 1]) AS pos)
+       |), m0 AS (
+       |  SELECT *, (base * 2654435761 + x * 40503 + y * 104729)
+       |            % 2147483647 AS h0 FROM samples
+       |), m1 AS (SELECT *, xor(h0, h0 >> 15) AS h1 FROM m0
+       |), m2 AS (SELECT *, (h1 * 48271) % 2147483647 AS h2 FROM m1
+       |), m3 AS (SELECT *, xor(h2, h2 >> 13) AS h3 FROM m2
+       |), pv AS (
+       |  SELECT doc_id, gr, gc, pos,
+       |         (((h3 * 16807) % 2147483647) % 256
+       |          + CASE WHEN (x * 7 + y) % 37 < doc_id % ${Multimodal.NeardupGroup}
+       |                 THEN 1 ELSE 0 END) % 256 AS p
+       |  FROM m3
+       |), cmp AS (
+       |  SELECT doc_id, gr, gc,
+       |         MAX(CASE WHEN pos = 0 THEN p END) AS pl,
+       |         MAX(CASE WHEN pos = 1 THEN p END) AS pr
+       |  FROM pv GROUP BY 1, 2, 3
+       |), fp AS (
+       |  SELECT doc_id,
+       |         CAST(SUM(CASE WHEN pr > pl THEN 1::BIGINT << (gr * 8 + gc)
+       |                       ELSE 0 END) AS BIGINT) AS f
+       |  FROM cmp GROUP BY doc_id
+       |)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |       CAST(bit_count(xor(a.f, b.f)) AS BIGINT) AS hamming
+       |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.f, b.f)) <= $NEARDUP_MAX_HAMMING""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_meta" -> multimodalMeta,
     "multimodal_features" -> multimodalFeatures,
-    "multimodal_resize" -> multimodalResize)
+    "multimodal_resize" -> multimodalResize,
+    "image_neardup" -> imageNeardup)
 
   val oracles: Map[String, String] = Map(
     "multimodal_meta" -> multimodalMetaSql,
     "multimodal_features" -> multimodalFeaturesSql,
-    "multimodal_resize" -> multimodalResizeSql)
+    "multimodal_resize" -> multimodalResizeSql,
+    "image_neardup" -> imageNeardupSql)
 }

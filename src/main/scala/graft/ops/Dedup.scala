@@ -495,6 +495,66 @@ object Dedup {
     roots
   }
 
+  /** Hamming near-dup self-join over ≤63-bit fingerprints (perceptual
+    * image hashes, simhashes) WITHOUT a blocking key: all pairs with
+    * bit_count(a XOR b) ≤ `maxHamming`, found by banded Hamming LSH.
+    *
+    * Bands: `bands` is a (shift, width) split of the fingerprint into
+    * `bands.size` disjoint bit ranges. Pigeonhole: with
+    * maxHamming < bands.size, any qualifying pair has at least one band
+    * its differing bits never touch, so per-band int equi-joins are a
+    * LOSSLESS candidate generator — never all-pairs. FIRST-shared-band
+    * rule: a pair joined on band b survives only if every band BEFORE b
+    * differs (computable in-row from the two fingerprint columns), so
+    * each candidate pair materializes exactly once — no distinct (the
+    * multiplicity-1 rule).
+    *
+    * Identity compression (the jaccardPairs discipline): the band join
+    * runs on DISTINCT fingerprints only; member expansion afterward
+    * restores every doc pair — cross-fingerprint products plus the
+    * intra-fingerprint C(n,2) pairs at Hamming 0 — so join cost is
+    * invariant to exact-dup multiplicity while the output keeps the
+    * uncompressed all-pairs semantics the oracle computes.
+    *
+    * `fp` must provide (doc_id, fp); it is read five times (distinct,
+    * two member sides, two intra sides) and is cached through `scope`.
+    * Output: (doc_a, doc_b, hamming), doc_a < doc_b.
+    */
+  def hammingPairs(fp: DataFrame, bands: Seq[(Int, Int)], maxHamming: Int,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    require(bands.size > maxHamming,
+      s"pigeonhole needs more bands (${bands.size}) than maxHamming=$maxHamming")
+    def bandVal(c: Column, b: (Int, Int)): Column =
+      shiftrightunsigned(c, b._1).bitwiseAND(lit((1L << b._2) - 1L))
+    val fpc = scope.cache(fp.select(col("doc_id"), col("fp")))
+    val distinctFp = fpc.select(col("fp")).distinct()
+    val bandRows = distinctFp.select(col("fp"),
+      posexplode(array(bands.map(b => bandVal(col("fp"), b)): _*))
+        .as(Seq("b", "bv")))
+    val earlierBandsDiffer = bands.zipWithIndex.map { case (bd, j) =>
+      (lit(j) >= col("x.b")) ||
+        (bandVal(col("x.fp"), bd) =!= bandVal(col("y.fp"), bd))
+    }.reduce(_ && _)
+    val fpPairs = bandRows.alias("x").join(bandRows.alias("y"),
+        col("x.b") === col("y.b") && col("x.bv") === col("y.bv") &&
+          col("x.fp") < col("y.fp"))
+      .filter(earlierBandsDiffer)
+      .select(col("x.fp").as("fp_a"), col("y.fp").as("fp_b"),
+        bit_count(col("x.fp").bitwiseXOR(col("y.fp"))).cast("long")
+          .as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+    val inter = fpPairs
+      .join(fpc.select(col("fp").as("fp_a"), col("doc_id").as("da")), "fp_a")
+      .join(fpc.select(col("fp").as("fp_b"), col("doc_id").as("db")), "fp_b")
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"), col("hamming"))
+    val intra = fpc.alias("m").join(fpc.alias("n"),
+        col("m.fp") === col("n.fp") && col("m.doc_id") < col("n.doc_id"))
+      .select(col("m.doc_id").as("doc_a"), col("n.doc_id").as("doc_b"),
+        lit(0L).as("hamming"))
+    inter.unionAll(intra)
+  }
+
   /** Near-dup pairs by SimHash hamming distance within a blocking key. */
   def simhashPairs(fp: DataFrame, block: DataFrame, maxHamming: Int): DataFrame = {
     val withBlock = fp.join(block, "doc_id")

@@ -188,6 +188,99 @@ object Multimodal {
     }
   }
 
+  // ---- perceptual image near-dup: planted fixture + dHash ----
+
+  /** Consecutive ids share one base pattern: the planted near-dup group. */
+  val NeardupGroup = 8
+  private val MixMod = 2147483647L
+
+  def neardupBase(id: Long): Long = id / NeardupGroup
+
+  /** Near-dup tile dims come from the BASE (group members must share
+    * dims): 16–20 × 12–15 — big enough that the 9×8 dHash grid samples
+    * distinct pixels.
+    */
+  def neardupDims(base: Long): (Int, Int) =
+    ((16 + base % 5).toInt, (12 + base % 4).toInt)
+
+  /** Pixel (x, y) of near-dup image `id`: an avalanche-mixed base pattern
+    * plus a tiny per-id perturbation. The mix is two multiplicative steps
+    * mod 2^31−1 separated by xor-shifts — the xor between multiplies is
+    * what buys decorrelation (two pure Lehmer steps compose to ONE affine
+    * map, which left this corpus with 123 distinct fingerprints and a
+    * quadratic near-pair blowup; the round-5 planeWeight lesson). Every
+    * step stays below 2^47, so DuckDB BIGINT arithmetic reproduces it
+    * exactly — no wrapping 64-bit multiply anywhere.
+    *
+    * Perturbation: +1 on the ~(id%8)/37 of pixels where
+    * (7x+y) % 37 < id % 8 — group members come out at Hamming 0–3 of each
+    * other, different bases land ~31 bits apart (measured: zero
+    * cross-base pairs within Hamming 3 on 5000 docs).
+    */
+  def neardupPixel(id: Long, x: Int, y: Int): Int = {
+    var h = (neardupBase(id) * 2654435761L + x * 40503L + y * 104729L) % MixMod
+    h = h ^ (h >> 15)
+    h = (h * 48271L) % MixMod
+    h = h ^ (h >> 13)
+    h = (h * 16807L) % MixMod
+    val delta = if ((x * 7 + y) % 37 < (id % NeardupGroup)) 1 else 0
+    ((h % 256).toInt + delta) % 256
+  }
+
+  /** Image assets for the near-dup gate: REAL PNGs of the planted
+    * pattern, decoded back through `javax.imageio` before hashing — the
+    * perceptual-hash path runs on actual codec output, and the oracle
+    * recomputes the expected pixels arithmetically (PNG is lossless).
+    */
+  def neardupImageAssets(spark: SparkSession, docs: DataFrame): Dataset[Asset] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val (w, h) = neardupDims(neardupBase(id))
+        Asset(id, encodePng(w, h, (x, y) => neardupPixel(id, x, y)),
+          "image", w, h, 1)
+      }
+    }
+  }
+
+  /** 63-bit difference hash over row-major grayscale pixels: sample a
+    * 9-column × 8-row grid at floor-scaled coordinates, set bit
+    * (gr·8+gc) iff the right sample exceeds the left. NEAREST-SAMPLE
+    * (not area-average resize) so the hash is integer-exact and a SQL
+    * oracle can restate it; bit 63 (gr=7, gc=7) is SKIPPED so the
+    * fingerprint packs into a non-negative BIGINT in both engines (a
+    * 64th bit would need the sign bit here and overflow DuckDB's
+    * `1::BIGINT << 63`).
+    */
+  def dHash63(px: Array[Byte], w: Int, h: Int): Long = {
+    var fp = 0L
+    var gr = 0
+    while (gr < 8) {
+      val y = gr * h / 8
+      var gc = 0
+      while (gc < 8) {
+        if (!(gr == 7 && gc == 7)) {
+          val x0 = gc * w / 9
+          val x1 = (gc + 1) * w / 9
+          val l = px(y * w + x0) & 0xff
+          val r = px(y * w + x1) & 0xff
+          if (r > l) fp |= 1L << (gr * 8 + gc)
+        }
+        gc += 1
+      }
+      gr += 1
+    }
+    fp
+  }
+
+  /** (doc_id, fp): decode the real PNG payloads, dHash the pixels. */
+  def imageFingerprints(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    neardupImageAssets(spark, docs).mapPartitions { it =>
+      it.map(a => (a.asset_id, dHash63(decode(a), a.width, a.height)))
+    }.toDF("doc_id", "fp")
+  }
+
   /** Deterministic frame sampling: every ceil(n/target)-th frame index. */
   def sampleFrameIndices(nFrames: Int, target: Int): Seq[Int] = {
     val step = math.max(1, math.ceil(nFrames.toDouble / target).toInt)

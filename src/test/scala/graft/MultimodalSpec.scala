@@ -104,4 +104,55 @@ class MultimodalSpec extends SparkSpec {
       assert(r.content.nonEmpty)
     }
   }
+
+  test("dHash fingerprints come from the real PNG decode and match the arithmetic pattern") {
+    // the codec-reality check: fingerprints computed by decoding the
+    // actual PNG payloads must equal fingerprints computed straight from
+    // the arithmetic pixel function (PNG is lossless, so any difference
+    // means the decode path is broken)
+    val docs = graft.io.Tables.documents(spark, sf("sf0.001"))
+      .select("doc_id").limit(40)
+    val fromCodec = MultimodalSpecHelpers.fpMap(
+      Multimodal.imageFingerprints(spark, docs))
+    val ids = docs.collect().map(_.getLong(0))
+    for (id <- ids) {
+      val (w, h) = Multimodal.neardupDims(Multimodal.neardupBase(id))
+      val px = Array.tabulate(w * h)(i =>
+        Multimodal.neardupPixel(id, i % w, i / w).toByte)
+      assert(fromCodec(id) == Multimodal.dHash63(px, w, h),
+        s"decode-path fingerprint drift for id $id")
+    }
+  }
+
+  test("banded Hamming LSH finds exactly the brute-force pairs at the radius") {
+    // losslessness of the pigeonhole banding + first-shared-band rule +
+    // identity compression: the LSH output must equal brute-force
+    // all-pairs over the same fingerprints, and the planted fixture must
+    // actually produce near-dup (0 < hamming <= 3) pairs, not just exact
+    val docs = graft.io.Tables.documents(spark, sf("sf0.001"))
+      .select("doc_id").limit(200)
+    val fps = Multimodal.imageFingerprints(spark, docs).cache()
+    val got = MultimodalJobs.imageNeardup(spark, sf("sf0.001"))
+    val fpm = MultimodalSpecHelpers.fpMap(fps)
+    val expected = (for {
+      a <- fpm.keys; b <- fpm.keys if a < b
+      hm = java.lang.Long.bitCount(fpm(a) ^ fpm(b))
+      if hm <= 3
+    } yield (a, b, hm.toLong)).toSet
+    val gotSub = got
+      .filter($"doc_a".isin(fpm.keys.toSeq: _*) &&
+        $"doc_b".isin(fpm.keys.toSeq: _*))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(gotSub == expected,
+      s"only-lsh=${(gotSub -- expected).take(3)} " +
+        s"only-brute=${(expected -- gotSub).take(3)}")
+    assert(expected.exists(_._3 > 0), "fixture must plant true near dups")
+    assert(expected.exists(_._3 == 0), "fixture must plant exact dups")
+    fps.unpersist()
+  }
+}
+
+private object MultimodalSpecHelpers {
+  def fpMap(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+    df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 }
