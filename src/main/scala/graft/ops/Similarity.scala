@@ -413,9 +413,15 @@ object Similarity {
     * then rounded to integer micros (+1e-9 nudge) — the argmin key, the
     * reconstruction error, and the ADC score are all integers from here.
     */
-  private def pqQdist: Column = {
-    val dist = dot(col("sv"), col("sv")) - lit(2.0) * dot(col("sv"), col("cv")) +
-      dot(col("cv"), col("cv"))
+  private def pqQdist: Column = pqQdistOf(col("sv"), col("cv"))
+
+  /** The same micro-quantized distance over explicit operand columns —
+    * shared with the streaming ADC screen
+    * ([[graft.streaming.StreamingSimilarity]]), so the stream-vs-batch
+    * bit-equality holds by construction instead of by textual sync.
+    */
+  private[graft] def pqQdistOf(sv: Column, cv: Column): Column = {
+    val dist = dot(sv, sv) - lit(2.0) * dot(sv, cv) + dot(cv, cv)
     round(dist * lit(1e6) + lit(1e-9), 0).cast("long")
   }
 

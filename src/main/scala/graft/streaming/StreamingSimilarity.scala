@@ -89,4 +89,84 @@ object StreamingSimilarity {
           col("c.norm")).as("sim"))
       .filter(col("sim") >= threshold)
   }
+
+  // ---- ADC screen from the persisted IVF×PQ index ----
+
+  /** The loaded PQ codebook packed into ONE broadcastable row:
+    * (cb: array<struct<s, code, cv>>) sorted by (s, code) — position
+    * s·k + code + 1 holds subspace s's entry for `code`, because the
+    * seed codebook is complete (codes 0..k−1 per subspace). m·k entries:
+    * model-sized, like [[centroidArray]].
+    */
+  def codebookArray(codebook: DataFrame): DataFrame =
+    codebook.agg(sort_array(collect_list(struct(
+      col("s"), col("code"), col("cv")))).as("cb"))
+
+  /** Static serving side built once from the persisted index frames:
+    * per-vector PQ codes packed s-ordered into one array, joined with the
+    * cell assignment — (corpus_id, cell, codes). The stream never touches
+    * a full-precision corpus vector: m ints per corpus row is the entire
+    * per-candidate payload, exactly the batch IVF×PQ discipline.
+    */
+  def packedCodes(cells: DataFrame, codes: DataFrame): DataFrame =
+    codes.groupBy(col("vec_id"))
+      .agg(transform(sort_array(collect_list(struct(col("s"), col("code")))),
+        c => c("code")).as("codes"))
+      .join(cells, "vec_id")
+      .select(col("vec_id").as("corpus_id"), col("cell"), col("codes"))
+
+  /** Screen a watermarked embedding stream against the SERVED IVF×PQ
+    * index ([[graft.ops.Similarity.ivfPqRerankServed]]'s layout): each
+    * arrival ranks the broadcast centroids for its `nprobe` probe cells
+    * (same rounded-cosine total order as the batch `TopN.topNPer`),
+    * computes its m·k ADC distance table against the broadcast codebook
+    * in-row ([[Similarity.pqQdistOf]] — the shared expression, so
+    * stream and batch distances are bit-equal by construction), then
+    * stream-static-joins the packed-code corpus on the int cell id and
+    * sums the m table lookups IN-ROW — no streaming aggregation state at
+    * all, so the query runs append-mode with only the watermark.
+    *
+    * Emits (vec_id, ts, cell, corpus_id, adist) for every probed-cell
+    * corpus vector with adist ≤ `maxAdist`. Per-arrival cost is
+    * C + m·k lambda evaluations plus an m-lookup per candidate — bounded
+    * by ingest rate and shortlist mass, never corpus-sized.
+    */
+  def adcScreenFromIndex(
+      stream: DataFrame, tsCol: String, delay: String,
+      centroids: DataFrame, packed: DataFrame, codebook: DataFrame,
+      nprobe: Int, m: Int, k: Int, dims: Int, maxAdist: Long): DataFrame = {
+    require(dims % m == 0, s"dims=$dims not divisible by m=$m")
+    val sub = dims / m
+    val withIndex = stream
+      .withWatermark(tsCol, delay)
+      .withColumn("v", col("embedding").cast("array<double>"))
+      .withColumn("norm", graft.functions.VectorFunctions.l2_norm(col("v")))
+      .crossJoin(broadcast(centroidArray(centroids)))
+      .crossJoin(broadcast(codebookArray(codebook)))
+    // negated rounded cosine makes ascending array_sort the batch rank's
+    // (score desc, cent_id asc) total order; rounding to 6 decimals
+    // happens BEFORE negation, so the negation is exact
+    val probeCells = slice(array_sort(transform(col("cents"), c =>
+      struct((-Similarity.cosine(col("v"), col("norm"), c("cv"),
+        c("cnorm"))).as("ns"), c("cent_id").as("cid")))), 1, nprobe)
+    val qarr = transform(col("cb"), e =>
+      Similarity.pqQdistOf(
+        slice(col("v"), e("s") * lit(sub) + lit(1), lit(sub)), e("cv")))
+    val probes = withIndex
+      .withColumn("qarr", qarr)
+      .withColumn("pc", explode(probeCells))
+      .select(col("vec_id"), col(tsCol), col("pc.cid").as("cell"),
+        col("qarr"))
+    probes.alias("s").join(packed.alias("c"),
+        col("s.cell") === col("c.cell") &&
+          col("s.vec_id") =!= col("c.corpus_id"))
+      .withColumn("adist", aggregate(
+        transform(sequence(lit(0), lit(m - 1)), s =>
+          element_at(col("qarr"),
+            s * lit(k) + element_at(col("codes"), s + lit(1)) + lit(1))),
+        lit(0L), (acc, x) => acc + x))
+      .filter(col("adist") <= maxAdist)
+      .select(col("s.vec_id"), col(s"s.$tsCol").as(tsCol),
+        col("s.cell").as("cell"), col("c.corpus_id"), col("adist"))
+  }
 }

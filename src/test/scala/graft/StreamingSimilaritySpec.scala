@@ -108,4 +108,57 @@ class StreamingSimilaritySpec extends SparkSpec {
     assert(streamCells == batchCells,
       s"in-flight argmax $streamCells diverges from batch $batchCells")
   }
+
+  test("streaming ADC screen from the served index is bit-equal to batch IVF-PQ") {
+    // the round-7 serving layout composed with the streaming surface:
+    // arrivals ADC-scored against the persisted cells/codes/codebook must
+    // reproduce the batch ivfPqTopK candidate set (query, neighbor,
+    // adist) EXACTLY — same probes, same distance tables, same integer
+    // micros — on the real sf0.001 embeddings
+    implicit val sqlCtx = spark.sqlContext
+    val (nprobe, m, k, dims) = (4, 4, 16, 64)
+    val v = Similarity.withNorm(
+      spark.read.parquet(s"${sf("sf0.001")}/embeddings.parquet"),
+      col("vec_id"), col("embedding")).cache()
+    val cents = Similarity.seedCentroids(v, 16)
+    val packed = StreamingSimilarity.packedCodes(
+      Similarity.ivfCells(v, cents),
+      Similarity.pqAssign(v, m, k, dims).select($"vec_id", $"s", $"code"))
+      .cache()
+    val codebook = Similarity.pqSeedCodebook(v, m, k, dims)
+
+    val arrivals = spark.read
+      .parquet(s"${sf("sf0.001")}/embeddings.parquet")
+      .filter($"vec_id" < 20)
+      .select($"vec_id", $"embedding")
+      .as[(Long, Array[Float])].collect()
+      .map { case (id, emb) => (id, emb, ts(100 + id)) }
+
+    val in = MemoryStream[(Long, Array[Float], Timestamp)]
+    val q = StreamingSimilarity.adcScreenFromIndex(
+        in.toDF().toDF("vec_id", "embedding", "ts"), "ts", "0 seconds",
+        cents, packed, codebook, nprobe, m, k, dims, Long.MaxValue)
+      .writeStream.format("memory").queryName("stream_adc_screen")
+      .outputMode("append").start()
+    val got = try {
+      in.addData(arrivals.toSeq: _*)
+      q.processAllAvailable()
+      spark.table("stream_adc_screen")
+        .select($"vec_id", $"corpus_id", $"adist")
+        .as[(Long, Long, Long)].collect().toSet
+    } finally q.stop()
+
+    // batch twin: the full candidate set of the in-line composed pipeline
+    // (topK larger than any candidate count = no truncation)
+    val expected = Similarity.ivfPqTopK(v, cents, $"vec_id" < 20,
+        nprobe, m, k, dims, topK = 1000000)
+      .select($"query_id", $"neighbor_id", $"adist")
+      .as[(Long, Long, Long)].collect().toSet
+
+    assert(got.nonEmpty, "screen must emit candidates")
+    assert(got == expected,
+      s"only-stream=${(got -- expected).take(3)} " +
+        s"only-batch=${(expected -- got).take(3)}")
+    v.unpersist(); packed.unpersist()
+  }
 }
