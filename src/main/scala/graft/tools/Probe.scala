@@ -46,6 +46,16 @@ object Probe {
     "ngram_jaccard", "ngram_jaccard_prefix", "substring_dup_rate",
     "substring_dedup_clean", "semantic_dedup")
 
+  /** Round 7/8 served-ANN stack: corpus 4× at FIXED query load. The
+    * perturbed replicas are distinct-but-near vectors, so cell occupancy
+    * genuinely quadruples; the claim under test is that the linear stages
+    * (cell assign, code scan) scale ~4× while the shortlist-bounded
+    * re-rank and the per-query candidate joins never go quadratic.
+    */
+  private val AnnQueries = Seq(
+    "ann_ivf_pq", "ann_ivf_pq_rerank", "ann_ivf_pq_from_artifact",
+    "hard_negatives")
+
   private def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
 
   def main(args: Array[String]): Unit = {
@@ -172,6 +182,9 @@ object Probe {
         replicate(perturb = false))
     if (mode == "distinct" || mode == "all")
       runRegistry("distinct-content (perturbed copies)", DistinctQueries,
+        replicate(perturb = true))
+    if (mode == "ann" || mode == "all")
+      runRegistry("served ANN stack (4x near-distinct vectors)", AnnQueries,
         replicate(perturb = true))
     if (mode == "zipf" || mode == "all") {
       runZipf(5000, 50000, 60)
