@@ -365,6 +365,181 @@ object TextJobs {
        |FROM dw JOIN enc USING (w)
        |GROUP BY doc_id""".stripMargin
 
+  // ---- unigram-LM (SentencePiece-style) tokenizer trainer ----
+
+  private val UNI_MAX_WORD = 10
+  private val UNI_MAX_PIECE = 4
+  private val UNI_SEED_MULTI = 40
+  private val UNI_EM_ROUNDS = 2
+  private val UNI_TOP_V = 24
+
+  /** SentencePiece-style UNIGRAM tokenizer trainer, hard-EM (Viterbi)
+    * form — the second major tokenizer algorithm beside [[bpeMerges]]:
+    * seed a candidate vocabulary from substring statistics, then
+    * alternate (a) Viterbi-segment every word under the current piece
+    * scores and (b) re-score pieces by their segmentation usage, pruning
+    * multi-char pieces that fall out of use (single chars survive — the
+    * coverage guarantee).
+    *
+    * Engine-exactness: true unigram EM maximizes Σ log p(piece), and
+    * `ln` is the one libm call whose last ulp differs across engines
+    * (the [[lmSurprise]] rule), so the Viterbi objective here is the
+    * integer total order (fewest pieces, then highest score sum, then
+    * lexicographically-least segmentation string) — deterministic,
+    * restatable in SQL, and compression-seeking in the same direction
+    * (hard-EM with Viterbi counts is the recognized variant; the
+    * log-prob weighting changes WHICH optimum EM converges to, not the
+    * algorithm shape).
+    *
+    * Scale shape: identical to BPE — the corpus contributes the ONE
+    * distributed tokenize + word count; seed statistics, EM rounds and
+    * the Viterbi DP all run on the vocab-sized (word, cnt) table inside
+    * one task (a sequential recurrence buys no parallelism —
+    * coalesce(1), the round-6 rule; a 100 TB corpus caps the vocab with
+    * a frequency floor in the distributed count first).
+    */
+  private[graft] def trainUnigram(
+      vocab0: Array[(String, Long)]): Seq[(String, Long)] = {
+    val words = vocab0.filter { case (w, _) =>
+      w.nonEmpty && w.length <= UNI_MAX_WORD }
+    // seed: every substring OCCURRENCE (start position) of length 1..4
+    val seed = scala.collection.mutable.HashMap.empty[String, Long]
+    for ((w, c) <- words; i <- 0 until w.length;
+         l <- 1 to math.min(UNI_MAX_PIECE, w.length - i)) {
+      val p = w.substring(i, i + l)
+      seed.update(p, seed.getOrElse(p, 0L) + c)
+    }
+    val chars = seed.keys.filter(_.length == 1).toSeq.sorted
+    val multi = seed.toSeq.filter(_._1.length > 1)
+      .sortBy { case (p, f) => (-f, p) }.take(UNI_SEED_MULTI).map(_._1)
+    var vocab: Seq[String] = chars ++ multi
+    var scores: Map[String, Long] = vocab.map(p => p -> seed(p)).toMap
+    for (_ <- 1 to UNI_EM_ROUNDS) {
+      val usage = scala.collection.mutable.HashMap.empty[String, Long]
+      for ((w, c) <- words; p <- viterbi(w, scores))
+        usage.update(p, usage.getOrElse(p, 0L) + c)
+      vocab = vocab.filter(p => p.length == 1 || usage.contains(p))
+      scores = vocab.map(p => p -> usage.getOrElse(p, 0L)).toMap
+    }
+    scores.toSeq.sortBy { case (p, u) => (-u, p) }.take(UNI_TOP_V)
+  }
+
+  /** Viterbi segmentation under the integer objective: minimize
+    * (piece count, −score sum, segmentation string) lexicographically.
+    * Single chars are always in scope, so every position is reachable.
+    */
+  private def viterbi(w: String, scores: Map[String, Long]): List[String] = {
+    final case class Best(k: Int, s: Long, seg: String, pieces: List[String])
+    def better(a: Best, b: Best): Boolean =
+      a.k < b.k || (a.k == b.k &&
+        (a.s > b.s || (a.s == b.s && a.seg < b.seg)))
+    val dp = new Array[Best](w.length + 1)
+    dp(0) = Best(0, 0L, "", Nil)
+    var i = 1
+    while (i <= w.length) {
+      var best: Best = null
+      var l = 1
+      while (l <= math.min(UNI_MAX_PIECE, i)) {
+        val p = w.substring(i - l, i)
+        if (dp(i - l) != null) scores.get(p).foreach { sc =>
+          val prev = dp(i - l)
+          val cand =
+            Best(prev.k + 1, prev.s + sc, prev.seg + "|" + p, p :: prev.pieces)
+          if (best == null || better(cand, best)) best = cand
+        }
+        l += 1
+      }
+      dp(i) = best
+      i += 1
+    }
+    dp(w.length).pieces.reverse
+  }
+
+  /** The trained unigram vocabulary: (piece, usage) — final EM-round
+    * Viterbi usage counts, top [[UNI_TOP_V]] by (usage desc, piece asc).
+    */
+  def unigramVocab(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    wordCounts(spark, sfDir).as[(String, Long)].coalesce(1)
+      .mapPartitions(it => trainUnigram(it.toArray).iterator)
+      .toDF("piece", "usage")
+  }
+
+  /** Oracle: seed statistics + two EM rounds restated; each round's
+    * Viterbi is a recursive path enumeration (words are ≤ 10 chars, so
+    * paths are bounded) ranked by the same (pieces, −score, segmentation)
+    * total order. All-ASCII pieces make string comparison
+    * collation-identical across engines.
+    */
+  val unigramVocabSql: String = {
+    def reach(r: Int, v: String): String =
+      s"""reach$r AS (
+         |  SELECT w, cnt, 0 AS pos, 0 AS k, CAST(0 AS BIGINT) AS s,
+         |         '' AS seg
+         |  FROM uwords
+         |  UNION ALL
+         |  SELECT r.w, r.cnt, r.pos + length(v.piece), r.k + 1,
+         |         r.s + v.score, r.seg || '|' || v.piece
+         |  FROM reach$r r JOIN $v v
+         |    ON r.pos < length(r.w)
+         |   AND substr(r.w, r.pos + 1, length(v.piece)) = v.piece
+         |), best$r AS (
+         |  SELECT w, cnt, seg FROM (
+         |    SELECT w, cnt, seg, ROW_NUMBER() OVER (PARTITION BY w
+         |      ORDER BY k ASC, s DESC, seg ASC) AS rn
+         |    FROM reach$r WHERE pos = length(w)) rr
+         |  WHERE rn = 1
+         |), use$r AS (
+         |  SELECT piece, CAST(SUM(cnt) AS BIGINT) AS score FROM (
+         |    SELECT cnt, unnest(string_split(substr(seg, 2, length(seg)),
+         |             '|')) AS piece
+         |    FROM best$r) u
+         |  GROUP BY 1
+         |)""".stripMargin
+    s"""WITH RECURSIVE wc AS (
+       |  SELECT w, COUNT(*) AS cnt FROM (
+       |    SELECT unnest(regexp_extract_all(lower(text), '[A-Za-z0-9]+')) AS w
+       |    FROM documents)
+       |  GROUP BY w
+       |), uwords AS (
+       |  SELECT w, cnt FROM wc WHERE length(w) BETWEEN 1 AND $UNI_MAX_WORD
+       |), cand AS (
+       |  SELECT substr(w, i, l) AS piece, CAST(SUM(cnt) AS BIGINT) AS freq
+       |  FROM uwords,
+       |       (SELECT unnest(range(1, $UNI_MAX_WORD + 1)) AS i),
+       |       (SELECT unnest(range(1, $UNI_MAX_PIECE + 1)) AS l)
+       |  WHERE i + l - 1 <= length(w)
+       |  GROUP BY 1
+       |), chars AS (
+       |  SELECT piece, freq FROM cand WHERE length(piece) = 1
+       |), multi AS (
+       |  SELECT piece, freq FROM (
+       |    SELECT piece, freq, ROW_NUMBER() OVER (
+       |      ORDER BY freq DESC, piece ASC) AS rn
+       |    FROM cand WHERE length(piece) > 1) m
+       |  WHERE rn <= $UNI_SEED_MULTI
+       |), v0 AS (
+       |  SELECT piece, freq AS score FROM chars
+       |  UNION ALL SELECT piece, freq FROM multi
+       |), ${reach(1, "v0")}, v1 AS (
+       |  SELECT c.piece, COALESCE(u.score, 0) AS score
+       |  FROM chars c LEFT JOIN use1 u USING (piece)
+       |  UNION ALL
+       |  SELECT m.piece, u.score FROM multi m JOIN use1 u USING (piece)
+       |), ${reach(2, "v1")}, v2 AS (
+       |  SELECT c.piece, COALESCE(u.score, 0) AS score
+       |  FROM chars c LEFT JOIN use2 u USING (piece)
+       |  UNION ALL
+       |  SELECT v.piece, u.score FROM v1 v JOIN use2 u USING (piece)
+       |  WHERE length(v.piece) > 1
+       |)
+       |SELECT piece, usage FROM (
+       |  SELECT piece, score AS usage, ROW_NUMBER() OVER (
+       |    ORDER BY score DESC, piece ASC) AS rn
+       |  FROM v2) f
+       |WHERE rn <= $UNI_TOP_V""".stripMargin
+  }
+
   /** DuckDB: first 15 md5-hex chars of `inner` as a 60-bit BIGINT (the
     * [[OracleSql.hexIntSql]] shape widened past birthday range for
     * corpus-scale bigram vocabularies).
@@ -1396,6 +1571,7 @@ object TextJobs {
     "doc_fingerprint" -> docFingerprint,
     "vocab_topk" -> vocabTopK,
     "bpe_merges" -> bpeMerges,
+    "unigram_vocab" -> unigramVocab,
     "bpe_encode" -> bpeEncode,
     "lm_surprise" -> lmSurprise,
     "lm_surprise_ref" -> lmSurpriseRef,
@@ -1420,6 +1596,7 @@ object TextJobs {
     "doc_fingerprint" -> docFingerprintSql,
     "vocab_topk" -> vocabTopKSql,
     "bpe_merges" -> bpeMergesSql,
+    "unigram_vocab" -> unigramVocabSql,
     "bpe_encode" -> bpeEncodeSql,
     "lm_surprise" -> lmSurpriseSql,
     "lm_surprise_ref" -> lmSurpriseRefSql,

@@ -99,4 +99,29 @@ class TextModelSpec extends SparkSpec {
       assert(r.getAs[Double]("logit") == expected)
     }
   }
+
+  test("unigram trainer: hand-checked hard-EM on a tiny vocabulary") {
+    // seed occurrences: ab appears at 2 start positions in "abab" (cnt 3)
+    // plus once in "ab" (cnt 2) = 8; round-1 Viterbi prefers FEWEST
+    // pieces, so "abab" segments as the single piece [abab], "ab" as
+    // [ab], "cd" as [cd]; unused multi pieces (ba, aba, bab) are pruned,
+    // chars survive at zero usage, and round 2 reproduces the same
+    // segmentation — the final vocabulary is exactly this:
+    val got = TextJobs.trainUnigram(
+      Array(("abab", 3L), ("ab", 2L), ("cd", 5L)))
+    assert(got == Seq(("cd", 5L), ("abab", 3L), ("ab", 2L),
+      ("a", 0L), ("b", 0L), ("c", 0L), ("d", 0L)))
+  }
+
+  test("unigram_vocab is deterministic and coverage-complete on real data") {
+    val a = TextJobs.unigramVocab(spark, sf("sf0.001")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val b = TextJobs.unigramVocab(spark, sf("sf0.001")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(a == b, "trainer must be deterministic across runs")
+    assert(a.nonEmpty && a.exists(_._1.length > 1),
+      "EM must retain at least one multi-char piece")
+    // usage ordering with the piece tie-break is the output contract
+    assert(a == a.sortBy { case (p, u) => (-u, p) })
+  }
 }
