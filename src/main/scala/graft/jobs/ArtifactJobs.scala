@@ -127,12 +127,26 @@ object ArtifactJobs {
       dims = DIMS, topK = TOP_K, shortlist = PQ_SHORTLIST)
   }
 
+  /** Unigram token accounting against a tokenizer table LOADED from
+    * parquet — the [[bpeEncodeFromArtifact]] pattern for the second
+    * tokenizer: the persisted form is the readable (word, n_pieces)
+    * table; the scorer hashes it to the 60-bit join key exactly as the
+    * in-line trained twin does.
+    */
+  def unigramEncodeFromArtifact(spark: SparkSession, sfDir: String): DataFrame = {
+    val loaded = persist(spark, "unigram_encoder",
+      TextJobs.unigramEncoderTable(spark, sfDir))
+    TextJobs.unigramEncodeWith(spark, sfDir,
+      loaded.select(TextJobs.hash60(col("w")).as("wh"), col("n_pieces")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_ivf_from_artifact" -> annIvfFromArtifact,
     "quality_from_artifact" -> qualityFromArtifact,
     "bpe_encode_from_artifact" -> bpeEncodeFromArtifact,
     "pq_codes_from_artifact" -> pqCodesFromArtifact,
-    "ann_ivf_pq_from_artifact" -> annIvfPqFromArtifact)
+    "ann_ivf_pq_from_artifact" -> annIvfPqFromArtifact,
+    "unigram_encode_from_artifact" -> unigramEncodeFromArtifact)
 
   /** The oracles are the in-line twins' SQL VERBATIM: DuckDB computes the
     * trained result directly; hash-equality then proves the parquet
@@ -143,5 +157,6 @@ object ArtifactJobs {
     "quality_from_artifact" -> TextJobs.qualityClassifierTrainedSql,
     "bpe_encode_from_artifact" -> TextJobs.bpeEncodeSql,
     "pq_codes_from_artifact" -> SimilarityJobs.pqCodesTrainedSql,
-    "ann_ivf_pq_from_artifact" -> SimilarityJobs.annIvfPqRerankSql)
+    "ann_ivf_pq_from_artifact" -> SimilarityJobs.annIvfPqRerankSql,
+    "unigram_encode_from_artifact" -> TextJobs.unigramEncodeSql)
 }

@@ -398,10 +398,15 @@ object TextJobs {
     * coalesce(1), the round-6 rule; a 100 TB corpus caps the vocab with
     * a frequency floor in the distributed count first).
     */
-  private[graft] def trainUnigram(
-      vocab0: Array[(String, Long)]): Seq[(String, Long)] = {
-    val words = vocab0.filter { case (w, _) =>
-      w.nonEmpty && w.length <= UNI_MAX_WORD }
+  private[jobs] def uniWords(
+      vocab0: Array[(String, Long)]): Array[(String, Long)] =
+    vocab0.filter { case (w, _) => w.nonEmpty && w.length <= UNI_MAX_WORD }
+
+  /** The FULL final piece scores (chars + EM survivors) — the model the
+    * encoder segments under; [[trainUnigram]] is its top-V projection.
+    */
+  private[jobs] def trainUnigramScores(
+      words: Array[(String, Long)]): Map[String, Long] = {
     // seed: every substring OCCURRENCE (start position) of length 1..4
     val seed = scala.collection.mutable.HashMap.empty[String, Long]
     for ((w, c) <- words; i <- 0 until w.length;
@@ -421,8 +426,13 @@ object TextJobs {
       vocab = vocab.filter(p => p.length == 1 || usage.contains(p))
       scores = vocab.map(p => p -> usage.getOrElse(p, 0L)).toMap
     }
-    scores.toSeq.sortBy { case (p, u) => (-u, p) }.take(UNI_TOP_V)
+    scores
   }
+
+  private[graft] def trainUnigram(
+      vocab0: Array[(String, Long)]): Seq[(String, Long)] =
+    trainUnigramScores(uniWords(vocab0)).toSeq
+      .sortBy { case (p, u) => (-u, p) }.take(UNI_TOP_V)
 
   /** Viterbi segmentation under the integer objective: minimize
     * (piece count, −score sum, segmentation string) lexicographically.
@@ -465,38 +475,93 @@ object TextJobs {
       .toDF("piece", "usage")
   }
 
-  /** Oracle: seed statistics + two EM rounds restated; each round's
-    * Viterbi is a recursive path enumeration (words are ≤ 10 chars, so
-    * paths are bounded) ranked by the same (pieces, −score, segmentation)
-    * total order. All-ASCII pieces make string comparison
-    * collation-identical across engines.
+  /** The trained unigram tokenizer as a persistable artifact:
+    * (w, n_pieces) — each trainer word's Viterbi piece count under the
+    * FULL final scores (not the top-V projection). Vocab-sized;
+    * [[ArtifactJobs]] round-trips it through parquet.
     */
-  val unigramVocabSql: String = {
-    def reach(r: Int, v: String): String =
-      s"""reach$r AS (
-         |  SELECT w, cnt, 0 AS pos, 0 AS k, CAST(0 AS BIGINT) AS s,
-         |         '' AS seg
-         |  FROM uwords
-         |  UNION ALL
-         |  SELECT r.w, r.cnt, r.pos + length(v.piece), r.k + 1,
-         |         r.s + v.score, r.seg || '|' || v.piece
-         |  FROM reach$r r JOIN $v v
-         |    ON r.pos < length(r.w)
-         |   AND substr(r.w, r.pos + 1, length(v.piece)) = v.piece
-         |), best$r AS (
-         |  SELECT w, cnt, seg FROM (
-         |    SELECT w, cnt, seg, ROW_NUMBER() OVER (PARTITION BY w
-         |      ORDER BY k ASC, s DESC, seg ASC) AS rn
-         |    FROM reach$r WHERE pos = length(w)) rr
-         |  WHERE rn = 1
-         |), use$r AS (
-         |  SELECT piece, CAST(SUM(cnt) AS BIGINT) AS score FROM (
-         |    SELECT cnt, unnest(string_split(substr(seg, 2, length(seg)),
-         |             '|')) AS piece
-         |    FROM best$r) u
-         |  GROUP BY 1
-         |)""".stripMargin
-    s"""WITH RECURSIVE wc AS (
+  private[jobs] def unigramEncoderTable(
+      spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    wordCounts(spark, sfDir).as[(String, Long)].coalesce(1)
+      .mapPartitions { it =>
+        val words = uniWords(it.toArray)
+        val scores = trainUnigramScores(words)
+        words.iterator.map { case (w, _) =>
+          (w, viterbi(w, scores).length.toLong)
+        }
+      }.toDF("w", "n_pieces")
+  }
+
+  /** Token accounting under the trained unigram tokenizer — the unigram
+    * sibling of [[bpeEncode]], same scale shape: the single-task trainer
+    * output joins back as a vocab-sized (broadcastable) relation on
+    * 60-bit int keys; the corpus never re-segments per EM round. Words
+    * longer than [[UNI_MAX_WORD]] are outside the trainer's scope and
+    * drop from the accounting via the encoder join (this corpus' longest
+    * word is 8 chars, well inside the cap).
+    */
+  def unigramEncode(spark: SparkSession, sfDir: String): DataFrame =
+    unigramEncodeWith(spark, sfDir,
+      unigramEncoderTable(spark, sfDir)
+        .select(hash60(col("w")).as("wh"), col("n_pieces")))
+
+  /** The scoring half of [[unigramEncode]] against an encoder lookup
+    * table (wh, n_pieces) — in-line trained or loaded from parquet.
+    */
+  private[jobs] def unigramEncodeWith(spark: SparkSession, sfDir: String,
+      enc: DataFrame): DataFrame = {
+    val dw = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        explode(TextAnalysis.tokens(lower(col("text")))).as("w"))
+      .groupBy(col("doc_id"), hash60(col("w")).as("wh"))
+      .agg(count(lit(1)).as("k"))
+    dw.join(enc, "wh")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("k")).as("n_words"),
+        sum(col("k") * col("n_pieces")).as("n_unigram_pieces"),
+        round(sum(col("k") * col("n_pieces")).cast("double") / sum(col("k"))
+          + lit(1e-9), 4).as("pieces_per_word"))
+  }
+
+  /** One Viterbi-EM round in SQL: recursive path enumeration over
+    * `uwords` against vocabulary `v` (words are ≤ 10 chars, so paths are
+    * bounded), best segmentation by the same (pieces, −score,
+    * segmentation) total order as the Scala DP, then usage counts.
+    * `best$r` also carries the piece count `np` for the encoder oracle.
+    */
+  private def uniReachCte(r: Int, v: String): String =
+    s"""reach$r AS (
+       |  SELECT w, cnt, 0 AS pos, 0 AS k, CAST(0 AS BIGINT) AS s,
+       |         '' AS seg
+       |  FROM uwords
+       |  UNION ALL
+       |  SELECT r.w, r.cnt, r.pos + length(v.piece), r.k + 1,
+       |         r.s + v.score, r.seg || '|' || v.piece
+       |  FROM reach$r r JOIN $v v
+       |    ON r.pos < length(r.w)
+       |   AND substr(r.w, r.pos + 1, length(v.piece)) = v.piece
+       |), best$r AS (
+       |  SELECT w, cnt, seg, k AS np FROM (
+       |    SELECT w, cnt, seg, k, ROW_NUMBER() OVER (PARTITION BY w
+       |      ORDER BY k ASC, s DESC, seg ASC) AS rn
+       |    FROM reach$r WHERE pos = length(w)) rr
+       |  WHERE rn = 1
+       |), use$r AS (
+       |  SELECT piece, CAST(SUM(cnt) AS BIGINT) AS score FROM (
+       |    SELECT cnt, unnest(string_split(substr(seg, 2, length(seg)),
+       |             '|')) AS piece
+       |    FROM best$r) u
+       |  GROUP BY 1
+       |)""".stripMargin
+
+  /** Seeding + both EM rounds, shared by the vocab and encode oracles;
+    * `v2` is the FULL final vocabulary (chars + survivors with scores).
+    * All-ASCII pieces make string comparison collation-identical across
+    * engines.
+    */
+  private val unigramVocabCtes: String =
+    s"""wc AS (
        |  SELECT w, COUNT(*) AS cnt FROM (
        |    SELECT unnest(regexp_extract_all(lower(text), '[A-Za-z0-9]+')) AS w
        |    FROM documents)
@@ -521,24 +586,46 @@ object TextJobs {
        |), v0 AS (
        |  SELECT piece, freq AS score FROM chars
        |  UNION ALL SELECT piece, freq FROM multi
-       |), ${reach(1, "v0")}, v1 AS (
+       |), ${uniReachCte(1, "v0")}, v1 AS (
        |  SELECT c.piece, COALESCE(u.score, 0) AS score
        |  FROM chars c LEFT JOIN use1 u USING (piece)
        |  UNION ALL
        |  SELECT m.piece, u.score FROM multi m JOIN use1 u USING (piece)
-       |), ${reach(2, "v1")}, v2 AS (
+       |), ${uniReachCte(2, "v1")}, v2 AS (
        |  SELECT c.piece, COALESCE(u.score, 0) AS score
        |  FROM chars c LEFT JOIN use2 u USING (piece)
        |  UNION ALL
        |  SELECT v.piece, u.score FROM v1 v JOIN use2 u USING (piece)
        |  WHERE length(v.piece) > 1
-       |)
+       |)""".stripMargin
+
+  val unigramVocabSql: String =
+    s"""WITH RECURSIVE $unigramVocabCtes
        |SELECT piece, usage FROM (
        |  SELECT piece, score AS usage, ROW_NUMBER() OVER (
        |    ORDER BY score DESC, piece ASC) AS rn
        |  FROM v2) f
        |WHERE rn <= $UNI_TOP_V""".stripMargin
-  }
+
+  /** Oracle: a THIRD Viterbi pass against the full final vocabulary `v2`
+    * gives each word's piece count; the document accounting mirrors the
+    * BPE encode oracle.
+    */
+  val unigramEncodeSql: String =
+    s"""WITH RECURSIVE $unigramVocabCtes, ${uniReachCte(3, "v2")}, enc AS (
+       |  SELECT w, CAST(np AS BIGINT) AS n_pieces FROM best3
+       |), dw AS (
+       |  SELECT doc_id, w, COUNT(*) AS k FROM (
+       |    SELECT doc_id, unnest(regexp_extract_all(lower(text), '[A-Za-z0-9]+')) AS w
+       |    FROM documents)
+       |  GROUP BY 1, 2
+       |)
+       |SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_words,
+       |       CAST(SUM(k * n_pieces) AS BIGINT) AS n_unigram_pieces,
+       |       ROUND(CAST(SUM(k * n_pieces) AS DOUBLE) / CAST(SUM(k) AS BIGINT)
+       |             + 1e-9, 4) AS pieces_per_word
+       |FROM dw JOIN enc USING (w)
+       |GROUP BY doc_id""".stripMargin
 
   /** DuckDB: first 15 md5-hex chars of `inner` as a 60-bit BIGINT (the
     * [[OracleSql.hexIntSql]] shape widened past birthday range for
@@ -1572,6 +1659,7 @@ object TextJobs {
     "vocab_topk" -> vocabTopK,
     "bpe_merges" -> bpeMerges,
     "unigram_vocab" -> unigramVocab,
+    "unigram_encode" -> unigramEncode,
     "bpe_encode" -> bpeEncode,
     "lm_surprise" -> lmSurprise,
     "lm_surprise_ref" -> lmSurpriseRef,
@@ -1597,6 +1685,7 @@ object TextJobs {
     "vocab_topk" -> vocabTopKSql,
     "bpe_merges" -> bpeMergesSql,
     "unigram_vocab" -> unigramVocabSql,
+    "unigram_encode" -> unigramEncodeSql,
     "bpe_encode" -> bpeEncodeSql,
     "lm_surprise" -> lmSurpriseSql,
     "lm_surprise_ref" -> lmSurpriseRefSql,

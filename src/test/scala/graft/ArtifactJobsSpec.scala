@@ -54,6 +54,13 @@ class ArtifactJobsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("unigram_encode_from_artifact equals unigram_encode") {
+    assertTwin("unigram_encode",
+      ArtifactJobs.unigramEncodeFromArtifact(spark, sf("sf0.001")),
+      TextJobs.unigramEncode(spark, sf("sf0.001")))
+    spark.catalog.clearCache()
+  }
+
   test("ann_ivf_pq_from_artifact equals ann_ivf_pq_rerank") {
     assertTwin("ann_ivf_pq",
       ArtifactJobs.annIvfPqFromArtifact(spark, sf("sf0.001")),
