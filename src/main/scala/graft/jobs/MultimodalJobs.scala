@@ -199,14 +199,15 @@ object MultimodalJobs {
       NEARDUP_BANDS, NEARDUP_MAX_HAMMING)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
 
-  /** The dHash pipeline restated: pixel mix (two multiplicative steps mod
-    * 2^31−1 with xor-shifts between — every intermediate < 2^47, BIGINT-
-    * exact), per-id perturbation, floor-scaled 9×8 grid samples, 63-bit
-    * pack (SUM of shifted bits; DuckDB SUM(BIGINT) is HUGEINT, hence the
-    * cast), then brute-force all pairs within the radius.
+  /** The dHash pipeline restated for the oracles: pixel mix (two
+    * multiplicative steps mod 2^31−1 with xor-shifts between — every
+    * intermediate < 2^47, BIGINT-exact), per-id perturbation,
+    * floor-scaled 9×8 grid samples, 63-bit pack (SUM of shifted bits;
+    * DuckDB SUM(BIGINT) is HUGEINT, hence the cast). Ends at `fp`
+    * (doc_id, f) — shared by the pair and cluster oracles.
     */
-  val imageNeardupSql: String =
-    s"""WITH grid AS (
+  private val imageFpCtes: String =
+    s"""grid AS (
        |  SELECT gr, gc FROM (SELECT unnest(range(0, 8)) AS gr),
        |                     (SELECT unnest(range(0, 8)) AS gc)
        |  WHERE NOT (gr = 7 AND gc = 7)
@@ -243,21 +244,64 @@ object MultimodalJobs {
        |         CAST(SUM(CASE WHEN pr > pl THEN 1::BIGINT << (gr * 8 + gc)
        |                       ELSE 0 END) AS BIGINT) AS f
        |  FROM cmp GROUP BY doc_id
-       |)
+       |)""".stripMargin
+
+  /** Brute-force all pairs within the Hamming radius over `fp`. */
+  val imageNeardupSql: String =
+    s"""WITH $imageFpCtes
        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |       CAST(bit_count(xor(a.f, b.f)) AS BIGINT) AS hamming
        |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.f, b.f)) <= $NEARDUP_MAX_HAMMING""".stripMargin
 
+  /** Image cluster resolution — the step an image-dedup pipeline runs
+    * after candidate pairing, exactly as `dedup_clusters` does for text:
+    * every document labelled with the minimum doc_id reachable through
+    * the near-dup pair graph ([[graft.ops.Dedup.connectedComponents]] —
+    * at this graph size the single-task union-find path, behind an
+    * oracle gate). Singletons keep their own id.
+    */
+  def imageClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    graft.ops.Dedup.connectedComponents(
+      docs.select(col("doc_id")),
+      graft.ops.Dedup.hammingPairs(
+          Multimodal.imageFingerprints(spark, docs),
+          NEARDUP_BANDS, NEARDUP_MAX_HAMMING)
+        .select(col("doc_a"), col("doc_b")))
+  }
+
+  /** Oracle: transitive closure by recursive CTE over the brute-force
+    * Hamming pairs; MIN(reached) is the same fixpoint every
+    * connectedComponents path lands on.
+    */
+  val imageClustersSql: String =
+    s"""WITH RECURSIVE $imageFpCtes, pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.f, b.f)) <= $NEARDUP_MAX_HAMMING
+       |), edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION
+       |  SELECT doc_b, doc_a FROM pairs
+       |), reach AS (
+       |  SELECT doc_id, doc_id AS reached FROM documents
+       |  UNION
+       |  SELECT r.doc_id, e.dst FROM reach r JOIN edges e ON e.src = r.reached
+       |)
+       |SELECT doc_id, MIN(reached) AS cluster FROM reach GROUP BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_meta" -> multimodalMeta,
     "multimodal_features" -> multimodalFeatures,
     "multimodal_resize" -> multimodalResize,
-    "image_neardup" -> imageNeardup)
+    "image_neardup" -> imageNeardup,
+    "image_clusters" -> imageClusters)
 
   val oracles: Map[String, String] = Map(
     "multimodal_meta" -> multimodalMetaSql,
     "multimodal_features" -> multimodalFeaturesSql,
     "multimodal_resize" -> multimodalResizeSql,
-    "image_neardup" -> imageNeardupSql)
+    "image_neardup" -> imageNeardupSql,
+    "image_clusters" -> imageClustersSql)
 }

@@ -150,6 +150,21 @@ class MultimodalSpec extends SparkSpec {
     assert(expected.exists(_._3 == 0), "fixture must plant exact dups")
     fps.unpersist()
   }
+  test("image clusters collapse planted near-dup groups to one keeper") {
+    // the fixture plants groups of NeardupGroup consecutive ids; with
+    // zero cross-base pairs at the radius (measured), every cluster
+    // label must be its group's minimum id
+    val got = graft.jobs.MultimodalJobs.imageClusters(spark, sf("sf0.001"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.nonEmpty)
+    val g = Multimodal.NeardupGroup
+    val groupMin = got.keys.groupBy(_ / g).map { case (b, ids) => b -> ids.min }
+    got.foreach { case (id, cluster) =>
+      assert(cluster == groupMin(id / g),
+        s"id $id labelled $cluster, expected its group minimum")
+    }
+  }
+
 }
 
 private object MultimodalSpecHelpers {
