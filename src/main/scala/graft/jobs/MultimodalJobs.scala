@@ -176,11 +176,10 @@ object MultimodalJobs {
        |    AS BIGINT) AS n_bytes -- take(keep) can't exceed the payload
        |FROM s""".stripMargin
 
-  private val NEARDUP_MAX_HAMMING = 3
-  // 63 fingerprint bits split 16/16/16/15: 4 bands > maxHamming = 3, so
+  private[graft] val NEARDUP_MAX_HAMMING = 3
+  // 63 fingerprint bits in Dedup.Bands63: 4 bands > maxHamming = 3, so
   // the pigeonhole recall guarantee holds
-  private[jobs] val NEARDUP_BANDS: Seq[(Int, Int)] =
-    Seq((0, 16), (16, 16), (32, 16), (48, 15))
+  private[graft] val NEARDUP_BANDS: Seq[(Int, Int)] = graft.ops.Dedup.Bands63
 
   /** Perceptual-hash image near-dup (the LAION-style image dedup step):
     * REAL PNG payloads ([[Multimodal.neardupImageAssets]]) decode through

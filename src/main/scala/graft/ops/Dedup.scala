@@ -520,12 +520,19 @@ object Dedup {
     * two member sides, two intra sides) and is cached through `scope`.
     * Output: (doc_a, doc_b, hamming), doc_a < doc_b.
     */
+  /** The 16/16/16/15 band split of a 63-bit fingerprint: 4 bands, so the
+    * pigeonhole recall guarantee holds through Hamming distance 3.
+    */
+  val Bands63: Seq[(Int, Int)] = Seq((0, 16), (16, 16), (32, 16), (48, 15))
+
+  /** (shift, width) band value of fingerprint column `c`. */
+  def bandVal(c: Column, b: (Int, Int)): Column =
+    shiftrightunsigned(c, b._1).bitwiseAND(lit((1L << b._2) - 1L))
+
   def hammingPairs(fp: DataFrame, bands: Seq[(Int, Int)], maxHamming: Int,
       scope: CacheScope = CacheScope.unmanaged): DataFrame = {
     require(bands.size > maxHamming,
       s"pigeonhole needs more bands (${bands.size}) than maxHamming=$maxHamming")
-    def bandVal(c: Column, b: (Int, Int)): Column =
-      shiftrightunsigned(c, b._1).bitwiseAND(lit((1L << b._2) - 1L))
     val fpc = scope.cache(fp.select(col("doc_id"), col("fp")))
     val distinctFp = fpc.select(col("fp")).distinct()
     val bandRows = distinctFp.select(col("fp"),
