@@ -1,0 +1,71 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
+import graft.ops.{Dedup, Multimodal}
+import graft.streaming.StreamingMultimodal
+
+/** The streaming image-ingest screen: in-flight decode + dHash +
+  * Hamming banding against the persisted corpus fingerprints must flag
+  * exactly the pairs batch brute force finds at the radius — the same
+  * stream/batch-equivalence contract the text and embedding screens pin.
+  */
+class StreamingMultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(sec: Long) = new Timestamp(sec * 1000L)
+
+  test("stream image screen equals brute force over real decoded fingerprints") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.io.Tables.documents(spark, sf("sf0.001"))
+    // corpus: fingerprints of ids 0..199, persisted + reloaded (the
+    // serving path reads the landed table, not the builder lineage)
+    val corpusDocs = docs.filter($"doc_id" < 200)
+    val dir = java.nio.file.Files.createTempDirectory("imgfp").toString
+    Multimodal.imageFingerprints(spark, corpusDocs)
+      .write.mode("overwrite").parquet(dir)
+    val corpusFp = spark.read.parquet(dir)
+
+    // arrivals: ids 60..99 — the planted groups overlap the corpus, so
+    // real near-dup hits exist (incl. hamming 1-2); self-ids must NOT
+    // self-match
+    val arrivals = Multimodal
+      .neardupImageAssets(spark,
+        docs.filter($"doc_id" >= 60 && $"doc_id" < 100))
+      .collect()
+      .map(a => (a.asset_id, a.content, a.width, a.height, ts(a.asset_id)))
+
+    val in = MemoryStream[(Long, Array[Byte], Int, Int, Timestamp)]
+    val q = StreamingMultimodal.screenImages(
+        in.toDF().toDF("asset_id", "content", "width", "height", "ts"),
+        "ts", "0 seconds", corpusFp, Dedup.Bands63, maxHamming = 3)
+      .writeStream.format("memory").queryName("stream_img_screen")
+      .outputMode("append").start()
+    val got = try {
+      in.addData(arrivals.toSeq: _*)
+      q.processAllAvailable()
+      spark.table("stream_img_screen")
+        .select($"asset_id", $"corpus_id", $"hamming")
+        .as[(Long, Long, Long)].collect().toSet
+    } finally q.stop()
+
+    // batch truth: brute-force Hamming over the same fingerprints
+    val corpus = corpusFp.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val arrFp = Multimodal
+      .imageFingerprints(spark, docs.filter($"doc_id" >= 60 && $"doc_id" < 100))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = (for {
+      (aid, af) <- arrFp.toSeq
+      (cid, cf) <- corpus.toSeq if cid != aid
+      hm = java.lang.Long.bitCount(af ^ cf).toLong if hm <= 3
+    } yield (aid, cid, hm)).toSet
+
+    assert(got == expected,
+      s"only-stream=${(got -- expected).take(3)} " +
+        s"only-batch=${(expected -- got).take(3)}")
+    assert(expected.nonEmpty, "fixture must produce corpus hits")
+    assert(expected.exists(_._3 > 0), "must include true near dups, not just exact")
+  }
+}
