@@ -242,4 +242,32 @@ class EdgeCaseSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out == Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
   }
+
+  test("hamming pairs on empty and singleton fingerprint frames are empty") {
+    val empty = Seq.empty[(Long, Long)].toDF("doc_id", "fp")
+    assert(Dedup.hammingPairs(empty, Dedup.Bands63, 3).count() == 0)
+    val one = Seq((1L, 42L)).toDF("doc_id", "fp")
+    assert(Dedup.hammingPairs(one, Dedup.Bands63, 3).count() == 0)
+    // two identical fingerprints: one intra pair at hamming 0
+    val twins = Seq((1L, 42L), (2L, 42L)).toDF("doc_id", "fp")
+    val got = Dedup.hammingPairs(twins, Dedup.Bands63, 3).collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((1L, 2L, 0L)))
+  }
+
+  test("hamming pairs reject a band split that breaks the pigeonhole bound") {
+    val fp = Seq((1L, 0L)).toDF("doc_id", "fp")
+    intercept[IllegalArgumentException] {
+      Dedup.hammingPairs(fp, Dedup.Bands63, maxHamming = 4)
+    }
+  }
+
+  test("unigram trainer on empty and single-word corpora") {
+    assert(graft.jobs.TextJobs.trainUnigram(Array.empty).isEmpty)
+    // one word: its chars + its substrings seed; Viterbi takes the whole
+    // word as one piece, chars survive at zero usage
+    val got = graft.jobs.TextJobs.trainUnigram(Array(("ab", 4L)))
+    assert(got.head == (("ab", 4L)))
+    assert(got.toSet == Set(("ab", 4L), ("a", 0L), ("b", 0L)))
+  }
 }
