@@ -645,6 +645,59 @@ object DedupJobs {
     s"""WITH ${substringCleanCteSql("documents")}
        |SELECT doc_id, n_tokens, n_removed, clean_text FROM cleaned""".stripMargin
 
+  private val REP_CLEAN_W = 3
+
+  /** [[Dedup.repetitionClean]] over `documents` at w = 3 — the width
+    * where this corpus has real intra-doc repeats (27 docs / 58 windows
+    * at sf0.01; w = 5 is degenerate here, w = 2 over-trims) without the
+    * gate collapsing to a no-op.
+    */
+  def repetitionClean(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.repetitionClean(
+      Tables.documents(spark, sfDir).select(col("doc_id"), col("text")),
+      REP_CLEAN_W)
+
+  /** Oracle: the substring-clean cascade with the frequency stage
+    * swapped for per-(doc, window) FIRST occurrences — positions covered
+    * by later occurrences are removed, the rebuild is identical.
+    */
+  val repetitionCleanSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+       |  FROM documents
+       |), tok AS (
+       |  SELECT doc_id, unnest(range(1, len(w) + 1)) AS i, w FROM d
+       |), t AS (
+       |  SELECT doc_id, i - 1 AS pos, w[i] AS tok FROM tok
+       |), g AS (
+       |  SELECT doc_id, i - 1 AS spos,
+       |         array_to_string(w[i:i+${REP_CLEAN_W - 1}], ' ') AS gram
+       |  FROM tok WHERE i <= len(w) - ${REP_CLEAN_W - 1}
+       |), occ AS (
+       |  SELECT doc_id, spos, ${hexIntSql("gram")} AS gh1,
+       |         ${OracleSql.hexIntSqlAt("gram", 9)} AS gh2
+       |  FROM g
+       |), firsts AS (
+       |  SELECT doc_id, gh1, gh2, MIN(spos) AS first_pos
+       |  FROM occ GROUP BY 1, 2, 3
+       |), cov AS (
+       |  SELECT DISTINCT o.doc_id, o.spos + off.j AS pos
+       |  FROM occ o
+       |  JOIN firsts USING (doc_id, gh1, gh2),
+       |       (SELECT unnest(range(0, $REP_CLEAN_W)) AS j) off
+       |  WHERE o.spos > firsts.first_pos
+       |), fl AS (
+       |  SELECT t.doc_id, t.pos, t.tok, cov.pos IS NOT NULL AS rm
+       |  FROM t LEFT JOIN cov ON t.doc_id = cov.doc_id AND t.pos = cov.pos
+       |)
+       |SELECT doc_id,
+       |       COUNT(*) AS n_tokens,
+       |       CAST(SUM(CASE WHEN rm THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_removed,
+       |       COALESCE(string_agg(CASE WHEN NOT rm THEN tok END, ' '
+       |                           ORDER BY pos), '') AS clean_text
+       |FROM fl GROUP BY doc_id""".stripMargin
+
   // ---- deterministic fixed-size sampling ----
 
   private val SAMPLE_N = 100
@@ -1057,6 +1110,7 @@ object DedupJobs {
     "ngram_jaccard_prefix" -> ngramJaccardPrefix,
     "substring_dup_rate" -> substringDupRate,
     "substring_dedup_clean" -> substringDedupClean,
+    "repetition_clean" -> repetitionClean,
     "train_split" -> trainSplit,
     "decontamination" -> decontamination)
 
@@ -1085,6 +1139,7 @@ object DedupJobs {
       PREFIX_TAU_NUM.toDouble / PREFIX_TAU_DEN, "WHERE doc_id % 2 = 0"),
     "substring_dup_rate" -> substringDupRateSql,
     "substring_dedup_clean" -> substringDedupCleanSql,
+    "repetition_clean" -> repetitionCleanSql,
     "train_split" -> trainSplitSql,
     "decontamination" -> decontaminationSql)
 }

@@ -889,6 +889,59 @@ object Dedup {
     * global sort. Two-limb 64-bit keys as in the rate query
     * (birthday-safe at crawl scale).
     */
+  /** INTRA-document repetition cleaning — the within-doc sibling of
+    * [[substringDedupClean]] (which deliberately removes only CROSS-doc
+    * duplicated windows): the first occurrence of each w-token window in
+    * a document is kept, and every position covered by a LATER
+    * occurrence of the same window is removed. Overlapping self-repeats
+    * remove positions, not window identities, so a run like `a a a a`
+    * at w=2 keeps only the first token — a deterministic contract both
+    * engines state identically (the Lee-et-al repetition-trim shape).
+    *
+    * Scale: identical cascade to [[substringDedupClean]] — positional
+    * window hashes ride the doc_id window partitioning, the
+    * first-occurrence agg and repeat filter are per-(doc, hash) int-key
+    * aggregations, the rebuild is a per-doc ordered agg; nothing
+    * quadratic, text never shuffles (only (doc_id, pos, 64-bit-hash)
+    * triples).
+    *
+    * Output: (doc_id, n_tokens, n_removed, clean_text).
+    */
+  def repetitionClean(df: DataFrame, w: Int,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ws = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val words = scope.cache(df.select(col("doc_id"),
+      posexplode(split(trim(col("text")), "\\s+")).as(Seq("pos", "tok"))))
+    val withParts = (1 until w).foldLeft(words) { (acc, j) =>
+      acc.withColumn(s"t$j", lead(col("tok"), j).over(ws))
+    }
+    val parts = col("tok") +: (1 until w).map(j => col(s"t$j"))
+    val occ = withParts.filter(parts.last.isNotNull)
+      .select(col("doc_id"), col("pos").as("spos"),
+        md5(concat_ws(" ", parts: _*)).as("h"))
+      .select(col("doc_id"), col("spos"),
+        conv(substring(col("h"), 1, 8), 16, 10).cast("long").as("gh1"),
+        conv(substring(col("h"), 9, 8), 16, 10).cast("long").as("gh2"))
+    val firsts = occ.groupBy(col("doc_id"), col("gh1"), col("gh2"))
+      .agg(min(col("spos")).as("first_pos"))
+    val covered = occ.join(firsts, Seq("doc_id", "gh1", "gh2"))
+      .filter(col("spos") > col("first_pos"))
+      .select(col("doc_id"),
+        explode(sequence(col("spos"), col("spos") + lit(w - 1))).as("pos"))
+      .distinct()
+    words
+      .join(covered.withColumn("rm", lit(true)), Seq("doc_id", "pos"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("rm"), 1L).otherwise(0L)).as("n_removed"),
+        concat_ws(" ", transform(
+          filter(sort_array(collect_list(struct(col("pos"),
+            when(col("rm").isNull, col("tok")).as("tok")))),
+            x => x.getField("tok").isNotNull),
+          x => x.getField("tok"))).as("clean_text"))
+  }
+
   def substringDedupClean(df: DataFrame, w: Int,
       scope: CacheScope = CacheScope.unmanaged): DataFrame = {
     import org.apache.spark.sql.expressions.Window

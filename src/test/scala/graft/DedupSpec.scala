@@ -335,6 +335,29 @@ class DedupSpec extends SparkSpec {
     assert(cleaned(1L) == "" && cleaned(2L) == "")
   }
 
+  test("repetition clean trims later in-doc occurrences, keeps cross-doc alone") {
+    val d = Seq(
+      (1L, "x y z q x y z w"),   // "x y z" repeats at 0 and 4 → drop 4-6
+      (2L, "x y z unrelated"),   // cross-doc repeat of "x y z": NOT removed
+      (3L, "a a a a"))           // overlapping self-repeat at w=2
+      .toDF("doc_id", "text")
+    val out = Dedup.repetitionClean(d, 3).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_removed"),
+          r.getAs[String]("clean_text"))).toMap
+    assert(out(1L) == ((8L, 3L, "x y z q w")))
+    assert(out(2L) == ((4L, 0L, "x y z unrelated")))
+    // w=3 windows of doc 3: "a a a" at 0 and 1 → the later one covers
+    // positions 1-3 → only the first token survives
+    assert(out(3L) == ((4L, 3L, "a")))
+    // the overlapping-run contract at w=2: windows at 0..2, first kept,
+    // repeats at 1 and 2 cover positions 1-3 → "a"
+    val run = Dedup.repetitionClean(
+      Seq((9L, "a a a a")).toDF("doc_id", "text"), 2).collect()
+    assert(run.head.getAs[String]("clean_text") == "a" &&
+      run.head.getAs[Long]("n_removed") == 3L)
+  }
+
   test("curation pipeline: per-source funnel monotone, totals consistent") {
     val out = DedupJobs.curationPipeline(spark, sf("sf0.001"))
       .select($"source", $"docs_in", $"docs_deduped", $"tokens_removed",
