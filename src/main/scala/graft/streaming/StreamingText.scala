@@ -44,4 +44,49 @@ object StreamingText {
       .withColumn("admit", col("kept") && col("keep_model"))
       .withColumn("text_redacted", TextAnalysis.redactPii(col("text")))
   }
+
+  /** In-flight intra-doc repetition trim — the streaming twin of
+    * [[graft.ops.Dedup.repetitionClean]]. The batch op distributes one
+    * document's positional window hashes across the cluster because a
+    * batch corpus is big; a SINGLE arriving document is not, so the
+    * identical first-occurrence contract runs as one per-row pass
+    * (stateless typed mapPartitions — no state, no shuffle, composes
+    * anywhere in the ingest chain). Spec-pinned bit-equal to the batch
+    * op on the same documents.
+    *
+    * Input needs (doc_id, text); emits (doc_id, n_tokens, n_removed,
+    * clean_text) — the batch op's exact schema.
+    */
+  def cleanRepetitions(docs: DataFrame, w: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val toks = text.trim.split("\\s+")
+          val n = toks.length
+          val removed = new Array[Boolean](n)
+          val firstAt = scala.collection.mutable.HashMap.empty[String, Int]
+          // first pass records each window's first start; later starts
+          // mark their covered positions — identical to the batch
+          // min(spos) + covered-position expansion
+          var i = 0
+          while (i + w <= n) {
+            val win = toks.slice(i, i + w).mkString(" ")
+            firstAt.get(win) match {
+              case None => firstAt.update(win, i)
+              case Some(_) =>
+                var j = i
+                while (j < i + w) { removed(j) = true; j += 1 }
+            }
+            i += 1
+          }
+          val kept = toks.indices.collect {
+            case k if !removed(k) => toks(k)
+          }
+          (id, n.toLong, removed.count(identity).toLong, kept.mkString(" "))
+        }
+      }.toDF("doc_id", "n_tokens", "n_removed", "clean_text")
+  }
 }

@@ -54,4 +54,30 @@ class StreamingTextSpec extends SparkSpec {
         (r.getAs[Boolean]("kept") && r.getAs[Boolean]("keep_model")))
     }
   }
+
+  test("in-flight repetition trim is bit-equal to the batch op on real docs") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.io.Tables.documents(spark, sf("sf0.001"))
+      .select($"doc_id", $"text")
+    val rows = docs.as[(Long, String)].collect().map {
+      case (id, t) => (id, t, ts(id)) }
+
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val q = StreamingText.cleanRepetitions(
+        in.toDF().toDF("doc_id", "text", "ts"), w = 3)
+      .writeStream.format("memory").queryName("stream_rep_clean")
+      .outputMode("append").start()
+    val got = try {
+      in.addData(rows.toSeq: _*)
+      q.processAllAvailable()
+      spark.table("stream_rep_clean").collect().map(_.toSeq).toSet
+    } finally q.stop()
+
+    val want = graft.ops.Dedup.repetitionClean(docs, 3)
+      .collect().map(_.toSeq).toSet
+    assert(got == want)
+    // and the fixture actually exercises removals
+    assert(want.exists(_(2).asInstanceOf[Long] > 0L),
+      "corpus must contain intra-doc repeats at w=3")
+  }
 }
