@@ -290,17 +290,80 @@ object MultimodalJobs {
        |)
        |SELECT doc_id, MIN(reached) AS cluster FROM reach GROUP BY doc_id""".stripMargin
 
+  /** Composed image-curation pass — the multimodal analogue of
+    * `curation_pipeline`: ONE decode scan yields per-image metadata
+    * (decoded pixel count, not declared metadata — the codec stays in
+    * the loop) and the dHash fingerprint; near-dup clusters resolve over
+    * the banded Hamming pairs; the keeper rule (minimum id per cluster)
+    * and per-cluster dup mass land on every row. A LAION-style pipeline
+    * runs exactly this before training: decode-validate, near-dup
+    * collapse, keep-list accounting.
+    *
+    * Output: (asset_id, width, height, n_pixels, cluster, is_keeper,
+    * cluster_size).
+    */
+  def imageCuration(spark: SparkSession, sfDir: String): DataFrame = {
+    val scan = Multimodal.imageScan(
+      spark, Tables.documents(spark, sfDir)).cache()
+    val clusters = graft.ops.Dedup.connectedComponents(
+      scan.select(col("doc_id")),
+      graft.ops.Dedup.hammingPairs(
+          scan.select(col("doc_id"), col("fp")),
+          NEARDUP_BANDS, NEARDUP_MAX_HAMMING)
+        .select(col("doc_a"), col("doc_b")))
+    val sizes = clusters.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("cluster_size"))
+    scan.join(clusters, "doc_id").join(broadcast(sizes), "cluster")
+      .select(col("doc_id").as("asset_id"), col("width"), col("height"),
+        col("n_pixels"), col("cluster"),
+        (col("doc_id") === col("cluster")).as("is_keeper"),
+        col("cluster_size"))
+  }
+
+  /** Oracle: the shared fingerprint CTEs + transitive-closure clusters +
+    * size counts; width/height/n_pixels restated arithmetically (PNG is
+    * lossless, so the decoded buffer is exactly w·h bytes).
+    */
+  val imageCurationSql: String =
+    s"""WITH RECURSIVE $imageFpCtes, pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.f, b.f)) <= $NEARDUP_MAX_HAMMING
+       |), edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION
+       |  SELECT doc_b, doc_a FROM pairs
+       |), reach AS (
+       |  SELECT doc_id, doc_id AS reached FROM documents
+       |  UNION
+       |  SELECT r.doc_id, e.dst FROM reach r JOIN edges e ON e.src = r.reached
+       |), clusters AS (
+       |  SELECT doc_id, MIN(reached) AS cluster FROM reach GROUP BY doc_id
+       |), sizes AS (
+       |  SELECT cluster, COUNT(*) AS cluster_size FROM clusters GROUP BY 1
+       |)
+       |SELECT c.doc_id AS asset_id,
+       |       CAST(d.w AS BIGINT) AS width, CAST(d.h AS BIGINT) AS height,
+       |       CAST(d.w * d.h AS BIGINT) AS n_pixels,
+       |       c.cluster, c.doc_id = c.cluster AS is_keeper,
+       |       CAST(s.cluster_size AS BIGINT) AS cluster_size
+       |FROM clusters c
+       |JOIN dim d ON d.doc_id = c.doc_id
+       |JOIN sizes s ON s.cluster = c.cluster""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_meta" -> multimodalMeta,
     "multimodal_features" -> multimodalFeatures,
     "multimodal_resize" -> multimodalResize,
     "image_neardup" -> imageNeardup,
-    "image_clusters" -> imageClusters)
+    "image_clusters" -> imageClusters,
+    "image_curation" -> imageCuration)
 
   val oracles: Map[String, String] = Map(
     "multimodal_meta" -> multimodalMetaSql,
     "multimodal_features" -> multimodalFeaturesSql,
     "multimodal_resize" -> multimodalResizeSql,
     "image_neardup" -> imageNeardupSql,
-    "image_clusters" -> imageClustersSql)
+    "image_clusters" -> imageClustersSql,
+    "image_curation" -> imageCurationSql)
 }

@@ -281,6 +281,22 @@ object Multimodal {
     }.toDF("doc_id", "fp")
   }
 
+  /** (doc_id, width, height, n_pixels, fp) in ONE decode pass — the
+    * curation composition's scan: n_pixels is the DECODED buffer length
+    * (not declared metadata), so the hash gate re-verifies the codec
+    * round-trip alongside the fingerprint.
+    */
+  def imageScan(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    neardupImageAssets(spark, docs).mapPartitions { it =>
+      it.map { a =>
+        val px = decode(a)
+        (a.asset_id, a.width.toLong, a.height.toLong, px.length.toLong,
+          dHash63(px, a.width, a.height))
+      }
+    }.toDF("doc_id", "width", "height", "n_pixels", "fp")
+  }
+
   /** Deterministic frame sampling: every ceil(n/target)-th frame index. */
   def sampleFrameIndices(nFrames: Int, target: Int): Seq[Int] = {
     val step = math.max(1, math.ceil(nFrames.toDouble / target).toInt)
