@@ -140,7 +140,25 @@ object ArtifactJobs {
       loaded.select(TextJobs.hash60(col("w")).as("wh"), col("n_pieces")))
   }
 
+  /** Hard-negative mining served from persisted IVF centroids: the
+    * probe pipeline runs against the LOADED centroid frame (cell
+    * assignment is the C-bounded broadcast product — recomputed at
+    * serve time exactly as a production miner assigns fresh vectors
+    * against yesterday's index). Oracle is `hard_negatives` verbatim.
+    */
+  def hardNegativesFromArtifact(spark: SparkSession, sfDir: String): DataFrame = {
+    import SimilarityJobs._
+    val v = SimilarityJobs.vectors(spark, sfDir)
+    val loaded = persist(spark, "hardneg_centroids",
+      Similarity.seedCentroids(v, IVF_CENTROIDS))
+    Similarity.hardNegatives(v,
+      graft.io.Tables.load(spark, sfDir, "embeddings")
+        .select(col("vec_id"), col("label")),
+      loaded, col("vec_id") < N_QUERIES, nprobe = IVF_NPROBE, k = TOP_K)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "hard_negatives_from_artifact" -> hardNegativesFromArtifact,
     "ann_ivf_from_artifact" -> annIvfFromArtifact,
     "quality_from_artifact" -> qualityFromArtifact,
     "bpe_encode_from_artifact" -> bpeEncodeFromArtifact,
@@ -153,6 +171,7 @@ object ArtifactJobs {
     * round-trip changed nothing.
     */
   val oracles: Map[String, String] = Map(
+    "hard_negatives_from_artifact" -> SimilarityJobs.hardNegativesSql,
     "ann_ivf_from_artifact" -> SimilarityJobs.annIvfTrainedSql,
     "quality_from_artifact" -> TextJobs.qualityClassifierTrainedSql,
     "bpe_encode_from_artifact" -> TextJobs.bpeEncodeSql,

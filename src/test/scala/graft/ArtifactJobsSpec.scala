@@ -54,6 +54,13 @@ class ArtifactJobsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("hard_negatives_from_artifact equals hard_negatives") {
+    assertTwin("hard_negatives",
+      ArtifactJobs.hardNegativesFromArtifact(spark, sf("sf0.001")),
+      SimilarityJobs.hardNegatives(spark, sf("sf0.001")))
+    spark.catalog.clearCache()
+  }
+
   test("unigram_encode_from_artifact equals unigram_encode") {
     assertTwin("unigram_encode",
       ArtifactJobs.unigramEncodeFromArtifact(spark, sf("sf0.001")),
