@@ -298,4 +298,32 @@ class PlanQualitySpec extends SparkSpec {
     val exchanges = "Exchange".r.findAllIn(p).length
     assert(exchanges <= 2, s"BPE trainer pays per-round exchanges:\n$p")
   }
+
+  test("dedup_clusters: union-find path leaves the vertex frame unshuffled") {
+    // the round-8 regime split: a dup-pair-sized candidate graph resolves
+    // in one task and BROADCASTS the (node, root) map back — the
+    // corpus-sized vertex frame must see no exchange at all
+    val p = plan(DedupJobs.dedupClusters(spark, sf("sf0.001")))
+    assert(p.contains("BroadcastHashJoin"),
+      s"cluster map-back is not a broadcast join:\n$p")
+    assert(!p.contains("Exchange hashpartitioning(doc_id"),
+      s"vertex frame shuffles on the union-find path:\n$p")
+  }
+
+  test("image_neardup: band joins on ints, no cartesian, no string exchange") {
+    val p = plan(graft.jobs.MultimodalJobs.imageNeardup(spark, sf("sf0.001")))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"Hamming LSH regressed to all-pairs:\n$p")
+    // every exchange keys on fingerprint/band ints — no text, no binary
+    assert(!p.contains("Exchange hashpartitioning(content"),
+      s"image payload crossed an exchange:\n$p")
+  }
+
+  test("unigram trainer shares the BPE exchange discipline") {
+    val p = plan(TextJobs.unigramVocab(spark, sf("sf0.001")))
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 2,
+      s"unigram trainer pays per-EM-round exchanges:\n$p")
+  }
 }
