@@ -193,10 +193,17 @@ object MultimodalJobs {
     * decode path and the LSH's losslessness at this radius.
     */
   def imageNeardup(spark: SparkSession, sfDir: String): DataFrame =
-    graft.ops.Dedup.hammingPairs(
-      Multimodal.imageFingerprints(spark, Tables.documents(spark, sfDir)),
-      NEARDUP_BANDS, NEARDUP_MAX_HAMMING)
+    pipeline(spark, sfDir).pairs
       .select(col("doc_a"), col("doc_b"), col("hamming"))
+
+  /** The shared decode→dHash pass the image gate queries are built on.
+    * Each isolated gate instantiates its own (driver contract); a
+    * library user holds ONE per corpus pass and reads pairs/clusters/
+    * curation off the same cached scan — see [[graft.ops.ImagePipeline]].
+    */
+  def pipeline(spark: SparkSession, sfDir: String): graft.ops.ImagePipeline =
+    graft.ops.ImagePipeline(spark, Tables.documents(spark, sfDir),
+      NEARDUP_MAX_HAMMING)
 
   /** The dHash pipeline restated for the oracles: pixel mix (two
     * multiplicative steps mod 2^31−1 with xor-shifts between — every
@@ -260,15 +267,8 @@ object MultimodalJobs {
     * at this graph size the single-task union-find path, behind an
     * oracle gate). Singletons keep their own id.
     */
-  def imageClusters(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
-    graft.ops.Dedup.connectedComponents(
-      docs.select(col("doc_id")),
-      graft.ops.Dedup.hammingPairs(
-          Multimodal.imageFingerprints(spark, docs),
-          NEARDUP_BANDS, NEARDUP_MAX_HAMMING)
-        .select(col("doc_a"), col("doc_b")))
-  }
+  def imageClusters(spark: SparkSession, sfDir: String): DataFrame =
+    pipeline(spark, sfDir).clusters
 
   /** Oracle: transitive closure by recursive CTE over the brute-force
     * Hamming pairs; MIN(reached) is the same fixpoint every
@@ -302,23 +302,8 @@ object MultimodalJobs {
     * Output: (asset_id, width, height, n_pixels, cluster, is_keeper,
     * cluster_size).
     */
-  def imageCuration(spark: SparkSession, sfDir: String): DataFrame = {
-    val scan = Multimodal.imageScan(
-      spark, Tables.documents(spark, sfDir)).cache()
-    val clusters = graft.ops.Dedup.connectedComponents(
-      scan.select(col("doc_id")),
-      graft.ops.Dedup.hammingPairs(
-          scan.select(col("doc_id"), col("fp")),
-          NEARDUP_BANDS, NEARDUP_MAX_HAMMING)
-        .select(col("doc_a"), col("doc_b")))
-    val sizes = clusters.groupBy(col("cluster"))
-      .agg(count(lit(1)).as("cluster_size"))
-    scan.join(clusters, "doc_id").join(broadcast(sizes), "cluster")
-      .select(col("doc_id").as("asset_id"), col("width"), col("height"),
-        col("n_pixels"), col("cluster"),
-        (col("doc_id") === col("cluster")).as("is_keeper"),
-        col("cluster_size"))
-  }
+  def imageCuration(spark: SparkSession, sfDir: String): DataFrame =
+    pipeline(spark, sfDir).curation
 
   /** Oracle: the shared fingerprint CTEs + transitive-closure clusters +
     * size counts; width/height/n_pixels restated arithmetically (PNG is
