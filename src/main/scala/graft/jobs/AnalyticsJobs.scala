@@ -388,7 +388,27 @@ object AnalyticsJobs {
       |       true AS approx_in_bounds
       |FROM events GROUP BY event_type""".stripMargin
 
+  /** Salted two-phase aggregation as a driver-checked gate: event_type
+    * is this table's hot low-cardinality key (a handful of values over
+    * the whole corpus — the shape where one reducer per key stalls a
+    * 100 TB stage), so the count runs on (key, salt-of-user_id) first
+    * and re-aggregates on the key alone ([[graft.ops.Skew.saltedCount]]).
+    * Salting is semantically invisible for algebraic aggregates — the
+    * oracle is the plain GROUP BY, so the hash gate proves exactness
+    * under any bucket assignment.
+    */
+  def saltedAgg(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Skew.saltedCount(
+        Tables.events(spark, sfDir),
+        col("event_type"), col("user_id"), buckets = 32)
+      .select(col("key").as("event_type"), col("cnt"))
+
+  val saltedAggSql: String =
+    """SELECT event_type, COUNT(*) AS cnt
+      |FROM events GROUP BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "salted_agg" -> saltedAgg,
     "session_agg" -> sessionAgg,
     "cube_agg" -> cubeAgg,
     "pivot_agg" -> pivotAgg,
@@ -403,6 +423,7 @@ object AnalyticsJobs {
     "value_histogram" -> valueHistogram)
 
   val oracles: Map[String, String] = Map(
+    "salted_agg" -> saltedAggSql,
     "event_props" -> eventPropsSql,
     "event_paths" -> eventPathsSql,
     "session_paths" -> sessionPathsSql,
