@@ -31,7 +31,21 @@ object Bench {
     // time: its first error lands in an "errors" map and its median is
     // taken over whatever runs did succeed (NaN if none).
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // I/O-pressure canary: the SAME fixed raw scan timed in every query's
+    // slot. Round 8's driver bench read 15-19x on two queries whose plans
+    // are a single scan + hash-agg — nothing in-engine can explain that,
+    // but the bench file alone couldn't prove a container stall either.
+    // A constant-work read that spikes in the same slot separates
+    // environment (canary spikes too) from engine (canary flat). Cost:
+    // one small-scan count per query slot (~0.05 s x |registry|).
+    def canaryRead(): Double = {
+      val t0 = System.nanoTime()
+      spark.read.parquet(s"$sfDir/documents.parquet").count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val canaries = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val results = SparkEntry.queries.map { case (name, fn) =>
+      canaries(name) = canaryRead()
       val times = (1 to runs).flatMap { _ =>
         // cached frames match by logical-plan equality, so without this a
         // query could silently reuse a previous query's (or its own prior
@@ -59,9 +73,17 @@ object Bench {
     }.mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
+    // canary keys carry a reserved suffix so BenchGap's flat pair-scan can
+    // split them from query medians; a summary lands early in the line
+    // (the driver tail truncates the end)
+    val canSorted = canaries.values.toSeq.sorted
+    val canMed = if (canSorted.nonEmpty) canSorted(canSorted.size / 2) else 0.0
+    val canMax = if (canSorted.nonEmpty) canSorted.last else 0.0
+    val cans = canaries.map { case (k, v) => jstr(k + "__canary") + ":" + v }
+      .mkString("{", ",", "}")
     val total = results.values.filterNot(_.isNaN).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","canary_med":$canMed,"canary_max":$canMax,"queries":$qs,"errors":$errs,"canary":$cans,"sf":"$sfDir"}"""
     println(line)
     // The driver captures stdout with a bounded tail, which has truncated
     // the per-query map past ~65 queries; persist the full line so every

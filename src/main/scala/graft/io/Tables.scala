@@ -48,9 +48,14 @@ object Tables {
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // the NTZ→TIMESTAMP cast below is wall-clock-preserving ONLY under a
-    // UTC session; enforce the pin here rather than trusting every
-    // session builder to carry it
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    // UTC session; fail fast on a conflicting session timezone instead of
+    // silently clobbering a caller-set value mid-session
+    val tz = spark.conf.get("spark.sql.session.timeZone")
+    if (java.time.ZoneId.of(tz).normalized() != java.time.ZoneOffset.UTC)
+      throw new IllegalStateException(
+        s"events requires a UTC session (timeZone=$tz): the NTZ→TIMESTAMP " +
+          "cast shifts wall-clock values under any other zone — pin " +
+          "spark.sql.session.timeZone=UTC in the session builder")
     val df = load(spark, sfDir, "events")
     import org.apache.spark.sql.types._
     df.schema("ts").dataType match {

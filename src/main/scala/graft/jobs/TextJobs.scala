@@ -1483,20 +1483,8 @@ object TextJobs {
   private val rocchioMemo = new java.util.concurrent.ConcurrentHashMap[
     String, (Array[(Long, Long)], Double)]()
 
-  private def docsFingerprint(sfDir: String): String = {
-    import java.nio.file._
-    val p = Paths.get(sfDir, "documents.parquet")
-    val parts: Seq[Path] =
-      if (Files.isDirectory(p)) {
-        val s = Files.list(p)
-        try {
-          import scala.jdk.CollectionConverters._
-          s.iterator().asScala.toSeq.sortBy(_.toString)
-        } finally s.close()
-      } else Seq(p)
-    parts.map(f => s"$f:${Files.size(f)}:${Files.getLastModifiedTime(f)}")
-      .mkString(s"$sfDir|", ";", "")
-  }
+  private def docsFingerprint(sfDir: String): String =
+    graft.io.Fingerprint.of(sfDir, "documents")
 
   private[jobs] def rocchioModel(
       spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {

@@ -349,6 +349,12 @@ object Dedup {
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionAll(pr.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct().cache()
+    // materialize the symmetric edge cache NOW so the raw pair cache can be
+    // released before the loop — this is exactly the regime where the pair
+    // graph is large, and holding both frames doubles cache memory for the
+    // whole iteration (the count is work round 0 would do anyway)
+    edges.count()
+    pr.unpersist()
     var labels = vertices.select(col("doc_id"), col("doc_id").as("cluster"))
       .cache()
     var prevCached = labels
@@ -409,7 +415,6 @@ object Dedup {
           coalesce(col("root"), col("cluster")).as("cluster"))
     }
     edges.unpersist()
-    pr.unpersist()
     (out, i, converged)
   }
 

@@ -41,15 +41,32 @@ object BenchGap {
     * BENCH_r*.json lands and the ratio clears.
     */
   val KnownFixed: Map[String, String] = Map(
-    "dedup_clusters" -> ("fixed round 8: single-task union-find replaces " +
-      "the 3-exchange-per-round fixpoint loop for dup-pair-sized graphs " +
-      "(local median 4.7 -> 1.0 s; driver 6.64 s is the r7 binary)"),
-    "quality_classifier_trained" -> ("fixed round 8: the Rocchio model is " +
-      "content-memoized, so the trained/from-artifact pair trains once " +
-      "(driver 1.34 s is the r7 binary re-training per query)"),
-    "quality_from_artifact" -> ("fixed round 8: scores from the shared " +
-      "memoized model + artifact round-trip only (driver 1.96 s is the " +
-      "r7 binary)"))
+    // r7 flags dedup_clusters / quality_classifier_trained cleared in the
+    // r8 driver bench (1.08 s / 0.45 s) — pruned per the map's contract.
+    "quality_from_artifact" -> ("fixed round 9: ArtifactJobs.persist is " +
+      "content-memoized (Fingerprint of the input corpus), so bench runs " +
+      "2-3 serve the artifact as pure reads instead of rewriting /tmp " +
+      "per run — the r8 2.84 s paid 2x(model persist + /tmp write) under " +
+      "driver /tmp contention; local pair cost now 0.7 s"))
+
+  /** Flags attributed to driver-container environment, not engine code:
+    * BenchOne locals are clean and the audited plan has nothing left to
+    * mis-plan. The r9 bench adds a per-slot I/O canary (a constant-work
+    * raw scan timed in every query's slot, `<q>__canary` keys) — if the
+    * canary spikes in the same slot next round, the attribution is
+    * proven; if it stays flat while the query reads high, the entry must
+    * come OUT of this map and back into forensics.
+    */
+  val KnownEnv: Map[String, String] = Map(
+    "corpus_curation" -> ("r8 driver 9.54 s vs 0.61 local (15.6x) on a " +
+      "2-exchange scan+hash-agg plan unchanged since r7 (r7 driver: " +
+      "0.68 s) — no code delta can explain it; canary will adjudicate"),
+    "value_histogram" -> ("r8 driver 3.37 s vs 0.18 local (19.1x) on a " +
+      "single-scan 1-exchange hash-agg unchanged since r7 (r7 driver: " +
+      "0.18 s) — no code delta can explain it; canary will adjudicate"),
+    "event_paths" -> ("r8 driver 1.07 s vs 0.31 local (3.5x), r7 driver " +
+      "0.46 s on the same binary-identical sessionize+journey plan; " +
+      "canary will adjudicate"))
 
   // the driver wrapper stores our stdout line INSIDE a JSON string, so
   // its quotes arrive backslash-escaped — accept both forms
@@ -59,9 +76,18 @@ object BenchGap {
     pair.findAllMatchIn(text)
       .map(m => m.group(1) -> m.group(2).toDouble)
       .filterNot { case (k, _) =>
-        // the driver wrapper's own numeric fields, not query medians
-        Set("n", "rc", "cpus", "sf", "value").contains(k)
+        // the driver wrapper's own numeric fields, not query medians —
+        // and the r9 per-slot I/O canary entries/summary
+        Set("n", "rc", "cpus", "sf", "value",
+          "canary_med", "canary_max").contains(k) || k.endsWith("__canary")
       }
+      .toMap
+
+  /** Per-slot canary seconds from an r9+ bench file (empty for older). */
+  def parseCanaries(text: String): Map[String, Double] =
+    pair.findAllMatchIn(text)
+      .filter(_.group(1).endsWith("__canary"))
+      .map(m => m.group(1).stripSuffix("__canary") -> m.group(2).toDouble)
       .toMap
 
   def main(args: Array[String]): Unit = {
@@ -73,8 +99,10 @@ object BenchGap {
     val local = parsePairs(new String(
       Files.readAllBytes(repo.resolve("localbench.json")),
       StandardCharsets.UTF_8))
-    val driver = parsePairs(new String(
-      Files.readAllBytes(driverFile), StandardCharsets.UTF_8))
+    val driverText = new String(
+      Files.readAllBytes(driverFile), StandardCharsets.UTF_8)
+    val driver = parsePairs(driverText)
+    val canaries = parseCanaries(driverText)
 
     val rows = driver.toSeq
       .flatMap { case (q, d) =>
@@ -89,14 +117,21 @@ object BenchGap {
       s"`${driverFile.getFileName}` (driver) vs `localbench.json` " +
       "(local reference; refresh it from /tmp/bench_full.json after " +
       "perf-relevant changes).\n\n"
+    val unannotated = flagged.map(_._1)
+      .filterNot(q => KnownFixed.contains(q) || KnownEnv.contains(q))
     sb ++= s"Driver queries visible: ${driver.size}; matched to local: " +
-      s"${rows.size}; flagged (> ${FlagRatio}x): ${flagged.size}.\n\n"
+      s"${rows.size}; flagged (> ${FlagRatio}x): ${flagged.size}; " +
+      s"unannotated (forensics owed): ${unannotated.size}" +
+      (if (unannotated.nonEmpty) unannotated.mkString(" — ", ", ", "")
+       else "") + ".\n\n"
     if (flagged.nonEmpty) {
-      sb ++= "## FLAGGED — investigate first (unless noted as fixed)\n\n"
-      sb ++= "| query | driver s | local s | ratio | note |\n|---|---|---|---|---|\n"
+      sb ++= "## FLAGGED — investigate first (unless noted as fixed/env)\n\n"
+      sb ++= "| query | driver s | local s | ratio | canary s | note |\n|---|---|---|---|---|---|\n"
       flagged.foreach { case (q, d, l, r) =>
-        val note = KnownFixed.getOrElse(q, "")
-        sb ++= f"| `$q` | $d%.2f | $l%.2f | **$r%.1fx** | $note |\n"
+        val note = KnownFixed.get(q).map("FIXED: " + _)
+          .orElse(KnownEnv.get(q).map("ENV: " + _)).getOrElse("")
+        val can = canaries.get(q).map(c => f"$c%.2f").getOrElse("—")
+        sb ++= f"| `$q` | $d%.2f | $l%.2f | **$r%.1fx** | $can | $note |\n"
       }
       sb ++= "\nPlaybook (rounds 4–6): BenchOne the query in isolation; " +
         "if local steady is fine, slim every cached frame on its path " +

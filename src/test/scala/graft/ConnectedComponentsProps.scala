@@ -50,7 +50,10 @@ class ConnectedComponentsProps extends SparkSpec {
     val rnd = new scala.util.Random(7)
     for (_ <- 1 to 4) {
       val n = 2 + rnd.nextInt(29)
-      val edges = Seq.fill(rnd.nextInt(26)) {
+      // at least one edge: the count()<=limit gate routes a randomly EMPTY
+      // edge set to union-find even under the limit=0 pin, and that
+      // iteration would exercise nothing distributed
+      val edges = Seq.fill(1 + rnd.nextInt(25)) {
         val a = rnd.nextInt(n); var b = rnd.nextInt(n)
         while (b == a) b = rnd.nextInt(n)
         (math.min(a, b).toLong, math.max(a, b).toLong)
