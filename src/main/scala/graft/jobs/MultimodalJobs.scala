@@ -336,13 +336,136 @@ object MultimodalJobs {
        |JOIN dim d ON d.doc_id = c.doc_id
        |JOIN sizes s ON s.cluster = c.cluster""".stripMargin
 
+  /** Acoustic-fingerprint audio near-dup — the audio sibling of
+    * [[imageNeardup]]: REAL WAV payloads
+    * ([[Multimodal.neardupAudioAssets]]) decode through
+    * `javax.sound.sampled`, hash to a 63-bit energy-difference
+    * fingerprint ([[Multimodal.audioFp63]]), and pair up through the SAME
+    * banded Hamming LSH ([[graft.ops.Dedup.hammingPairs]] — unchanged;
+    * the fingerprint abstraction is the whole point). Oracle recomputes
+    * the samples arithmetically (PCM is lossless), re-derives the frame
+    * sums and sign bits, and brute-forces all pairs within the radius.
+    */
+  def audioNeardup(spark: SparkSession, sfDir: String): DataFrame =
+    audioPipeline(spark, sfDir).pairs
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+
+  /** The shared decode→fingerprint pass the audio gate queries build on
+    * ([[graft.ops.AudioPipeline]]) — one decode scan per corpus pass.
+    */
+  def audioPipeline(spark: SparkSession, sfDir: String): graft.ops.AudioPipeline =
+    graft.ops.AudioPipeline(spark, Tables.documents(spark, sfDir),
+      NEARDUP_MAX_HAMMING)
+
+  /** The audio fingerprint restated for the oracles: avalanche sample mix
+    * (BIGINT-exact, every intermediate < 2^47), per-id perturbation,
+    * floor-scaled frame assignment i·64 // n, integer frame-energy sums,
+    * adjacent-comparison sign bits packed to 63 bits. Ends at `fp`
+    * (doc_id, f) — shared by the pair and cluster oracles.
+    */
+  private val audioFpCtes: String =
+    s"""dim AS (
+       |  SELECT doc_id, doc_id // ${Multimodal.NeardupGroup} AS base,
+       |         192 + (doc_id // ${Multimodal.NeardupGroup}) % 64 AS n
+       |  FROM documents
+       |), samp AS (
+       |  SELECT doc_id, base, n, unnest(range(0, n)) AS i FROM dim
+       |), m0 AS (
+       |  SELECT *, (base * 2654435761 + i * 40503) % 2147483647 AS h0
+       |  FROM samp
+       |), m1 AS (SELECT *, xor(h0, h0 >> 15) AS h1 FROM m0
+       |), m2 AS (SELECT *, (h1 * 48271) % 2147483647 AS h2 FROM m1
+       |), m3 AS (SELECT *, xor(h2, h2 >> 13) AS h3 FROM m2
+       |), pv AS (
+       |  SELECT doc_id, i * ${Multimodal.AudioFrames} // n AS frame,
+       |         (((h3 * 16807) % 2147483647) % 256
+       |          + CASE WHEN (i * 7) % 37 < doc_id % ${Multimodal.NeardupGroup}
+       |                 THEN 1 ELSE 0 END) % 256 AS s
+       |  FROM m3
+       |), fsum AS (
+       |  SELECT doc_id, frame, SUM(s) AS e FROM pv GROUP BY 1, 2
+       |), fp AS (
+       |  SELECT a.doc_id,
+       |         CAST(SUM(CASE WHEN b.e > a.e THEN 1::BIGINT << a.frame
+       |                       ELSE 0 END) AS BIGINT) AS f
+       |  FROM fsum a JOIN fsum b
+       |    ON b.doc_id = a.doc_id AND b.frame = a.frame + 1
+       |  GROUP BY a.doc_id
+       |)""".stripMargin
+
+  /** Brute-force all pairs within the Hamming radius over the audio `fp`. */
+  val audioNeardupSql: String =
+    s"""WITH $audioFpCtes
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |       CAST(bit_count(xor(a.f, b.f)) AS BIGINT) AS hamming
+       |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.f, b.f)) <= $NEARDUP_MAX_HAMMING""".stripMargin
+
+  /** Audio cluster resolution — component minimum over the near-dup pair
+    * graph, exactly as [[imageClusters]] ([[graft.ops.AudioPipeline]]
+    * reuses [[graft.ops.Dedup.connectedComponents]] unchanged).
+    */
+  def audioClusters(spark: SparkSession, sfDir: String): DataFrame =
+    audioPipeline(spark, sfDir).clusters
+
+  val audioClustersSql: String =
+    s"""WITH RECURSIVE $audioFpCtes, pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.f, b.f)) <= $NEARDUP_MAX_HAMMING
+       |), edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION
+       |  SELECT doc_b, doc_a FROM pairs
+       |), reach AS (
+       |  SELECT doc_id, doc_id AS reached FROM documents
+       |  UNION
+       |  SELECT r.doc_id, e.dst FROM reach r JOIN edges e ON e.src = r.reached
+       |)
+       |SELECT doc_id, MIN(reached) AS cluster FROM reach GROUP BY doc_id""".stripMargin
+
+  /** Composed audio-curation pass off the one decode scan: decoded sample
+    * count (codec stays in the loop), cluster label, keeper rule, dup
+    * mass — (asset_id, n_samples, cluster, is_keeper, cluster_size).
+    */
+  def audioCuration(spark: SparkSession, sfDir: String): DataFrame =
+    audioPipeline(spark, sfDir).curation
+
+  val audioCurationSql: String =
+    s"""WITH RECURSIVE $audioFpCtes, pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.f, b.f)) <= $NEARDUP_MAX_HAMMING
+       |), edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION
+       |  SELECT doc_b, doc_a FROM pairs
+       |), reach AS (
+       |  SELECT doc_id, doc_id AS reached FROM documents
+       |  UNION
+       |  SELECT r.doc_id, e.dst FROM reach r JOIN edges e ON e.src = r.reached
+       |), clusters AS (
+       |  SELECT doc_id, MIN(reached) AS cluster FROM reach GROUP BY doc_id
+       |), sizes AS (
+       |  SELECT cluster, COUNT(*) AS cluster_size FROM clusters GROUP BY 1
+       |)
+       |SELECT c.doc_id AS asset_id, CAST(d.n AS BIGINT) AS n_samples,
+       |       c.cluster, c.doc_id = c.cluster AS is_keeper,
+       |       CAST(s.cluster_size AS BIGINT) AS cluster_size
+       |FROM clusters c
+       |JOIN dim d ON d.doc_id = c.doc_id
+       |JOIN sizes s ON s.cluster = c.cluster""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_meta" -> multimodalMeta,
     "multimodal_features" -> multimodalFeatures,
     "multimodal_resize" -> multimodalResize,
     "image_neardup" -> imageNeardup,
     "image_clusters" -> imageClusters,
-    "image_curation" -> imageCuration)
+    "image_curation" -> imageCuration,
+    "audio_neardup" -> audioNeardup,
+    "audio_clusters" -> audioClusters,
+    "audio_curation" -> audioCuration)
 
   val oracles: Map[String, String] = Map(
     "multimodal_meta" -> multimodalMetaSql,
@@ -350,5 +473,8 @@ object MultimodalJobs {
     "multimodal_resize" -> multimodalResizeSql,
     "image_neardup" -> imageNeardupSql,
     "image_clusters" -> imageClustersSql,
-    "image_curation" -> imageCurationSql)
+    "image_curation" -> imageCurationSql,
+    "audio_neardup" -> audioNeardupSql,
+    "audio_clusters" -> audioClustersSql,
+    "audio_curation" -> audioCurationSql)
 }
