@@ -524,6 +524,45 @@ object TextJobs {
           + lit(1e-9), 4).as("pieces_per_word"))
   }
 
+  /** Serve-time vocab cap for the byte-fallback gate: encoder entries for
+    * words ≤ 6 chars only, so this corpus' 7–8-char words genuinely take
+    * the fallback path (the round-6 rule — register the fence at an
+    * operating point the fixture exercises; with the trainer's own 10-char
+    * scope nothing here is OOV and the fallback would be dead code under
+    * the gate).
+    */
+  private val UNI_FB_MAX = 6
+
+  /** [[unigramEncode]] with SentencePiece-style byte-fallback accounting:
+    * the encoder join goes LEFT, and a word with no vocabulary entry
+    * contributes length(w) pieces — its bytes (ASCII tokens, 1 byte per
+    * char) — instead of dropping from the accounting. Token accounting
+    * becomes TOTAL: n_words counts every token, n_oov_words counts the
+    * fallback ones. Exactness is trivial (COALESCE to an integer length —
+    * no scoring arithmetic on the fallback path), which is why this gate
+    * exists; a probabilistic fallback score would force float drift.
+    */
+  def unigramEncodeFallback(spark: SparkSession, sfDir: String): DataFrame = {
+    val enc = unigramEncoderTable(spark, sfDir)
+      .filter(length(col("w")) <= UNI_FB_MAX)
+      .select(hash60(col("w")).as("wh"), col("n_pieces"))
+    val dw = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        explode(TextAnalysis.tokens(lower(col("text")))).as("w"))
+      .groupBy(col("doc_id"), hash60(col("w")).as("wh"))
+      .agg(count(lit(1)).as("k"), max(length(col("w"))).as("wlen"))
+    dw.join(enc, Seq("wh"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("k")).as("n_words"),
+        sum(col("k") * coalesce(col("n_pieces"), col("wlen")))
+          .as("n_pieces_total"),
+        sum(when(col("n_pieces").isNull, col("k")).otherwise(0L))
+          .as("n_oov_words"),
+        round(sum(col("k") * coalesce(col("n_pieces"), col("wlen")))
+          .cast("double") / sum(col("k")) + lit(1e-9), 4)
+          .as("pieces_per_word"))
+  }
+
   /** One Viterbi-EM round in SQL: recursive path enumeration over
     * `uwords` against vocabulary `v` (words are ≤ 10 chars, so paths are
     * bounded), best segmentation by the same (pieces, −score,
@@ -625,6 +664,29 @@ object TextJobs {
        |       ROUND(CAST(SUM(k * n_pieces) AS DOUBLE) / CAST(SUM(k) AS BIGINT)
        |             + 1e-9, 4) AS pieces_per_word
        |FROM dw JOIN enc USING (w)
+       |GROUP BY doc_id""".stripMargin
+
+  /** Oracle for the byte-fallback gate: LEFT join against the ≤ 6-char
+    * vocabulary subset, COALESCE to word length on the fallback path.
+    */
+  val unigramEncodeFallbackSql: String =
+    s"""WITH RECURSIVE $unigramVocabCtes, ${uniReachCte(3, "v2")}, enc AS (
+       |  SELECT w, CAST(np AS BIGINT) AS n_pieces FROM best3
+       |  WHERE length(w) <= $UNI_FB_MAX
+       |), dw AS (
+       |  SELECT doc_id, w, COUNT(*) AS k FROM (
+       |    SELECT doc_id, unnest(regexp_extract_all(lower(text), '[A-Za-z0-9]+')) AS w
+       |    FROM documents)
+       |  GROUP BY 1, 2
+       |)
+       |SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_words,
+       |       CAST(SUM(k * COALESCE(n_pieces, length(w))) AS BIGINT)
+       |         AS n_pieces_total,
+       |       CAST(SUM(CASE WHEN n_pieces IS NULL THEN k ELSE 0 END)
+       |            AS BIGINT) AS n_oov_words,
+       |       ROUND(CAST(SUM(k * COALESCE(n_pieces, length(w))) AS DOUBLE)
+       |             / CAST(SUM(k) AS BIGINT) + 1e-9, 4) AS pieces_per_word
+       |FROM dw LEFT JOIN enc USING (w)
        |GROUP BY doc_id""".stripMargin
 
   /** DuckDB: first 15 md5-hex chars of `inner` as a 60-bit BIGINT (the
@@ -1648,6 +1710,7 @@ object TextJobs {
     "bpe_merges" -> bpeMerges,
     "unigram_vocab" -> unigramVocab,
     "unigram_encode" -> unigramEncode,
+    "unigram_encode_fallback" -> unigramEncodeFallback,
     "bpe_encode" -> bpeEncode,
     "lm_surprise" -> lmSurprise,
     "lm_surprise_ref" -> lmSurpriseRef,
@@ -1674,6 +1737,7 @@ object TextJobs {
     "bpe_merges" -> bpeMergesSql,
     "unigram_vocab" -> unigramVocabSql,
     "unigram_encode" -> unigramEncodeSql,
+    "unigram_encode_fallback" -> unigramEncodeFallbackSql,
     "bpe_encode" -> bpeEncodeSql,
     "lm_surprise" -> lmSurpriseSql,
     "lm_surprise_ref" -> lmSurpriseRefSql,

@@ -68,6 +68,12 @@ object Probe {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
+      // iterative loops (cc propagation on a deep/giant component) nest
+      // the physical plan per round, and AQE's listener events carry a
+      // full plan STRING — at ER-graph depth that string alone OOMs an
+      // 8g driver (seen: OutOfMemoryError inside explainString). Cap it;
+      // the cap changes log/event text only, never the executed plan.
+      .config("spark.sql.maxPlanStringLength", "16384")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000L).selectExpr("sum(id)").collect() // JVM warmup
@@ -177,6 +183,69 @@ object Probe {
       }
     }
 
+    /** §8e: the image/audio perceptual-dedup stack under a replicated
+      * corpus. The asset fixtures derive ENTIRELY from doc_id, so fresh
+      * ids (the +k·10M offset) synthesize genuinely new payloads with new
+      * fingerprint families — distinct-fingerprint count multiplies with
+      * the corpus, the adversarial case for the band join. The claim
+      * under test: decode (linear narrow scan) dominates and banded
+      * candidate mass stays near-linear, so wall time scales ~copies,
+      * never copies².
+      */
+    val ImageQueries = Seq(
+      "image_neardup", "image_clusters", "image_curation",
+      "audio_neardup", "audio_clusters", "audio_curation")
+
+    /** Regime-crossover probe for [[graft.ops.Dedup.connectedComponents]]:
+      * time the single-task union-find path (singleTaskEdgeLimit=MaxValue)
+      * against the distributed min-label/star path (limit=0) on synthetic
+      * graphs ABOVE and below the 1M-edge default, in the two shapes that
+      * bracket real dup graphs: `star` (groups of 8, the shallow
+      * many-small-components shape near-dup pairs actually produce) and
+      * `er` (Erdős–Rényi at mean degree 4 — one giant low-diameter
+      * component, the propagation-friendly worst case for union-find's
+      * single task).
+      */
+    def runCc(): Unit = {
+      import graft.ops.Dedup
+      println("== connected-components regime crossover (synthetic) ==")
+      println(f"${"shape"}%-6s ${"edges"}%10s ${"union-find"}%11s ${"distributed"}%12s")
+      def graph(shape: String, m: Long): (DataFrame, DataFrame) = shape match {
+        case "star" =>
+          val groups = m / 7 + 1
+          val n = groups * 8
+          val p = spark.range(m).select(
+            ((col("id") / 7) * 8).as("doc_a"),
+            ((col("id") / 7) * 8 + col("id") % 7 + 1).as("doc_b"))
+          (spark.range(n).select(col("id").as("doc_id")), p)
+        case "er" =>
+          val n = m / 2
+          val p = spark.range(m).select(
+            pmod(hash((col("id") * 2654435761L).cast("long")), lit(n))
+              .cast("long").as("doc_a"),
+            pmod(hash((col("id") * 40503L + 7L).cast("long")), lit(n))
+              .cast("long").as("doc_b"))
+            .filter(col("doc_a") =!= col("doc_b"))
+          (spark.range(n).select(col("id").as("doc_id")), p)
+      }
+      val shapes = sys.env.getOrElse("SPARK_GRAFT_PROBE_CC_SHAPES", "star,er")
+        .split(",").map(_.trim).toSeq
+      for (shape <- shapes;
+           m <- Seq(250000L, 1000000L, 4000000L, 16000000L)) {
+        val (v, p) = graph(shape, m)
+        val uf = median((1 to 3).map(_ => time(Dedup.connectedComponents(
+          v, p, singleTaskEdgeLimit = Long.MaxValue).count())))
+        val dist = median((1 to 3).map(_ => time(Dedup.connectedComponents(
+          v, p, singleTaskEdgeLimit = 0L).count())))
+        println(f"$shape%-6s $m%10d $uf%11.2f $dist%12.2f")
+      }
+    }
+
+    if (mode == "image")
+      runRegistry("image/audio pipelines (fresh-id copies)", ImageQueries,
+        replicate(perturb = false))
+    if (mode == "cc")
+      runCc()
     if (mode == "dup" || mode == "all")
       runRegistry("dup-heavy (identical copies)", DupQueries,
         replicate(perturb = false))
