@@ -81,4 +81,46 @@ object StreamingMultimodal {
           .as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** The AUDIO sibling of [[screenImages]]: each arriving clip is decoded
+    * (`javax.sound`) and fingerprinted ([[Multimodal.audioFp63]])
+    * in-flight, then Hamming-banded against the persisted corpus
+    * fingerprint table — identical join machinery, different decode +
+    * hash, which is the point of the fingerprint abstraction. Input needs
+    * (asset_id, content: binary WAV, `tsCol`); output shape and the
+    * first-shared-band multiplicity-1 contract as in [[screenImages]].
+    */
+  def screenAudio(
+      stream: DataFrame, tsCol: String, delay: String,
+      corpusFp: DataFrame, bands: Seq[(Int, Int)], maxHamming: Int): DataFrame = {
+    require(bands.size > maxHamming,
+      s"pigeonhole needs more bands (${bands.size}) than maxHamming=$maxHamming")
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val fps = stream
+      .withWatermark(tsCol, delay)
+      .select(col("asset_id"), col("content"), col(tsCol).as("ts"))
+      .as[(Long, Array[Byte], java.sql.Timestamp)]
+      .mapPartitions { it =>
+        it.map { case (id, wav, ts) =>
+          val samples = Multimodal.decode(
+            Multimodal.Asset(id, wav, "audio", 0, 0, 1))
+          (id, Multimodal.audioFp63(samples), ts)
+        }
+      }.toDF("asset_id", "fp", "ts")
+    val arrBands = fps.select(col("asset_id"), col("fp"), col("ts"),
+      posexplode(array(bands.map(b => Dedup.bandVal(col("fp"), b)): _*))
+        .as(Seq("b", "bv")))
+    val earlierBandsDiffer = bands.zipWithIndex.map { case (bd, j) =>
+      (lit(j) >= col("b")) ||
+        (Dedup.bandVal(col("fp"), bd) =!= Dedup.bandVal(col("corpus_fp"), bd))
+    }.reduce(_ && _)
+    arrBands.join(bandedCorpus(corpusFp, bands), Seq("b", "bv"))
+      .filter(col("asset_id") =!= col("corpus_id"))
+      .filter(earlierBandsDiffer)
+      .select(col("asset_id"), col("ts"), col("corpus_id"),
+        bit_count(col("fp").bitwiseXOR(col("corpus_fp"))).cast("long")
+          .as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
 }

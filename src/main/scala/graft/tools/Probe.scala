@@ -230,8 +230,9 @@ object Probe {
       }
       val shapes = sys.env.getOrElse("SPARK_GRAFT_PROBE_CC_SHAPES", "star,er")
         .split(",").map(_.trim).toSeq
-      for (shape <- shapes;
-           m <- Seq(250000L, 1000000L, 4000000L, 16000000L)) {
+      val sizes = sys.env.getOrElse("SPARK_GRAFT_PROBE_CC_SIZES",
+        "250000,1000000,4000000,16000000").split(",").map(_.trim.toLong).toSeq
+      for (shape <- shapes; m <- sizes) {
         val (v, p) = graph(shape, m)
         val uf = median((1 to 3).map(_ => time(Dedup.connectedComponents(
           v, p, singleTaskEdgeLimit = Long.MaxValue).count())))

@@ -68,4 +68,52 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(expected.nonEmpty, "fixture must produce corpus hits")
     assert(expected.exists(_._3 > 0), "must include true near dups, not just exact")
   }
+
+  test("stream audio screen equals brute force over real decoded fingerprints") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.io.Tables.documents(spark, sf("sf0.001"))
+    val corpusDocs = docs.filter($"doc_id" < 200)
+    val dir = java.nio.file.Files.createTempDirectory("audfp").toString
+    Multimodal.audioScan(spark, corpusDocs).select(col("doc_id"), col("fp"))
+      .write.mode("overwrite").parquet(dir)
+    val corpusFp = spark.read.parquet(dir)
+
+    val arrivals = Multimodal
+      .neardupAudioAssets(spark,
+        docs.filter($"doc_id" >= 0 && $"doc_id" < 40))
+      .collect()
+      .map(a => (a.asset_id, a.content, ts(a.asset_id)))
+
+    val in = MemoryStream[(Long, Array[Byte], Timestamp)]
+    val q = StreamingMultimodal.screenAudio(
+        in.toDF().toDF("asset_id", "content", "ts"),
+        "ts", "0 seconds", corpusFp, Dedup.Bands63, maxHamming = 3)
+      .writeStream.format("memory").queryName("stream_aud_screen")
+      .outputMode("append").start()
+    val got = try {
+      in.addData(arrivals.toSeq: _*)
+      q.processAllAvailable()
+      spark.table("stream_aud_screen")
+        .select($"asset_id", $"corpus_id", $"hamming")
+        .as[(Long, Long, Long)].collect().toSet
+    } finally q.stop()
+
+    val corpus = corpusFp.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val arrFp = Multimodal
+      .audioScan(spark, docs.filter($"doc_id" >= 0 && $"doc_id" < 40))
+      .select(col("doc_id"), col("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = (for {
+      (aid, af) <- arrFp.toSeq
+      (cid, cf) <- corpus.toSeq if cid != aid
+      hm = java.lang.Long.bitCount(af ^ cf).toLong if hm <= 3
+    } yield (aid, cid, hm)).toSet
+
+    assert(got == expected,
+      s"only-stream=${(got -- expected).take(3)} " +
+        s"only-batch=${(expected -- got).take(3)}")
+    assert(expected.nonEmpty, "fixture must produce corpus hits")
+    assert(expected.exists(_._3 > 0), "must include true near dups, not just exact")
+  }
 }
