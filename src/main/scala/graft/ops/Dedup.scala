@@ -287,11 +287,19 @@ object Dedup {
     * per round, diameter rounds, star-contraction fallback for deep
     * chains) — the correct shape when the dup graph itself is too big
     * for one task's memory.
+    *
+    * The 4M default is MEASURED, not argued (SCALE.md §8f, round-9
+    * probe): union-find beats the distributed loop at every probed size
+    * through 16M edges on both bracketing graph shapes (star 4M: 4.5 vs
+    * 11.1 s; ER 4M: 5.8 vs 32.8 s; even 16M: 17-24 vs 29-89 s), so the
+    * regime boundary is set by the single task's MEMORY, not speed —
+    * ~4M edges ≈ ≤8M-entry hash map ≈ ~400 MB, comfortable in a
+    * standard executor; 16M would court task OOM on a busy one.
     */
   def connectedComponents(
       vertices: DataFrame, pairs: DataFrame, maxIters: Int = 100,
-      checkpointEvery: Int = 10, starAfter: Int = 20,
-      singleTaskEdgeLimit: Long = 1000000L): DataFrame =
+      checkpointEvery: Int = 5, starAfter: Int = 20,
+      singleTaskEdgeLimit: Long = 4000000L): DataFrame =
     connectedComponentsInstrumented(vertices, pairs, maxIters,
       checkpointEvery, starAfter, singleTaskEdgeLimit)._1
 
@@ -303,8 +311,8 @@ object Dedup {
     */
   private[graft] def connectedComponentsInstrumented(
       vertices: DataFrame, pairs: DataFrame, maxIters: Int = 100,
-      checkpointEvery: Int = 10, starAfter: Int = 20,
-      singleTaskEdgeLimit: Long = 1000000L): (DataFrame, Int, Boolean) = {
+      checkpointEvery: Int = 5, starAfter: Int = 20,
+      singleTaskEdgeLimit: Long = 4000000L): (DataFrame, Int, Boolean) = {
     val spark = vertices.sparkSession
     import spark.implicits._
     val pr = pairs
@@ -382,6 +390,12 @@ object Dedup {
       // plan back to a leaf every few iterations bounds it; localCheckpoint
       // (eager) costs one extra materialization per `checkpointEvery`, nil
       // at the shallow convergence near-dup clusters actually exhibit.
+      // `labels` feeds each round TWICE (nbrMin + the outer join), so the
+      // un-checkpointed plan TREE doubles per round: at depth 10 the
+      // walked tree is ~2^10 subtrees and any plan-string consumer (AQE
+      // listener events, error messages) traverses ALL of it — measured
+      // 1.98 GB of plan text and ~1 CPU-min per event on an ER-shaped
+      // graph before the default came down to 5 (2^5 subtrees, trivial).
       val next = if ((i + 1) % checkpointEvery == 0) next0.localCheckpoint()
                  else next0.cache()
       val t0 = System.nanoTime()
