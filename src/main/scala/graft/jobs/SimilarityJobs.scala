@@ -15,7 +15,7 @@ object SimilarityJobs {
 
   private[jobs] val TOP_K = 5
   private[jobs] val N_QUERIES = 20 // query set: vec_id < 20
-  private val NEARDUP_THRESHOLD = 0.35
+  private[jobs] val NEARDUP_THRESHOLD = 0.35
   private val PLANES = 5
   private[jobs] val DIMS = 64
 

@@ -365,6 +365,234 @@ object TextJobs {
        |FROM dw JOIN enc USING (w)
        |GROUP BY doc_id""".stripMargin
 
+  // ---- WordPiece tokenizer trainer ----
+
+  private val WP_ROUNDS = 6
+
+  /** Fixed-point scale for the WordPiece likelihood-ratio score. The
+    * WordPiece merge criterion is count(ab) / (count(a)·count(b)) — a
+    * rational — and float division is the one place the two engines could
+    * disagree in the last ulp, so BOTH compute the score as the floored
+    * 2^38-scaled integer `(pair_count << 38) / (cnt_a · cnt_b)` and
+    * tie-break (left, right) lexicographically. 38 bits keep every
+    * intermediate inside BIGINT at any realistic corpus: the numerator is
+    * bounded by total-corpus character pairs (< 2^25 even at sf=1) times
+    * 2^38 < 2^63, and the denominator by (total chars)^2 < 2^50.
+    */
+  private val WP_SCORE_SHIFT = 38
+
+  /** Word-initial symbol plain, every continuation symbol `##`-prefixed —
+    * the WordPiece convention: `"abc"` → `["a", "##b", "##c"]`. Merging
+    * (l, r) concatenates l with r's payload (`##` stripped), so the
+    * merged symbol keeps `##` iff l was itself a continuation.
+    */
+  private def wpInitSyms(w: String): Array[String] =
+    Array.tabulate(w.length) { i =>
+      if (i == 0) w.substring(0, 1) else "##" + w.charAt(i)
+    }
+
+  /** WordPiece tokenizer training (Schuster & Nakajima 2012; the BERT
+    * tokenizer): same greedy-merge loop as [[trainBpeRounds]] but the
+    * argmax is the LIKELIHOOD score count(ab)/(count(a)·count(b)) — the
+    * pair whose merge most improves a unigram LM over symbols — rather
+    * than raw pair frequency, computed in scaled-integer form
+    * ([[WP_SCORE_SHIFT]]) so both engines land on identical merges.
+    * Symbol counts are recomputed from the current symbolization every
+    * round (they shift as merges absorb occurrences). Stops early when
+    * no adjacent pair remains.
+    */
+  private def trainWordPieceRounds(
+      vocab0: Array[(String, Array[String], Long)], rounds: Int)
+      : (List[(Long, String, String, Long, Long)],
+         Array[(String, Array[String], Long)]) = {
+    var vocab = vocab0
+    val merges = List.newBuilder[(Long, String, String, Long, Long)]
+    var r = 1
+    var done = false
+    while (r <= rounds && !done) {
+      val pairCounts =
+        scala.collection.mutable.HashMap.empty[(String, String), Long]
+      val symCounts = scala.collection.mutable.HashMap.empty[String, Long]
+      vocab.foreach { case (_, syms, c) =>
+        var i = 0
+        while (i < syms.length) {
+          symCounts.update(syms(i), symCounts.getOrElse(syms(i), 0L) + c)
+          if (i < syms.length - 1) {
+            val k = (syms(i), syms(i + 1))
+            pairCounts.update(k, pairCounts.getOrElse(k, 0L) + c)
+          }
+          i += 1
+        }
+      }
+      if (pairCounts.isEmpty) done = true
+      else {
+        def score(a: String, b: String, pc: Long): Long =
+          (pc << WP_SCORE_SHIFT) / (symCounts(a) * symCounts(b))
+        val ((l, rr), pc) = pairCounts.minBy { case ((a, b), v) =>
+          (-score(a, b, v), a, b)
+        }
+        val mergedSym = l + rr.stripPrefix("##")
+        vocab = vocab.map { case (w, syms, c0) =>
+          val merged = Array.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == rr) {
+              merged += mergedSym; i += 2 // greedy left-to-right
+            } else { merged += syms(i); i += 1 }
+          }
+          (w, merged.result(), c0)
+        }
+        merges += ((r.toLong, l, rr, pc, score(l, rr, pc)))
+        r += 1
+      }
+    }
+    (merges.result(), vocab)
+  }
+
+  /** The learned WordPiece merge table: one row per round,
+    * (round, left_sym, right_sym, pair_count, score_fp) — the third
+    * tokenizer algorithm beside [[bpeMerges]] (frequency argmax) and
+    * [[unigramVocab]] (EM pruning). Scale shape is identical to BPE: the
+    * corpus contributes the ONE distributed tokenize + word count; the
+    * merge rounds are a sequential recurrence over the vocab-sized
+    * (word, cnt) table and run inside one task (coalesce(1), the round-6
+    * rule — k distributed rounds would be pure exchange scheduling).
+    */
+  def wordpieceMerges(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    wordCounts(spark, sfDir).as[(String, Long)].coalesce(1).mapPartitions { it =>
+      val vocab0 = it.map { case (w, c) => (w, wpInitSyms(w), c) }.toArray
+      trainWordPieceRounds(vocab0, WP_ROUNDS)._1.iterator
+    }.toDF("round", "left_sym", "right_sym", "pair_count", "score_fp")
+  }
+
+  /** The trained WordPiece tokenizer as a persistable artifact:
+    * (w, n_syms) — each corpus word's symbol count after [[WP_ROUNDS]]
+    * likelihood-scored merges. Vocab-sized (broadcastable);
+    * [[ArtifactJobs]] round-trips it through parquet.
+    */
+  private[jobs] def wordpieceEncoderTable(
+      spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    wordCounts(spark, sfDir).as[(String, Long)].coalesce(1).mapPartitions { it =>
+      val vocab0 = it.map { case (w, c) => (w, wpInitSyms(w), c) }.toArray
+      trainWordPieceRounds(vocab0, WP_ROUNDS)._2.iterator
+        .map { case (w, syms, _) => (w, syms.length.toLong) }
+    }.toDF("w", "n_syms")
+  }
+
+  /** Token accounting under the trained WordPiece tokenizer — the
+    * [[bpeEncode]] shape: explode words → per-(doc, word) counts → join
+    * the vocab-sized encoder on 60-bit int keys → per-doc sums. The
+    * corpus never re-symbolizes per merge round.
+    */
+  def wordpieceEncode(spark: SparkSession, sfDir: String): DataFrame =
+    wordpieceEncodeWith(spark, sfDir,
+      wordpieceEncoderTable(spark, sfDir)
+        .select(hash60(col("w")).as("wh"), col("n_syms")))
+
+  /** The scoring half of [[wordpieceEncode]] against an encoder lookup
+    * table (wh, n_syms) — in-line trained or loaded from parquet.
+    */
+  private[jobs] def wordpieceEncodeWith(spark: SparkSession, sfDir: String,
+      enc: DataFrame): DataFrame = {
+    val dw = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        explode(TextAnalysis.tokens(lower(col("text")))).as("w"))
+      .groupBy(col("doc_id"), hash60(col("w")).as("wh"))
+      .agg(count(lit(1)).as("k"))
+    dw.join(enc, "wh")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("k")).as("n_words"),
+        sum(col("k") * col("n_syms")).as("n_wp_tokens"),
+        round(sum(col("k") * col("n_syms")).cast("double") / sum(col("k"))
+          + lit(1e-9), 4).as("tokens_per_word"))
+  }
+
+  /** The WordPiece merge rounds unrolled as CTE quadruples — the
+    * [[bpeVocabCtes]] discipline plus a per-round symbol-count CTE
+    * (`s_r`, the likelihood denominator) and the scaled-integer score in
+    * the argmax. `wv0` decorates continuations with `##`; the merged
+    * symbol strips the right side's `##` so the prefix survives iff the
+    * left was itself a continuation.
+    */
+  private val wpVocabCtes: String = {
+    val roundCtes = (1 to WP_ROUNDS).map { r =>
+      s"""s$r AS MATERIALIZED (
+         |  SELECT sym, CAST(SUM(cnt) AS BIGINT) AS n FROM (
+         |    SELECT unnest(string_split(substr(repr, 2, length(repr) - 2),
+         |             '||')) AS sym, cnt
+         |    FROM wv${r - 1})
+         |  GROUP BY 1
+         |), p$r AS MATERIALIZED (
+         |  SELECT s[i] AS left_sym, s[i + 1] AS right_sym,
+         |         CAST(SUM(cnt) AS BIGINT) AS pair_count
+         |  FROM (SELECT s, cnt, unnest(range(1, len(s))) AS i
+         |        FROM (SELECT string_split(substr(repr, 2, length(repr) - 2),
+         |                       '||') AS s, cnt
+         |              FROM wv${r - 1}))
+         |  GROUP BY 1, 2
+         |), m$r AS MATERIALIZED (
+         |  SELECT left_sym, right_sym, pair_count,
+         |         (pair_count * (CAST(1 AS BIGINT) << $WP_SCORE_SHIFT))
+         |           // (sl.n * sr.n) AS score_fp,
+         |         left_sym || CASE WHEN right_sym LIKE '##%'
+         |           THEN substr(right_sym, 3) ELSE right_sym END AS merged
+         |  FROM p$r JOIN s$r sl ON sl.sym = p$r.left_sym
+         |            JOIN s$r sr ON sr.sym = p$r.right_sym
+         |  ORDER BY score_fp DESC, left_sym ASC, right_sym ASC LIMIT 1
+         |), wv$r AS MATERIALIZED (
+         |  -- LEFT JOIN ON TRUE: an exhausted merge table passes the
+         |  -- vocab through unchanged instead of emptying the chain
+         |  SELECT w, COALESCE(replace(repr,
+         |           '|' || m.left_sym || '||' || m.right_sym || '|',
+         |           '|' || m.merged || '|'), repr) AS repr, cnt
+         |  FROM wv${r - 1} LEFT JOIN m$r m ON TRUE
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""wc AS (
+       |  SELECT w, COUNT(*) AS cnt FROM (
+       |    SELECT unnest(regexp_extract_all(lower(text), '[A-Za-z0-9]+')) AS w
+       |    FROM documents)
+       |  GROUP BY w
+       |), wv0 AS MATERIALIZED (
+       |  SELECT w, '|' || substr(w, 1, 1) || '|' ||
+       |         CASE WHEN length(w) > 1 THEN
+       |           regexp_replace(substr(w, 2, length(w) - 1),
+       |                          '(.)', '|##\\1|', 'g')
+       |         ELSE '' END AS repr, cnt
+       |  FROM wc
+       |), $roundCtes""".stripMargin
+  }
+
+  val wordpieceMergesSql: String = {
+    val out = (1 to WP_ROUNDS).map { r =>
+      s"SELECT CAST($r AS BIGINT) AS round, left_sym, right_sym, pair_count, score_fp FROM m$r"
+    }.mkString("\nUNION ALL ")
+    s"WITH $wpVocabCtes\n$out"
+  }
+
+  /** Oracle: the final `wv_k` symbolization IS the encoder — count its
+    * symbols per word and join the documents' word multiplicities.
+    */
+  val wordpieceEncodeSql: String =
+    s"""WITH $wpVocabCtes, enc AS (
+       |  SELECT w, CAST(len(string_split(substr(repr, 2, length(repr) - 2),
+       |           '||')) AS BIGINT) AS n_syms
+       |  FROM wv$WP_ROUNDS
+       |), dw AS (
+       |  SELECT doc_id, w, COUNT(*) AS k FROM (
+       |    SELECT doc_id, unnest(regexp_extract_all(lower(text), '[A-Za-z0-9]+')) AS w
+       |    FROM documents)
+       |  GROUP BY 1, 2
+       |)
+       |SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_words,
+       |       CAST(SUM(k * n_syms) AS BIGINT) AS n_wp_tokens,
+       |       ROUND(CAST(SUM(k * n_syms) AS DOUBLE) / CAST(SUM(k) AS BIGINT)
+       |             + 1e-9, 4) AS tokens_per_word
+       |FROM dw JOIN enc USING (w)
+       |GROUP BY doc_id""".stripMargin
+
   // ---- unigram-LM (SentencePiece-style) tokenizer trainer ----
 
   private val UNI_MAX_WORD = 10
@@ -1700,6 +1928,8 @@ object TextJobs {
     "text_redact" -> textRedact,
     "doc_packing" -> docPacking,
     "doc_chunks" -> docChunks,
+    "wordpiece_merges" -> wordpieceMerges,
+    "wordpiece_encode" -> wordpieceEncode,
     "token_rarity" -> tokenRarity,
     "source_stats" -> sourceStats,
     "text_stats" -> textStats,
@@ -1727,6 +1957,8 @@ object TextJobs {
     "text_redact" -> textRedactSql,
     "doc_packing" -> docPackingSql,
     "doc_chunks" -> docChunksSql,
+    "wordpiece_merges" -> wordpieceMergesSql,
+    "wordpiece_encode" -> wordpieceEncodeSql,
     "token_rarity" -> tokenRaritySql,
     "source_stats" -> sourceStatsSql,
     "text_stats" -> textStatsSql,

@@ -68,6 +68,20 @@ class ArtifactJobsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("wordpiece_encode_from_artifact equals wordpiece_encode") {
+    assertTwin("wordpiece_encode",
+      ArtifactJobs.wordpieceEncodeFromArtifact(spark, sf("sf0.001")),
+      TextJobs.wordpieceEncode(spark, sf("sf0.001")))
+    spark.catalog.clearCache()
+  }
+
+  test("semantic_dedup_from_artifact equals semantic_dedup") {
+    assertTwin("semantic_dedup",
+      ArtifactJobs.semanticDedupFromArtifact(spark, sf("sf0.001")),
+      SimilarityJobs.semanticDedup(spark, sf("sf0.001")))
+    spark.catalog.clearCache()
+  }
+
   test("ann_ivf_pq_from_artifact equals ann_ivf_pq_rerank") {
     assertTwin("ann_ivf_pq",
       ArtifactJobs.annIvfPqFromArtifact(spark, sf("sf0.001")),

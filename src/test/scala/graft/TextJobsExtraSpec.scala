@@ -189,4 +189,33 @@ class TextJobsExtraSpec extends SparkSpec {
       .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
     assert(enc.toSeq == Seq((1L, 3L, 3L, 1.0), (2L, 1L, 1L, 1.0)))
   }
+
+  test("wordpiece_merges learns the hand-computed likelihood merge table") {
+    // vocab: abc ×2, ab ×1 → v0: abc=[a,##b,##c], ab=[a,##b]
+    //   r1: counts a=3, ##b=3, ##c=2; pairs (a,##b)=3, (##b,##c)=2.
+    //       scores TIE at floor(2^38/3): (3<<38)/9 == (2<<38)/6 →
+    //       left tie-break: '##b' < 'a' (ASCII 35 < 97) → merge (##b,##c)
+    //       → abc=[a,##bc]
+    //   r2: counts a=3, ##bc=2, ##b=1; pairs (a,##bc)=2, (a,##b)=1.
+    //       scores TIE again at floor(2^38/3) → right tie-break:
+    //       '##b' < '##bc' → merge (a,##b) pc=1 → ab=[ab]
+    //   r3: counts a=2, ##bc=2, ab=1; only pair (a,##bc)=2 →
+    //       score (2<<38)/4 → merge → abc=[abc]
+    //   r4+: no pairs left → early stop, no rows
+    val third = (1L << 38) / 3   // floor(2^38 / 3)
+    val dir = java.nio.file.Files.createTempDirectory("wp_docs").toString
+    Seq((1L, "abc abc ab", "en", "s", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextJobs.wordpieceMerges(spark, dir)
+      .as[(Long, String, String, Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (1L, "##b", "##c", 2L, third),
+      (2L, "a", "##b", 1L, third),
+      (3L, "a", "##bc", 2L, (2L << 38) / 4)))
+    // both words collapse to one symbol; pass-through rounds keep the vocab
+    val enc = TextJobs.wordpieceEncode(spark, dir)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(enc.toSeq == Seq((1L, 3L, 3L, 1.0)))
+  }
 }
