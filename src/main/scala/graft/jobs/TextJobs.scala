@@ -509,6 +509,72 @@ object TextJobs {
           + lit(1e-9), 4).as("tokens_per_word"))
   }
 
+  /** Oracle-side enumeration stays bounded by construction (the unigram
+    * rule: DuckDB enumerates ALL paths, not best-first) — both engines
+    * fence the greedy gate to words this long or shorter. The corpus'
+    * longest word is 8 chars, so nothing real is excluded.
+    */
+  private val WP_GREEDY_MAX_WORD = 12
+
+  /** True BERT-style WordPiece INFERENCE over the trained vocabulary:
+    * greedy longest-match-first per word (word-initial pieces plain,
+    * continuations `##`-prefixed; single chars are always in vocab, so
+    * every corpus word segments — no [UNK] path on this fixture). The
+    * vocabulary is base symbols + one new symbol per learned merge,
+    * which is NOT the same encoder as [[wordpieceEncode]]'s merge-replay:
+    * replay can only reach symbolizations its merge history built, while
+    * greedy matches any vocab piece at any position — the two happen to
+    * coincide on this corpus' training words, but only greedy serves
+    * UNSEEN words (the production inference path), and this gate checks
+    * that algorithm where the trainer's lookup twin can't.
+    *
+    * Engine-exactness: greedy longest-match IS the segmentation that
+    * lexicographically maximizes the consumed-length sequence, an
+    * integer total order — the oracle enumerates all segmentations
+    * (bounded: single-char fallback gives ≤ 2^(len−1) paths at
+    * [[WP_GREEDY_MAX_WORD]] chars) and takes that argmax, no float
+    * anywhere. Scale shape: the trainer's one-task recurrence plus a
+    * per-word linear scan; output is vocab-sized.
+    */
+  def wordpieceGreedy(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    wordCounts(spark, sfDir).as[(String, Long)].coalesce(1).mapPartitions { it =>
+      val wcArr = it.toArray
+      val vocab0 = wcArr.map { case (w, c) => (w, wpInitSyms(w), c) }
+      val merges = trainWordPieceRounds(vocab0, WP_ROUNDS)._1
+      val vocab: Set[String] =
+        vocab0.iterator.flatMap(_._2).toSet ++
+          merges.iterator.map { case (_, l, r, _, _) => l + r.stripPrefix("##") }
+      wcArr.iterator.map(_._1)
+        .filter(_.length <= WP_GREEDY_MAX_WORD)
+        .map { w =>
+          val pieces = wpGreedySegment(w, vocab)
+          (w, pieces.length.toLong, pieces.mkString("|"))
+        }
+    }.toDF("w", "n_pieces", "seg")
+  }
+
+  /** Greedy longest-match-first: at each position take the LONGEST vocab
+    * piece matching (with the positional `##` decoration); single chars
+    * guarantee progress.
+    */
+  private def wpGreedySegment(w: String, vocab: Set[String]): List[String] = {
+    val out = List.newBuilder[String]
+    var pos = 0
+    while (pos < w.length) {
+      var found: String = null
+      var len = w.length - pos
+      while (found == null && len >= 1) {
+        val cand =
+          (if (pos == 0) "" else "##") + w.substring(pos, pos + len)
+        if (vocab.contains(cand)) found = cand else len -= 1
+      }
+      out += found
+      pos += len // consumed chars (## prefix excluded)
+    }
+    out.result()
+  }
+
   /** The WordPiece merge rounds unrolled as CTE quadruples — the
     * [[bpeVocabCtes]] discipline plus a per-round symbol-count CTE
     * (`s_r`, the likelihood denominator) and the scaled-integer score in
@@ -592,6 +658,51 @@ object TextJobs {
        |             + 1e-9, 4) AS tokens_per_word
        |FROM dw JOIN enc USING (w)
        |GROUP BY doc_id""".stripMargin
+
+  /** Oracle for the greedy gate: the trained vocabulary (base symbols ∪
+    * per-round merged symbols), then a recursive enumeration of every
+    * positional segmentation; greedy = the lexicographic MAX of the
+    * fixed-width consumed-length sequence (`lenseq`), so the argmax is a
+    * string comparison — no scores, no floats. Equal `lenseq` implies
+    * the identical segmentation (pieces are position+length determined),
+    * so the `seg ASC` tie-break is belt-and-braces only.
+    */
+  val wordpieceGreedySql: String = {
+    val mergedUnion = (1 to WP_ROUNDS)
+      .map(r => s"SELECT merged AS piece FROM m$r").mkString(" UNION ")
+    s"""WITH RECURSIVE $wpVocabCtes, vocab AS MATERIALIZED (
+       |  SELECT DISTINCT sym AS piece FROM (
+       |    SELECT unnest(string_split(substr(repr, 2, length(repr) - 2),
+       |             '||')) AS sym
+       |    FROM wv0)
+       |  UNION $mergedUnion
+       |), gwords AS (
+       |  SELECT w FROM wc WHERE length(w) <= $WP_GREEDY_MAX_WORD
+       |), reach AS (
+       |  SELECT w, 0 AS pos, '' AS lenseq, '' AS seg FROM gwords
+       |  UNION ALL
+       |  SELECT r.w,
+       |         r.pos + length(v.piece) - CASE WHEN r.pos = 0 THEN 0 ELSE 2 END,
+       |         r.lenseq || lpad(CAST(length(v.piece)
+       |           - CASE WHEN r.pos = 0 THEN 0 ELSE 2 END AS VARCHAR), 2, '0'),
+       |         r.seg || '|' || v.piece
+       |  FROM reach r JOIN vocab v ON
+       |    CASE WHEN r.pos = 0
+       |      THEN v.piece NOT LIKE '##%'
+       |       AND substr(r.w, 1, length(v.piece)) = v.piece
+       |      ELSE v.piece LIKE '##%'
+       |       AND substr(r.w, r.pos + 1, length(v.piece) - 2) = substr(v.piece, 3)
+       |    END
+       |  WHERE r.pos < length(r.w)
+       |)
+       |SELECT w, CAST(length(lenseq) // 2 AS BIGINT) AS n_pieces,
+       |       substr(seg, 2, length(seg)) AS seg
+       |FROM (
+       |  SELECT w, lenseq, seg, ROW_NUMBER() OVER (PARTITION BY w
+       |    ORDER BY lenseq DESC, seg ASC) AS rn
+       |  FROM reach WHERE pos = length(w)) b
+       |WHERE rn = 1""".stripMargin
+  }
 
   // ---- unigram-LM (SentencePiece-style) tokenizer trainer ----
 
@@ -1930,6 +2041,7 @@ object TextJobs {
     "doc_chunks" -> docChunks,
     "wordpiece_merges" -> wordpieceMerges,
     "wordpiece_encode" -> wordpieceEncode,
+    "wordpiece_greedy" -> wordpieceGreedy,
     "token_rarity" -> tokenRarity,
     "source_stats" -> sourceStats,
     "text_stats" -> textStats,
@@ -1959,6 +2071,7 @@ object TextJobs {
     "doc_chunks" -> docChunksSql,
     "wordpiece_merges" -> wordpieceMergesSql,
     "wordpiece_encode" -> wordpieceEncodeSql,
+    "wordpiece_greedy" -> wordpieceGreedySql,
     "token_rarity" -> tokenRaritySql,
     "source_stats" -> sourceStatsSql,
     "text_stats" -> textStatsSql,

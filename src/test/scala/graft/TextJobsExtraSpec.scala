@@ -217,5 +217,10 @@ class TextJobsExtraSpec extends SparkSpec {
     val enc = TextJobs.wordpieceEncode(spark, dir)
       .as[(Long, Long, Long, Double)].collect()
     assert(enc.toSeq == Seq((1L, 3L, 3L, 1.0)))
+    // greedy inference vocabulary = base {a,##b,##c} + merged
+    // {##bc, ab, abc}: longest-match takes the whole word in one piece
+    val greedy = TextJobs.wordpieceGreedy(spark, dir)
+      .as[(String, Long, String)].collect().sortBy(_._1)
+    assert(greedy.toSeq == Seq(("ab", 1L, "ab"), ("abc", 1L, "abc")))
   }
 }
