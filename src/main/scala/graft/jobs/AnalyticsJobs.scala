@@ -407,7 +407,76 @@ object AnalyticsJobs {
     """SELECT event_type, COUNT(*) AS cnt
       |FROM events GROUP BY event_type""".stripMargin
 
+  private val PR_ITERS = 10
+
+  /** PageRank over the bipartite user↔item interaction graph — the link-
+    * analysis workload (importance scoring for recommendation / crawl
+    * prioritization) run beside the UBA aggregations. Nodes are namespaced
+    * into one LONG id space (user → 2·id, item → 2·k+1); edges are the
+    * DISTINCT interaction pairs, symmetric, so the raw event log is
+    * aggregated away in one shuffle before any iteration runs.
+    *
+    * Integer-exact per [[graft.ops.Graph]]: 10^12-scaled BIGINT ranks,
+    * floor-div damping, order-independent integer sums — the 10 rounds
+    * restate as unrolled DuckDB CTEs and hash-match.
+    *
+    * 100 TB shape: the event scan collapses to ≤ |users|·|items| distinct
+    * edges (one shuffle); regime selection then runs the fixpoint in one
+    * task below 4M edges or as LONG-keyed distributed rounds above
+    * ([[graft.ops.Graph.pageRank]] scaladoc; SCALE.md §8g).
+    */
+  def itemPagerank(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select((col("user_id") * 2).as("u"),
+        (from_json(col("props"), lit("k LONG")).getField("k") * 2 + 1).as("it"))
+      .filter(col("it").isNotNull)
+    val e0 = ev.distinct()
+    val edges = e0.select(col("u").as("src"), col("it").as("dst"))
+      .unionAll(e0.select(col("it").as("src"), col("u").as("dst")))
+    graft.ops.Graph.pageRank(edges, iters = PR_ITERS)
+      .select(
+        when(col("node") % 2 === 0, "user").otherwise("item").as("node_kind"),
+        expr("node div 2").as("node_id"),
+        col("r").as("rank_s"))
+  }
+
+  /** Oracle: the identical integer recurrence, rounds unrolled as CTEs
+    * (the BPE/k-means unroll pattern); `//` is DuckDB floor division,
+    * exact on the all-positive operands, and the HUGEINT sum is cast back
+    * per the round-4 rule.
+    */
+  val itemPagerankSql: String = {
+    val rounds = (1 to PR_ITERS).map { i =>
+      s"""r$i AS (
+         |  SELECT n.node AS node,
+         |         CAST(${graft.ops.Graph.PrBase} +
+         |              COALESCE(SUM((r.r * 85) // (d.deg * 100)), 0) AS BIGINT) AS r
+         |  FROM nodes n
+         |  LEFT JOIN edges e ON e.dst = n.node
+         |  LEFT JOIN r${i - 1} r ON r.node = e.src
+         |  LEFT JOIN deg d ON d.src = e.src
+         |  GROUP BY n.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ev AS (
+       |  SELECT user_id * 2 AS u,
+       |         CAST(json_extract_string(props, '$$.k') AS BIGINT) * 2 + 1 AS it
+       |  FROM events
+       |  WHERE json_extract_string(props, '$$.k') IS NOT NULL
+       |), e0 AS (SELECT DISTINCT u, it FROM ev),
+       |edges AS (SELECT u AS src, it AS dst FROM e0
+       |          UNION ALL SELECT it, u FROM e0),
+       |deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+       |nodes AS (SELECT DISTINCT src AS node FROM edges),
+       |r0 AS (SELECT node, CAST(${graft.ops.Graph.PrScale} AS BIGINT) AS r
+       |       FROM nodes),
+       |$rounds
+       |SELECT CASE WHEN node % 2 = 0 THEN 'user' ELSE 'item' END AS node_kind,
+       |       node // 2 AS node_id, r AS rank_s
+       |FROM r$PR_ITERS""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "item_pagerank" -> itemPagerank,
     "salted_agg" -> saltedAgg,
     "session_agg" -> sessionAgg,
     "cube_agg" -> cubeAgg,
@@ -423,6 +492,7 @@ object AnalyticsJobs {
     "value_histogram" -> valueHistogram)
 
   val oracles: Map[String, String] = Map(
+    "item_pagerank" -> itemPagerankSql,
     "salted_agg" -> saltedAggSql,
     "event_props" -> eventPropsSql,
     "event_paths" -> eventPathsSql,

@@ -1,0 +1,147 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Link analysis over interaction graphs — the classic iterative-compute
+  * workload an analytics engine runs beside its aggregations (the
+  * reference's Flink sits next to Gelly; Spark's analogue is an iterative
+  * DataFrame loop, here with the same two-regime discipline as
+  * [[Dedup.connectedComponents]]).
+  *
+  * All arithmetic is INTEGER-scaled so any engine, any partitioning, any
+  * summation order lands on bit-identical ranks (the repo's engine-exact
+  * contract): ranks are 10^12-scaled BIGINTs, the damping step is a
+  * per-edge BIGINT floor division, and per-node in-flows are integer sums
+  * (order-independent). That makes the 10-round fixpoint restatable as
+  * unrolled SQL CTEs and hash-checkable against DuckDB.
+  */
+object Graph {
+
+  /** Rank scale: 1.0 of probability mass = 10^12. With ≤ ~10^6 nodes the
+    * total mass N·SCALE ≤ 10^18 stays inside BIGINT, and a single node's
+    * rank (≤ total mass) times the damping numerator 85 stays inside too.
+    * For graphs beyond 10^6 nodes callers drop the scale a decade per
+    * decade of nodes (the contract only needs scale ≫ N for resolution).
+    */
+  val PrScale: Long = 1000000000000L
+
+  /** Damped base mass: (1-d)·SCALE with d = 0.85, as exact integers. */
+  val PrBase: Long = PrScale * 15L / 100L
+
+  /** PageRank over a directed edge list (`src`, `dst` LONG), `iters`
+    * fixed rounds, damping 0.85, NO dangling-mass redistribution (callers
+    * passing symmetric edge sets — the bipartite-interaction case — have
+    * no dangling nodes by construction; for general graphs the leaked
+    * mass only rescales ranks uniformly per round, preserving order).
+    *
+    * Update rule, all BIGINT:
+    *   r₀(v)    = SCALE
+    *   rₜ₊₁(v) = BASE + Σ_{u→v} (rₜ(u)·85) div (outdeg(u)·100)
+    *
+    * Regime selection (the round-8 `connectedComponents` lesson, measured
+    * in SCALE.md §8f for the graph-loop family): the EDGE frame of an
+    * interaction graph is the distinct (user,item) pair set — orders of
+    * magnitude smaller than the event log it aggregates from — so when
+    * one count shows ≤ `singleTaskEdgeLimit` edges the whole k-round
+    * fixpoint runs inside ONE executor task over primitive arrays
+    * (`coalesce(1).mapPartitions`, no driver collect): k rounds × 3
+    * exchanges of a frame that fits in one task is pure scheduling.
+    * Above the limit the distributed loop runs: edges⨝ranks keyed on
+    * LONG node ids, per-round in-flow as a map-side-combinable integer
+    * sum, `localCheckpoint` every `checkpointEvery` rounds to stop the
+    * logical plan nesting one join layer per round (the round-4 rule).
+    *
+    * 100 TB shape: the event log never enters the loop — callers
+    * aggregate it to distinct edges first (one shuffle over the raw log);
+    * the loop then costs `iters` × (one edge⨝rank shuffle + one dst-keyed
+    * agg) over the edge frame only, every key a LONG.
+    */
+  def pageRank(
+      edges: DataFrame, iters: Int = 10,
+      checkpointEvery: Int = 5,
+      singleTaskEdgeLimit: Long = 4000000L): DataFrame =
+    pageRankInstrumented(edges, iters, checkpointEvery, singleTaskEdgeLimit)._1
+
+  /** [[pageRank]] plus which regime ran (true = single-task), so specs can
+    * pin the path — both land bit-identical ranks, which the output alone
+    * cannot reveal.
+    */
+  private[graft] def pageRankInstrumented(
+      edges: DataFrame, iters: Int,
+      checkpointEvery: Int = 5,
+      singleTaskEdgeLimit: Long = 4000000L): (DataFrame, Boolean) = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .distinct().cache()
+    val nEdges = e.count() // materializes the cache; picks the regime
+    if (nEdges <= singleTaskEdgeLimit) {
+      // One-task fixpoint over primitive arrays: node ids interned into a
+      // dense index, out-degrees and per-round in-flows as long arrays.
+      // Memory contract mirrors union-find's: ~4M edges ≈ tens of MB of
+      // primitive arrays, comfortable in one executor task.
+      val ranks = e.as[(Long, Long)].coalesce(1).mapPartitions { it =>
+        val pairs = it.toArray
+        val idx = scala.collection.mutable.LongMap.empty[Int]
+        val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+        def intern(x: Long): Int =
+          idx.getOrElseUpdate(x, { ids += x; ids.length - 1 })
+        val srcI = new Array[Int](pairs.length)
+        val dstI = new Array[Int](pairs.length)
+        var i = 0
+        while (i < pairs.length) {
+          srcI(i) = intern(pairs(i)._1); dstI(i) = intern(pairs(i)._2)
+          i += 1
+        }
+        val n = ids.length
+        val deg = new Array[Long](n)
+        i = 0
+        while (i < pairs.length) { deg(srcI(i)) += 1L; i += 1 }
+        var r = Array.fill(n)(PrScale)
+        var round = 0
+        while (round < iters) {
+          val nxt = Array.fill(n)(PrBase)
+          i = 0
+          while (i < pairs.length) {
+            nxt(dstI(i)) += (r(srcI(i)) * 85L) / (deg(srcI(i)) * 100L)
+            i += 1
+          }
+          r = nxt
+          round += 1
+        }
+        ids.indices.iterator.map(j => (ids(j), r(j)))
+      }.toDF("node", "r").localCheckpoint()
+      e.unpersist()
+      return (ranks, true)
+    }
+    // Distributed loop. Out-degrees ride the cached edge frame so each
+    // round's contribution is computable in-row after ONE rank join.
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val esd = e.join(deg, "src").cache()
+    esd.count() // materialize so the raw edge cache can be released
+    e.unpersist()
+    val nodes = esd.select(col("src").as("node"))
+      .union(esd.select(col("dst").as("node"))).distinct().cache()
+    var ranks = nodes.select(col("node"), lit(PrScale).as("r")).cache()
+    var prev = ranks
+    var round = 0
+    while (round < iters) {
+      val inflow = esd
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(sum(expr("(r * 85) div (deg * 100)")).as("in_r"))
+      val next0 = nodes.join(inflow, Seq("node"), "left")
+        .select(col("node"),
+          (lit(PrBase) + coalesce(col("in_r"), lit(0L))).as("r"))
+      val next = if ((round + 1) % checkpointEvery == 0) next0.localCheckpoint()
+                 else next0.cache()
+      next.count()
+      prev.unpersist()
+      prev = next
+      ranks = next
+      round += 1
+    }
+    (ranks, false)
+  }
+}

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** PageRank: hand-computed recurrence values, regime equivalence (the
+  * single-task fixpoint and the distributed loop must land bit-identical
+  * BIGINT ranks on the same graph), and the mass-accounting invariant the
+  * integer recurrence preserves.
+  */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.ops.Graph
+
+  private def refRanks(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val es = edges.distinct
+    val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct
+    val deg = es.groupBy(_._1).map { case (s, g) => s -> g.size.toLong }
+    var r = nodes.map(_ -> Graph.PrScale).toMap
+    for (_ <- 1 to iters) {
+      val in = es.groupBy(_._2).map { case (d, g) =>
+        d -> g.map { case (s, _) => (r(s) * 85L) / (deg(s) * 100L) }.sum
+      }
+      r = nodes.map(n => n -> (Graph.PrBase + in.getOrElse(n, 0L))).toMap
+    }
+    r
+  }
+
+  test("single-task path matches the reference recurrence on a hand graph") {
+    // two users (0,2), two items (1,3): u0 touches both items, u2 only item 1
+    val edges = Seq((0L, 1L), (0L, 3L), (2L, 1L))
+    val sym = edges ++ edges.map(_.swap)
+    val (df, singleTask) = Graph.pageRankInstrumented(
+      sym.toDF("src", "dst"), iters = 10)
+    assert(singleTask)
+    val got = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == refRanks(sym, 10))
+    // item 1 (two in-edges) must outrank item 3 (one)
+    assert(got(1L) > got(3L))
+  }
+
+  test("distributed loop lands bit-identical ranks to the single-task path") {
+    val rnd = new scala.util.Random(11)
+    val edges = Seq.fill(120) {
+      (rnd.nextInt(20).toLong * 2, rnd.nextInt(15).toLong * 2 + 1)
+    }.distinct
+    val sym = (edges ++ edges.map(_.swap)).toDF("src", "dst")
+    val (one, p1) = Graph.pageRankInstrumented(sym, iters = 10)
+    val (dist, p2) = Graph.pageRankInstrumented(
+      sym, iters = 10, singleTaskEdgeLimit = 0L)
+    assert(p1 && !p2)
+    val a = one.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = dist.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+    assert(a == refRanks(edges ++ edges.map(_.swap), 10))
+  }
+
+  test("mass accounting: total rank stays within floor-loss of N*scale") {
+    // each round redistributes total mass N·S: base injects 0.15·N·S and
+    // damping passes ≤ 0.85·N·S; floor division only ever LOSES mass, at
+    // most 1 unit per (edge, round) — so the fixpoint total is bounded
+    // above by N·S and below by N·S minus the loss budget
+    val edges = Seq((0L, 1L), (1L, 0L), (0L, 3L), (3L, 0L), (2L, 1L), (1L, 2L))
+    val (df, _) = Graph.pageRankInstrumented(edges.toDF("src", "dst"), 10)
+    val ranks = df.collect().map(_.getLong(1))
+    val n = ranks.length
+    val total = ranks.sum
+    assert(total <= n * Graph.PrScale)
+    assert(total >= n * Graph.PrScale - 10L * edges.size - 10L * n)
+  }
+}
