@@ -808,7 +808,58 @@ object SimilarityJobs {
        |  FROM s) final
        |WHERE rn <= $TOP_K""".stripMargin
 
+  private val KCENTER_K = 8
+
+  /** Greedy k-center coreset over the embedding corpus: 8 maximally-spread
+    * representatives + nearest-center assignment for every vector
+    * ([[Similarity.kCenterCoreset]] scaladoc for the engine-exact integer
+    * quantization and the k-scan scale shape). The diversity-selection
+    * counterpart to `embedding_clusters`' density-seeking k-means.
+    */
+  def coresetKcenter(spark: SparkSession, sfDir: String): DataFrame =
+    Similarity.kCenterCoreset(vectors(spark, sfDir), KCENTER_K)
+
+  /** Oracle: the identical greedy recurrence, rounds unrolled as CTEs
+    * (the k-means unroll pattern). Quantized coords make every squared
+    * distance an integer-valued double < 2^53, so MIN/argmax/assignment
+    * agree bit-for-bit regardless of each engine's summation order.
+    */
+  val coresetKcenterSql: String = {
+    val quant = "CAST(CAST(ROUND(x * 1000000.0 + 1e-9) AS BIGINT) AS DOUBLE)"
+    val rounds = (1 to KCENTER_K - 1).map { t =>
+      s"""m$t AS (
+         |  SELECT p.vec_id,
+         |         MIN(p.n2 + c.n2 - 2 * list_dot_product(p.qv, c.qv)) AS md
+         |  FROM n p CROSS JOIN
+         |       (SELECT n.* FROM n WHERE n.vec_id IN (SELECT cid FROM c${t - 1})) c
+         |  WHERE p.vec_id NOT IN (SELECT cid FROM c${t - 1})
+         |  GROUP BY p.vec_id),
+         |pick$t AS (SELECT vec_id FROM m$t ORDER BY md DESC, vec_id ASC LIMIT 1),
+         |c$t AS (SELECT cid FROM c${t - 1} UNION ALL SELECT vec_id FROM pick$t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH q AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding::DOUBLE[], x -> $quant) AS qv
+       |  FROM embeddings
+       |), n AS (
+       |  SELECT vec_id, qv, list_dot_product(qv, qv) AS n2 FROM q
+       |), c0(cid) AS (VALUES (0)),
+       |$rounds,
+       |assign AS (
+       |  SELECT p.vec_id, c.vec_id AS center_id,
+       |         CAST(p.n2 + c.n2 - 2 * list_dot_product(p.qv, c.qv) AS BIGINT)
+       |           AS dist2,
+       |         ROW_NUMBER() OVER (PARTITION BY p.vec_id ORDER BY
+       |           p.n2 + c.n2 - 2 * list_dot_product(p.qv, c.qv) ASC,
+       |           c.vec_id ASC) AS rn
+       |  FROM n p CROSS JOIN
+       |       (SELECT n.* FROM n WHERE n.vec_id IN (SELECT cid FROM c${KCENTER_K - 1})) c
+       |)
+       |SELECT vec_id, center_id, dist2 FROM assign WHERE rn = 1""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "coreset_kcenter" -> coresetKcenter,
     "pq_codes" -> pqCodes,
     "pq_codes_trained" -> pqCodesTrained,
     "pq_adc_topk" -> pqAdcTopK,
@@ -827,6 +878,7 @@ object SimilarityJobs {
     "semantic_dedup" -> semanticDedup)
 
   val oracles: Map[String, String] = Map(
+    "coreset_kcenter" -> coresetKcenterSql,
     "pq_codes" -> pqCodesSql,
     "pq_codes_trained" -> pqCodesTrainedSql,
     "pq_adc_topk" -> pqAdcTopKSql,

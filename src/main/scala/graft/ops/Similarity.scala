@@ -788,4 +788,77 @@ object Similarity {
       .agg(sum(col("qdist")).as("adist"))
     adcShortlistRerank(adc, vectors, topK, shortlist)
   }
+
+  /** Greedy k-center (farthest-point traversal) coreset selection: start
+    * from `vec_id` 0, then k-1 times add the point FARTHEST from the
+    * chosen set (max over points of min over centers of distance), and
+    * finally assign every point to its nearest center. The classic
+    * 2-approximation for diversity/coverage subset selection — the
+    * curation step that picks a maximally-spread seed set (dedup anchors,
+    * labeling budgets, eval panels) where k-means picks density centers.
+    *
+    * Engine-exact: coordinates quantize to `KmeansQuantScale` integers
+    * (carried as exact doubles), so every squared distance
+    * n²(p) + n²(c) − 2·p·c is an integer-valued double < 2^53 — partial
+    * sums stay exactly representable, making min/argmax and the final
+    * assignment reproducible bit-for-bit in DuckDB, any summation order.
+    * Ties (equal farthest distance) break on the smaller vec_id; the
+    * assignment tie-breaks on the smaller center id.
+    *
+    * Scale shape: each of the k−1 rounds is ONE scan computing ≤ k
+    * codegen'd dot products per row with a global
+    * `orderBy(...).limit(1)` — TakeOrderedAndProject, no window, no
+    * shuffle of the vector payload; the chosen set lives on the driver
+    * (k rows — the same model-sized contract as k-means centroids). The
+    * final assignment is a broadcast cross product against the k-row
+    * center frame with an id-partitioned argmin window. Total cost
+    * k scans of the corpus — linear in corpus size, independent of pair
+    * counts.
+    */
+  def kCenterCoreset(vectors: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, "k-center needs k >= 1")
+    val spark = vectors.sparkSession
+    // integer-quantized coords as exact doubles; n2 = ||q||² (exact)
+    val q = vectors.select(col("vec_id"),
+        expr(s"transform(v, x -> cast(cast(round(x * $KmeansQuantScale + 1e-9) " +
+          "as bigint) as double))").as("qv"))
+      .withColumn("n2", dot(col("qv"), col("qv")))
+      .cache()
+    val first = q.filter(col("vec_id") === 0).select(col("qv")).head()
+      .getSeq[Double](0).toArray
+    var centers = Vector((0L, first))
+    def dist2To(c: Array[Double]): Column =
+      col("n2") + lit(c.map(x => x * x).sum) -
+        lit(2.0) * dot(col("qv"), typedLit(c.toSeq))
+    var t = 1
+    while (t < k) {
+      val chosenIds = centers.map(_._1)
+      val dists = centers.map { case (_, c) => dist2To(c) }
+      val md = if (dists.size == 1) dists.head else least(dists: _*)
+      val nxt = q.filter(!col("vec_id").isInCollection(chosenIds))
+        .select(col("vec_id"), md.as("md"), col("qv"))
+        .orderBy(col("md").desc, col("vec_id").asc)
+        .limit(1).head()
+      centers = centers :+ ((nxt.getLong(0), nxt.getSeq[Double](2).toArray))
+      t += 1
+    }
+    // nearest-center assignment: broadcast the k-row center frame, argmin
+    // by (dist2, center_id) via an id-partitioned window
+    import spark.implicits._
+    val cent = centers.map { case (id, c) => (id, c.toSeq) }
+      .toDF("center_id", "cqv")
+      .withColumn("cn2", dot(col("cqv"), col("cqv")))
+    val scored = q.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("center_id"),
+        (col("n2") + col("cn2") - lit(2.0) * dot(col("qv"), col("cqv")))
+          .cast("long").as("dist2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id"))
+      .orderBy(col("dist2").asc, col("center_id").asc)
+    // q stays cached through the caller's action (the assignment reads it
+    // one last time); the harness clearCache between queries releases it
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("center_id"), col("dist2"))
+  }
 }

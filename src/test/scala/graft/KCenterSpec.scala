@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Greedy k-center coreset: hand-checkable farthest-point traversal on a
+  * planted geometry, plus the reference-recomputation property (selection
+  * order and assignment must match an in-memory replay of the same
+  * integer-quantized recurrence).
+  */
+class KCenterSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.ops.Similarity
+
+  private def quant(v: Seq[Double]): Array[Double] =
+    v.map(x => math.round(x * 1e6 + 1e-9).toDouble).toArray
+
+  private def d2(a: Array[Double], b: Array[Double]): Double =
+    a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+
+  private def refKCenter(
+      pts: Map[Long, Seq[Double]], k: Int): (Vector[Long], Map[Long, (Long, Long)]) = {
+    val q = pts.map { case (id, v) => id -> quant(v) }
+    var centers = Vector(0L)
+    while (centers.size < k) {
+      val cand = q.keys.filterNot(centers.contains).map { id =>
+        (id, centers.map(c => d2(q(id), q(c))).min)
+      }
+      // farthest first, tie on smaller id
+      val next = cand.toSeq.minBy { case (id, md) => (-md, id) }._1
+      centers :+= next
+    }
+    val assign = q.map { case (id, v) =>
+      val (cid, dd) = centers.map(c => (c, d2(v, q(c))))
+        .minBy { case (c, dd) => (dd, c) }
+      id -> (cid, dd.toLong)
+    }
+    (centers, assign)
+  }
+
+  test("planted clusters: one center lands in each, assignment recovers them") {
+    // four tight blobs far apart; k=4 must pick one point per blob
+    val blob = Seq(
+      Seq(0.0, 0.0), Seq(0.01, 0.0), Seq(0.0, 0.01),
+      Seq(10.0, 0.0), Seq(10.01, 0.0),
+      Seq(0.0, 10.0), Seq(0.0, 10.01),
+      Seq(10.0, 10.0), Seq(10.01, 10.01))
+    val df = blob.zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("vec_id", "v")
+      .select(col("vec_id"), col("v").cast("array<double>").as("v"))
+    val out = Similarity.kCenterCoreset(df, 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val centers = out.map(_._2).distinct.sorted
+    // greedy picks the FARTHEST member of each far blob: 8 = (10.01,10.01)
+    // beats 7, then 4 and 6 (the 10.01-offset points) tie and break by id
+    assert(centers == Seq(0L, 4L, 6L, 8L))
+    val byId = out.map(t => t._1 -> t._2).toMap
+    assert(Seq(0L, 1L, 2L).forall(byId(_) == 0L))
+    assert(Seq(3L, 4L).forall(byId(_) == 4L))
+    assert(Seq(5L, 6L).forall(byId(_) == 6L))
+    assert(Seq(7L, 8L).forall(byId(_) == 8L))
+  }
+
+  test("matches the in-memory reference replay on seeded random vectors") {
+    val rnd = new scala.util.Random(5)
+    val pts = (0L until 40L).map(i =>
+      i -> Seq.fill(8)(rnd.nextDouble() * 2 - 1)).toMap
+    val df = pts.toSeq.toDF("vec_id", "v")
+      .select(col("vec_id"), col("v").cast("array<double>").as("v"))
+    val out = Similarity.kCenterCoreset(df, 6).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val (centers, assign) = refKCenter(pts, 6)
+    assert(out.keySet == pts.keySet)
+    assert(out == assign, s"centers chosen: $centers")
+  }
+}
