@@ -220,8 +220,13 @@ object DedupJobs {
   /** Oracle: transitive closure by recursive CTE over the same candidate
     * edges; MIN(reached) is the same fixpoint min-label propagation reaches.
     */
-  val dedupClustersSql: String =
-    s"""WITH RECURSIVE $bigramCte, $hashedGramCte, sig AS (
+  /** Shared CTE chain: grams → hashed grams → signatures → LSH candidate
+    * edges → recursive transitive closure. [[dedupClustersSql]] reads the
+    * component minimum off it directly; [[splitLeakageSafeSql]] builds the
+    * cluster-keyed split on top of the same chain.
+    */
+  private def clusterReachCtes: String =
+    s"""$bigramCte, $hashedGramCte, sig AS (
        |  SELECT doc_id, $minhashAggSql
        |  FROM e GROUP BY doc_id
        |), cand AS (
@@ -235,7 +240,10 @@ object DedupJobs {
        |  SELECT doc_id, doc_id AS reached FROM documents
        |  UNION
        |  SELECT r.doc_id, e.dst FROM reach r JOIN edges e ON e.src = r.reached
-       |)
+       |)""".stripMargin
+
+  val dedupClustersSql: String =
+    s"""WITH RECURSIVE $clusterReachCtes
        |SELECT doc_id, MIN(reached) AS cluster FROM reach GROUP BY doc_id""".stripMargin
 
   // ---- deterministic train/val/test split + decontamination ----
@@ -269,6 +277,54 @@ object DedupJobs {
     s"""SELECT lang, $splitSqlExpr AS split,
        |       COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS n_chars
        |FROM documents GROUP BY 1, 2""".stripMargin
+
+  /** Leakage-safe split assignment: the split hash is taken on the
+    * near-dup CLUSTER root, not the document id, so a whole near-dup
+    * family lands in ONE split by construction — the preventive fix for
+    * what [[decontamination]] detects after the fact (eval docs whose
+    * near-copies sit in train). Each doc also carries its cluster size
+    * and a duplication-flattened sampling weight (⌊10⁶/size⌋ ppm): the
+    * "count each near-dup family once" reweighting a training mixture
+    * applies instead of hard-dropping copies.
+    *
+    * Scale shape: clusters come from the shared MinHash-LSH pipeline
+    * (banded equi-joins + regime-selected component resolution — nothing
+    * quadratic); the size and split decorate via ONE cluster-keyed window
+    * over the doc-sized frame (high-cardinality int key), no second join.
+    */
+  def splitLeakageSafe(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val clusters = pipeline(spark, sfDir).clusters
+    val bucket = conv(substring(md5(col("cluster").cast("string")), 1, 8), 16, 10)
+      .cast("long") % 100
+    clusters
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("cluster"))))
+      .withColumn("split",
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+      .withColumn("weight_ppm", expr("1000000 div cluster_size"))
+      .select(col("doc_id"), col("cluster"), col("cluster_size"),
+        col("split"), col("weight_ppm"))
+  }
+
+  /** Oracle: the cluster chain verbatim, then the identical root-keyed
+    * hash split and flattened weight (BIGINT floor division on both
+    * sides; COUNT OVER stays BIGINT so no HUGEINT cast is needed).
+    */
+  val splitLeakageSafeSql: String =
+    s"""WITH RECURSIVE $clusterReachCtes, clust AS (
+       |  SELECT doc_id, MIN(reached) AS cluster FROM reach GROUP BY doc_id
+       |), sized AS (
+       |  SELECT doc_id, cluster,
+       |         COUNT(*) OVER (PARTITION BY cluster) AS cluster_size
+       |  FROM clust
+       |)
+       |SELECT doc_id, cluster, cluster_size,
+       |       CASE WHEN ${hexIntSql("cluster::VARCHAR")} % 100 < 80 THEN 'train'
+       |            WHEN ${hexIntSql("cluster::VARCHAR")} % 100 < 90 THEN 'val'
+       |            ELSE 'test' END AS split,
+       |       CAST(1000000 AS BIGINT) // cluster_size AS weight_ppm
+       |FROM sized""".stripMargin
 
   /** Decontamination: near-duplicate pairs that CROSS split boundaries —
     * eval documents leaking into train.
@@ -1112,6 +1168,7 @@ object DedupJobs {
     "substring_dedup_clean" -> substringDedupClean,
     "repetition_clean" -> repetitionClean,
     "train_split" -> trainSplit,
+    "split_leakage_safe" -> splitLeakageSafe,
     "decontamination" -> decontamination)
 
   val oracles: Map[String, String] = Map(
@@ -1141,5 +1198,6 @@ object DedupJobs {
     "substring_dedup_clean" -> substringDedupCleanSql,
     "repetition_clean" -> repetitionCleanSql,
     "train_split" -> trainSplitSql,
+    "split_leakage_safe" -> splitLeakageSafeSql,
     "decontamination" -> decontaminationSql)
 }

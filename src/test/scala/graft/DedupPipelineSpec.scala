@@ -84,4 +84,23 @@ class DedupPipelineSpec extends SparkSpec {
       assert(clusters == isolatedClusters)
     } finally pipe.unpersist()
   }
+
+  test("leakage-safe split: no near-dup cluster straddles splits") {
+    val rows = DedupJobs.splitLeakageSafe(spark, sf("sf0.001")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    // the defining property: one split per cluster
+    val splitsPerCluster = rows.groupBy(_._2).values.map(_.map(_._4).distinct.size)
+    assert(splitsPerCluster.forall(_ == 1))
+    // cluster_size is consistent with the actual membership counts
+    val counts = rows.groupBy(_._2).map { case (c, g) => c -> g.length.toLong }
+    assert(rows.forall { case (_, c, sz, _, _) => counts(c) == sz })
+    // flattened weight: floor(1e6/size), so each family's total weight
+    // is ≤ 1e6 and ≥ 1e6 - size
+    assert(rows.forall { case (_, _, sz, _, w) => w == 1000000L / sz })
+    // docs that share a cluster with a smaller-id doc inherit ITS hash
+    // bucket — spot the non-singleton clusters actually exercised the rule
+    assert(rows.exists(_._3 > 1))
+  }
 }
