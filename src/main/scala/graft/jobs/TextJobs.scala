@@ -2031,7 +2031,71 @@ object TextJobs {
        |CROSS JOIN theta""".stripMargin
   }
 
+  /** Cross-tokenizer comparison — the query that PICKS the tokenizer: all
+    * three trained tokenizers (BPE, unigram/SentencePiece, WordPiece)
+    * scored over the same corpus, aggregated per source: token totals and
+    * chars-per-token compression. Composes the three gate encoders
+    * unchanged (one doc_id-keyed join of their per-doc accounting frames);
+    * the per-source ratios are BIGINT÷BIGINT double divisions — exact and
+    * engine-identical — under the usual +1e-9 nudged 4-decimal rounding.
+    *
+    * Scale shape: each encoder is the already-audited vocab-broadcast
+    * join; the comparison adds one doc-keyed join lineage and a 20-key
+    * two-phase agg — nothing new shuffles on strings.
+    */
+  def tokenizerCompare(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val b = bpeEncode(spark, sfDir)
+      .select(col("doc_id"), col("n_words"), col("n_bpe_tokens"))
+    val u = unigramEncode(spark, sfDir)
+      .select(col("doc_id"), col("n_unigram_pieces"))
+    val w = wordpieceEncode(spark, sfDir)
+      .select(col("doc_id"), col("n_wp_tokens"))
+    def cpt(tok: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      round(sum(col("n_chars")).cast("double") / tok.cast("double") + lit(1e-9), 4)
+    docs.join(b, "doc_id").join(u, "doc_id").join(w, "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("words"),
+        sum(col("n_chars")).as("chars"),
+        sum(col("n_bpe_tokens")).as("bpe_tokens"),
+        sum(col("n_unigram_pieces")).as("unigram_pieces"),
+        sum(col("n_wp_tokens")).as("wp_tokens"),
+        cpt(sum(col("n_bpe_tokens"))).as("chars_per_bpe"),
+        cpt(sum(col("n_unigram_pieces"))).as("chars_per_unigram"),
+        cpt(sum(col("n_wp_tokens"))).as("chars_per_wp"))
+  }
+
+  /** Oracle: the three encode oracles verbatim as nested-WITH CTEs (each
+    * is self-contained, so the composition is purely syntactic), joined
+    * per doc and aggregated identically.
+    */
+  val tokenizerCompareSql: String =
+    s"""WITH bpe AS ($bpeEncodeSql),
+       |uni AS ($unigramEncodeSql),
+       |wp AS ($wordpieceEncodeSql),
+       |j AS (
+       |  SELECT d.source, d.n_chars, b.n_words, b.n_bpe_tokens,
+       |         u.n_unigram_pieces, w.n_wp_tokens
+       |  FROM documents d
+       |  JOIN bpe b ON b.doc_id = d.doc_id
+       |  JOIN uni u ON u.doc_id = d.doc_id
+       |  JOIN wp w ON w.doc_id = d.doc_id
+       |)
+       |SELECT source, COUNT(*) AS n_docs,
+       |       CAST(SUM(n_words) AS BIGINT) AS words,
+       |       CAST(SUM(n_chars) AS BIGINT) AS chars,
+       |       CAST(SUM(n_bpe_tokens) AS BIGINT) AS bpe_tokens,
+       |       CAST(SUM(n_unigram_pieces) AS BIGINT) AS unigram_pieces,
+       |       CAST(SUM(n_wp_tokens) AS BIGINT) AS wp_tokens,
+       |       ROUND(CAST(SUM(n_chars) AS DOUBLE) / CAST(SUM(n_bpe_tokens) AS DOUBLE) + 1e-9, 4) AS chars_per_bpe,
+       |       ROUND(CAST(SUM(n_chars) AS DOUBLE) / CAST(SUM(n_unigram_pieces) AS DOUBLE) + 1e-9, 4) AS chars_per_unigram,
+       |       ROUND(CAST(SUM(n_chars) AS DOUBLE) / CAST(SUM(n_wp_tokens) AS DOUBLE) + 1e-9, 4) AS chars_per_wp
+       |FROM j GROUP BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tokenizer_compare" -> tokenizerCompare,
     "quality_classifier" -> qualityClassifier,
     "quality_classifier_trained" -> qualityClassifierTrained,
     "c4_filters" -> c4Filters,
@@ -2062,6 +2126,7 @@ object TextJobs {
     "text_repetition" -> textRepetition)
 
   val oracles: Map[String, String] = Map(
+    "tokenizer_compare" -> tokenizerCompareSql,
     "quality_classifier" -> qualityClassifierSql,
     "quality_classifier_trained" -> qualityClassifierTrainedSql,
     "c4_filters" -> c4FiltersSql,
