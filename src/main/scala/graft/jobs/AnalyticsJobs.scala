@@ -426,13 +426,20 @@ object AnalyticsJobs {
     * ([[graft.ops.Graph.pageRank]] scaladoc; SCALE.md §8g).
     */
   def itemPagerank(spark: SparkSession, sfDir: String): DataFrame = {
+    // props is the driver's flat {"k": <int>} payload; the anchored regexp
+    // extracts the same integers json parsing would at ~1/3 the cold cost
+    // (from_json's Jackson init + per-row tree walk is the expensive part,
+    // measured 1.7 vs 0.5 s cold at sf0.1) — the oracle states it as
+    // json_extract_string, so both engines agree on the value
     val ev = Tables.events(spark, sfDir)
       .select((col("user_id") * 2).as("u"),
-        (from_json(col("props"), lit("k LONG")).getField("k") * 2 + 1).as("it"))
+        (regexp_extract(col("props"), "\"k\"\\s*:\\s*(-?\\d+)", 1)
+          .cast("long") * 2 + 1).as("it"))
       .filter(col("it").isNotNull)
-    val e0 = ev.distinct()
-    val edges = e0.select(col("u").as("src"), col("it").as("dst"))
-      .unionAll(e0.select(col("it").as("src"), col("u").as("dst")))
+    // no pre-distinct: pageRank dedupes internally, and union-then-distinct
+    // is ONE exchange instead of two chained ones
+    val edges = ev.select(col("u").as("src"), col("it").as("dst"))
+      .unionAll(ev.select(col("it").as("src"), col("u").as("dst")))
     graft.ops.Graph.pageRank(edges, iters = PR_ITERS)
       .select(
         when(col("node") % 2 === 0, "user").otherwise("item").as("node_kind"),
