@@ -858,7 +858,54 @@ object SimilarityJobs {
        |SELECT vec_id, center_id, dist2 FROM assign WHERE rn = 1""".stripMargin
   }
 
+  private val PCA_ITERS = 5
+
+  /** Integer power-iteration top-PC projection of every embedding — the
+    * LEARNED 1-D reduction beside `embedding_project`'s data-oblivious JL
+    * planes ([[Similarity.pcaPowerProjection]] scaladoc: one Gram pass +
+    * driver-side rounds + one projection scan; zero per-round exchanges).
+    */
+  def embeddingPca(spark: SparkSession, sfDir: String): DataFrame =
+    Similarity.pcaPowerProjection(vectors(spark, sfDir), DIMS, PCA_ITERS)
+
+  /** Oracle: quantized Gram via a range-join outer product, then the
+    * identical five matrix-vector rounds unrolled as CTEs; sign is
+    * factored out of every division so `//` only ever sees positive
+    * operands (= Scala truncation).
+    */
+  val embeddingPcaSql: String = {
+    val quant = "CAST(CAST(ROUND(x * 1000.0 + 1e-9) AS BIGINT) AS DOUBLE)"
+    val rounds = (1 to PCA_ITERS).map { t =>
+      s"""y$t AS (
+         |  SELECT g.d1 AS d, CAST(SUM(g.g * v.v) AS BIGINT) AS y
+         |  FROM gram g JOIN v${t - 1} v ON v.d = g.d2 GROUP BY g.d1),
+         |m$t AS (SELECT GREATEST(MAX(ABS(y)) // ${Similarity.PcaVScale}, 1) AS m
+         |        FROM y$t),
+         |v$t AS (
+         |  SELECT d, (CASE WHEN y < 0 THEN -1 ELSE 1 END) * (ABS(y) // m) AS v
+         |  FROM y$t CROSS JOIN m$t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH xe AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding::DOUBLE[], x -> $quant) AS qv
+       |  FROM embeddings
+       |), gram AS (
+       |  SELECT d1.i AS d1, d2.i AS d2,
+       |         CAST(SUM(qv[d1.i] * qv[d2.i]) AS BIGINT) AS g
+       |  FROM xe, range(1, ${DIMS + 1}) d1(i), range(1, ${DIMS + 1}) d2(i)
+       |  GROUP BY d1.i, d2.i
+       |), v0 AS (
+       |  SELECT i AS d, CAST(${Similarity.PcaVScale} AS BIGINT) AS v
+       |  FROM range(1, ${DIMS + 1}) t(i)
+       |),
+       |$rounds
+       |SELECT x.vec_id, CAST(SUM(x.qv[v.d] * v.v) AS BIGINT) AS proj_q
+       |FROM xe x CROSS JOIN v$PCA_ITERS v
+       |GROUP BY x.vec_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "embedding_pca" -> embeddingPca,
     "coreset_kcenter" -> coresetKcenter,
     "pq_codes" -> pqCodes,
     "pq_codes_trained" -> pqCodesTrained,
@@ -878,6 +925,7 @@ object SimilarityJobs {
     "semantic_dedup" -> semanticDedup)
 
   val oracles: Map[String, String] = Map(
+    "embedding_pca" -> embeddingPcaSql,
     "coreset_kcenter" -> coresetKcenterSql,
     "pq_codes" -> pqCodesSql,
     "pq_codes_trained" -> pqCodesTrainedSql,

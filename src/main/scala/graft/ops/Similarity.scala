@@ -861,4 +861,85 @@ object Similarity {
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("center_id"), col("dist2"))
   }
+
+  /** Coordinate quantization scale for the PCA power iteration: coarser
+    * than [[KmeansQuantScale]] (10³ vs 10⁶) because the Gram entries are
+    * SUMS of coordinate products over the whole corpus — at 10³ a Gram
+    * entry stays ≤ n·10⁶ (BIGINT-safe through ~10¹² vectors) and every
+    * matrix-vector product below stays ≤ dims·n·10⁶·10⁶ (safe through
+    * ~10⁵·n). The algorithm is DEFINED over the quantized inputs, so
+    * both engines land identical integers at any precision choice.
+    */
+  val PcaXScale: Double = 1e3
+
+  /** Power-iteration direction scale: the iterate renormalizes to
+    * max-abs ≈ 10⁶ each round (integer division by ⌊max/10⁶⌋).
+    */
+  val PcaVScale: Long = 1000000L
+
+  /** Top-principal-direction projection by integer power iteration —
+    * the learned 1-D reduction beside [[randomProject]]'s data-oblivious
+    * JL planes: score_q(x) = ⟨x_q, v_iters⟩ where v is `iters` rounds of
+    * the Gram-matrix power recurrence
+    *   y = G·v;  v' = sign(y)·(|y| div max(⌊max|y|/10⁶⌋, 1))
+    * over the UNcentered quantized Gram G = Σ x_q·x_qᵀ. All arithmetic is
+    * BIGINT with positive-operand divisions only (sign is factored out —
+    * Scala truncation and DuckDB floor agree on positives, round-4 rule),
+    * so the recurrence restates as unrolled SQL and hash-matches.
+    *
+    * Scale shape (the BPE/union-find "sequential recurrences buy no
+    * parallelism" rule applied to spectral iteration): the corpus is
+    * touched exactly TWICE — one per-partition Gram accumulation
+    * (dims²-sized partials per partition, two-phase agg, the
+    * treeAggregate shape) and one final projection scan with the learned
+    * direction as a broadcast literal. The k matrix-vector rounds run on
+    * the DRIVER over the dims²-entry Gram — model-sized state, the same
+    * contract as the k-means centroid collect — costing zero exchanges
+    * instead of 2–3 per round.
+    */
+  def pcaPowerProjection(
+      vectors: DataFrame, dims: Int, iters: Int): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val q = vectors.select(col("vec_id"),
+      expr(s"transform(v, x -> cast(cast(round(x * $PcaXScale + 1e-9) " +
+        "as bigint) as double))").as("qv"))
+    // one-pass per-partition Gram accumulation: 4096 longs per partition,
+    // exact integer sums in any order
+    val gram = q.select(col("qv")).as[Seq[Double]]
+      .mapPartitions { it =>
+        val acc = new Array[Long](dims * dims)
+        it.foreach { xs =>
+          val x = xs.toArray
+          var d1 = 0
+          while (d1 < dims) {
+            val x1 = x(d1).toLong
+            var d2 = 0
+            while (d2 < dims) { acc(d1 * dims + d2) += x1 * x(d2).toLong; d2 += 1 }
+            d1 += 1
+          }
+        }
+        Iterator.single(acc)
+      }
+      .reduce((a, b) => Array.tabulate(a.length)(i => a(i) + b(i)))
+    // driver-side power rounds over the model-sized Gram
+    var v = Array.fill(dims)(PcaVScale)
+    var t = 0
+    while (t < iters) {
+      val y = new Array[Long](dims)
+      var d1 = 0
+      while (d1 < dims) {
+        var s = 0L
+        var d2 = 0
+        while (d2 < dims) { s += gram(d1 * dims + d2) * v(d2); d2 += 1 }
+        y(d1) = s
+        d1 += 1
+      }
+      val m = math.max(y.map(math.abs).max / PcaVScale, 1L)
+      v = y.map(x => (if (x < 0) -1L else 1L) * (math.abs(x) / m))
+      t += 1
+    }
+    q.select(col("vec_id"),
+      dot(col("qv"), typedLit(v.map(_.toDouble).toSeq)).cast("long").as("proj_q"))
+  }
 }

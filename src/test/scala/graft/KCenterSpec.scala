@@ -72,4 +72,44 @@ class KCenterSpec extends SparkSpec {
     assert(out.keySet == pts.keySet)
     assert(out == assign, s"centers chosen: $centers")
   }
+
+  test("pca power projection matches an in-memory replay and finds the planted axis") {
+    val rnd = new scala.util.Random(3)
+    val dims = 6
+    // planted dominant direction along axis 2: variance 100x the noise
+    val pts = (0L until 60L).map { i =>
+      val main = rnd.nextDouble() * 2 - 1
+      i -> Seq.tabulate(dims)(d =>
+        if (d == 2) main * 10 else (rnd.nextDouble() * 2 - 1) * 0.1)
+    }.toMap
+    val df = pts.toSeq.toDF("vec_id", "v")
+      .select(col("vec_id"), col("v").cast("array<double>").as("v"))
+    val got = Similarity.pcaPowerProjection(df, dims, 5).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // in-memory replay of the identical integer recurrence
+    val q = pts.map { case (id, v) =>
+      id -> v.map(x => math.round(x * 1e3 + 1e-9)).toArray
+    }
+    val gram = Array.tabulate(dims, dims)((d1, d2) =>
+      q.values.map(x => x(d1) * x(d2)).sum)
+    var v = Array.fill(dims)(1000000L)
+    for (_ <- 1 to 5) {
+      val y = Array.tabulate(dims)(d1 =>
+        (0 until dims).map(d2 => gram(d1)(d2) * v(d2)).sum)
+      val m = math.max(y.map(math.abs).max / 1000000L, 1L)
+      v = y.map(x => (if (x < 0) -1L else 1L) * (math.abs(x) / m))
+    }
+    val ref = q.map { case (id, x) =>
+      id -> x.zip(v).map { case (a, b) => a * b }.sum
+    }
+    assert(got == ref)
+    // the learned direction must be dominated by the planted axis
+    assert(math.abs(v(2)) == v.map(math.abs).max)
+    // and projections must order like the planted coordinate
+    val byMain = pts.toSeq.sortBy(_._2(2)).map(_._1)
+    val byProj = got.toSeq.sortBy { case (id, p) =>
+      if (v(2) > 0) p else -p
+    }.map(_._1)
+    assert(byMain == byProj)
+  }
 }
