@@ -407,6 +407,77 @@ object AnalyticsJobs {
     """SELECT event_type, COUNT(*) AS cnt
       |FROM events GROUP BY event_type""".stripMargin
 
+  /** Day-over-day event-mix drift — the data-quality monitor a production
+    * ingest runs to catch upstream breakage (a type vanishing, a bot spike)
+    * before it poisons training data. Per day: a χ²-style integer drift
+    * statistic Σ_types ((c−p)²·10⁶) div (p+1) against the previous day's
+    * densified counts, total volume, and the top-contributing type
+    * (ties → lexicographic). The first observed day has no baseline and
+    * is excluded.
+    *
+    * Scale shape: the corpus-sized work is ONE two-phase (day, type) count
+    * agg; everything after runs on the days×types aggregate — tiny by
+    * construction (the low-cardinality-window rule bars corpus-sized
+    * frames, not day-count-sized aggregates). The 10⁶ scaling keeps the
+    * statistic integer-exact; per-day counts beyond ~10⁶ would rescale it
+    * (document at the call site if a deployment's day volume demands it).
+    */
+  def eventDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.events(spark, sfDir)
+      .select(expr("datediff(cast(ts as date), date'1970-01-01')").as("day"),
+        col("event_type"))
+      .groupBy(col("day"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+    val grid = counts.select(col("day")).distinct()
+      .crossJoin(counts.select(col("event_type")).distinct())
+    val full = grid.join(counts, Seq("day", "event_type"), "left")
+      .na.fill(0, Seq("c"))
+    val lagged = full
+      .withColumn("p",
+        lag(col("c"), 1).over(
+          Window.partitionBy(col("event_type")).orderBy(col("day"))))
+      .filter(col("p").isNotNull)
+      .withColumn("d", expr("((c - p) * (c - p) * 1000000) div (p + 1)"))
+    val ranked = lagged.withColumn("rn",
+      row_number().over(Window.partitionBy(col("day"))
+        .orderBy(col("d").desc, col("event_type").asc)))
+    ranked.groupBy(col("day"))
+      .agg(sum(col("c")).as("n_events"),
+        sum(col("d")).as("drift_q"),
+        max(when(col("rn") === 1, col("event_type"))).as("top_type"))
+  }
+
+  val eventDriftSql: String =
+    """WITH e AS (
+      |  SELECT (ts::DATE - DATE '1970-01-01') AS day, event_type FROM events
+      |), counts AS (
+      |  SELECT day, event_type, COUNT(*) AS c FROM e GROUP BY 1, 2
+      |), grid AS (
+      |  SELECT d.day, t.event_type
+      |  FROM (SELECT DISTINCT day FROM counts) d
+      |  CROSS JOIN (SELECT DISTINCT event_type FROM counts) t
+      |), filled AS (
+      |  SELECT g.day, g.event_type, COALESCE(c.c, 0) AS c
+      |  FROM grid g LEFT JOIN counts c
+      |    ON c.day = g.day AND c.event_type = g.event_type
+      |), lagged AS (
+      |  SELECT *, LAG(c) OVER (PARTITION BY event_type ORDER BY day) AS p
+      |  FROM filled
+      |), scored AS (
+      |  SELECT day, event_type, c,
+      |         ((c - p) * (c - p) * 1000000) // (p + 1) AS d
+      |  FROM lagged WHERE p IS NOT NULL
+      |), ranked AS (
+      |  SELECT *, ROW_NUMBER() OVER (
+      |    PARTITION BY day ORDER BY d DESC, event_type ASC) AS rn
+      |  FROM scored
+      |)
+      |SELECT day, CAST(SUM(c) AS BIGINT) AS n_events,
+      |       CAST(SUM(d) AS BIGINT) AS drift_q,
+      |       MAX(CASE WHEN rn = 1 THEN event_type END) AS top_type
+      |FROM ranked GROUP BY day""".stripMargin
+
   private val PR_ITERS = 10
 
   /** PageRank over the bipartite user↔item interaction graph — the link-
@@ -484,6 +555,7 @@ object AnalyticsJobs {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "item_pagerank" -> itemPagerank,
+    "event_drift" -> eventDrift,
     "salted_agg" -> saltedAgg,
     "session_agg" -> sessionAgg,
     "cube_agg" -> cubeAgg,
@@ -500,6 +572,7 @@ object AnalyticsJobs {
 
   val oracles: Map[String, String] = Map(
     "item_pagerank" -> itemPagerankSql,
+    "event_drift" -> eventDriftSql,
     "salted_agg" -> saltedAggSql,
     "event_props" -> eventPropsSql,
     "event_paths" -> eventPathsSql,

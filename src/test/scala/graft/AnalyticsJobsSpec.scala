@@ -169,4 +169,31 @@ class AnalyticsJobsSpec extends SparkSpec {
       assert(sv >= bin * 25.0 * n - 0.01 && sv < (bin + 1) * 25.0 * n + 0.01)
     }
   }
+
+  test("event_drift: first day excluded, volumes reconcile, stat is a χ² recompute") {
+    val dir = sf("sf0.001")
+    val out = AnalyticsJobs.eventDrift(spark, dir)
+      .select($"day", $"n_events", $"drift_q", $"top_type")
+      .as[(Int, Long, Long, String)].collect().sortBy(_._1)
+    assert(out.nonEmpty)
+    // per-(day, type) ground truth straight off the events table
+    val counts = graft.io.Tables.events(spark, dir)
+      .selectExpr("datediff(cast(ts as date), date'1970-01-01') as day", "event_type")
+      .as[(Int, String)].collect()
+      .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val days = counts.keys.map(_._1).toSeq.distinct.sorted
+    val types = counts.keys.map(_._2).toSeq.distinct
+    assert(out.map(_._1).toSeq == days.tail) // baseline day dropped
+    out.foreach { case (day, n, drift, top) =>
+      val prevDay = days(days.indexOf(day) - 1)
+      val perType = types.map { t =>
+        val c = counts.getOrElse((day, t), 0L)
+        val p = counts.getOrElse((prevDay, t), 0L)
+        t -> ((c - p) * (c - p) * 1000000L / (p + 1))
+      }
+      assert(n == types.map(t => counts.getOrElse((day, t), 0L)).sum)
+      assert(drift == perType.map(_._2).sum)
+      assert(top == perType.minBy { case (t, d) => (-d, t) }._1)
+    }
+  }
 }
