@@ -242,6 +242,50 @@ object Probe {
       }
     }
 
+    /** §8g: the link-analysis stack under a replicated event log. Fresh
+      * user ids per copy (the item catalog stays fixed, as in production)
+      * make the interaction graph genuinely grow ~copies× in edges; the
+      * claim under test is that the one-shuffle edge aggregation is the
+      * only corpus-proportional stage — the fixpoint runs over the edge
+      * aggregate, so wall time scales with the LOG, sublinearly once the
+      * scan dominates. Also times the two [[graft.ops.Graph.pageRank]]
+      * regimes on synthetic bipartite graphs bracketing the 4M limit,
+      * the §8f crossover story for the power-iteration family.
+      */
+    def runGraph(): Unit = {
+      import graft.ops.Graph
+      val dir = s"/tmp/graft_probe_graph_${copies}x"
+      val base = graft.io.Tables.events(spark, sfDir)
+      (0 until copies).map(k =>
+          base.withColumn("user_id", col("user_id") + lit(k * 10000000L)))
+        .reduce(_ unionAll _)
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      println(s"== item_pagerank under replicated events (${copies}x) ==")
+      val b = median((1 to 3).map(_ => timeQuery("item_pagerank", sfDir)))
+      val p = median((1 to 3).map(_ => timeQuery("item_pagerank", dir)))
+      println(f"item_pagerank          $b%8.2f $p%8.2f  ${p / b}%.1fx")
+      println("== pageRank regime crossover (synthetic bipartite) ==")
+      println(f"${"edges"}%10s ${"single-task"}%12s ${"distributed"}%12s")
+      val sizes = sys.env.getOrElse("SPARK_GRAFT_PROBE_PR_SIZES",
+        "1000000,4000000,16000000").split(",").map(_.trim.toLong).toSeq
+      for (m <- sizes) {
+        val nu = m / 4
+        val e0 = spark.range(m).select(
+          (pmod(hash((col("id") * 2654435761L).cast("long")), lit(nu))
+            .cast("long") * 2).as("src"),
+          (pmod(hash((col("id") * 40503L + 7L).cast("long")), lit(1000))
+            .cast("long") * 2 + 1).as("dst"))
+        val sym = e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
+        val one = median((1 to 3).map(_ => time(Graph.pageRank(
+          sym, iters = 10, singleTaskEdgeLimit = Long.MaxValue).count())))
+        val dist = median((1 to 3).map(_ => time(Graph.pageRank(
+          sym, iters = 10, singleTaskEdgeLimit = 0L).count())))
+        println(f"$m%10d $one%12.2f $dist%12.2f")
+      }
+    }
+
+    if (mode == "graph")
+      runGraph()
     if (mode == "image")
       runRegistry("image/audio pipelines (fresh-id copies)", ImageQueries,
         replicate(perturb = false))
