@@ -217,7 +217,23 @@ object ArtifactJobs {
       loaded, col("vec_id") < N_QUERIES, nprobe = IVF_NPROBE, k = TOP_K)
   }
 
+  /** K-center coreset assignment served from persisted centers: the
+    * greedy selection (`coreset_kcenter`'s expensive half — k corpus
+    * scans) trains ONCE and persists the k-row (center_id, cqv, cn2)
+    * frame; serve time is a single broadcast-assign scan against the
+    * load — the diversity-triage shape for a fresh ingest batch. Oracle
+    * is `coreset_kcenter` verbatim.
+    */
+  def coresetAssignFromArtifact(spark: SparkSession, sfDir: String): DataFrame = {
+    val q = Similarity.kCenterQuantized(SimilarityJobs.vectors(spark, sfDir))
+      .cache()
+    val loaded = persist(spark, "kcenter_centers", vecsFp(sfDir),
+      Similarity.kCenterCenters(q, SimilarityJobs.KCENTER_K))
+    Similarity.assignToCenters(q, loaded)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "coreset_assign_from_artifact" -> coresetAssignFromArtifact,
     "hard_negatives_from_artifact" -> hardNegativesFromArtifact,
     "ann_ivf_from_artifact" -> annIvfFromArtifact,
     "quality_from_artifact" -> qualityFromArtifact,
@@ -233,6 +249,7 @@ object ArtifactJobs {
     * round-trip changed nothing.
     */
   val oracles: Map[String, String] = Map(
+    "coreset_assign_from_artifact" -> SimilarityJobs.coresetKcenterSql,
     "hard_negatives_from_artifact" -> SimilarityJobs.hardNegativesSql,
     "ann_ivf_from_artifact" -> SimilarityJobs.annIvfTrainedSql,
     "quality_from_artifact" -> TextJobs.qualityClassifierTrainedSql,

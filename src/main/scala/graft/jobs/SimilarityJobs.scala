@@ -808,7 +808,7 @@ object SimilarityJobs {
        |  FROM s) final
        |WHERE rn <= $TOP_K""".stripMargin
 
-  private val KCENTER_K = 8
+  private[jobs] val KCENTER_K = 8
 
   /** Greedy k-center coreset over the embedding corpus: 8 maximally-spread
     * representatives + nearest-center assignment for every vector

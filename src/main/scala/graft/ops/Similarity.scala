@@ -816,14 +816,31 @@ object Similarity {
     * counts.
     */
   def kCenterCoreset(vectors: DataFrame, k: Int): DataFrame = {
-    require(k >= 1, "k-center needs k >= 1")
-    val spark = vectors.sparkSession
-    // integer-quantized coords as exact doubles; n2 = ||q||² (exact)
-    val q = vectors.select(col("vec_id"),
+    val q = kCenterQuantized(vectors).cache()
+    // q stays cached through the caller's action (the greedy rounds and
+    // the assignment each re-read it); the harness clearCache between
+    // queries releases it
+    assignToCenters(q, kCenterCenters(q, k))
+  }
+
+  /** The k-center coordinate space: `KmeansQuantScale`-quantized integer
+    * coords carried as exact doubles + the (exact) squared norm.
+    */
+  private[graft] def kCenterQuantized(vectors: DataFrame): DataFrame =
+    vectors.select(col("vec_id"),
         expr(s"transform(v, x -> cast(cast(round(x * $KmeansQuantScale + 1e-9) " +
           "as bigint) as double))").as("qv"))
       .withColumn("n2", dot(col("qv"), col("qv")))
-      .cache()
+
+  /** The greedy farthest-point selection alone: the k-row
+    * (center_id, cqv, cn2) frame — the persistable model half of
+    * [[kCenterCoreset]] (train once, assign many). Input must be the
+    * [[kCenterQuantized]] frame (cached by the caller if it also feeds
+    * the assignment).
+    */
+  private[graft] def kCenterCenters(q: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, "k-center needs k >= 1")
+    val spark = q.sparkSession
     val first = q.filter(col("vec_id") === 0).select(col("qv")).head()
       .getSeq[Double](0).toArray
     var centers = Vector((0L, first))
@@ -842,21 +859,26 @@ object Similarity {
       centers = centers :+ ((nxt.getLong(0), nxt.getSeq[Double](2).toArray))
       t += 1
     }
-    // nearest-center assignment: broadcast the k-row center frame, argmin
-    // by (dist2, center_id) via an id-partitioned window
     import spark.implicits._
-    val cent = centers.map { case (id, c) => (id, c.toSeq) }
+    centers.map { case (id, c) => (id, c.toSeq) }
       .toDF("center_id", "cqv")
       .withColumn("cn2", dot(col("cqv"), col("cqv")))
-    val scored = q.crossJoin(broadcast(cent))
+  }
+
+  /** Nearest-center assignment against a (center_id, cqv, cn2) frame —
+    * in-line trained or loaded from an artifact: broadcast the k-row
+    * center frame, argmin by (dist2, center_id) via an id-partitioned
+    * window. Input must be the [[kCenterQuantized]] frame.
+    */
+  private[graft] def assignToCenters(
+      q: DataFrame, centers: DataFrame): DataFrame = {
+    val scored = q.crossJoin(broadcast(centers))
       .select(col("vec_id"), col("center_id"),
         (col("n2") + col("cn2") - lit(2.0) * dot(col("qv"), col("cqv")))
           .cast("long").as("dist2"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vec_id"))
       .orderBy(col("dist2").asc, col("center_id").asc)
-    // q stays cached through the caller's action (the assignment reads it
-    // one last time); the harness clearCache between queries releases it
     scored.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("center_id"), col("dist2"))

@@ -169,4 +169,43 @@ object StreamingSimilarity {
       .select(col("s.vec_id"), col(s"s.$tsCol").as(tsCol),
         col("s.cell").as("cell"), col("c.corpus_id"), col("adist"))
   }
+
+  /** Novelty screen against persisted k-center coreset centers
+    * ([[graft.ops.Similarity.kCenterCenters]]'s (center_id, cqv, cn2)
+    * layout): each arrival computes its exact integer-quantized squared
+    * distance to all k broadcast centers IN-ROW (the batch
+    * `assignToCenters` arithmetic — same quantization, same (dist2,
+    * center_id) argmin tie-break, so flags are bit-equal by
+    * construction) and is marked `novel` when its nearest center is
+    * farther than `noveltyQ`. The streaming use of a diversity coreset:
+    * arrivals near an existing representative are redundant; far ones
+    * are the candidates worth keeping/labeling.
+    *
+    * Stateless (broadcast k-row model + per-row arithmetic, no streaming
+    * aggregation), so it runs append-mode with only the watermark —
+    * per-arrival cost is k codegen'd dot products, never corpus-sized.
+    */
+  def noveltyScreenFromCenters(
+      stream: DataFrame, tsCol: String, delay: String,
+      centers: DataFrame, noveltyQ: Long): DataFrame = {
+    val centArr = centers.agg(sort_array(collect_list(struct(
+      col("center_id"), col("cqv"), col("cn2")))).as("cs"))
+    stream
+      .withWatermark(tsCol, delay)
+      .withColumn("qv", expr("transform(cast(embedding as array<double>), " +
+        s"x -> cast(cast(round(x * ${Similarity.KmeansQuantScale} + 1e-9) " +
+        "as bigint) as double))"))
+      .withColumn("n2",
+        graft.functions.VectorFunctions.dot_product(col("qv"), col("qv")))
+      .crossJoin(broadcast(centArr))
+      .withColumn("scored", array_sort(transform(col("cs"), c =>
+        struct((col("n2") + c("cn2") - lit(2.0) *
+          graft.functions.VectorFunctions.dot_product(col("qv"), c("cqv")))
+          .cast("long").as("d"),
+          c("center_id").as("cid")))))
+      .select(col("vec_id"), col(tsCol),
+        element_at(col("scored"), 1)("cid").as("center_id"),
+        element_at(col("scored"), 1)("d").as("dist2"))
+      .withColumn("novel", col("dist2") > noveltyQ)
+  }
 }

@@ -161,4 +161,51 @@ class StreamingSimilaritySpec extends SparkSpec {
         s"only-batch=${(expected -- got).take(3)}")
     v.unpersist(); packed.unpersist()
   }
+
+  test("novelty screen flags equal the batch k-center assignment + threshold") {
+    implicit val sqlCtx = spark.sqlContext
+    // centers trained on a corpus with two far blobs; arrivals: one near
+    // each center (redundant) and one far from both (novel)
+    val base = Seq(
+      (0L, Array(0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.01f, 0.0f, 0.0f)),
+      (2L, Array(10.0f, 10.0f, 10.0f)),
+      (3L, Array(10.01f, 10.0f, 10.0f)))
+      .toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val q = Similarity.kCenterQuantized(base).cache()
+    val centers = Similarity.kCenterCenters(q, 2).cache()
+    centers.count()
+    val arrivals2 = Seq(
+      (10L, Array(0.02f, 0.01f, 0.0f), ts(10)),   // near center 0
+      (11L, Array(9.99f, 10.0f, 10.02f), ts(11)), // near the far center
+      (12L, Array(5.0f, 5.0f, 5.0f), ts(12)))     // equidistant: novel
+    val in = MemoryStream[(Long, Array[Float], Timestamp)]
+    val noveltyQ = 1000000000000L // (10^6 q-units)^2 = distance 1.0
+    val out = StreamingSimilarity.noveltyScreenFromCenters(
+      in.toDS().toDF("vec_id", "embedding", "ts"), "ts", "0 seconds",
+      centers, noveltyQ)
+    val query = out.writeStream.format("memory").queryName("novelty_rows")
+      .outputMode("append").start()
+    try {
+      in.addData(arrivals2: _*)
+      query.processAllAvailable()
+      val got = spark.table("novelty_rows")
+        .select($"vec_id", $"center_id", $"dist2", $"novel")
+        .as[(Long, Long, Long, Boolean)].collect().toSet
+      // batch twin: the same arrivals through the batch assignment
+      val arrDf = arrivals2.map(a => (a._1, a._2))
+        .toDF("vec_id", "embedding")
+        .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      val expected = Similarity.assignToCenters(
+          Similarity.kCenterQuantized(arrDf), centers)
+        .select($"vec_id", $"center_id", $"dist2",
+          ($"dist2" > noveltyQ).as("novel"))
+        .as[(Long, Long, Long, Boolean)].collect().toSet
+      assert(got == expected)
+      assert(got.count(_._4) == 1 && got.find(_._4).get._1 == 12L)
+    } finally {
+      query.stop(); q.unpersist(); centers.unpersist()
+    }
+  }
 }
