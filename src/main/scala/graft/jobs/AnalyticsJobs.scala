@@ -553,7 +553,32 @@ object AnalyticsJobs {
        |FROM r$PR_ITERS""".stripMargin
   }
 
+  /** Salted hot-key JOIN beside [[saltedAgg]]'s salted aggregation: the
+    * event log joins the customer dimension on (user_id, salt) with the
+    * dimension replicated 32×, then rolls up per market segment
+    * ([[graft.ops.Skew.saltedJoin]] scaladoc for exactness and the
+    * AQE-relationship note). The oracle is the PLAIN join + GROUP BY —
+    * hash-equality proves the salting is semantically invisible, the
+    * same contract `salted_agg` pins for aggregation.
+    */
+  def saltedJoinAgg(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Skew.saltedJoin(
+        Tables.events(spark, sfDir),
+        Tables.customer(spark, sfDir)
+          .select(col("c_custkey").as("user_id"), col("c_mktsegment")),
+        "user_id", buckets = 32, spread = Seq(col("event_id")))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")) + lit(1e-9), 2).as("sum_value"))
+
+  val saltedJoinAggSql: String =
+    """SELECT c_mktsegment, COUNT(*) AS n_events,
+      |       ROUND(SUM(value) + 1e-9, 2) AS sum_value
+      |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      |GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "salted_join" -> saltedJoinAgg,
     "item_pagerank" -> itemPagerank,
     "event_drift" -> eventDrift,
     "salted_agg" -> saltedAgg,
@@ -572,6 +597,7 @@ object AnalyticsJobs {
 
   val oracles: Map[String, String] = Map(
     "item_pagerank" -> itemPagerankSql,
+    "salted_join" -> saltedJoinAggSql,
     "event_drift" -> eventDriftSql,
     "salted_agg" -> saltedAggSql,
     "event_props" -> eventPropsSql,

@@ -80,4 +80,32 @@ object Skew {
     saltedAgg(df.withColumn("__v", value), key, spread, buckets)(
       Seq(sum(col("__v")).as("partial_sum")),
       Seq(sum(col("partial_sum")).as("sum")))
+
+  /** Salted equi-join for a hot-keyed fact side: the fact rows spread
+    * over `buckets` sub-partitions via a retry-stable CONTENT salt
+    * ([[saltFromContent]] over `spread` — never the monotonic fallback,
+    * per its caveat), the dimension side replicates `buckets`× with
+    * `explode(sequence(...))`, and the join runs on (key, salt) — one
+    * hot key's probe work lands on `buckets` reducers instead of one.
+    * Exact for any equi-join: every fact row still meets every matching
+    * dim row exactly once (in its own bucket), so the result multiset is
+    * identical to the unsalted join — which is what the gate query's
+    * plain-join oracle hash-checks.
+    *
+    * This is the MANUAL form of what AQE's skew-join split does at
+    * runtime; it stays in the library for the residual cases AQE cannot
+    * see (skew behind a cache/checkpoint boundary, non-AQE sessions,
+    * deterministic pre-planned bucketing). Dim-side cost is
+    * `buckets × |dim|` — use for genuinely small dimensions, or feed a
+    * pre-filtered hot-key subset (the classic split: salted join for the
+    * hot keys, plain join for the cold tail).
+    */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
+      buckets: Int, spread: Seq[Column]): DataFrame = {
+    val salted = fact.withColumn("__salt",
+      saltFromContent(buckets, spread: _*))
+    val replicated = dim.withColumn("__salt",
+      explode(sequence(lit(0), lit(buckets - 1))))
+    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
 }

@@ -47,6 +47,28 @@ class SkewSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("saltedJoin result multiset equals the plain join on a skewed fixture") {
+    // 1000 rows on ONE hot key + a cold tail; dim has multiple segments
+    val fact = ((1 to 1000).map(i => (7L, i.toLong)) ++
+      (1 to 50).map(i => (i.toLong % 5, 10000L + i))).toDF("k", "id")
+    val dim = Seq((7L, "hot-seg"), (0L, "a"), (1L, "b"), (2L, "c"))
+      .toDF("k", "seg")
+    val salted = Skew.saltedJoin(fact, dim, "k", 16, Seq($"id"))
+      .select($"k", $"id", $"seg")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .sorted.toSeq
+    val plain = fact.join(dim, Seq("k"))
+      .select($"k", $"id", $"seg")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .sorted.toSeq
+    assert(salted == plain)
+    // the hot key's fact rows really spread across buckets
+    val spread = fact.filter($"k" === 7L)
+      .withColumn("__salt", Skew.saltFromContent(16, $"id"))
+      .select($"__salt").distinct().count()
+    assert(spread > 8)
+  }
+
   test("null spread values fall back to the monotonic id, not one bucket") {
     val df = (1 to 1000).map(_ => ("hot", None: Option[Long])).toDF("k", "v")
     val buckets = df.withColumn("__salt", Skew.salt($"v", 8))
