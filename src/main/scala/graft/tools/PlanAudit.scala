@@ -68,6 +68,8 @@ object PlanAudit {
         "-- the greedy rounds themselves are TakeOrderedAndProject scans with driver-held centers, never a pair join"),
       "event_drift" -> ("CROSS is the days x types grid densification -- two DISTINCT aggregates of the " +
         "(day, type) count frame (both bounded by the observed-day count and the type alphabet, never the corpus)"),
+      "coreset_assign_from_artifact" -> ("CROSS is the k-row (k=8) LOADED-center frame broadcast into the " +
+        "assignment scan (the serve-time twin of coreset_kcenter's assignment; no greedy rounds in this plan at all)"),
       "q3_shipping" -> "LeftOuter BNLJ builds on the bounded top-N candidate frame to attach global ranks without a single-partition window",
       "quality_classifier_trained" -> "CROSSes are 1-row model frames (class centroids + midpoint threshold) broadcast into the scoring scan")
 
