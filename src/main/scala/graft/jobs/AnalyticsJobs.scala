@@ -577,7 +577,54 @@ object AnalyticsJobs {
       |FROM events e JOIN customer c ON e.user_id = c.c_custkey
       |GROUP BY 1""".stripMargin
 
+  /** Rolling 7-day distinct users per observed day (DAU / rolling-WAU /
+    * stickiness) — the retention dashboard's backbone metric. Exact
+    * distinct counts via the EQUI-join restatement of the range window:
+    * each distinct (day, user) contributes to target days [day, day+6]
+    * through an explode (≤7× a users×days-bounded frame), so the plan is
+    * a two-phase distinct + an int-keyed equi-join — no BETWEEN
+    * nested-loop join anywhere, which is what survives a 100 TB log
+    * (the raw event scan collapses to distinct (day, user) in ONE
+    * shuffle). At extreme user cardinality the same query swaps exact
+    * distinct for HLL partials (`approx_distinct` demonstrates the
+    * sketch gate); the shape is unchanged.
+    */
+  def rollingUniques(spark: SparkSession, sfDir: String): DataFrame = {
+    val du = Tables.events(spark, sfDir)
+      .select(expr("datediff(cast(ts as date), date'1970-01-01')").as("day"),
+        col("user_id"))
+      .distinct()
+    val days = du.select(col("day").as("d")).distinct()
+    val contrib = du.select(
+      explode(sequence(col("day"), col("day") + 6)).as("d"),
+      col("day"), col("user_id"))
+    contrib.join(days, "d")
+      .groupBy(col("d").as("day"))
+      .agg(
+        count_distinct(when(col("day") === col("d"), col("user_id")))
+          .as("dau"),
+        count_distinct(col("user_id")).as("wau7"))
+      .withColumn("stickiness_ppm", expr("(dau * 1000000) div wau7"))
+  }
+
+  /** Oracle: the BETWEEN-window statement of the same metric (DuckDB is
+    * free to nested-loop the tiny day×(day,user) aggregate).
+    */
+  val rollingUniquesSql: String =
+    """WITH du AS (
+      |  SELECT DISTINCT (ts::DATE - DATE '1970-01-01') AS day, user_id
+      |  FROM events
+      |), days AS (SELECT DISTINCT day AS d FROM du)
+      |SELECT d.d AS day,
+      |       COUNT(DISTINCT CASE WHEN u.day = d.d THEN u.user_id END) AS dau,
+      |       COUNT(DISTINCT u.user_id) AS wau7,
+      |       (COUNT(DISTINCT CASE WHEN u.day = d.d THEN u.user_id END)
+      |        * 1000000) // COUNT(DISTINCT u.user_id) AS stickiness_ppm
+      |FROM days d JOIN du u ON u.day BETWEEN d.d - 6 AND d.d
+      |GROUP BY d.d""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rolling_uniques" -> rollingUniques,
     "salted_join" -> saltedJoinAgg,
     "item_pagerank" -> itemPagerank,
     "event_drift" -> eventDrift,
@@ -598,6 +645,7 @@ object AnalyticsJobs {
   val oracles: Map[String, String] = Map(
     "item_pagerank" -> itemPagerankSql,
     "salted_join" -> saltedJoinAggSql,
+    "rolling_uniques" -> rollingUniquesSql,
     "event_drift" -> eventDriftSql,
     "salted_agg" -> saltedAggSql,
     "event_props" -> eventPropsSql,

@@ -170,6 +170,26 @@ class AnalyticsJobsSpec extends SparkSpec {
     }
   }
 
+  test("rolling_uniques: dau/wau7 equal a brute-force window recompute") {
+    val dir = sf("sf0.001")
+    val out = AnalyticsJobs.rollingUniques(spark, dir)
+      .select($"day", $"dau", $"wau7", $"stickiness_ppm")
+      .as[(Int, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.nonEmpty)
+    val du = graft.io.Tables.events(spark, dir)
+      .selectExpr("datediff(cast(ts as date), date'1970-01-01') as day", "user_id")
+      .as[(Int, Long)].collect().toSet
+    val days = du.map(_._1)
+    assert(out.map(_._1).toSet == days)
+    out.foreach { case (d, dau, wau, sp) =>
+      val win = du.filter(p => p._1 >= d - 6 && p._1 <= d).map(_._2)
+      assert(dau == du.filter(_._1 == d).map(_._2).size)
+      assert(wau == win.size)
+      assert(sp == dau * 1000000L / wau)
+      assert(dau <= wau)
+    }
+  }
+
   test("event_drift: first day excluded, volumes reconcile, stat is a χ² recompute") {
     val dir = sf("sf0.001")
     val out = AnalyticsJobs.eventDrift(spark, dir)
