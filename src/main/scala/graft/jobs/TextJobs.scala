@@ -2094,7 +2094,110 @@ object TextJobs {
        |       ROUND(CAST(SUM(n_chars) AS DOUBLE) / CAST(SUM(n_wp_tokens) AS DOUBLE) + 1e-9, 4) AS chars_per_wp
        |FROM j GROUP BY source""".stripMargin
 
+  private val CDC_W = 8   // rolling-window width (chars)
+  private val CDC_D = 32  // boundary divisor → expected chunk ≈ 32 chars
+
+  /** Content-defined chunking (CDC — the rsync/LBFS/storage-dedup
+    * technique): a chunk boundary falls after every position whose
+    * trailing `CDC_W`-char window hashes ≡ 0 (mod `CDC_D`), plus the doc
+    * end. Unlike fixed-width `doc_chunks`, boundaries survive insertions
+    * — an edited doc re-chunks to mostly-identical pieces — so chunk
+    * identity dedups shared content ACROSS different documents. Output
+    * per doc: chunk count plus how many of its chunk occurrences (and
+    * bytes) already occurred earlier in (doc_id, start) order — the
+    * storage-dedup savings manifest.
+    *
+    * Engine-exact: the boundary predicate is the md5-prefix integer of
+    * the window text (the gram-hash convention) and chunk identity is
+    * the 60-bit content hash; first-writer ranking is a chunk-hash-keyed
+    * row_number with a total (doc_id, start) order. Collisions are
+    * deterministic and identical in both engines.
+    *
+    * Scale shape: one position explode (linear in corpus chars — the
+    * substring-dedup cost family), boundaries filter to ~1/D of
+    * positions, and the dedup rank is a two-phase window on
+    * high-cardinality 60-bit int keys. Nothing quadratic, no string
+    * join keys.
+    */
+  def cdcChunks(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"), length(col("text")).as("n"))
+      .filter(col("n") >= 1)
+    // window END positions i ∈ [W, n] whose hash divides; doc end is
+    // always a boundary. sequence() guarded: start > stop would generate
+    // a DESCENDING range, not an empty one
+    val cand = docs
+      .select(col("doc_id"), col("text"), col("n"),
+        explode(when(col("n") >= CDC_W, sequence(lit(CDC_W), col("n")))
+          .otherwise(array().cast("array<int>"))).as("i"))
+      .filter(conv(substring(md5(
+          expr(s"substring(text, i - ${CDC_W - 1}, $CDC_W)")), 1, 8), 16, 10)
+        .cast("long") % CDC_D === 0)
+      .select(col("doc_id"), col("i"))
+    val bounds = cand
+      .unionAll(docs.select(col("doc_id"), col("n").cast("int").as("i")))
+      .distinct()
+    val chunks = bounds.join(docs, "doc_id")
+      .withColumn("start",
+        coalesce(lag(col("i"), 1).over(
+          Window.partitionBy(col("doc_id")).orderBy(col("i"))), lit(0)) + 1)
+      .withColumn("clen", (col("i") - col("start") + 1).cast("long"))
+      .withColumn("ch",
+        hash60(expr("substring(text, start, i - start + 1)")))
+    val ranked = chunks.withColumn("rn",
+      row_number().over(Window.partitionBy(col("ch"))
+        .orderBy(col("doc_id"), col("start"))))
+    ranked.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("rn") > 1, 1L).otherwise(0L)).as("dup_chunks"),
+        sum(when(col("rn") > 1, col("clen")).otherwise(0L)).as("dup_bytes"))
+  }
+
+  /** Oracle: identical boundary predicate, chunk slicing, and
+    * first-writer rank in DuckDB (lateral `range` replaces the guarded
+    * sequence — its empty-range semantics need no guard).
+    */
+  val cdcChunksSql: String = {
+    val winHash = OracleSql.hexIntSql(
+      s"substr(text, i - ${CDC_W - 1}, $CDC_W)")
+    s"""WITH d AS (
+       |  SELECT doc_id, text, length(text) AS n FROM documents
+       |  WHERE length(text) >= 1
+       |), pos AS (
+       |  SELECT doc_id, text, unnest(range($CDC_W, n + 1)) AS i FROM d
+       |), cand AS (
+       |  SELECT doc_id, i FROM pos
+       |  WHERE $winHash % $CDC_D = 0
+       |), bounds AS (
+       |  SELECT DISTINCT doc_id, i FROM (
+       |    SELECT doc_id, i FROM cand
+       |    UNION ALL SELECT doc_id, n FROM d)
+       |), chunks AS (
+       |  SELECT b.doc_id, b.i,
+       |         COALESCE(LAG(b.i) OVER (
+       |           PARTITION BY b.doc_id ORDER BY b.i), 0) + 1 AS start,
+       |         d.text
+       |  FROM bounds b JOIN d USING (doc_id)
+       |), hashed AS (
+       |  SELECT doc_id, start, CAST(i - start + 1 AS BIGINT) AS clen,
+       |         ${hex60Sql("substr(text, start, i - start + 1)")} AS ch
+       |  FROM chunks
+       |), ranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (
+       |    PARTITION BY ch ORDER BY doc_id, start) AS rn
+       |  FROM hashed
+       |)
+       |SELECT doc_id, COUNT(*) AS n_chunks,
+       |       CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS dup_chunks,
+       |       CAST(SUM(CASE WHEN rn > 1 THEN clen ELSE 0 END) AS BIGINT)
+       |         AS dup_bytes
+       |FROM ranked GROUP BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_chunks" -> cdcChunks,
     "tokenizer_compare" -> tokenizerCompare,
     "quality_classifier" -> qualityClassifier,
     "quality_classifier_trained" -> qualityClassifierTrained,
@@ -2127,6 +2230,7 @@ object TextJobs {
 
   val oracles: Map[String, String] = Map(
     "tokenizer_compare" -> tokenizerCompareSql,
+    "cdc_chunks" -> cdcChunksSql,
     "quality_classifier" -> qualityClassifierSql,
     "quality_classifier_trained" -> qualityClassifierTrainedSql,
     "c4_filters" -> c4FiltersSql,

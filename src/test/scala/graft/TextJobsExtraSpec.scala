@@ -224,6 +224,38 @@ class TextJobsExtraSpec extends SparkSpec {
     assert(greedy.toSeq == Seq(("ab", 1L, "ab"), ("abc", 1L, "abc")))
   }
 
+  test("cdc_chunks: chunks tile each doc and survive a prefix insertion") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(17)
+    val base = (1 to 40).map(_ => s"w${rnd.nextInt(50)}").mkString(" ")
+    val docs = Seq(
+      (0L, base, "en", "src0", base.length.toLong),
+      // the CDC property: an inserted prefix shifts every fixed-width
+      // chunking, but content-defined boundaries re-synchronize
+      (1L, "INSERTED PREFIX " + base, "en", "src0",
+        base.length.toLong + 16),
+      (2L, "tiny", "en", "src0", 4L))
+    val dir = java.nio.file.Files.createTempDirectory("cdc_fixture").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextJobs.cdcChunks(spark, dir)
+      .select($"doc_id", $"n_chunks", $"dup_chunks", $"dup_bytes")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out.keySet == Set(0L, 1L, 2L))
+    // a sub-window doc yields exactly one chunk, never a dup of anything
+    assert(out(2L) == (2L, 1L, 0L, 0L))
+    // doc 1 shares most of doc 0's content: boundaries re-synchronize
+    // after the insertion, so a large share of its bytes dedup against
+    // doc 0's first-written chunks
+    val (_, n1, dup1, dupBytes1) = out(1L)
+    assert(n1 >= 2, "fixture long enough to produce multiple chunks")
+    assert(dup1 >= 1, "no chunk re-synchronized after the prefix insertion")
+    assert(dupBytes1 >= 30,
+      s"only $dupBytes1 of ${base.length} bytes dedup'd — boundaries did not re-sync")
+    // doc 0 wrote first: nothing in it can be a duplicate
+    assert(out(0L)._3 == 0L && out(0L)._4 == 0L)
+  }
+
   test("tokenizer_compare: per-source totals equal the encoders' own sums") {
     val dir = sf("sf0.001")
     val cmp = TextJobs.tokenizerCompare(spark, dir).collect()
