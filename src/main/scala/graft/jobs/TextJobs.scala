@@ -2196,7 +2196,89 @@ object TextJobs {
        |FROM ranked GROUP BY doc_id""".stripMargin
   }
 
+  /** Per-source quality-score calibration: each document's percentile
+    * rank of the heuristic quality score WITHIN its source (ppm) — the
+    * normalization a mixture plan needs before comparing quality across
+    * sources whose score distributions differ (a 0.4 on a clean source
+    * and a 0.4 on a crawl dump are not the same document). Rank ties
+    * break on doc_id; pct = (rank−1)·10⁶ div max(n_src−1, 1), exact
+    * integers end-to-end (the score itself is the 4-decimal-rounded
+    * heuristic, carried as a 10⁴-scaled BIGINT).
+    *
+    * Scale shape: per-source ranking NEVER runs as a source-partitioned
+    * window (20 sources = 20 tasks on a corpus-sized frame — the
+    * forbidden low-cardinality window). It is the docPacking /
+    * training_order distributed prefix-sum: repartitionByRange on
+    * (source, score, id) → per-(partition, source) COUNTS → offsets
+    * window over the tiny totals frame → broadcast join back; rank =
+    * partition offset + local prefix count. The range-partitioned frame
+    * is CACHED (round-4 rule: the partitioner samples; two
+    * materializations could cut different boundaries).
+    */
+  def scoreCalibrate(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = col("text")
+    val nTok = TextAnalysis.tokenCount(t)
+    val scored = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        round(TextAnalysis.qualityScore(nTok,
+          TextAnalysis.stopwordCount(t)) * 10000 + lit(1e-9))
+          .cast("long").as("qt"))
+    val base = scored
+      .repartitionByRange(col("source"), col("qt"), col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+      .cache()
+    val totals = base.groupBy(col("pid"), col("source"))
+      .agg(count(lit(1)).as("part_n"))
+    val offsets = totals.withColumn("part_offset",
+      coalesce(sum(col("part_n")).over(
+        Window.partitionBy(col("source")).orderBy(col("pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("pid"), col("source"), col("part_offset"))
+    val srcN = totals.groupBy(col("source"))
+      .agg(sum(col("part_n")).as("n_src"))
+    val wLocal = Window.partitionBy(col("pid"), col("source"))
+      .orderBy(col("qt"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base
+      .join(broadcast(offsets), Seq("pid", "source"))
+      .join(broadcast(srcN), Seq("source"))
+      .withColumn("rnk",
+        col("part_offset") + coalesce(count(lit(1)).over(wLocal), lit(0L))
+          + 1)
+      .select(col("doc_id"), col("source"), col("qt"), col("rnk"),
+        expr("((rnk - 1) * 1000000) div greatest(n_src - 1, 1)")
+          .as("pct_ppm"))
+  }
+
+  /** Oracle: the plain per-source window statement of the same rank
+    * (DuckDB is free to sort each source in one pass).
+    */
+  val scoreCalibrateSql: String = {
+    val quality =
+      """ROUND(
+        |    least(CAST(length(regexp_extract_all(text, '[A-Za-z0-9]+')) AS DOUBLE) / 100.0, 1.0) * 0.6 +
+        |    (CAST(length(regexp_extract_all(text, '\b(the|a|of|and|to|in|is|on|for|with)\b')) AS DOUBLE)
+        |      / CAST(greatest(length(regexp_extract_all(text, '[A-Za-z0-9]+')), 1) AS DOUBLE)) * 0.4
+        |    + 1e-9, 4)""".stripMargin
+    s"""WITH s AS (
+       |  SELECT doc_id, source,
+       |         CAST(ROUND($quality * 10000 + 1e-9) AS BIGINT) AS qt
+       |  FROM documents
+       |), ranked AS (
+       |  SELECT *,
+       |         ROW_NUMBER() OVER (PARTITION BY source ORDER BY qt, doc_id)
+       |           AS rnk,
+       |         COUNT(*) OVER (PARTITION BY source) AS n_src
+       |  FROM s
+       |)
+       |SELECT doc_id, source, qt, rnk,
+       |       ((rnk - 1) * 1000000) // GREATEST(n_src - 1, 1) AS pct_ppm
+       |FROM ranked""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "score_calibrate" -> scoreCalibrate,
     "cdc_chunks" -> cdcChunks,
     "tokenizer_compare" -> tokenizerCompare,
     "quality_classifier" -> qualityClassifier,
@@ -2231,6 +2313,7 @@ object TextJobs {
   val oracles: Map[String, String] = Map(
     "tokenizer_compare" -> tokenizerCompareSql,
     "cdc_chunks" -> cdcChunksSql,
+    "score_calibrate" -> scoreCalibrateSql,
     "quality_classifier" -> qualityClassifierSql,
     "quality_classifier_trained" -> qualityClassifierTrainedSql,
     "c4_filters" -> c4FiltersSql,

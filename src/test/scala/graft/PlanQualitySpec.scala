@@ -290,6 +290,19 @@ class PlanQualitySpec extends SparkSpec {
       s"corpus-wide single-partition funnel appeared:\n$p")
   }
 
+  test("score_calibrate ranks per source without a low-cardinality window") {
+    val p = plan(TextJobs.scoreCalibrate(spark, sf("sf0.001")))
+    // per-source percentile = the training_order prefix-sum shape: the
+    // corpus-side window must key on (pid, source), never source alone,
+    // and the only single-partition exchange is the tiny offsets frame
+    assert(p.contains("rangepartitioning"),
+      s"lost the range partitioning that carries per-source order:\n$p")
+    assert(p.contains("windowspecdefinition(pid#"),
+      s"rank window not per-partition:\n$p")
+    assert("Exchange SinglePartition".r.findAllIn(p).length <= 1,
+      s"corpus-wide single-partition funnel appeared:\n$p")
+  }
+
   test("bpe_merges: one distributed count, then a narrow single-task trainer") {
     val p = plan(TextJobs.bpeMerges(spark, sf("sf0.001")))
     // the k merge rounds must not re-introduce per-round exchanges: the
