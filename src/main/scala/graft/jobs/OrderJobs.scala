@@ -210,7 +210,67 @@ object OrderJobs {
       |  ON p.user_id = r.user_id AND p.ts >= r.ts
       |WHERE epoch_us(p.ts) - epoch_us(r.ts) <= 86400000000""".stripMargin
 
+  /** Last-touch attribution — the business rollup built ON the as-of
+    * operator: each purchase attributes to the same user's LATEST
+    * view/click at-or-before it within 1 hour (the custom
+    * [[graft.plans.AsOf]] merge-scan plan, second consumer), then
+    * conversions roll up per touched item and touch type. Touches are
+    * pre-collapsed to one row per (user, ts) by min event_id, so the
+    * as-of "latest" pick has a total order in BOTH engines (equal-ts
+    * ties would otherwise be engine-ambiguous).
+    *
+    * Scale shape: the as-of plan sorts both sides once on (user, ts)
+    * and merge-scans — no per-row window, no range join blowup; the
+    * rollup is a two-phase agg on small keys.
+    */
+  def attribution(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("pay_t"))
+    val touches = ev
+      .filter(col("event_type") === "view" || col("event_type") === "click")
+      .select(col("user_id").as("t_uid"), col("ts").as("touch_t"),
+        col("event_id"), col("event_type").as("touch_type"),
+        regexp_extract(col("props"), "\"k\"\\s*:\\s*(-?\\d+)", 1)
+          .cast("long").as("item"))
+      .groupBy(col("t_uid"), col("touch_t"))
+      .agg(min(struct(col("event_id"), col("touch_type"), col("item")))
+        .as("m"))
+      .select(col("t_uid"), col("touch_t"),
+        col("m.touch_type").as("touch_type"), col("m.item").as("item"))
+    graft.plans.AsOf.join(purchases, touches, "user_id", "t_uid",
+        "pay_t", "touch_t", toleranceMicros = 3600L * 1000000L)
+      .groupBy(col("item"), col("touch_type"))
+      .agg(count(lit(1)).as("n_conversions"),
+        count_distinct(col("user_id")).as("n_users"))
+  }
+
+  /** Oracle: DuckDB ASOF JOIN over the identically pre-collapsed touch
+    * stream, same 1-hour fence and rollup.
+    */
+  val attributionSql: String =
+    """WITH t AS (
+      |  SELECT t_uid, touch_t, touch_type, item FROM (
+      |    SELECT user_id AS t_uid, ts AS touch_t, event_type AS touch_type,
+      |           CAST(json_extract_string(props, '$.k') AS BIGINT) AS item,
+      |           ROW_NUMBER() OVER (PARTITION BY user_id, ts
+      |             ORDER BY event_id) AS rn
+      |    FROM events WHERE event_type IN ('view', 'click'))
+      |  WHERE rn = 1
+      |), p AS (
+      |  SELECT user_id, ts AS pay_t FROM events
+      |  WHERE event_type = 'purchase'
+      |)
+      |SELECT t.item, t.touch_type,
+      |       COUNT(*) AS n_conversions,
+      |       COUNT(DISTINCT p.user_id) AS n_users
+      |FROM p ASOF JOIN t
+      |  ON p.user_id = t.t_uid AND p.pay_t >= t.touch_t
+      |WHERE epoch_us(p.pay_t) - epoch_us(t.touch_t) <= 3600000000
+      |GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "attribution" -> attribution,
     "order_timeout" -> orderTimeout,
     "order_cep" -> orderCep,
     "interval_join" -> txMatch,
@@ -224,5 +284,6 @@ object OrderJobs {
     "interval_join" -> txMatchSql,
     "tx_unmatched_pays" -> txUnmatchedPaysSql,
     "tx_unmatched_receipts" -> txUnmatchedReceiptsSql,
-    "asof_join" -> asofJoinSql)
+    "asof_join" -> asofJoinSql,
+    "attribution" -> attributionSql)
 }

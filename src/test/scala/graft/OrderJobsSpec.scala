@@ -52,4 +52,29 @@ class OrderJobsSpec extends SparkSpec {
       .filter($"l_shipdate" <= lit("1999-12-31").cast("timestamp"))
     assert(r._1 == li.count())
   }
+
+  test("attribution equals a brute-force last-touch recompute") {
+    val dir = sf("sf0.001")
+    val out = OrderJobs.attribution(spark, dir)
+      .select($"item", $"touch_type", $"n_conversions", $"n_users")
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(out.nonEmpty)
+    val evs = graft.io.Tables.events(spark, dir)
+      .selectExpr("event_id", "user_id", "event_type",
+        "unix_micros(ts) as us",
+        "cast(regexp_extract(props, '\"k\"\\\\s*:\\\\s*(-?\\\\d+)', 1) as long) as item")
+      .as[(Long, Long, String, Long, Long)].collect()
+    val touches = evs.filter(e => e._3 == "view" || e._3 == "click")
+      .groupBy(e => (e._2, e._4)).map(_._2.minBy(_._1)).toSeq
+    val attributed = evs.filter(_._3 == "purchase").flatMap { p =>
+      touches.filter(t => t._2 == p._2 && t._4 <= p._4 &&
+          p._4 - t._4 <= 3600000000L)
+        .sortBy(t => -t._4).headOption
+        .map(t => (t._5, t._3, p._2))
+    }
+    val expected = attributed.groupBy(a => (a._1, a._2)).map { case ((i, tt), g) =>
+      (i, tt, g.size.toLong, g.map(_._3).distinct.size.toLong)
+    }.toSet
+    assert(out == expected)
+  }
 }
