@@ -456,7 +456,56 @@ object MultimodalJobs {
        |JOIN dim d ON d.doc_id = c.doc_id
        |JOIN sizes s ON s.cluster = c.cluster""".stripMargin
 
+  private val PAIR_MIN_QT = 4000L // heuristic quality ≥ 0.4, 10⁴-scaled
+
+  /** CLIP-style (image, caption) training-pair manifest — the cross-modal
+    * curation compose: each document's image asset joins its caption
+    * text; a pair is KEPT when the image is its near-dup cluster's keeper
+    * (the LAION collapse rule, from the shared decode pass) AND the
+    * caption clears the heuristic quality gate. Emits the full manifest
+    * with the keep bit so mixture planning can re-weight rather than
+    * re-derive.
+    *
+    * Scale shape: one decoded-image pass (the `image_curation` lineage,
+    * shared via [[graft.ops.ImagePipeline]]) + one text scan, joined on
+    * the int doc key — the caption side never touches pixels and the
+    * image side never parses text.
+    */
+  def multimodalPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = col("text")
+    val txt = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        round(graft.ops.TextAnalysis.qualityScore(
+          graft.ops.TextAnalysis.tokenCount(t),
+          graft.ops.TextAnalysis.stopwordCount(t)) * 10000 + lit(1e-9))
+          .cast("long").as("qt"))
+    imageCuration(spark, sfDir)
+      .join(txt, col("asset_id") === col("doc_id"))
+      .select(col("doc_id"), col("width"), col("height"), col("qt"),
+        col("cluster_size"),
+        (col("is_keeper") && col("qt") >= PAIR_MIN_QT).as("keep"))
+  }
+
+  /** Oracle: the `image_curation` SQL verbatim as a CTE + the textStats
+    * quality expression, same join and keep rule.
+    */
+  val multimodalPairsSql: String =
+    s"""WITH cur AS ($imageCurationSql
+       |), q AS (
+       |  SELECT doc_id,
+       |         CAST(ROUND(ROUND(
+       |    least(CAST(length(regexp_extract_all(text, '[A-Za-z0-9]+')) AS DOUBLE) / 100.0, 1.0) * 0.6 +
+       |    (CAST(length(regexp_extract_all(text, '\\b(the|a|of|and|to|in|is|on|for|with)\\b')) AS DOUBLE)
+       |      / CAST(greatest(length(regexp_extract_all(text, '[A-Za-z0-9]+')), 1) AS DOUBLE)) * 0.4
+       |    + 1e-9, 4) * 10000 + 1e-9) AS BIGINT) AS qt
+       |  FROM documents
+       |)
+       |SELECT q.doc_id, cur.width, cur.height, q.qt, cur.cluster_size,
+       |       (cur.asset_id = cur.cluster AND q.qt >= $PAIR_MIN_QT) AS keep
+       |FROM cur JOIN q ON q.doc_id = cur.asset_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "multimodal_pairs" -> multimodalPairs,
     "multimodal_meta" -> multimodalMeta,
     "multimodal_features" -> multimodalFeatures,
     "multimodal_resize" -> multimodalResize,
@@ -468,6 +517,7 @@ object MultimodalJobs {
     "audio_curation" -> audioCuration)
 
   val oracles: Map[String, String] = Map(
+    "multimodal_pairs" -> multimodalPairsSql,
     "multimodal_meta" -> multimodalMetaSql,
     "multimodal_features" -> multimodalFeaturesSql,
     "multimodal_resize" -> multimodalResizeSql,

@@ -165,6 +165,22 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("multimodal_pairs: keep = cluster keeper AND caption quality gate") {
+    val dir = sf("sf0.001")
+    val rows = graft.jobs.MultimodalJobs.multimodalPairs(spark, dir)
+      .select("doc_id", "qt", "cluster_size", "keep").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(rows.nonEmpty)
+    val curation = graft.jobs.MultimodalJobs.imageCuration(spark, dir)
+      .select("asset_id", "is_keeper").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    rows.foreach { case (id, qt, _, keep) =>
+      assert(keep == (curation(id) && qt >= 4000L))
+    }
+    // the gate must actually split the corpus: some kept, some dropped
+    assert(rows.exists(_._4) && rows.exists(!_._4))
+  }
+
 }
 
 private object MultimodalSpecHelpers {
