@@ -843,7 +843,7 @@ object SimilarityJobs {
        |  FROM embeddings
        |), n AS (
        |  SELECT vec_id, qv, list_dot_product(qv, qv) AS n2 FROM q
-       |), c0(cid) AS (VALUES (0)),
+       |), c0 AS (SELECT MIN(vec_id) AS cid FROM n),
        |$rounds,
        |assign AS (
        |  SELECT p.vec_id, c.vec_id AS center_id,

@@ -841,25 +841,34 @@ object Similarity {
   private[graft] def kCenterCenters(q: DataFrame, k: Int): DataFrame = {
     require(k >= 1, "k-center needs k >= 1")
     val spark = q.sparkSession
-    val first = q.filter(col("vec_id") === 0).select(col("qv")).head()
-      .getSeq[Double](0).toArray
-    var centers = Vector((0L, first))
+    import spark.implicits._
+    // seed = the MINIMUM vec_id (deterministic, total on any id domain;
+    // empty corpus → empty center frame so downstream joins stay total)
+    val seed = q.orderBy(col("vec_id").asc)
+      .select(col("vec_id"), col("qv")).limit(1).collect()
+    if (seed.isEmpty)
+      return Seq.empty[(Long, Seq[Double])].toDF("center_id", "cqv")
+        .withColumn("cn2", lit(0.0))
+    var centers = Vector((seed(0).getLong(0), seed(0).getSeq[Double](1).toArray))
     def dist2To(c: Array[Double]): Column =
       col("n2") + lit(c.map(x => x * x).sum) -
         lit(2.0) * dot(col("qv"), typedLit(c.toSeq))
     var t = 1
-    while (t < k) {
+    var exhausted = false
+    while (t < k && !exhausted) {
       val chosenIds = centers.map(_._1)
       val dists = centers.map { case (_, c) => dist2To(c) }
       val md = if (dists.size == 1) dists.head else least(dists: _*)
       val nxt = q.filter(!col("vec_id").isInCollection(chosenIds))
         .select(col("vec_id"), md.as("md"), col("qv"))
         .orderBy(col("md").desc, col("vec_id").asc)
-        .limit(1).head()
-      centers = centers :+ ((nxt.getLong(0), nxt.getSeq[Double](2).toArray))
-      t += 1
+        .limit(1).collect()
+      if (nxt.isEmpty) exhausted = true // k > corpus size: all points chosen
+      else {
+        centers = centers :+ ((nxt(0).getLong(0), nxt(0).getSeq[Double](2).toArray))
+        t += 1
+      }
     }
-    import spark.implicits._
     centers.map { case (id, c) => (id, c.toSeq) }
       .toDF("center_id", "cqv")
       .withColumn("cn2", dot(col("cqv"), col("cqv")))
@@ -926,6 +935,10 @@ object Similarity {
     val q = vectors.select(col("vec_id"),
       expr(s"transform(v, x -> cast(cast(round(x * $PcaXScale + 1e-9) " +
         "as bigint) as double))").as("qv"))
+    // total on an empty corpus: Dataset.reduce has no zero, so answer
+    // the empty projection directly
+    if (q.isEmpty)
+      return q.select(col("vec_id"), lit(0L).as("proj_q"))
     // one-pass per-partition Gram accumulation: 4096 longs per partition,
     // exact integer sums in any order
     val gram = q.select(col("qv")).as[Seq[Double]]

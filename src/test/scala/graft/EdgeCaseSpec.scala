@@ -270,4 +270,41 @@ class EdgeCaseSpec extends SparkSpec {
     assert(got.head == (("ab", 4L)))
     assert(got.toSet == Set(("ab", 4L), ("a", 0L), ("b", 0L)))
   }
+
+  test("round-9 ops are total on empty and degenerate inputs") {
+    import graft.ops.Graph
+    // pageRank: empty edge set → empty ranks, both regimes
+    val noEdges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(Graph.pageRank(noEdges, iters = 3).count() == 0)
+    assert(Graph.pageRank(noEdges, iters = 3,
+      singleTaskEdgeLimit = 0L).count() == 0)
+    // self-loop-only graph: one node feeding itself, mass conserved
+    val selfLoop = Seq((5L, 5L)).toDF("src", "dst")
+    val r = Graph.pageRank(selfLoop, iters = 10).collect()
+    assert(r.length == 1 && r.head.getLong(0) == 5L)
+    assert(math.abs(r.head.getLong(1) - Graph.PrScale) <= 20L)
+    // k-center: empty corpus → empty assignment; k > n stops at n centers
+    val emptyVecs = Seq.empty[(Long, Seq[Double])].toDF("vec_id", "v")
+      .select($"vec_id", $"v".cast("array<double>").as("v"))
+    assert(Similarity.kCenterCoreset(emptyVecs, 4).count() == 0)
+    val two = Seq((10L, Seq(0.0, 0.0)), (11L, Seq(1.0, 1.0)))
+      .toDF("vec_id", "v")
+      .select($"vec_id", $"v".cast("array<double>").as("v"))
+    val asg = Similarity.kCenterCoreset(two, 5).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(asg == Map(10L -> 10L, 11L -> 11L)) // every point its own center
+    // min-id seeding: ids need not include 0
+    val shifted = Seq((100L, Seq(0.0)), (200L, Seq(5.0)))
+      .toDF("vec_id", "v")
+      .select($"vec_id", $"v".cast("array<double>").as("v"))
+    assert(Similarity.kCenterCoreset(shifted, 1).collect()
+      .forall(_.getLong(1) == 100L))
+    // PCA: empty corpus → empty projection; zero vectors → zero projection
+    assert(Similarity.pcaPowerProjection(emptyVecs, 4, 3).count() == 0)
+    val zeros = Seq((0L, Seq(0.0, 0.0)), (1L, Seq(0.0, 0.0)))
+      .toDF("vec_id", "v")
+      .select($"vec_id", $"v".cast("array<double>").as("v"))
+    assert(Similarity.pcaPowerProjection(zeros, 2, 3).collect()
+      .forall(_.getLong(1) == 0L))
+  }
 }
