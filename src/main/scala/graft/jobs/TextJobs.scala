@@ -2124,20 +2124,13 @@ object TextJobs {
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("text"), length(col("text")).as("n"))
       .filter(col("n") >= 1)
-    // window END positions i ∈ [W, n] whose hash divides; doc end is
-    // always a boundary. sequence() guarded: start > stop would generate
-    // a DESCENDING range, not an empty one
-    val cand = docs
-      .select(col("doc_id"), col("text"), col("n"),
-        explode(when(col("n") >= CDC_W, sequence(lit(CDC_W), col("n")))
-          .otherwise(array().cast("array<int>"))).as("i"))
-      .filter(conv(substring(md5(
-          expr(s"substring(text, i - ${CDC_W - 1}, $CDC_W)")), 1, 8), 16, 10)
-        .cast("long") % CDC_D === 0)
-      .select(col("doc_id"), col("i"))
-    val bounds = cand
-      .unionAll(docs.select(col("doc_id"), col("n").cast("int").as("i")))
-      .distinct()
+    // boundary positions in ONE codegen'd rolling-hash pass per row
+    // ([[graft.functions.CdcBoundaries]]): no per-position substring, no
+    // per-position digest — the Rabin–Karp CDC scan proper
+    val bounds = docs
+      .select(col("doc_id"),
+        explode(graft.functions.CdcBoundaries(col("text"), CDC_W, CDC_D))
+          .as("i"))
     val chunks = bounds.join(docs, "doc_id")
       .withColumn("start",
         coalesce(lag(col("i"), 1).over(
@@ -2159,20 +2152,29 @@ object TextJobs {
     * sequence — its empty-range semantics need no guard).
     */
   val cdcChunksSql: String = {
-    val winHash = OracleSql.hexIntSql(
-      s"substr(text, i - ${CDC_W - 1}, $CDC_W)")
-    s"""WITH d AS (
+    val P = graft.functions.CdcBoundaries.Mod
+    val B = graft.functions.CdcBoundaries.Base
+    val BW = graft.functions.CdcBoundaries.basePow(CDC_W)
+    s"""WITH RECURSIVE d AS (
        |  SELECT doc_id, text, length(text) AS n FROM documents
        |  WHERE length(text) >= 1
-       |), pos AS (
-       |  SELECT doc_id, text, unnest(range($CDC_W, n + 1)) AS i FROM d
+       |), hpref AS (
+       |  SELECT doc_id, 0 AS i, CAST(0 AS BIGINT) AS hv FROM d
+       |  UNION ALL
+       |  SELECT p.doc_id, p.i + 1,
+       |         (p.hv * $B + unicode(substr(d.text, p.i + 1, 1))) % $P
+       |  FROM hpref p JOIN d ON d.doc_id = p.doc_id
+       |  WHERE p.i < d.n
        |), cand AS (
-       |  SELECT doc_id, i FROM pos
-       |  WHERE $winHash % $CDC_D = 0
+       |  SELECT h.doc_id, h.i
+       |  FROM hpref h
+       |  JOIN hpref hw ON hw.doc_id = h.doc_id AND hw.i = h.i - $CDC_W
+       |  JOIN d ON d.doc_id = h.doc_id
+       |  WHERE h.i >= $CDC_W AND h.i < d.n
+       |    AND (((h.hv - (hw.hv * $BW) % $P) % $P + $P) % $P) % $CDC_D = 0
        |), bounds AS (
-       |  SELECT DISTINCT doc_id, i FROM (
-       |    SELECT doc_id, i FROM cand
-       |    UNION ALL SELECT doc_id, n FROM d)
+       |  SELECT doc_id, i FROM cand
+       |  UNION ALL SELECT doc_id, n FROM d
        |), chunks AS (
        |  SELECT b.doc_id, b.i,
        |         COALESCE(LAG(b.i) OVER (
