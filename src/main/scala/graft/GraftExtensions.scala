@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{DotProduct, Int8QuantStats, L2Norm}
+import graft.functions.{CdcBoundaries, DotProduct, Int8QuantStats, L2Norm}
 
 /** Session extension registering graft's native expressions with the SQL
   * function registry, so `SELECT dot_product(a, b)` works from pure SQL:
@@ -39,6 +39,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 1, "int8_quant_stats(arr)")
         Int8QuantStats(args.head)
+      }))
+    e.injectFunction((
+      new FunctionIdentifier("cdc_boundaries"),
+      new ExpressionInfo(classOf[CdcBoundaries].getName, "cdc_boundaries"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          "cdc_boundaries(text, window, divisor) with literal ints")
+        def intLit(e: Expression, what: String): Int = e match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"cdc_boundaries $what must be an integer literal, got $other")
+        }
+        CdcBoundaries(args.head, intLit(args(1), "window"),
+          intLit(args(2), "divisor"))
       }))
   }
 }

@@ -21,6 +21,14 @@ class ExtensionsSpec extends SparkSpec {
           |       l2_norm(array(3.0D, 4.0D)) AS n""".stripMargin).head()
       assert(row.getDouble(0) == 11.0)
       assert(row.getDouble(1) == 5.0)
+      // cdc_boundaries from pure SQL matches the expression's direct eval
+      val b = s2.sql(
+        "SELECT cdc_boundaries('abcdefghij', 4, 3) AS b").head()
+        .getSeq[Int](0)
+      val direct = graft.functions.CdcBoundaries
+        .boundaries(org.apache.spark.unsafe.types.UTF8String
+          .fromString("abcdefghij"), 4, 3).toIntArray().toSeq
+      assert(b == direct && b.last == 10)
     } finally {
       SparkSession.clearActiveSession()
       prevActive.foreach(SparkSession.setActiveSession)
