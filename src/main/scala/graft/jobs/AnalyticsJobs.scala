@@ -623,7 +623,51 @@ object AnalyticsJobs {
       |FROM days d JOIN du u ON u.day BETWEEN d.d - 6 AND d.d
       |GROUP BY d.d""".stripMargin
 
+  /** Per-day partition manifest — the incremental-recompute primitive: an
+    * order-independent content fingerprint (XOR of each row's 60-bit
+    * canonical hash) plus row count and exact cents total per day
+    * partition. A backfill pass diffs today's manifest against the stored
+    * one and recomputes ONLY the days whose fingerprint moved — the
+    * change-detection step every incremental ETL needs before it can
+    * skip work safely. XOR is commutative/associative with no overflow,
+    * so any partitioning, any order, any engine lands the same value
+    * (caveat, documented: a row appearing an EVEN number of times
+    * cancels — the row count and cents total are the cheap second
+    * factors that catch that case).
+    *
+    * Scale shape: one two-phase hash aggregate over day keys; the
+    * canonical string + md5 stays inside the scan's codegen.
+    */
+  def partitionManifest(spark: SparkSession, sfDir: String): DataFrame = {
+    val cents = round(col("value") * 100, 0).cast("long")
+    val canonical = concat_ws("|",
+      col("event_id"), expr("unix_micros(ts)"), col("user_id"),
+      col("event_type"), cents, col("props"))
+    Tables.events(spark, sfDir)
+      .select(expr("datediff(cast(ts as date), date'1970-01-01')").as("day"),
+        conv(substring(md5(canonical), 1, 15), 16, 10).cast("long").as("h"),
+        cents.as("cents"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_rows"),
+        expr("bit_xor(h)").as("fp_xor"),
+        sum(col("cents")).as("cents_sum"))
+  }
+
+  val partitionManifestSql: String = {
+    val h = OracleSql.hex60Sql(
+      "event_id::VARCHAR || '|' || epoch_us(ts)::VARCHAR || '|' || " +
+        "user_id::VARCHAR || '|' || event_type || '|' || " +
+        "CAST(ROUND(value * 100, 0) AS BIGINT)::VARCHAR || '|' || props")
+    s"""SELECT (ts::DATE - DATE '1970-01-01') AS day,
+       |       COUNT(*) AS n_rows,
+       |       BIT_XOR($h) AS fp_xor,
+       |       CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+       |         AS cents_sum
+       |FROM events GROUP BY 1""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "partition_manifest" -> partitionManifest,
     "rolling_uniques" -> rollingUniques,
     "salted_join" -> saltedJoinAgg,
     "item_pagerank" -> itemPagerank,
@@ -646,6 +690,7 @@ object AnalyticsJobs {
     "item_pagerank" -> itemPagerankSql,
     "salted_join" -> saltedJoinAggSql,
     "rolling_uniques" -> rollingUniquesSql,
+    "partition_manifest" -> partitionManifestSql,
     "event_drift" -> eventDriftSql,
     "salted_agg" -> saltedAggSql,
     "event_props" -> eventPropsSql,

@@ -170,6 +170,35 @@ class AnalyticsJobsSpec extends SparkSpec {
     }
   }
 
+  test("partition_manifest: one edited row moves exactly one day's fingerprint") {
+    import org.apache.spark.sql.functions._
+    val dir = sf("sf0.001")
+    def manifest(d: String) = AnalyticsJobs.partitionManifest(spark, d)
+      .select($"day", $"n_rows", $"fp_xor", $"cents_sum")
+      .as[(Int, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    val base = manifest(dir)
+    assert(base.size > 1)
+    // rewrite the fixture with ONE event's value nudged
+    val edited = java.nio.file.Files.createTempDirectory("pm_edit").toString
+    val ev = graft.io.Tables.events(spark, dir)
+    val minId = ev.agg(min($"event_id")).as[Long].head()
+    ev.withColumn("value",
+        when($"event_id" === minId, $"value" + 1.0).otherwise($"value"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$edited/events.parquet")
+    val after = manifest(edited)
+    val editedDay = ev.filter($"event_id" === minId)
+      .selectExpr("datediff(cast(ts as date), date'1970-01-01')")
+      .as[Int].head()
+    assert(base.keySet == after.keySet)
+    base.keySet.foreach { d =>
+      if (d == editedDay) {
+        assert(after(d)._3 != base(d)._3 || after(d)._4 != base(d)._4,
+          "edited day's fingerprint did not move")
+        assert(after(d)._2 == base(d)._2) // same row count
+      } else assert(after(d) == base(d), s"untouched day $d moved")
+    }
+  }
+
   test("rolling_uniques: dau/wau7 equal a brute-force window recompute") {
     val dir = sf("sf0.001")
     val out = AnalyticsJobs.rollingUniques(spark, dir)
