@@ -36,7 +36,11 @@ object Probe {
     // round 6: trainer cost must track VOCAB (flat under dup mass), the
     // scoring/contamination cascades must stay linear
     "bpe_merges", "bpe_encode", "lm_surprise", "ngram_contamination",
-    "source_caps")
+    "source_caps",
+    // round 9: chunk-dedup accounting must stay linear under copies (the
+    // first-writer rank is a hash-keyed window, never a pair join) and
+    // the cluster-rooted split rides the same banded candidate graph
+    "cdc_chunks", "split_leakage_safe")
 
   /** The residual-zone suspects: pairwise joins whose fences rely on
     * collapsing identical content, plus the aggregation-only cascade that
