@@ -666,7 +666,77 @@ object AnalyticsJobs {
        |FROM events GROUP BY 1""".stripMargin
   }
 
+  /** Personalized PageRank seeded at PURCHASING users — "items (and
+    * users) close to the buyers", the recommendation-flavored variant of
+    * [[itemPagerank]] over the same interaction graph
+    * ([[graft.ops.Graph.personalizedPageRank]]: restart mass only at the
+    * seed set, same integer recurrence and regime selection).
+    */
+  def itemPpr(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"),
+        (regexp_extract(col("props"), "\"k\"\\s*:\\s*(-?\\d+)", 1)
+          .cast("long") * 2 + 1).as("it"))
+    val parsed = ev.filter(col("it").isNotNull)
+      .select((col("user_id") * 2).as("u"), col("it"))
+    val edges = parsed.select(col("u").as("src"), col("it").as("dst"))
+      .unionAll(parsed.select(col("it").as("src"), col("u").as("dst")))
+    val seeds = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select((col("user_id") * 2).as("seed"))
+    graft.ops.Graph.personalizedPageRank(edges, seeds, iters = PR_ITERS)
+      .select(
+        when(col("node") % 2 === 0, "user").otherwise("item").as("node_kind"),
+        expr("node div 2").as("node_id"),
+        col("r").as("rank_s"))
+  }
+
+  val itemPprSql: String = {
+    val B = graft.ops.Graph.PrBase
+    val S = graft.ops.Graph.PrScale
+    val rounds = (1 to PR_ITERS).map { i =>
+      s"""r$i AS (
+         |  SELECT n.node AS node,
+         |         CAST(n.base +
+         |              COALESCE(SUM((r.r * 85) // (d.deg * 100)), 0) AS BIGINT) AS r
+         |  FROM nb n
+         |  LEFT JOIN edges e ON e.dst = n.node
+         |  LEFT JOIN r${i - 1} r ON r.node = e.src
+         |  LEFT JOIN deg d ON d.src = e.src
+         |  GROUP BY n.node, n.base)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ev AS (
+       |  SELECT user_id * 2 AS u,
+       |         CAST(json_extract_string(props, '$$.k') AS BIGINT) * 2 + 1 AS it
+       |  FROM events
+       |  WHERE json_extract_string(props, '$$.k') IS NOT NULL
+       |), e0 AS (SELECT DISTINCT u, it FROM ev),
+       |edges AS (SELECT u AS src, it AS dst FROM e0
+       |          UNION ALL SELECT it, u FROM e0),
+       |deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+       |nodes AS (SELECT DISTINCT src AS node FROM edges),
+       |seeds AS (SELECT DISTINCT user_id * 2 AS node FROM events
+       |          WHERE event_type = 'purchase'),
+       |params AS (SELECT (SELECT COUNT(*) FROM nodes) AS nn,
+       |                  (SELECT GREATEST(COUNT(*), 1) FROM seeds) AS ns),
+       |nb AS (
+       |  SELECT n.node,
+       |         CASE WHEN s.node IS NOT NULL
+       |              THEN CAST(($B * nn) // ns AS BIGINT) ELSE 0 END AS base,
+       |         CASE WHEN s.node IS NOT NULL
+       |              THEN CAST(($S * nn) // ns AS BIGINT) ELSE 0 END AS r_init
+       |  FROM nodes n LEFT JOIN seeds s ON s.node = n.node
+       |  CROSS JOIN params
+       |),
+       |r0 AS (SELECT node, r_init AS r FROM nb),
+       |$rounds
+       |SELECT CASE WHEN node % 2 = 0 THEN 'user' ELSE 'item' END AS node_kind,
+       |       node // 2 AS node_id, r AS rank_s
+       |FROM r$PR_ITERS""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "item_ppr" -> itemPpr,
     "partition_manifest" -> partitionManifest,
     "rolling_uniques" -> rollingUniques,
     "salted_join" -> saltedJoinAgg,
@@ -691,6 +761,7 @@ object AnalyticsJobs {
     "salted_join" -> saltedJoinAggSql,
     "rolling_uniques" -> rollingUniquesSql,
     "partition_manifest" -> partitionManifestSql,
+    "item_ppr" -> itemPprSql,
     "event_drift" -> eventDriftSql,
     "salted_agg" -> saltedAggSql,
     "event_props" -> eventPropsSql,

@@ -63,6 +63,110 @@ object Graph {
       singleTaskEdgeLimit: Long = 4000000L): DataFrame =
     pageRankInstrumented(edges, iters, checkpointEvery, singleTaskEdgeLimit)._1
 
+  /** Personalized PageRank: identical recurrence, but the restart mass
+    * (1−d) injects ONLY at the `seeds` nodes (a one-column LONG frame),
+    * each seed receiving BASE·N div |S| so total restart mass matches the
+    * uniform variant's; non-seeds start at 0. Ranks then measure
+    * proximity to the seed set — the "users like these" recommendation
+    * primitive over the same interaction graph.
+    *
+    *   r₀(v)    = SCALE·N div |S| if v ∈ S else 0
+    *   rₜ₊₁(v) = base(v) + Σ_{u→v} (rₜ(u)·85) div (outdeg(u)·100)
+    *   base(v)  = BASE·N div |S| if v ∈ S else 0
+    *
+    * Same two regimes and exactness contract as [[pageRank]]; the seed
+    * set ships as a broadcast membership bit on the node frame (or an
+    * in-task hash set below the regime limit).
+    */
+  def personalizedPageRank(
+      edges: DataFrame, seeds: DataFrame, iters: Int = 10,
+      checkpointEvery: Int = 5,
+      singleTaskEdgeLimit: Long = 4000000L): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .distinct().cache()
+    val nEdges = e.count()
+    val s = seeds.select(col("seed").cast("long")).distinct().cache()
+    val nSeeds = math.max(s.count(), 1L)
+    val nNodes = e.select(col("src")).union(e.select(col("dst")))
+      .distinct().count()
+    val seedMass = PrScale * nNodes / nSeeds
+    val seedBase = PrBase * nNodes / nSeeds
+    if (nEdges <= singleTaskEdgeLimit) {
+      val seedSet = s.as[Long].collect().toSet // |S|-sized driver copy
+      val ranks = e.as[(Long, Long)].coalesce(1).mapPartitions { it =>
+        val pairs = it.toArray
+        val idx = scala.collection.mutable.LongMap.empty[Int]
+        val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+        def intern(x: Long): Int =
+          idx.getOrElseUpdate(x, { ids += x; ids.length - 1 })
+        val srcI = new Array[Int](pairs.length)
+        val dstI = new Array[Int](pairs.length)
+        var i = 0
+        while (i < pairs.length) {
+          srcI(i) = intern(pairs(i)._1); dstI(i) = intern(pairs(i)._2)
+          i += 1
+        }
+        val n = ids.length
+        val deg = new Array[Long](n)
+        i = 0
+        while (i < pairs.length) { deg(srcI(i)) += 1L; i += 1 }
+        val base = Array.tabulate(n)(j =>
+          if (seedSet.contains(ids(j))) seedBase else 0L)
+        var r = Array.tabulate(n)(j =>
+          if (seedSet.contains(ids(j))) seedMass else 0L)
+        var round = 0
+        while (round < iters) {
+          val nxt = base.clone()
+          i = 0
+          while (i < pairs.length) {
+            nxt(dstI(i)) += (r(srcI(i)) * 85L) / (deg(srcI(i)) * 100L)
+            i += 1
+          }
+          r = nxt
+          round += 1
+        }
+        ids.indices.iterator.map(j => (ids(j), r(j)))
+      }.toDF("node", "r").localCheckpoint()
+      e.unpersist(); s.unpersist()
+      return ranks
+    }
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val esd = e.join(deg, "src").cache()
+    esd.count()
+    e.unpersist()
+    val nodes = esd.select(col("src").as("node"))
+      .union(esd.select(col("dst").as("node"))).distinct()
+      .join(broadcast(s.withColumnRenamed("seed", "node"))
+        .withColumn("is_seed", lit(true)), Seq("node"), "left")
+      .select(col("node"),
+        when(col("is_seed"), lit(seedBase)).otherwise(lit(0L)).as("base"))
+      .cache()
+    var ranks = nodes.select(col("node"),
+      when(col("base") > 0, lit(seedMass)).otherwise(lit(0L)).as("r")).cache()
+    var prev = ranks
+    var round = 0
+    while (round < iters) {
+      val inflow = esd
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(sum(expr("(r * 85) div (deg * 100)")).as("in_r"))
+      val next0 = nodes.join(inflow, Seq("node"), "left")
+        .select(col("node"),
+          (col("base") + coalesce(col("in_r"), lit(0L))).as("r"))
+      val next = if ((round + 1) % checkpointEvery == 0) next0.localCheckpoint()
+                 else next0.cache()
+      next.count()
+      prev.unpersist()
+      prev = next
+      ranks = next
+      round += 1
+    }
+    s.unpersist()
+    ranks
+  }
+
   /** [[pageRank]] plus which regime ran (true = single-task), so specs can
     * pin the path — both land bit-identical ranks, which the output alone
     * cannot reveal.

@@ -54,6 +54,23 @@ class GraphSpec extends SparkSpec {
     assert(a == refRanks(edges ++ edges.map(_.swap), 10))
   }
 
+  test("personalized pagerank: regimes agree; proximity to seeds orders ranks") {
+    // chain 0-1-2-3-4-5 (symmetric): seed at node 0 → rank decays with
+    // distance from the seed
+    val chain = (0L to 4L).flatMap(i => Seq((i, i + 1), (i + 1, i)))
+    val seeds = Seq(0L).toDF("seed")
+    val one = Graph.personalizedPageRank(chain.toDF("src", "dst"), seeds, 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = Graph.personalizedPageRank(chain.toDF("src", "dst"), seeds, 10,
+        singleTaskEdgeLimit = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(one == dist)
+    // monotone decay along the chain away from the seed
+    assert(one(0L) > one(1L) && one(1L) > one(2L) && one(2L) > one(3L))
+    // non-seed restart mass is zero: far nodes hold only flowed-in mass
+    assert(one(5L) > 0L && one(5L) < one(0L) / 4)
+  }
+
   test("mass accounting: total rank stays within floor-loss of N*scale") {
     // each round redistributes total mass N·S: base injects 0.15·N·S and
     // damping passes ≤ 0.85·N·S; floor division only ever LOSES mass, at
