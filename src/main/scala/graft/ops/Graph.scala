@@ -87,14 +87,13 @@ object Graph {
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .distinct().cache()
     val nEdges = e.count()
-    val s = seeds.select(col("seed").cast("long")).distinct().cache()
-    val nSeeds = math.max(s.count(), 1L)
-    val nNodes = e.select(col("src")).union(e.select(col("dst")))
-      .distinct().count()
-    val seedMass = PrScale * nNodes / nSeeds
-    val seedBase = PrBase * nNodes / nSeeds
+    val s = seeds.select(col("seed").cast("long")).distinct()
     if (nEdges <= singleTaskEdgeLimit) {
-      val seedSet = s.as[Long].collect().toSet // |S|-sized driver copy
+      // |S|-sized driver copy; node count and the normalized seed mass
+      // are computed IN-TASK from the interned graph, so the small regime
+      // pays no extra pre-loop actions
+      val seedSet = s.as[Long].collect().toSet
+      val nSeeds = math.max(seedSet.size.toLong, 1L)
       val ranks = e.as[(Long, Long)].coalesce(1).mapPartitions { it =>
         val pairs = it.toArray
         val idx = scala.collection.mutable.LongMap.empty[Int]
@@ -112,6 +111,8 @@ object Graph {
         val deg = new Array[Long](n)
         i = 0
         while (i < pairs.length) { deg(srcI(i)) += 1L; i += 1 }
+        val seedMass = PrScale * n / nSeeds
+        val seedBase = PrBase * n / nSeeds
         val base = Array.tabulate(n)(j =>
           if (seedSet.contains(ids(j))) seedBase else 0L)
         var r = Array.tabulate(n)(j =>
@@ -129,16 +130,22 @@ object Graph {
         }
         ids.indices.iterator.map(j => (ids(j), r(j)))
       }.toDF("node", "r").localCheckpoint()
-      e.unpersist(); s.unpersist()
+      e.unpersist()
       return ranks
     }
+    val sc = s.cache()
+    val nSeeds = math.max(sc.count(), 1L)
+    val nNodes = e.select(col("src")).union(e.select(col("dst")))
+      .distinct().count()
+    val seedMass = PrScale * nNodes / nSeeds
+    val seedBase = PrBase * nNodes / nSeeds
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val esd = e.join(deg, "src").cache()
     esd.count()
     e.unpersist()
     val nodes = esd.select(col("src").as("node"))
       .union(esd.select(col("dst").as("node"))).distinct()
-      .join(broadcast(s.withColumnRenamed("seed", "node"))
+      .join(broadcast(sc.withColumnRenamed("seed", "node"))
         .withColumn("is_seed", lit(true)), Seq("node"), "left")
       .select(col("node"),
         when(col("is_seed"), lit(seedBase)).otherwise(lit(0L)).as("base"))
@@ -163,7 +170,7 @@ object Graph {
       ranks = next
       round += 1
     }
-    s.unpersist()
+    sc.unpersist()
     ranks
   }
 
