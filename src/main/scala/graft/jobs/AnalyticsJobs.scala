@@ -735,7 +735,49 @@ object AnalyticsJobs {
        |FROM r$PR_ITERS""".stripMargin
   }
 
+  /** The sketch-merge form of [[rollingUniques]] — its OWN scaladoc's
+    * 100 TB path made a checked gate: per-day DataSketches HLL sketches
+    * (`hll_sketch_agg`) union across the 7-day window (`hll_union_agg`),
+    * so extreme user cardinality costs mergeable KB-sized partials
+    * instead of exact distinct shuffles. Sketch estimates are
+    * partitioning-dependent and can't hash any oracle (the
+    * `approx_distinct` rule), so the gate emits what IS deterministic:
+    * the exact windowed distinct plus the estimate's 5%-relative-error
+    * audit boolean (HLL at default lgK=12 is ~1.6% rse — 5% ≫ 3σ).
+    */
+  def rollingUniquesApprox(spark: SparkSession, sfDir: String): DataFrame = {
+    val du = Tables.events(spark, sfDir)
+      .select(expr("datediff(cast(ts as date), date'1970-01-01')").as("day"),
+        col("user_id"))
+    val daily = du.groupBy(col("day"))
+      .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+    val days = daily.select(col("day").as("d"))
+    val merged = daily
+      .select(explode(sequence(col("day"), col("day") + 6)).as("d"),
+        col("sk"))
+      .join(days, "d")
+      .groupBy(col("d").as("day"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("wau_est"))
+    val exact = rollingUniques(spark, sfDir).select(col("day"), col("wau7"))
+    exact.join(merged, "day")
+      .select(col("day"), col("wau7"),
+        (abs(col("wau_est") - col("wau7")).cast("double") / col("wau7")
+          <= 0.05).as("est_in_bounds"))
+  }
+
+  val rollingUniquesApproxSql: String =
+    """WITH du AS (
+      |  SELECT DISTINCT (ts::DATE - DATE '1970-01-01') AS day, user_id
+      |  FROM events
+      |), days AS (SELECT DISTINCT day AS d FROM du)
+      |SELECT d.d AS day,
+      |       COUNT(DISTINCT u.user_id) AS wau7,
+      |       true AS est_in_bounds
+      |FROM days d JOIN du u ON u.day BETWEEN d.d - 6 AND d.d
+      |GROUP BY d.d""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rolling_uniques_approx" -> rollingUniquesApprox,
     "item_ppr" -> itemPpr,
     "partition_manifest" -> partitionManifest,
     "rolling_uniques" -> rollingUniques,
@@ -762,6 +804,7 @@ object AnalyticsJobs {
     "rolling_uniques" -> rollingUniquesSql,
     "partition_manifest" -> partitionManifestSql,
     "item_ppr" -> itemPprSql,
+    "rolling_uniques_approx" -> rollingUniquesApproxSql,
     "event_drift" -> eventDriftSql,
     "salted_agg" -> saltedAggSql,
     "event_props" -> eventPropsSql,

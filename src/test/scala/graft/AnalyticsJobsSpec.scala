@@ -170,6 +170,17 @@ class AnalyticsJobsSpec extends SparkSpec {
     }
   }
 
+  test("rolling_uniques_approx: sketch union tracks the exact window") {
+    val dir = sf("sf0.001")
+    val rows = AnalyticsJobs.rollingUniquesApprox(spark, dir)
+      .select($"day", $"wau7", $"est_in_bounds")
+      .as[(Int, Long, Boolean)].collect()
+    assert(rows.nonEmpty && rows.forall(_._3))
+    val exact = AnalyticsJobs.rollingUniques(spark, dir)
+      .select($"day", $"wau7").as[(Int, Long)].collect().toMap
+    rows.foreach { case (d, w, _) => assert(exact(d) == w) }
+  }
+
   test("partition_manifest: one edited row moves exactly one day's fingerprint") {
     import org.apache.spark.sql.functions._
     val dir = sf("sf0.001")
