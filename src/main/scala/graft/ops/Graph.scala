@@ -13,8 +13,13 @@ import org.apache.spark.sql.functions._
   * summation order lands on bit-identical ranks (the repo's engine-exact
   * contract): ranks are 10^12-scaled BIGINTs, the damping step is a
   * per-edge BIGINT floor division, and per-node in-flows are integer sums
-  * (order-independent). That makes the 10-round fixpoint restatable as
-  * unrolled SQL CTEs and hash-checkable against DuckDB.
+  * (order-independent). That makes the fixpoint restatable as unrolled
+  * SQL CTEs and hash-checkable against DuckDB.
+  *
+  * One core serves both flavors: uniform PageRank is personalized
+  * PageRank whose seed set is every node (restart mass BASE·N div N =
+  * BASE), so the recurrence, the regime selection, and the exactness
+  * argument are written once.
   */
 object Graph {
 
@@ -40,7 +45,7 @@ object Graph {
     *   rₜ₊₁(v) = BASE + Σ_{u→v} (rₜ(u)·85) div (outdeg(u)·100)
     *
     * Regime selection (the round-8 `connectedComponents` lesson, measured
-    * in SCALE.md §8f for the graph-loop family): the EDGE frame of an
+    * in SCALE.md §8f/§8g for the graph-loop family): the EDGE frame of an
     * interaction graph is the distinct (user,item) pair set — orders of
     * magnitude smaller than the event log it aggregates from — so when
     * one count shows ≤ `singleTaskEdgeLimit` edges the whole k-round
@@ -63,6 +68,16 @@ object Graph {
       singleTaskEdgeLimit: Long = 4000000L): DataFrame =
     pageRankInstrumented(edges, iters, checkpointEvery, singleTaskEdgeLimit)._1
 
+  /** [[pageRank]] plus which regime ran (true = single-task), so specs can
+    * pin the path — both land bit-identical ranks, which the output alone
+    * cannot reveal.
+    */
+  private[graft] def pageRankInstrumented(
+      edges: DataFrame, iters: Int,
+      checkpointEvery: Int = 5,
+      singleTaskEdgeLimit: Long = 4000000L): (DataFrame, Boolean) =
+    core(edges, None, iters, checkpointEvery, singleTaskEdgeLimit)
+
   /** Personalized PageRank: identical recurrence, but the restart mass
     * (1−d) injects ONLY at the `seeds` nodes (a one-column LONG frame),
     * each seed receiving BASE·N div |S| so total restart mass matches the
@@ -76,24 +91,35 @@ object Graph {
     *
     * Same two regimes and exactness contract as [[pageRank]]; the seed
     * set ships as a broadcast membership bit on the node frame (or an
-    * in-task hash set below the regime limit).
+    * in-task hash set below the regime limit, where the node count and
+    * the normalized mass are ALSO computed in-task — every pre-loop
+    * `count()` on a tiny graph is pure scheduling).
     */
   def personalizedPageRank(
       edges: DataFrame, seeds: DataFrame, iters: Int = 10,
       checkpointEvery: Int = 5,
-      singleTaskEdgeLimit: Long = 4000000L): DataFrame = {
+      singleTaskEdgeLimit: Long = 4000000L): DataFrame =
+    core(edges, Some(seeds), iters, checkpointEvery, singleTaskEdgeLimit)._1
+
+  /** The shared fixpoint. `seeds = None` is the uniform variant — restart
+    * mass at every node, which needs no membership structures at all.
+    */
+  private def core(
+      edges: DataFrame, seeds: Option[DataFrame], iters: Int,
+      checkpointEvery: Int,
+      singleTaskEdgeLimit: Long): (DataFrame, Boolean) = {
     val spark = edges.sparkSession
     import spark.implicits._
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .distinct().cache()
-    val nEdges = e.count()
-    val s = seeds.select(col("seed").cast("long")).distinct()
+    val nEdges = e.count() // materializes the cache; picks the regime
+    val s = seeds.map(_.select(col("seed").cast("long")).distinct())
+
     if (nEdges <= singleTaskEdgeLimit) {
-      // |S|-sized driver copy; node count and the normalized seed mass
-      // are computed IN-TASK from the interned graph, so the small regime
-      // pays no extra pre-loop actions
-      val seedSet = s.as[Long].collect().toSet
-      val nSeeds = math.max(seedSet.size.toLong, 1L)
+      // |S|-sized driver copy (None → no set); the node count and the
+      // normalized seed mass are computed IN-TASK from the interned graph
+      val seedSet = s.map(_.as[Long].collect().toSet)
+      val nSeeds = seedSet.map(ss => math.max(ss.size.toLong, 1L))
       val ranks = e.as[(Long, Long)].coalesce(1).mapPartitions { it =>
         val pairs = it.toArray
         val idx = scala.collection.mutable.LongMap.empty[Int]
@@ -111,12 +137,16 @@ object Graph {
         val deg = new Array[Long](n)
         i = 0
         while (i < pairs.length) { deg(srcI(i)) += 1L; i += 1 }
-        val seedMass = PrScale * n / nSeeds
-        val seedBase = PrBase * n / nSeeds
-        val base = Array.tabulate(n)(j =>
-          if (seedSet.contains(ids(j))) seedBase else 0L)
-        var r = Array.tabulate(n)(j =>
-          if (seedSet.contains(ids(j))) seedMass else 0L)
+        val (massOf, baseOf): (Int => Long, Int => Long) = seedSet match {
+          case None => (_ => PrScale, _ => PrBase)
+          case Some(ss) =>
+            val m = PrScale * n / nSeeds.get
+            val b = PrBase * n / nSeeds.get
+            (j => if (ss.contains(ids(j))) m else 0L,
+              j => if (ss.contains(ids(j))) b else 0L)
+        }
+        val base = Array.tabulate(n)(baseOf)
+        var r = Array.tabulate(n)(massOf)
         var round = 0
         while (round < iters) {
           val nxt = base.clone()
@@ -131,27 +161,36 @@ object Graph {
         ids.indices.iterator.map(j => (ids(j), r(j)))
       }.toDF("node", "r").localCheckpoint()
       e.unpersist()
-      return ranks
+      return (ranks, true)
     }
-    val sc = s.cache()
-    val nSeeds = math.max(sc.count(), 1L)
-    val nNodes = e.select(col("src")).union(e.select(col("dst")))
-      .distinct().count()
-    val seedMass = PrScale * nNodes / nSeeds
-    val seedBase = PrBase * nNodes / nSeeds
+
+    // Distributed loop. Out-degrees ride the cached edge frame so each
+    // round's contribution is computable in-row after ONE rank join; the
+    // per-node base lands on the node frame once (broadcast seed join).
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val esd = e.join(deg, "src").cache()
-    esd.count()
+    esd.count() // materialize so the raw edge cache can be released
     e.unpersist()
-    val nodes = esd.select(col("src").as("node"))
+    val plainNodes = esd.select(col("src").as("node"))
       .union(esd.select(col("dst").as("node"))).distinct()
-      .join(broadcast(sc.withColumnRenamed("seed", "node"))
-        .withColumn("is_seed", lit(true)), Seq("node"), "left")
-      .select(col("node"),
-        when(col("is_seed"), lit(seedBase)).otherwise(lit(0L)).as("base"))
-      .cache()
-    var ranks = nodes.select(col("node"),
-      when(col("base") > 0, lit(seedMass)).otherwise(lit(0L)).as("r")).cache()
+    val nodes = (s match {
+      case None =>
+        plainNodes.select(col("node"), lit(PrBase).as("base"),
+          lit(PrScale).as("r0"))
+      case Some(sd) =>
+        val sc = sd.cache()
+        val nSeeds = math.max(sc.count(), 1L)
+        val nNodes = plainNodes.count()
+        val b = PrBase * nNodes / nSeeds
+        val m = PrScale * nNodes / nSeeds
+        plainNodes
+          .join(broadcast(sc.withColumnRenamed("seed", "node"))
+            .withColumn("is_seed", lit(true)), Seq("node"), "left")
+          .select(col("node"),
+            when(col("is_seed"), lit(b)).otherwise(lit(0L)).as("base"),
+            when(col("is_seed"), lit(m)).otherwise(lit(0L)).as("r0"))
+    }).cache()
+    var ranks = nodes.select(col("node"), col("r0").as("r")).cache()
     var prev = ranks
     var round = 0
     while (round < iters) {
@@ -162,89 +201,6 @@ object Graph {
       val next0 = nodes.join(inflow, Seq("node"), "left")
         .select(col("node"),
           (col("base") + coalesce(col("in_r"), lit(0L))).as("r"))
-      val next = if ((round + 1) % checkpointEvery == 0) next0.localCheckpoint()
-                 else next0.cache()
-      next.count()
-      prev.unpersist()
-      prev = next
-      ranks = next
-      round += 1
-    }
-    sc.unpersist()
-    ranks
-  }
-
-  /** [[pageRank]] plus which regime ran (true = single-task), so specs can
-    * pin the path — both land bit-identical ranks, which the output alone
-    * cannot reveal.
-    */
-  private[graft] def pageRankInstrumented(
-      edges: DataFrame, iters: Int,
-      checkpointEvery: Int = 5,
-      singleTaskEdgeLimit: Long = 4000000L): (DataFrame, Boolean) = {
-    val spark = edges.sparkSession
-    import spark.implicits._
-    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
-      .distinct().cache()
-    val nEdges = e.count() // materializes the cache; picks the regime
-    if (nEdges <= singleTaskEdgeLimit) {
-      // One-task fixpoint over primitive arrays: node ids interned into a
-      // dense index, out-degrees and per-round in-flows as long arrays.
-      // Memory contract mirrors union-find's: ~4M edges ≈ tens of MB of
-      // primitive arrays, comfortable in one executor task.
-      val ranks = e.as[(Long, Long)].coalesce(1).mapPartitions { it =>
-        val pairs = it.toArray
-        val idx = scala.collection.mutable.LongMap.empty[Int]
-        val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
-        def intern(x: Long): Int =
-          idx.getOrElseUpdate(x, { ids += x; ids.length - 1 })
-        val srcI = new Array[Int](pairs.length)
-        val dstI = new Array[Int](pairs.length)
-        var i = 0
-        while (i < pairs.length) {
-          srcI(i) = intern(pairs(i)._1); dstI(i) = intern(pairs(i)._2)
-          i += 1
-        }
-        val n = ids.length
-        val deg = new Array[Long](n)
-        i = 0
-        while (i < pairs.length) { deg(srcI(i)) += 1L; i += 1 }
-        var r = Array.fill(n)(PrScale)
-        var round = 0
-        while (round < iters) {
-          val nxt = Array.fill(n)(PrBase)
-          i = 0
-          while (i < pairs.length) {
-            nxt(dstI(i)) += (r(srcI(i)) * 85L) / (deg(srcI(i)) * 100L)
-            i += 1
-          }
-          r = nxt
-          round += 1
-        }
-        ids.indices.iterator.map(j => (ids(j), r(j)))
-      }.toDF("node", "r").localCheckpoint()
-      e.unpersist()
-      return (ranks, true)
-    }
-    // Distributed loop. Out-degrees ride the cached edge frame so each
-    // round's contribution is computable in-row after ONE rank join.
-    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val esd = e.join(deg, "src").cache()
-    esd.count() // materialize so the raw edge cache can be released
-    e.unpersist()
-    val nodes = esd.select(col("src").as("node"))
-      .union(esd.select(col("dst").as("node"))).distinct().cache()
-    var ranks = nodes.select(col("node"), lit(PrScale).as("r")).cache()
-    var prev = ranks
-    var round = 0
-    while (round < iters) {
-      val inflow = esd
-        .join(ranks.withColumnRenamed("node", "src"), "src")
-        .groupBy(col("dst").as("node"))
-        .agg(sum(expr("(r * 85) div (deg * 100)")).as("in_r"))
-      val next0 = nodes.join(inflow, Seq("node"), "left")
-        .select(col("node"),
-          (lit(PrBase) + coalesce(col("in_r"), lit(0L))).as("r"))
       val next = if ((round + 1) % checkpointEvery == 0) next0.localCheckpoint()
                  else next0.cache()
       next.count()
