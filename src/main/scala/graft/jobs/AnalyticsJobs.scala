@@ -776,7 +776,56 @@ object AnalyticsJobs {
       |FROM days d JOIN du u ON u.day BETWEEN d.d - 6 AND d.d
       |GROUP BY d.d""".stripMargin
 
+  /** Signup→purchase conversion latency distribution: per user, the
+    * first signup and the first purchase at-or-after it; percentiles of
+    * the gap (exact interpolated — the `percentile_stats` convention,
+    * micros so the interpolation runs on integers) plus count and max.
+    * The funnel-health number a growth dashboard tracks beside the
+    * conversion RATE the `funnel` query reports.
+    */
+  def conversionLatency(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+    val firsts = e.groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "signup", col("ts")))
+        .as("signup_t"))
+      .filter(col("signup_t").isNotNull)
+    val conv = firsts
+      .join(e.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_uid"), col("ts").as("p_t")),
+        col("user_id") === col("p_uid") && col("p_t") >= col("signup_t"))
+      .groupBy(col("user_id"), col("signup_t"))
+      .agg(min(col("p_t")).as("conv_t"))
+      .select((expr("unix_micros(conv_t)") - expr("unix_micros(signup_t)"))
+        .as("gap_us"))
+    conv.agg(count(lit(1)).as("n_converted"),
+      round(expr("percentile(gap_us, 0.5)") + lit(1e-9), 4).as("p50_gap_us"),
+      round(expr("percentile(gap_us, 0.95)") + lit(1e-9), 4).as("p95_gap_us"),
+      max(col("gap_us")).as("max_gap_us"))
+  }
+
+  val conversionLatencySql: String =
+    """WITH f AS (
+      |  SELECT user_id,
+      |         MIN(CASE WHEN event_type = 'signup' THEN ts END) AS signup_t
+      |  FROM events GROUP BY 1
+      |), c AS (
+      |  SELECT f.user_id, f.signup_t, MIN(p.ts) AS conv_t
+      |  FROM f JOIN events p
+      |    ON p.user_id = f.user_id AND p.event_type = 'purchase'
+      |   AND p.ts >= f.signup_t
+      |  WHERE f.signup_t IS NOT NULL
+      |  GROUP BY 1, 2
+      |), g AS (
+      |  SELECT epoch_us(conv_t) - epoch_us(signup_t) AS gap_us FROM c
+      |)
+      |SELECT COUNT(*) AS n_converted,
+      |       ROUND(quantile_cont(gap_us, 0.5) + 1e-9, 4) AS p50_gap_us,
+      |       ROUND(quantile_cont(gap_us, 0.95) + 1e-9, 4) AS p95_gap_us,
+      |       MAX(gap_us) AS max_gap_us
+      |FROM g""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "conversion_latency" -> conversionLatency,
     "rolling_uniques_approx" -> rollingUniquesApprox,
     "item_ppr" -> itemPpr,
     "partition_manifest" -> partitionManifest,
@@ -805,6 +854,7 @@ object AnalyticsJobs {
     "partition_manifest" -> partitionManifestSql,
     "item_ppr" -> itemPprSql,
     "rolling_uniques_approx" -> rollingUniquesApproxSql,
+    "conversion_latency" -> conversionLatencySql,
     "event_drift" -> eventDriftSql,
     "salted_agg" -> saltedAggSql,
     "event_props" -> eventPropsSql,
