@@ -824,7 +824,52 @@ object AnalyticsJobs {
       |       MAX(gap_us) AS max_gap_us
       |FROM g""".stripMargin
 
+  /** Recency-decayed engagement score per user: each event's cents-value
+    * halves per week of age (anchored at the corpus max timestamp), the
+    * classic exponential-decay ranking restated EXACTLY — age quantized
+    * to whole weeks and the decay applied as a BIGINT floor division by
+    * 2^weeks, so there is no float `pow` to drift and the score is
+    * order-independent (a sum of integers). Output: user, decayed score,
+    * raw cents, last-seen epoch-day — the "who is active NOW" roster.
+    *
+    * Scale shape: the anchor is one max() aggregate broadcast back (the
+    * mixture_plan 1-row CROSS pattern); scoring is a single two-phase
+    * user-keyed agg.
+    */
+  def engagementDecay(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+    val anchor = e.agg(max(expr("unix_micros(ts)")).as("max_us"))
+    e.crossJoin(broadcast(anchor))
+      .withColumn("age_weeks",
+        expr("(max_us - unix_micros(ts)) div 604800000000"))
+      .withColumn("decayed",
+        expr("cents div (cast(1 as bigint) << least(age_weeks, 62))"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("decayed")).as("score"),
+        sum(col("cents")).as("cents_total"),
+        max(expr("unix_micros(ts) div 86400000000")).as("last_day"))
+  }
+
+  val engagementDecaySql: String =
+    """WITH a AS (SELECT MAX(epoch_us(ts)) AS max_us FROM events),
+      |e AS (
+      |  SELECT user_id,
+      |         CAST(ROUND(value * 100, 0) AS BIGINT) AS cents,
+      |         (a.max_us - epoch_us(ts)) // 604800000000 AS age_weeks,
+      |         epoch_us(ts) // 86400000000 AS day
+      |  FROM events CROSS JOIN a
+      |)
+      |SELECT user_id,
+      |       CAST(SUM(cents // (1::BIGINT << CAST(LEAST(age_weeks, 62) AS INT)))
+      |         AS BIGINT) AS score,
+      |       CAST(SUM(cents) AS BIGINT) AS cents_total,
+      |       MAX(day) AS last_day
+      |FROM e GROUP BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "engagement_decay" -> engagementDecay,
     "conversion_latency" -> conversionLatency,
     "rolling_uniques_approx" -> rollingUniquesApprox,
     "item_ppr" -> itemPpr,
@@ -855,6 +900,7 @@ object AnalyticsJobs {
     "item_ppr" -> itemPprSql,
     "rolling_uniques_approx" -> rollingUniquesApproxSql,
     "conversion_latency" -> conversionLatencySql,
+    "engagement_decay" -> engagementDecaySql,
     "event_drift" -> eventDriftSql,
     "salted_agg" -> saltedAggSql,
     "event_props" -> eventPropsSql,
