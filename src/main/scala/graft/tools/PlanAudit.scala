@@ -70,6 +70,7 @@ object PlanAudit {
         "(day, type) count frame (both bounded by the observed-day count and the type alphabet, never the corpus)"),
       "coreset_assign_from_artifact" -> ("CROSS is the k-row (k=8) LOADED-center frame broadcast into the " +
         "assignment scan (the serve-time twin of coreset_kcenter's assignment; no greedy rounds in this plan at all)"),
+      "engagement_decay" -> "CROSS is the 1-row max-timestamp anchor broadcast into the scoring scan",
       "q3_shipping" -> "LeftOuter BNLJ builds on the bounded top-N candidate frame to attach global ranks without a single-partition window",
       "quality_classifier_trained" -> "CROSSes are 1-row model frames (class centroids + midpoint threshold) broadcast into the scoring scan")
 

@@ -170,6 +170,48 @@ class AnalyticsJobsSpec extends SparkSpec {
     }
   }
 
+  test("conversion_latency: percentiles bracket a brute-force gap recompute") {
+    val dir = sf("sf0.001")
+    val row = AnalyticsJobs.conversionLatency(spark, dir)
+      .as[(Long, Double, Double, Long)].head()
+    val evs = graft.io.Tables.events(spark, dir)
+      .selectExpr("user_id", "event_type", "unix_micros(ts) as us")
+      .as[(Long, String, Long)].collect()
+    val gaps = evs.filter(_._2 == "signup").groupBy(_._1)
+      .flatMap { case (u, ss) =>
+        val s0 = ss.map(_._3).min
+        evs.filter(e => e._1 == u && e._2 == "purchase" && e._3 >= s0)
+          .map(_._3 - s0).minOption
+      }.toSeq.sorted
+    assert(row._1 == gaps.size)
+    assert(row._4 == gaps.max)
+    assert(row._2 >= gaps.head && row._2 <= gaps.last)
+    assert(row._3 >= row._2) // p95 ≥ p50
+  }
+
+  test("engagement_decay: shifts equal a brute-force halving recompute") {
+    val dir = sf("sf0.001")
+    val out = AnalyticsJobs.engagementDecay(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    val evs = graft.io.Tables.events(spark, dir)
+      .selectExpr("user_id", "unix_micros(ts) as us",
+        "cast(round(value * 100, 0) as long) as cents")
+      .as[(Long, Long, Long)].collect()
+    val anchor = evs.map(_._2).max
+    val ref = evs.groupBy(_._1).map { case (u, g) =>
+      u -> (
+        g.map(e => e._3 / (1L << math.min((anchor - e._2) / 604800000000L, 62L))).sum,
+        g.map(_._3).sum,
+        g.map(_._2 / 86400000000L).max)
+    }
+    assert(out.keySet == ref.keySet)
+    ref.foreach { case (u, (s, c, d)) =>
+      assert(out(u) == ((u, s, c, d)))
+    }
+    // decay must bite: someone's score is strictly below their raw cents
+    assert(out.values.exists(r => r._2 < r._3))
+  }
+
   test("rolling_uniques_approx: sketch union tracks the exact window") {
     val dir = sf("sf0.001")
     val rows = AnalyticsJobs.rollingUniquesApprox(spark, dir)
