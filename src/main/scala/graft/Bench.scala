@@ -10,6 +10,10 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
+      // SCALE §8f: AQE listener events stringify the plan; un-checkpointed
+      // iterative lineages hit multi-GB plan strings (measured 1.98 GB →
+      // driver OOM inside explainString). Cap changes log text only.
+      .config("spark.sql.maxPlanStringLength", "16384")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the session (codegen, catalog, parquet footers) so the first
@@ -74,24 +78,32 @@ object Bench {
     val errs = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
     // canary keys carry a reserved suffix so BenchGap's flat pair-scan can
-    // split them from query medians; a summary lands early in the line
-    // (the driver tail truncates the end)
+    // split them from query medians. The driver keeps only the TAIL of
+    // stdout (r9 lesson: a canary map emitted after the queries map pushed
+    // every per-query median out of BENCH_r09) — so the canary map goes on
+    // its OWN line printed first, and the main line orders summary →
+    // errors → queries so the queries map sits at the surviving end.
     val canSorted = canaries.values.toSeq.sorted
     val canMed = if (canSorted.nonEmpty) canSorted(canSorted.size / 2) else 0.0
     val canMax = if (canSorted.nonEmpty) canSorted.last else 0.0
     val cans = canaries.map { case (k, v) => jstr(k + "__canary") + ":" + v }
       .mkString("{", ",", "}")
     val total = results.values.filterNot(_.isNaN).sum
+    val canaryLine =
+      s"""{"metric":"canary","canary_med":$canMed,"canary_max":$canMax,"canary":$cans,"sf":"$sfDir"}"""
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","canary_med":$canMed,"canary_max":$canMax,"queries":$qs,"errors":$errs,"canary":$cans,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","canary_med":$canMed,"canary_max":$canMax,"sf":"$sfDir","errors":$errs,"queries":$qs}"""
+    println(canaryLine)
     println(line)
-    // The driver captures stdout with a bounded tail, which has truncated
-    // the per-query map past ~65 queries; persist the full line so every
-    // registered query's median survives the round (see CLAUDE.md).
+    // Persist BOTH maps in one full object so every registered query's
+    // median and canary survives the round regardless of any log-tail
+    // truncation (see CLAUDE.md; BenchGap reads flat pairs from either).
+    val full =
+      s"""{"metric":"total","value":$total,"unit":"sec","canary_med":$canMed,"canary_max":$canMax,"sf":"$sfDir","errors":$errs,"canary":$cans,"queries":$qs}"""
     try {
       java.nio.file.Files.write(
         java.nio.file.Paths.get("/tmp/bench_full.json"),
-        line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case _: java.io.IOException => () }
     spark.stop()
   }

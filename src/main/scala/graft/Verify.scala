@@ -12,6 +12,9 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // SCALE §8f: cap plan-string length so AQE listener events never
+      // stringify a multi-GB iterative-lineage plan (log text only).
+      .config("spark.sql.maxPlanStringLength", "16384")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -1,11 +1,12 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.bridge
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Content-defined-chunking boundary scan as ONE per-row pass.
@@ -31,6 +32,15 @@ import org.apache.spark.unsafe.types.UTF8String
 case class CdcBoundaries(child: Expression, w: Int, d: Int)
     extends UnaryExpression {
   require(w >= 1 && d >= 1, "CDC needs window >= 1 and divisor >= 1")
+
+  // SQL-reachable (GraftExtensions registers cdc_boundaries), so misuse
+  // over a non-string column must fail at ANALYSIS, not as a codegen
+  // ClassCastException mid-job (AbstractDataType is private[sql], hence
+  // checkInputDataTypes rather than ExpectsInputTypes)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"cdc_boundaries requires a STRING input, got ${child.dataType.catalogString}")
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def prettyName: String = "cdc_boundaries"

@@ -1,6 +1,6 @@
 package graft.jobs
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.io.Tables
 
@@ -640,9 +640,16 @@ object AnalyticsJobs {
     */
   def partitionManifest(spark: SparkSession, sfDir: String): DataFrame = {
     val cents = round(col("value") * 100, 0).cast("long")
+    // Every field rides through an explicit NULL sentinel (unit separator,
+    // chr(31)): concat_ws SKIPS nulls while the oracle's '||' chain nulls
+    // the whole string — without the sentinel a future NULL field would
+    // silently alias distinct rows on one side and drop them on the other.
+    def canon(c: Column): Column =
+      coalesce(c.cast("string"), lit("\u001f"))
     val canonical = concat_ws("|",
-      col("event_id"), expr("unix_micros(ts)"), col("user_id"),
-      col("event_type"), cents, col("props"))
+      canon(col("event_id")), canon(expr("unix_micros(ts)")),
+      canon(col("user_id")), canon(col("event_type")), canon(cents),
+      canon(col("props")))
     Tables.events(spark, sfDir)
       .select(expr("datediff(cast(ts as date), date'1970-01-01')").as("day"),
         conv(substring(md5(canonical), 1, 15), 16, 10).cast("long").as("h"),
@@ -654,10 +661,17 @@ object AnalyticsJobs {
   }
 
   val partitionManifestSql: String = {
+    // COALESCE(x, chr(31)) mirrors the Spark side's NULL sentinel exactly
+    // (chr(31) = the Spark side's lit("\u001f")): without it '||' nulls the whole canonical
+    // string and BIT_XOR silently drops the row.
+    def canon(x: String): String = s"COALESCE($x, chr(31))"
     val h = OracleSql.hex60Sql(
-      "event_id::VARCHAR || '|' || epoch_us(ts)::VARCHAR || '|' || " +
-        "user_id::VARCHAR || '|' || event_type || '|' || " +
-        "CAST(ROUND(value * 100, 0) AS BIGINT)::VARCHAR || '|' || props")
+      canon("event_id::VARCHAR") + " || '|' || " +
+        canon("epoch_us(ts)::VARCHAR") + " || '|' || " +
+        canon("user_id::VARCHAR") + " || '|' || " +
+        canon("event_type") + " || '|' || " +
+        canon("CAST(ROUND(value * 100, 0) AS BIGINT)::VARCHAR") +
+        " || '|' || " + canon("props"))
     s"""SELECT (ts::DATE - DATE '1970-01-01') AS day,
        |       COUNT(*) AS n_rows,
        |       BIT_XOR($h) AS fp_xor,

@@ -23,13 +23,35 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
-  /** Rank scale: 1.0 of probability mass = 10^12. With ≤ ~10^6 nodes the
-    * total mass N·SCALE ≤ 10^18 stays inside BIGINT, and a single node's
-    * rank (≤ total mass) times the damping numerator 85 stays inside too.
-    * For graphs beyond 10^6 nodes callers drop the scale a decade per
-    * decade of nodes (the contract only needs scale ≫ N for resolution).
+  /** Rank scale: 1.0 of probability mass = 10^12. The binding constraint
+    * is the damping step `r·85`, not the total mass: a single node's rank
+    * must stay ≤ Long.MaxValue/85 ≈ 1.08·10^17. For UNIFORM PageRank at
+    * N = 10^6 nodes (total mass 10^18) that means no single hub may hold
+    * more than ~10.8% of total mass — true of interaction graphs but NOT
+    * guaranteed in general; hubbier graphs (or N beyond 10^6) drop the
+    * scale a decade per decade (the contract only needs scale ≫ N for
+    * resolution). For PERSONALIZED PageRank the constraint binds in round
+    * 1 already — each seed starts at exactly SCALE·N div |S| — so
+    * [[checkSeedMass]] asserts it instead of wrapping silently (non-ANSI
+    * Spark and Scala Long arithmetic both wrap without error).
     */
   val PrScale: Long = 1000000000000L
+
+  /** Personalized-variant overflow guard: r₀(seed) = SCALE·N div |S| and
+    * the damping step multiplies a rank by 85 before its div, so both
+    * SCALE·N and (SCALE·N div |S|)·85 must fit a Long or the fixpoint
+    * silently wraps. Runs in both regimes (in-task below the edge limit,
+    * driver-side above) before any rank arithmetic.
+    */
+  private[graft] def checkSeedMass(n: Long, nSeeds: Long): Unit = {
+    require(n <= Long.MaxValue / PrScale,
+      s"pageRank: N=$n nodes overflows scale $PrScale — drop Graph.PrScale" +
+        " a decade per decade of nodes")
+    require(PrScale * n / nSeeds <= Long.MaxValue / 85L,
+      s"personalizedPageRank: seed restart mass ${PrScale} * $n / $nSeeds " +
+        s"overflows the 85x damping step (N/|S| too large for scale " +
+        s"$PrScale) — drop Graph.PrScale or widen the seed set")
+  }
 
   /** Damped base mass: (1-d)·SCALE with d = 0.85, as exact integers. */
   val PrBase: Long = PrScale * 15L / 100L
@@ -140,6 +162,7 @@ object Graph {
         val (massOf, baseOf): (Int => Long, Int => Long) = seedSet match {
           case None => (_ => PrScale, _ => PrBase)
           case Some(ss) =>
+            checkSeedMass(n.toLong, nSeeds.get)
             val m = PrScale * n / nSeeds.get
             val b = PrBase * n / nSeeds.get
             (j => if (ss.contains(ids(j))) m else 0L,
@@ -181,6 +204,7 @@ object Graph {
         val sc = sd.cache()
         val nSeeds = math.max(sc.count(), 1L)
         val nNodes = plainNodes.count()
+        checkSeedMass(nNodes, nSeeds)
         val b = PrBase * nNodes / nSeeds
         val m = PrScale * nNodes / nSeeds
         plainNodes
