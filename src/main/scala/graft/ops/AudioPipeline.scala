@@ -25,9 +25,12 @@ final class AudioPipeline private (
 
   lazy val fingerprints: DataFrame = scan.select(col("doc_id"), col("fp"))
 
-  /** Banded Hamming near-dup pairs (doc_a, doc_b, hamming). */
+  /** Banded Hamming near-dup pairs (doc_a, doc_b, hamming); band width
+    * auto-scales with the corpus's distinct-fingerprint count
+    * ([[Dedup.bandPlan]], SCALE.md §8e).
+    */
   lazy val pairs: DataFrame =
-    Dedup.hammingPairs(fingerprints, Dedup.Bands63, maxHamming, scope)
+    Dedup.hammingPairsAuto(fingerprints, maxHamming, scope)
 
   /** Cluster labels (doc_id, cluster) — component minimum per clip. */
   lazy val clusters: DataFrame =

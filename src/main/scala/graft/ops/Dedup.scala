@@ -548,18 +548,107 @@ object Dedup {
   def bandVal(c: Column, b: (Int, Int)): Column =
     shiftrightunsigned(c, b._1).bitwiseAND(lit((1L << b._2) - 1L))
 
+  /** Super-band value: the member blocks' band values concatenated into
+    * one ≤63-bit join key (total width ≤ fingerprint width by
+    * construction, so the packing never overflows a Long).
+    */
+  def superBandVal(c: Column, blocks: Seq[(Int, Int)]): Column =
+    blocks.foldLeft(lit(0L): Column) { case (acc, (s, w)) =>
+      shiftleft(acc, w).bitwiseOR(bandVal(c, (s, w)))
+    }
+
+  /** Corpus-scaled Hamming band plan (SCALE.md §8e): disjoint 16-bit
+    * bands drown in ACCIDENTAL collisions once distinct-fingerprint count
+    * F approaches 2^16 — expected same-value pairs per band grow F²/2^w,
+    * ~10¹² candidate pairs at F = 10⁸. Wider disjoint bands can't exist
+    * (pigeonhole needs > maxHamming bands inside `bits` total), so the
+    * plan generalizes to SUPER-bands: partition the fingerprint into
+    * k = c + maxHamming near-equal blocks and join on every c-block
+    * combination. Pigeonhole still holds — ≤ maxHamming differing bits
+    * dirty ≤ maxHamming blocks, leaving ≥ c clean blocks, so at least one
+    * super-band (that c-combination) matches exactly — while the join key
+    * widens to ~c·bits/k bits, pushing the accidental-collision knee out
+    * by a factor 2^(width−bits/(maxHamming+1)).
+    *
+    * Selection: the smallest c ∈ [1, 4] whose NARROWEST super-band still
+    * satisfies 2^width ≥ F (expected accidental pairs per band ≤ F, so
+    * total candidate mass stays linear in F at C(k,c)·F). c = 1 at small
+    * F reproduces the disjoint plan exactly ([[Bands63]] for 63/3); the
+    * c = 4 ceiling (35 bands at maxHamming 3) covers F beyond 10¹⁰ —
+    * past that, shard the corpus before pairing. Band-row replication is
+    * C(k,c)·F — linear in F with a small constant, the right trade
+    * against a quadratic candidate mass.
+    */
+  def bandPlan(distinctFps: Long, maxHamming: Int, bits: Int = 63)
+      : Seq[Seq[(Int, Int)]] = {
+    require(maxHamming >= 0 && bits >= maxHamming + 1,
+      s"bandPlan needs bits ($bits) > maxHamming ($maxHamming)")
+    def blocksOf(k: Int): Seq[(Int, Int)] = {
+      // near-equal partition of [0, bits): (bits mod k) blocks get the
+      // extra bit, widest first so shifts are cumulative
+      val base = bits / k
+      val rem = bits % k
+      val widths = Seq.tabulate(k)(i => base + (if (i < rem) 1 else 0))
+      widths.scanLeft(0)(_ + _).zip(widths).map { case (s, w) => (s, w) }
+    }
+    def minWidth(c: Int): Int = {
+      val k = c + maxHamming
+      blocksOf(k).map(_._2).sorted.take(c).sum
+    }
+    val c = (1 to 4).find(c =>
+        minWidth(c) >= 62 || (1L << minWidth(c)) >= distinctFps)
+      .getOrElse(4)
+    blocksOf(c + maxHamming).combinations(c).toSeq
+  }
+
   def hammingPairs(fp: DataFrame, bands: Seq[(Int, Int)], maxHamming: Int,
-      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+      scope: CacheScope = CacheScope.unmanaged): DataFrame =
+    hammingPairsPlanned(fp, bands.map(Seq(_)), maxHamming, scope)
+
+  /** [[hammingPairs]] with the band plan derived from the corpus: caches
+    * the fingerprint frame, counts DISTINCT fingerprints (one count on a
+    * frame the join reads anyway — the regime-selection discipline), and
+    * picks [[bandPlan]]'s width. Output is plan-invariant (both plans are
+    * lossless candidate generators with multiplicity exactly 1), so
+    * oracles never see the switch; only the candidate mass does.
+    */
+  def hammingPairsAuto(fp: DataFrame, maxHamming: Int,
+      scope: CacheScope = CacheScope.unmanaged, bits: Int = 63): DataFrame = {
+    val fpc = scope.cache(fp.select(col("doc_id"), col("fp")))
+    val distinctFps = fpc.select(col("fp")).distinct().count()
+    hammingCore(fpc, bandPlan(distinctFps, maxHamming, bits), maxHamming)
+  }
+
+  /** The banded-join core over an arbitrary super-band plan (each band a
+    * list of (shift, width) blocks; [[hammingPairs]] passes singletons,
+    * [[hammingPairsAuto]] passes [[bandPlan]]'s combinations). Recall
+    * contract: the caller's plan must guarantee every ≤maxHamming pair
+    * shares at least one band — true of any all-c-combinations plan with
+    * k − c ≥ maxHamming blocks, and of disjoint plans with more bands
+    * than maxHamming. FIRST-shared-band rule, identity compression, and
+    * the intra-fingerprint expansion are as documented on
+    * [[hammingPairs]].
+    */
+  def hammingPairsPlanned(fp: DataFrame, bands: Seq[Seq[(Int, Int)]],
+      maxHamming: Int,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame =
+    hammingCore(scope.cache(fp.select(col("doc_id"), col("fp"))), bands,
+      maxHamming)
+
+  /** The join itself, over an ALREADY-cached (doc_id, fp) frame (read five
+    * times: distinct, two member sides, two intra sides).
+    */
+  private def hammingCore(fpc: DataFrame, bands: Seq[Seq[(Int, Int)]],
+      maxHamming: Int): DataFrame = {
     require(bands.size > maxHamming,
       s"pigeonhole needs more bands (${bands.size}) than maxHamming=$maxHamming")
-    val fpc = scope.cache(fp.select(col("doc_id"), col("fp")))
     val distinctFp = fpc.select(col("fp")).distinct()
     val bandRows = distinctFp.select(col("fp"),
-      posexplode(array(bands.map(b => bandVal(col("fp"), b)): _*))
+      posexplode(array(bands.map(b => superBandVal(col("fp"), b)): _*))
         .as(Seq("b", "bv")))
     val earlierBandsDiffer = bands.zipWithIndex.map { case (bd, j) =>
       (lit(j) >= col("x.b")) ||
-        (bandVal(col("x.fp"), bd) =!= bandVal(col("y.fp"), bd))
+        (superBandVal(col("x.fp"), bd) =!= superBandVal(col("y.fp"), bd))
     }.reduce(_ && _)
     val fpPairs = bandRows.alias("x").join(bandRows.alias("y"),
         col("x.b") === col("y.b") && col("x.bv") === col("y.bv") &&

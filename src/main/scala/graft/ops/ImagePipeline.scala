@@ -30,9 +30,13 @@ final class ImagePipeline private (
 
   lazy val fingerprints: DataFrame = scan.select(col("doc_id"), col("fp"))
 
-  /** Banded Hamming near-dup pairs (doc_a, doc_b, hamming). */
+  /** Banded Hamming near-dup pairs (doc_a, doc_b, hamming); band width
+    * auto-scales with the corpus's distinct-fingerprint count
+    * ([[Dedup.bandPlan]] — 16-bit bands drown in accidental collisions
+    * past ~10⁵ distinct fps; SCALE.md §8e).
+    */
   lazy val pairs: DataFrame =
-    Dedup.hammingPairs(fingerprints, Dedup.Bands63, maxHamming, scope)
+    Dedup.hammingPairsAuto(fingerprints, maxHamming, scope)
 
   /** Cluster labels (doc_id, cluster) — component minimum per image. */
   lazy val clusters: DataFrame =
