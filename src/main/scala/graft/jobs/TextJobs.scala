@@ -234,15 +234,42 @@ object TextJobs {
       .select(explode(TextAnalysis.tokens(lower(col("text")))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
 
+  /** Driver-held trained-BPE memo, keyed by the corpus fingerprint (the
+    * [[rocchioModel]] discipline): (merge table, encoder table). Training
+    * still runs as ONE distributed word count + a single-task trainer;
+    * only its OUTPUTS are collected — merge-table- and vocab-sized, the
+    * same memory contract as the broadcast every scoring join already
+    * ships. Registry consumers (`bpe_merges`, `bpe_encode`,
+    * `tokenizer_compare`, `bpe_greedy`, the artifact twins) share ONE
+    * training pass per corpus per JVM instead of retraining each.
+    */
+  private val bpeMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (Seq[(Long, String, String, Long)], Seq[(String, Long)])]()
+
+  private[jobs] def bpeModel(spark: SparkSession, sfDir: String)
+      : (Seq[(Long, String, String, Long)], Seq[(String, Long)]) =
+    bpeMemo.computeIfAbsent(docsFingerprint(sfDir), _ => {
+      import spark.implicits._
+      // one wire row for both outputs: kind 0 = merge, kind 1 = encoder
+      val rows = wordCounts(spark, sfDir).as[(String, Long)]
+        .coalesce(1).mapPartitions { it =>
+          val vocab0 = it.map { case (w, c) =>
+            (w, w.toCharArray.map(_.toString): Array[String], c)
+          }.toArray
+          val (merges, vocab) = trainBpeRounds(vocab0, BPE_ROUNDS)
+          merges.iterator.map { case (r, l, rr, c) => (0, r, l, rr, c) } ++
+            vocab.iterator.map { case (w, syms, _) =>
+              (1, 0L, w, "", syms.length.toLong)
+            }
+        }.collect()
+      (rows.toSeq.collect { case (0, r, l, rr, c) => (r, l, rr, c) },
+        rows.toSeq.collect { case (1, _, w, _, n) => (w, n) })
+    })
+
   def bpeMerges(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    // vocab-scale stage: the k-round trainer over the (word, cnt) table
-    wordCounts(spark, sfDir).as[(String, Long)].coalesce(1).mapPartitions { it =>
-      val vocab0 = it.map { case (w, c) =>
-        (w, w.toCharArray.map(_.toString): Array[String], c)
-      }.toArray
-      trainBpeRounds(vocab0, BPE_ROUNDS)._1.iterator
-    }.toDF("round", "left_sym", "right_sym", "pair_count")
+    bpeModel(spark, sfDir)._1.toDF("round", "left_sym", "right_sym",
+      "pair_count")
   }
 
   /** Tokenize-under-the-learned-tokenizer accounting — the number a
@@ -269,14 +296,67 @@ object TextJobs {
   private[jobs] def bpeEncoderTable(
       spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    wordCounts(spark, sfDir).as[(String, Long)]
-      .coalesce(1).mapPartitions { it =>
-        val vocab0 = it.map { case (w, c) =>
-          (w, w.toCharArray.map(_.toString): Array[String], c)
-        }.toArray
-        trainBpeRounds(vocab0, BPE_ROUNDS)._2.iterator
-          .map { case (w, syms, _) => (w, syms.length.toLong) }
-      }.toDF("w", "n_syms")
+    bpeModel(spark, sfDir)._2.toDF("w", "n_syms")
+  }
+
+  /** Both engines fence BPE inference to words this long or shorter (the
+    * unigram rule: the oracle's CTE chain is bounded by construction;
+    * the corpus' longest word is 8 chars, so nothing real is excluded).
+    */
+  private val BPE_GREEDY_MAX_WORD = 12
+
+  /** GPT-2/SentencePiece-style BPE INFERENCE for UNSEEN words: apply the
+    * learned merge table in rank order to a word the trainer never saw.
+    * [[bpeEncode]] can only serve training-corpus words (the final vocab
+    * IS its encoder); production serving segments arbitrary text, and
+    * this gate checks that apply-merges loop. Serve set: every corpus
+    * word REVERSED — deterministic in both engines (`reverse` is exact),
+    * mostly OOV, and length-matched to the training distribution.
+    *
+    * Equivalence note (why one pass per rank suffices): the reference
+    * loop is "repeatedly merge the lowest-ranked pair present". Fusing
+    * two symbols removes a boundary but never a symbol, so it cannot
+    * create a NEW adjacency between two symbols that both predate the
+    * fusion — and a pair's component symbols always predate the pair's
+    * own rank. Hence once rank r is exhausted it can never reapply, and
+    * ascending rank order with one exhaustive greedy left-to-right pass
+    * each is exactly the reference loop — restatable as k sequential
+    * `replace()` CTEs over the `|a||b|` delimited form (the
+    * [[bpeVocabCtes]] discipline) and hash-checkable.
+    *
+    * Scale shape: one distributed word count; the merge table ships in
+    * the closure (6 rows); the apply loop is per-row O(len·k).
+    */
+  def bpeGreedy(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val merges = bpeModel(spark, sfDir)._1.map { case (_, l, r, _) => (l, r) }
+    wordCounts(spark, sfDir)
+      .filter(length(col("w")) <= BPE_GREEDY_MAX_WORD)
+      .select(reverse(col("w")).as("w"))
+      .as[String]
+      .map { w =>
+        val syms = bpeApplyMerges(w, merges)
+        (w, syms.length.toLong, syms.mkString("|"))
+      }.toDF("w", "n_tokens", "seg")
+  }
+
+  /** One greedy left-to-right pass per merge, ascending rank. */
+  private[graft] def bpeApplyMerges(
+      w: String, merges: Seq[(String, String)]): Array[String] = {
+    var syms: Array[String] = w.toCharArray.map(_.toString)
+    merges.foreach { case (l, r) =>
+      if (syms.length > 1) {
+        val out = Array.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+            out += l + r; i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.result()
+      }
+    }
+    syms
   }
 
   /** The scoring half of [[bpeEncode]]: per-doc token accounting against
@@ -364,6 +444,33 @@ object TextJobs {
        |             + 1e-9, 4) AS tokens_per_word
        |FROM dw JOIN enc USING (w)
        |GROUP BY doc_id""".stripMargin
+
+  /** Oracle: the serve words' char-split reprs pushed through the SAME
+    * per-round merge tables (`m_r` from [[bpeVocabCtes]]) as k sequential
+    * replace CTEs — the rank-order apply loop restated (see
+    * [[bpeGreedy]]'s equivalence note).
+    */
+  val bpeGreedySql: String = {
+    val applyCtes = (1 to BPE_ROUNDS).map { r =>
+      s"""g$r AS (
+         |  SELECT w, COALESCE(replace(repr,
+         |           '|' || m.left_sym || '||' || m.right_sym || '|',
+         |           '|' || m.left_sym || m.right_sym || '|'), repr) AS repr
+         |  FROM g${r - 1} LEFT JOIN m$r m ON TRUE
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH $bpeVocabCtes, g0 AS (
+       |  SELECT w, substr('|' || regexp_replace(w, '(.)', '\\1||', 'g'),
+       |           1, 3 * length(w)) AS repr
+       |  FROM (SELECT reverse(w) AS w FROM wc
+       |        WHERE length(w) <= $BPE_GREEDY_MAX_WORD)
+       |), $applyCtes
+       |SELECT w,
+       |  CAST(len(string_split(substr(repr, 2, length(repr) - 2), '||'))
+       |    AS BIGINT) AS n_tokens,
+       |  replace(substr(repr, 2, length(repr) - 2), '||', '|') AS seg
+       |FROM g$BPE_ROUNDS""".stripMargin
+  }
 
   // ---- WordPiece tokenizer trainer ----
 
@@ -458,12 +565,36 @@ object TextJobs {
     * (word, cnt) table and run inside one task (coalesce(1), the round-6
     * rule — k distributed rounds would be pure exchange scheduling).
     */
+  /** Driver-held trained-WordPiece memo — the [[bpeModel]] contract:
+    * (merge table, encoder table), trained once per corpus per JVM by the
+    * same distributed-count + single-task pass, collected at merge-table/
+    * vocab size.
+    */
+  private val wpMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (Seq[(Long, String, String, Long, Long)], Seq[(String, Long)])]()
+
+  private[jobs] def wordpieceModel(spark: SparkSession, sfDir: String)
+      : (Seq[(Long, String, String, Long, Long)], Seq[(String, Long)]) =
+    wpMemo.computeIfAbsent(docsFingerprint(sfDir), _ => {
+      import spark.implicits._
+      val rows = wordCounts(spark, sfDir).as[(String, Long)]
+        .coalesce(1).mapPartitions { it =>
+          val vocab0 = it.map { case (w, c) => (w, wpInitSyms(w), c) }.toArray
+          val (merges, vocab) = trainWordPieceRounds(vocab0, WP_ROUNDS)
+          merges.iterator.map { case (r, l, rr, pc, sc) =>
+            (0, r, l, rr, pc, sc)
+          } ++ vocab.iterator.map { case (w, syms, _) =>
+            (1, 0L, w, "", syms.length.toLong, 0L)
+          }
+        }.collect()
+      (rows.toSeq.collect { case (0, r, l, rr, pc, sc) => (r, l, rr, pc, sc) },
+        rows.toSeq.collect { case (1, _, w, _, n, _) => (w, n) })
+    })
+
   def wordpieceMerges(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    wordCounts(spark, sfDir).as[(String, Long)].coalesce(1).mapPartitions { it =>
-      val vocab0 = it.map { case (w, c) => (w, wpInitSyms(w), c) }.toArray
-      trainWordPieceRounds(vocab0, WP_ROUNDS)._1.iterator
-    }.toDF("round", "left_sym", "right_sym", "pair_count", "score_fp")
+    wordpieceModel(spark, sfDir)._1
+      .toDF("round", "left_sym", "right_sym", "pair_count", "score_fp")
   }
 
   /** The trained WordPiece tokenizer as a persistable artifact:
@@ -474,11 +605,7 @@ object TextJobs {
   private[jobs] def wordpieceEncoderTable(
       spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    wordCounts(spark, sfDir).as[(String, Long)].coalesce(1).mapPartitions { it =>
-      val vocab0 = it.map { case (w, c) => (w, wpInitSyms(w), c) }.toArray
-      trainWordPieceRounds(vocab0, WP_ROUNDS)._2.iterator
-        .map { case (w, syms, _) => (w, syms.length.toLong) }
-    }.toDF("w", "n_syms")
+    wordpieceModel(spark, sfDir)._2.toDF("w", "n_syms")
   }
 
   /** Token accounting under the trained WordPiece tokenizer — the
@@ -538,20 +665,19 @@ object TextJobs {
     */
   def wordpieceGreedy(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    wordCounts(spark, sfDir).as[(String, Long)].coalesce(1).mapPartitions { it =>
-      val wcArr = it.toArray
-      val vocab0 = wcArr.map { case (w, c) => (w, wpInitSyms(w), c) }
-      val merges = trainWordPieceRounds(vocab0, WP_ROUNDS)._1
-      val vocab: Set[String] =
-        vocab0.iterator.flatMap(_._2).toSet ++
-          merges.iterator.map { case (_, l, r, _, _) => l + r.stripPrefix("##") }
-      wcArr.iterator.map(_._1)
-        .filter(_.length <= WP_GREEDY_MAX_WORD)
-        .map { w =>
-          val pieces = wpGreedySegment(w, vocab)
-          (w, pieces.length.toLong, pieces.mkString("|"))
-        }
-    }.toDF("w", "n_pieces", "seg")
+    // model-transform off the memoized trainer: the encoder table's keys
+    // ARE the corpus word list, and base-symbol ∪ merged-symbol is the
+    // greedy vocabulary — vocab-sized driver work, zero extra corpus pass
+    val (merges, enc) = wordpieceModel(spark, sfDir)
+    val vocab: Set[String] =
+      enc.iterator.flatMap { case (w, _) => wpInitSyms(w) }.toSet ++
+        merges.iterator.map { case (_, l, r, _, _) => l + r.stripPrefix("##") }
+    enc.map(_._1)
+      .filter(_.length <= WP_GREEDY_MAX_WORD)
+      .map { w =>
+        val pieces = wpGreedySegment(w, vocab)
+        (w, pieces.length.toLong, pieces.mkString("|"))
+      }.toDF("w", "n_pieces", "seg")
   }
 
   /** Greedy longest-match-first: at each position take the LONGEST vocab
@@ -807,11 +933,36 @@ object TextJobs {
   /** The trained unigram vocabulary: (piece, usage) — final EM-round
     * Viterbi usage counts, top [[UNI_TOP_V]] by (usage desc, piece asc).
     */
+  /** Driver-held trained-unigram memo — the [[bpeModel]] contract:
+    * (top-V vocabulary, encoder table), one training pass per corpus per
+    * JVM shared by `unigram_vocab`/`unigram_encode*`/`tokenizer_compare`
+    * and the artifact twin.
+    */
+  private val uniMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (Seq[(String, Long)], Seq[(String, Long)])]()
+
+  private[jobs] def unigramModel(spark: SparkSession, sfDir: String)
+      : (Seq[(String, Long)], Seq[(String, Long)]) =
+    uniMemo.computeIfAbsent(docsFingerprint(sfDir), _ => {
+      import spark.implicits._
+      val rows = wordCounts(spark, sfDir).as[(String, Long)]
+        .coalesce(1).mapPartitions { it =>
+          val words = uniWords(it.toArray)
+          val scores = trainUnigramScores(words)
+          val topV = scores.toSeq
+            .sortBy { case (p, u) => (-u, p) }.take(UNI_TOP_V)
+          topV.iterator.map { case (p, u) => (0, p, u) } ++
+            words.iterator.map { case (w, _) =>
+              (1, w, viterbi(w, scores).length.toLong)
+            }
+        }.collect()
+      (rows.toSeq.collect { case (0, p, u) => (p, u) },
+        rows.toSeq.collect { case (1, w, n) => (w, n) })
+    })
+
   def unigramVocab(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    wordCounts(spark, sfDir).as[(String, Long)].coalesce(1)
-      .mapPartitions(it => trainUnigram(it.toArray).iterator)
-      .toDF("piece", "usage")
+    unigramModel(spark, sfDir)._1.toDF("piece", "usage")
   }
 
   /** The trained unigram tokenizer as a persistable artifact:
@@ -822,14 +973,7 @@ object TextJobs {
   private[jobs] def unigramEncoderTable(
       spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    wordCounts(spark, sfDir).as[(String, Long)].coalesce(1)
-      .mapPartitions { it =>
-        val words = uniWords(it.toArray)
-        val scores = trainUnigramScores(words)
-        words.iterator.map { case (w, _) =>
-          (w, viterbi(w, scores).length.toLong)
-        }
-      }.toDF("w", "n_pieces")
+    unigramModel(spark, sfDir)._2.toDF("w", "n_pieces")
   }
 
   /** Token accounting under the trained unigram tokenizer — the unigram
@@ -2305,6 +2449,7 @@ object TextJobs {
     "unigram_encode" -> unigramEncode,
     "unigram_encode_fallback" -> unigramEncodeFallback,
     "bpe_encode" -> bpeEncode,
+    "bpe_greedy" -> bpeGreedy,
     "lm_surprise" -> lmSurprise,
     "lm_surprise_ref" -> lmSurpriseRef,
     "vocab_coverage" -> vocabCoverage,
@@ -2338,6 +2483,7 @@ object TextJobs {
     "unigram_encode" -> unigramEncodeSql,
     "unigram_encode_fallback" -> unigramEncodeFallbackSql,
     "bpe_encode" -> bpeEncodeSql,
+    "bpe_greedy" -> bpeGreedySql,
     "lm_surprise" -> lmSurpriseSql,
     "lm_surprise_ref" -> lmSurpriseRefSql,
     "vocab_coverage" -> vocabCoverageSql,

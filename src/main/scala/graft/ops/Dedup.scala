@@ -570,14 +570,18 @@ object Dedup {
     * widens to ~c·bits/k bits, pushing the accidental-collision knee out
     * by a factor 2^(width−bits/(maxHamming+1)).
     *
-    * Selection: the smallest c ∈ [1, 4] whose NARROWEST super-band still
-    * satisfies 2^width ≥ F (expected accidental pairs per band ≤ F, so
-    * total candidate mass stays linear in F at C(k,c)·F). c = 1 at small
-    * F reproduces the disjoint plan exactly ([[Bands63]] for 63/3); the
+    * Selection is a cost-model argmin over c ∈ [1, 4], MEASURED against
+    * the naive threshold (SCALE.md §8e addendum): per-c candidate cost ≈
+    * band-row replication B(c)·F plus expected accidental pairs
+    * B(c)·F²/2^(minWidth(c)+1) (birthday bound on the narrowest band;
+    * B(c) = C(c+maxHamming, c) bands). Widening one step multiplies
+    * replication ~2.5× while dividing the accidental term by ~2^(Δwidth),
+    * so the right switch point is where accidental mass OVERTAKES
+    * replication — at 63/3 that is F ≈ 10⁵ for c=1→2 (the measured 64×
+    * probe point, F = 49k, correctly stays c=1), ~10⁶ for c=2→3. c = 1
+    * reproduces the disjoint plan exactly ([[Bands63]] for 63/3); the
     * c = 4 ceiling (35 bands at maxHamming 3) covers F beyond 10¹⁰ —
-    * past that, shard the corpus before pairing. Band-row replication is
-    * C(k,c)·F — linear in F with a small constant, the right trade
-    * against a quadratic candidate mass.
+    * past that, shard the corpus before pairing.
     */
   def bandPlan(distinctFps: Long, maxHamming: Int, bits: Int = 63)
       : Seq[Seq[(Int, Int)]] = {
@@ -591,13 +595,14 @@ object Dedup {
       val widths = Seq.tabulate(k)(i => base + (if (i < rem) 1 else 0))
       widths.scanLeft(0)(_ + _).zip(widths).map { case (s, w) => (s, w) }
     }
-    def minWidth(c: Int): Int = {
+    def cost(c: Int): Double = {
       val k = c + maxHamming
-      blocksOf(k).map(_._2).sorted.take(c).sum
+      val minWidth = blocksOf(k).map(_._2).sorted.take(c).sum
+      val bands = (1 to c).foldLeft(1.0)((a, i) => a * (k - i + 1) / i)
+      val f = distinctFps.toDouble
+      bands * (f + f * f / math.pow(2.0, math.min(minWidth + 1, 62).toDouble))
     }
-    val c = (1 to 4).find(c =>
-        minWidth(c) >= 62 || (1L << minWidth(c)) >= distinctFps)
-      .getOrElse(4)
+    val c = (1 to 4).minBy(cost) // ties resolve to the smaller c
     blocksOf(c + maxHamming).combinations(c).toSeq
   }
 

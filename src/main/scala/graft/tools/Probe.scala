@@ -288,6 +288,89 @@ object Probe {
       }
     }
 
+    /** §8e addendum: the Hamming band-plan crossover, isolated from the
+      * codec. One decode pass per scale lands (doc_id, fp) in parquet;
+      * the timed stage is then ONLY the banded self-join — fixed 16-bit
+      * [[graft.ops.Dedup.Bands63]] vs the corpus-scaled
+      * [[graft.ops.Dedup.bandPlan]] — over fingerprint counts that cross
+      * the c=1 plan's 2^15 accidental-collision knee (the audio fixture
+      * synthesizes ~0.7 distinct fps per doc, so 64× sf0.1 ≈ 46k distinct
+      * fps > 32768). The claim: fixed-width wall time bends quadratic as
+      * F²/2^w bites; the auto plan stays near-linear because the knee
+      * pushes out 2^(width−16) per widening step. Output counts must
+      * match exactly (lossless either way).
+      */
+    def runBands(): Unit = {
+      import graft.ops.{Dedup, Multimodal}
+      println("== Hamming band-plan crossover (audio fps; decode excluded) ==")
+      println(f"${"copies"}%7s ${"distinct"}%9s ${"fixed16"}%9s ${"auto"}%9s  plan")
+      val scales = sys.env.getOrElse("SPARK_GRAFT_PROBE_BAND_SIZES", "4,16,64")
+        .split(",").map(_.trim.toInt).toSeq
+      val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      for (c <- scales) {
+        val dir = s"/tmp/graft_probe_bands_${c}x"
+        val docs = (0 until c).map(k =>
+            base.withColumn("doc_id", col("doc_id") + lit(k * 10000000L)))
+          .reduce(_ unionAll _)
+        Multimodal.audioScan(spark, docs).select(col("doc_id"), col("fp"))
+          .write.mode("overwrite").parquet(dir)
+        val fp = () => spark.read.parquet(dir)
+        val f = fp().select(col("fp")).distinct().count()
+        val plan = Dedup.bandPlan(f, 3)
+        var nFixed = 0L; var nAuto = 0L
+        val tF = median((1 to 3).map(_ => time {
+          nFixed = Dedup.hammingPairs(fp(), Dedup.Bands63, 3).count(); nFixed
+        }))
+        val tA = median((1 to 3).map(_ => time {
+          nAuto = Dedup.hammingPairsAuto(fp(), 3).count(); nAuto
+        }))
+        require(nFixed == nAuto, s"plan changed the output: $nFixed vs $nAuto")
+        println(f"$c%7d $f%9d $tF%9.2f $tA%9.2f  c=${plan.head.size}, " +
+          s"${plan.size} bands, $nFixed pairs")
+      }
+      // The audio fixture tops out near 50k distinct fps at 64× — below
+      // the c=1→2 crossover (~10⁵). The synthetic section pushes F across
+      // it: splitmix-avalanched 63-bit fps (uniform — the adversarial
+      // accidental-collision shape) plus a Hamming-1 planted dup per 8
+      // ids so true pairs exist. Same lossless invariant enforced.
+      println("== band-plan crossover (synthetic uniform fps) ==")
+      println(f"${"fps"}%9s ${"fixed16"}%9s ${"auto"}%9s  plan")
+      val fsizes = sys.env.getOrElse("SPARK_GRAFT_PROBE_FP_SIZES",
+        "200000,800000,3200000").split(",").map(_.trim.toLong).toSeq
+      for (n <- fsizes) {
+        val dir = s"/tmp/graft_probe_fps_$n"
+        val z = col("id") + lit(0x9e3779b97f4a7c15L)
+        val m1 = z.bitwiseXOR(shiftrightunsigned(z, 30)) *
+          lit(0xbf58476d1ce4e5b9L)
+        val m2 = m1.bitwiseXOR(shiftrightunsigned(m1, 27)) *
+          lit(0x94d049bb133111ebL)
+        val fpCol = m2.bitwiseXOR(shiftrightunsigned(m2, 31))
+          .bitwiseAND(lit(Long.MaxValue))
+        val base = spark.range(n).select(col("id").as("doc_id"),
+          fpCol.as("fp"))
+        base.unionAll(base.filter(col("doc_id") % 8 === 0)
+            .select((col("doc_id") + lit(1L << 40)).as("doc_id"),
+              expr("fp ^ shiftleft(CAST(1 AS BIGINT), " +
+                "CAST(doc_id % 63 AS INT))").as("fp")))
+          .write.mode("overwrite").parquet(dir)
+        val fp = () => spark.read.parquet(dir)
+        val f = fp().select(col("fp")).distinct().count()
+        val plan = Dedup.bandPlan(f, 3)
+        var nFixed = 0L; var nAuto = 0L
+        val tF = median((1 to 3).map(_ => time {
+          nFixed = Dedup.hammingPairs(fp(), Dedup.Bands63, 3).count(); nFixed
+        }))
+        val tA = median((1 to 3).map(_ => time {
+          nAuto = Dedup.hammingPairsAuto(fp(), 3).count(); nAuto
+        }))
+        require(nFixed == nAuto, s"plan changed the output: $nFixed vs $nAuto")
+        println(f"$f%9d $tF%9.2f $tA%9.2f  c=${plan.head.size}, " +
+          s"${plan.size} bands, $nFixed pairs")
+      }
+    }
+
+    if (mode == "bands")
+      runBands()
     if (mode == "graph")
       runGraph()
     if (mode == "image")

@@ -280,4 +280,56 @@ class TextJobsExtraSpec extends SparkSpec {
         r.getLong(r.fieldIndex("words")))
     }
   }
+
+  test("bpeApplyMerges: hand-checked segmentations") {
+    def seg(w: String, m: (String, String)*): String =
+      TextJobs.bpeApplyMerges(w, m).mkString("|")
+    // rank order matters: 'ab' fires before 'bc' can
+    assert(seg("abc", ("a", "b"), ("b", "c")) == "ab|c")
+    assert(seg("abc", ("b", "c"), ("a", "b")) == "a|bc")
+    // chained merges build longer symbols across ranks
+    assert(seg("abab", ("a", "b"), ("ab", "ab")) == "abab")
+    // greedy left-to-right on overlapping occurrences: aaa -> aa|a
+    assert(seg("aaa", ("a", "a")) == "aa|a")
+    // a merge whose parts never co-occur is a no-op; singles untouched
+    assert(seg("xyz", ("a", "b")) == "x|y|z")
+    assert(seg("q") == "q")
+  }
+
+  test("bpeApplyMerges: rank-order passes == lowest-rank-present loop") {
+    // the reference GPT-2 loop: repeatedly find the lowest-ranked pair
+    // PRESENT anywhere and merge all its occurrences, until none applies
+    def reference(w: String, merges: Seq[(String, String)]): List[String] = {
+      var syms = w.toCharArray.map(_.toString).toList
+      val rank = merges.zipWithIndex.toMap
+      var done = false
+      while (!done) {
+        val present = syms.zip(syms.drop(1)).flatMap(p => rank.get(p).map(p -> _))
+        if (present.isEmpty) done = true
+        else {
+          val (l, r) = present.minBy(_._2)._1
+          val out = List.newBuilder[String]
+          var rest = syms
+          while (rest.nonEmpty) rest match {
+            case a :: b :: t if a == l && b == r => out += (l + r); rest = t
+            case a :: t => out += a; rest = t
+            case Nil => ()
+          }
+          syms = out.result()
+        }
+      }
+      syms
+    }
+    // deterministic pseudo-random words over a 3-char alphabet, merges
+    // built the way training builds them (later merges may reference
+    // earlier merged symbols)
+    val merges = Seq(("a", "b"), ("c", "a"), ("ab", "c"), ("ca", "ab"))
+    val words = (0 until 200).map { i =>
+      (0 until (i % 9 + 1)).map(j => "abc" ((i * 7 + j * 13) % 3)).mkString
+    }
+    words.foreach { w =>
+      assert(TextJobs.bpeApplyMerges(w, merges).toList == reference(w, merges),
+        s"divergence on '$w'")
+    }
+  }
 }
