@@ -177,16 +177,13 @@ object MultimodalJobs {
        |FROM s""".stripMargin
 
   private[graft] val NEARDUP_MAX_HAMMING = 3
-  // 63 fingerprint bits in Dedup.Bands63: 4 bands > maxHamming = 3, so
-  // the pigeonhole recall guarantee holds
-  private[graft] val NEARDUP_BANDS: Seq[(Int, Int)] = graft.ops.Dedup.Bands63
-
   /** Perceptual-hash image near-dup (the LAION-style image dedup step):
     * REAL PNG payloads ([[Multimodal.neardupImageAssets]]) decode through
     * `javax.imageio`, hash to a 63-bit dHash
     * ([[Multimodal.dHash63]]), and pair up through banded Hamming LSH
-    * with identity compression ([[graft.ops.Dedup.hammingPairs]]) —
-    * per-band int equi-joins on distinct fingerprints, never all-pairs.
+    * with identity compression ([[graft.ops.Dedup.hammingPairsAuto]],
+    * corpus-scaled band widths) — per-band int equi-joins on distinct
+    * fingerprints, never all-pairs.
     * The oracle recomputes the pixels arithmetically (PNG is lossless),
     * re-derives the dHash bit-for-bit, and takes ALL pairs within the
     * Hamming radius — hash-equality therefore proves both the real
@@ -341,7 +338,7 @@ object MultimodalJobs {
     * ([[Multimodal.neardupAudioAssets]]) decode through
     * `javax.sound.sampled`, hash to a 63-bit energy-difference
     * fingerprint ([[Multimodal.audioFp63]]), and pair up through the SAME
-    * banded Hamming LSH ([[graft.ops.Dedup.hammingPairs]] — unchanged;
+    * banded Hamming LSH ([[graft.ops.Dedup.hammingPairsAuto]] — unchanged;
     * the fingerprint abstraction is the whole point). Oracle recomputes
     * the samples arithmetically (PCM is lossless), re-derives the frame
     * sums and sign bits, and brute-forces all pairs within the radius.

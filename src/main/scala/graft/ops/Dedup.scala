@@ -570,18 +570,22 @@ object Dedup {
     * widens to ~c·bits/k bits, pushing the accidental-collision knee out
     * by a factor 2^(width−bits/(maxHamming+1)).
     *
-    * Selection is a cost-model argmin over c ∈ [1, 4], MEASURED against
-    * the naive threshold (SCALE.md §8e addendum): per-c candidate cost ≈
-    * band-row replication B(c)·F plus expected accidental pairs
-    * B(c)·F²/2^(minWidth(c)+1) (birthday bound on the narrowest band;
-    * B(c) = C(c+maxHamming, c) bands). Widening one step multiplies
-    * replication ~2.5× while dividing the accidental term by ~2^(Δwidth),
-    * so the right switch point is where accidental mass OVERTAKES
-    * replication — at 63/3 that is F ≈ 10⁵ for c=1→2 (the measured 64×
-    * probe point, F = 49k, correctly stays c=1), ~10⁶ for c=2→3. c = 1
-    * reproduces the disjoint plan exactly ([[Bands63]] for 63/3); the
-    * c = 4 ceiling (35 bands at maxHamming 3) covers F beyond 10¹⁰ —
-    * past that, shard the corpus before pairing.
+    * Selection is a MEASURED cost-model argmin over c ∈ [1, 4] (SCALE.md
+    * §8e addendum). Per-c cost has two terms: band-row REPLICATION
+    * B(c)·F (join input — shuffled, sorted, hash-probed) and expected
+    * ACCIDENTAL candidates B(c)·F²/2^(minWidth(c)+1) (birthday bound on
+    * the narrowest band; B(c) = C(c+maxHamming, c) bands). They are NOT
+    * equal-weight: the synthetic probe measured an accidental candidate
+    * at ~1 ns (it streams through a codegen'd bit_count filter) vs
+    * ~0.6 µs per replicated row — a ~640× ratio, which on UNIFORM
+    * fingerprints pushes the c=1→2 crossover out to ~10⁸ distinct fps.
+    * Real perceptual fingerprints are NOT uniform (dark images, silent
+    * audio concentrate band values, and a single hot band value
+    * contributes multiplicity², not the birthday mean), so the weight
+    * here derates the measured ratio 10× to [[AccidentalCostRatio]] = 64:
+    * crossovers land at F ≈ 1.4·10⁷ (c=2), 2·10⁹ (c=3), 10¹¹ (c=4).
+    * c = 1 reproduces the disjoint plan exactly ([[Bands63]] for 63/3);
+    * past the c = 4 ceiling, shard the corpus before pairing.
     */
   def bandPlan(distinctFps: Long, maxHamming: Int, bits: Int = 63)
       : Seq[Seq[(Int, Int)]] = {
@@ -600,11 +604,20 @@ object Dedup {
       val minWidth = blocksOf(k).map(_._2).sorted.take(c).sum
       val bands = (1 to c).foldLeft(1.0)((a, i) => a * (k - i + 1) / i)
       val f = distinctFps.toDouble
-      bands * (f + f * f / math.pow(2.0, math.min(minWidth + 1, 62).toDouble))
+      bands * (f + f * f /
+        math.pow(2.0, math.min(minWidth + 1, 62).toDouble) /
+        AccidentalCostRatio)
     }
     val c = (1 to 4).minBy(cost) // ties resolve to the smaller c
     blocksOf(c + maxHamming).combinations(c).toSeq
   }
+
+  /** How many accidental candidates cost one replicated band row —
+    * measured ~640 on uniform synthetic fps (SCALE §8e addendum: 3.6M
+    * fps, fixed16 9.6 s vs c=2 23.2 s), derated 10× for the band-value
+    * clustering real perceptual fingerprints exhibit.
+    */
+  val AccidentalCostRatio: Double = 64.0
 
   def hammingPairs(fp: DataFrame, bands: Seq[(Int, Int)], maxHamming: Int,
       scope: CacheScope = CacheScope.unmanaged): DataFrame =

@@ -339,13 +339,8 @@ object Probe {
         "200000,800000,3200000").split(",").map(_.trim.toLong).toSeq
       for (n <- fsizes) {
         val dir = s"/tmp/graft_probe_fps_$n"
-        val z = col("id") + lit(0x9e3779b97f4a7c15L)
-        val m1 = z.bitwiseXOR(shiftrightunsigned(z, 30)) *
-          lit(0xbf58476d1ce4e5b9L)
-        val m2 = m1.bitwiseXOR(shiftrightunsigned(m1, 27)) *
-          lit(0x94d049bb133111ebL)
-        val fpCol = m2.bitwiseXOR(shiftrightunsigned(m2, 31))
-          .bitwiseAND(lit(Long.MaxValue))
+        // xxhash64 = uniform 63-bit fps without ANSI-overflow arithmetic
+        val fpCol = xxhash64(col("id")).bitwiseAND(lit(Long.MaxValue))
         val base = spark.range(n).select(col("id").as("doc_id"),
           fpCol.as("fp"))
         base.unionAll(base.filter(col("doc_id") % 8 === 0)

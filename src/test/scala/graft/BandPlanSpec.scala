@@ -18,14 +18,17 @@ class BandPlanSpec extends SparkSpec {
     assert(Dedup.bandPlan(1000L, 3) == Dedup.Bands63.map(Seq(_)))
   }
 
-  test("bandPlan widens to super-bands as F grows") {
-    // F = 10^6 > 2^16: c=1 (min width 15) fails, c=2 (k=5, narrowest
-    // super-band 12+12=24 bits, 2^24 = 1.6e7) holds -> C(5,2) = 10 bands
-    val p6 = Dedup.bandPlan(1000000L, 3)
-    assert(p6.size == 10 && p6.forall(_.size == 2))
-    // F = 10^8 needs >= 27 bits: c=3 (k=6, narrowest 10+10+10=30) -> 20
-    val p8 = Dedup.bandPlan(100000000L, 3)
-    assert(p8.size == 20 && p8.forall(_.size == 3))
+  test("bandPlan widens to super-bands as F grows (measured crossovers)") {
+    // below the measured c=1->2 crossover (~1.4e7 at the derated 64x
+    // accidental-cost ratio) the disjoint plan stays optimal — including
+    // the probe's 3.6M point where fixed16 measured 2.4x FASTER
+    assert(Dedup.bandPlan(3600000L, 3) == Dedup.Bands63.map(Seq(_)))
+    // past it: c=2 (k=5 blocks, C(5,2) = 10 bands of >=24 bits)
+    val p2 = Dedup.bandPlan(100000000L, 3)
+    assert(p2.size == 10 && p2.forall(_.size == 2))
+    // c=3 from ~2e9 (k=6, C(6,3) = 20 bands of >=30 bits)
+    val p3 = Dedup.bandPlan(10000000000L, 3)
+    assert(p3.size == 20 && p3.forall(_.size == 3))
     // the ceiling: huge F caps at c=4 (k=7, C(7,4) = 35 bands)
     val pHuge = Dedup.bandPlan(Long.MaxValue / 4, 3)
     assert(pHuge.size == 35 && pHuge.forall(_.size == 4))
