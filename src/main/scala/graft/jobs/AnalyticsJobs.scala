@@ -749,6 +749,154 @@ object AnalyticsJobs {
        |FROM r$PR_ITERS""".stripMargin
   }
 
+  private val HITS_ITERS = 10
+
+  /** HITS hubs/authorities over the user→item interaction graph — "which
+    * users are the strongest curators, which items the strongest
+    * magnets", the directional companion of [[itemPagerank]]'s undirected
+    * prestige ([[graft.ops.Graph.hits]]: integer half-step sums, one
+    * deterministic floor-division renorm per half-step, same regime
+    * selection). The edge list is the DIRECTED user→item set — HITS is
+    * the one link metric here that must NOT be symmetrized.
+    */
+  def itemHits(spark: SparkSession, sfDir: String): DataFrame = {
+    val edges = Tables.events(spark, sfDir)
+      .select(col("user_id").as("src"),
+        (regexp_extract(col("props"), "\"k\"\\s*:\\s*(-?\\d+)", 1)
+          .cast("long")).as("dst"))
+      .filter(col("dst").isNotNull)
+    graft.ops.Graph.hits(edges, iters = HITS_ITERS)
+      .select(
+        when(col("side") === "hub", "user").otherwise("item").as("node_kind"),
+        col("node").as("node_id"), col("score_s"))
+  }
+
+  /** Oracle: the identical integer recurrence, 10 rounds unrolled as CTE
+    * quadruples (raw sum → scalar total → floor-div renorm), HUGEINT
+    * sums cast back per the round-4 rule.
+    */
+  val itemHitsSql: String = {
+    val S = graft.ops.Graph.HitsScale
+    val rounds = (1 to HITS_ITERS).map { i =>
+      s"""ar$i AS (
+         |  SELECT e.dst AS node, CAST(SUM(h.s) AS BIGINT) AS raw
+         |  FROM edges e JOIN h${i - 1} h ON h.node = e.src GROUP BY 1
+         |), ad$i AS (
+         |  SELECT GREATEST(CAST((SELECT SUM(raw) FROM ar$i) AS BIGINT)
+         |    // $S, 1) AS d
+         |), a$i AS (
+         |  SELECT node, CAST(raw // d AS BIGINT) AS s FROM ar$i, ad$i
+         |), hr$i AS (
+         |  SELECT e.src AS node, CAST(SUM(a.s) AS BIGINT) AS raw
+         |  FROM edges e JOIN a$i a ON a.node = e.dst GROUP BY 1
+         |), hd$i AS (
+         |  SELECT GREATEST(CAST((SELECT SUM(raw) FROM hr$i) AS BIGINT)
+         |    // $S, 1) AS d
+         |), h$i AS (
+         |  SELECT node, CAST(raw // d AS BIGINT) AS s FROM hr$i, hd$i
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ev AS (
+       |  SELECT user_id AS src,
+       |         CAST(json_extract_string(props, '$$.k') AS BIGINT) AS dst
+       |  FROM events
+       |  WHERE json_extract_string(props, '$$.k') IS NOT NULL
+       |), edges AS (SELECT DISTINCT src, dst FROM ev),
+       |h0 AS (SELECT DISTINCT src AS node, CAST($S AS BIGINT) AS s
+       |       FROM edges),
+       |$rounds
+       |SELECT 'user' AS node_kind, node AS node_id, s AS score_s
+       |FROM h$HITS_ITERS
+       |UNION ALL
+       |SELECT 'item' AS node_kind, node AS node_id, s AS score_s
+       |FROM a$HITS_ITERS""".stripMargin
+  }
+
+  /** Power-user cap for [[itemSimilarity]]: a user with d distinct items
+    * contributes d² co-occurrence pairs, so unbounded-degree users are
+    * THE quadratic zone of every item-item pipeline; production
+    * co-occurrence jobs drop (or sample) them. 50 genuinely fences this
+    * fixture (median degree 49 — about half the users are excluded), so
+    * the gate exercises the fence, not dead code (the round-6 rule).
+    */
+  private val SIM_USER_CAP = 50
+  private val SIM_TOP_K = 5
+
+  /** Item-item Jaccard similarity, top-k per item — the co-occurrence
+    * collaborative-filtering primitive ("users who touched this also
+    * touched"). Exactness: similarity is the ppm integer
+    * (inter·10⁶) div (nA + nB − inter) — one floor division of exact
+    * counts, no float ratio to drift — and the rank tie-breaks on the
+    * partner id. Scale shape: the pair join runs per-user (int keys)
+    * under the degree cap, intersection counts are map-side-combinable
+    * sums, item set sizes join back on int keys, and the top-k window
+    * partitions by item (catalog-sized key space, never a global funnel).
+    */
+  def itemSimilarity(spark: SparkSession, sfDir: String): DataFrame = {
+    val ui = Tables.events(spark, sfDir)
+      .select(col("user_id").as("u"),
+        (regexp_extract(col("props"), "\"k\"\\s*:\\s*(-?\\d+)", 1)
+          .cast("long")).as("i"))
+      .filter(col("i").isNotNull)
+      .distinct()
+    val kept = ui.join(
+      ui.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") <= SIM_USER_CAP).select(col("u")), "u")
+      .cache()
+    val sizes = kept.groupBy(col("i")).agg(count(lit(1)).as("n"))
+    val inter = kept.alias("a").join(kept.alias("b"),
+        col("a.u") === col("b.u") && col("a.i") < col("b.i"))
+      .groupBy(col("a.i").as("ia"), col("b.i").as("ib"))
+      .agg(count(lit(1)).as("inter"))
+    val pairs = inter
+      .join(sizes.select(col("i").as("ia"), col("n").as("na")), "ia")
+      .join(sizes.select(col("i").as("ib"), col("n").as("nb")), "ib")
+      .select(col("ia"), col("ib"),
+        expr("(inter * 1000000) div (na + nb - inter)").as("jacc_ppm"))
+    val sym = pairs.select(col("ia").as("item_id"), col("ib").as("partner"),
+        col("jacc_ppm"))
+      .unionAll(pairs.select(col("ib").as("item_id"), col("ia").as("partner"),
+        col("jacc_ppm")))
+    import org.apache.spark.sql.expressions.Window
+    sym.withColumn("rank", row_number().over(Window.partitionBy(col("item_id"))
+        .orderBy(col("jacc_ppm").desc, col("partner").asc)).cast("long"))
+      .filter(col("rank") <= SIM_TOP_K)
+      .select(col("item_id"), col("rank"), col("partner"), col("jacc_ppm"))
+  }
+
+  val itemSimilaritySql: String =
+    s"""WITH ui AS (
+       |  SELECT DISTINCT user_id AS u,
+       |         CAST(json_extract_string(props, '$$.k') AS BIGINT) AS i
+       |  FROM events
+       |  WHERE json_extract_string(props, '$$.k') IS NOT NULL
+       |), kept AS (
+       |  SELECT ui.u, ui.i FROM ui JOIN (
+       |    SELECT u FROM ui GROUP BY u HAVING COUNT(*) <= $SIM_USER_CAP) d
+       |  ON d.u = ui.u
+       |), sizes AS (SELECT i, COUNT(*) AS n FROM kept GROUP BY i),
+       |inter AS (
+       |  SELECT a.i AS ia, b.i AS ib, COUNT(*) AS inter
+       |  FROM kept a JOIN kept b ON a.u = b.u AND a.i < b.i
+       |  GROUP BY 1, 2
+       |), pairs AS (
+       |  SELECT ia, ib,
+       |         CAST((inter * 1000000) // (sa.n + sb.n - inter) AS BIGINT)
+       |           AS jacc_ppm
+       |  FROM inter JOIN sizes sa ON sa.i = inter.ia
+       |             JOIN sizes sb ON sb.i = inter.ib
+       |), sym AS (
+       |  SELECT ia AS item_id, ib AS partner, jacc_ppm FROM pairs
+       |  UNION ALL
+       |  SELECT ib, ia, jacc_ppm FROM pairs
+       |)
+       |SELECT item_id, rank, partner, jacc_ppm FROM (
+       |  SELECT item_id, partner, jacc_ppm, ROW_NUMBER() OVER (
+       |    PARTITION BY item_id
+       |    ORDER BY jacc_ppm DESC, partner ASC) AS rank
+       |  FROM sym) r
+       |WHERE rank <= $SIM_TOP_K""".stripMargin
+
   /** The sketch-merge form of [[rollingUniques]] — its OWN scaladoc's
     * 100 TB path made a checked gate: per-day DataSketches HLL sketches
     * (`hll_sketch_agg`) union across the 7-day window (`hll_union_agg`),

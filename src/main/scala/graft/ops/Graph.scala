@@ -123,6 +123,143 @@ object Graph {
       singleTaskEdgeLimit: Long = 4000000L): DataFrame =
     core(edges, Some(seeds), iters, checkpointEvery, singleTaskEdgeLimit)._1
 
+  /** Anchor scale for [[hits]] scores: after each half-step the side's
+    * total mass renormalizes to ≈ this. With the default 10^12, edge
+    * count E must satisfy E·HitsScale ≤ Long.MaxValue (E ≤ ~9·10⁶) —
+    * beyond that callers pass a smaller `scale` (decade per decade of
+    * edges, the [[PrScale]] rule), asserted before the loop.
+    */
+  val HitsScale: Long = 1000000000000L
+
+  /** HITS (hubs & authorities) over a bipartite directed edge list
+    * (`src`, `dst` LONG) — the second classic link-analysis fixpoint
+    * beside [[pageRank]], sharing its regime discipline and its
+    * integer-exactness contract: scores are BIGINTs, each half-step is
+    * an order-independent integer sum, and renormalization is ONE floor
+    * division by the deterministic divisor d = max(total div scale, 1)
+    * where total is itself an exact integer — so any partitioning, any
+    * engine lands identical scores and the k-round loop restates as
+    * unrolled SQL CTEs. (Textbook HITS renormalizes by the L2 norm — a
+    * sqrt; the L1-style anchor keeps the same mutual-reinforcement
+    * fixpoint direction with zero float arithmetic, the same trade the
+    * unigram trainer's hard-EM makes.)
+    *
+    *   a_{t+1}(v) = (Σ_{u→v} h_t(u))  div d_a,   d_a = max(Σ_v raw div scale, 1)
+    *   h_{t+1}(u) = (Σ_{u→v} a_{t+1}(v)) div d_h, analogous
+    *
+    * Regimes (§8f/§8g): at or below `singleTaskEdgeLimit` the loop runs
+    * in ONE task over interned primitive arrays; above it, per-round
+    * src-/dst-keyed integer-sum aggregations with each half-step's 1-ROW
+    * total collected to the driver (model-sized, the documented
+    * bounded-collect contract) and `localCheckpoint` every
+    * `checkpointEvery` rounds. Output: (node, side, score_s) with side
+    * 'hub' for the src side and 'auth' for the dst side.
+    */
+  def hits(edges: DataFrame, iters: Int = 10,
+      checkpointEvery: Int = 5,
+      singleTaskEdgeLimit: Long = 4000000L,
+      scale: Long = HitsScale): DataFrame =
+    hitsInstrumented(edges, iters, checkpointEvery, singleTaskEdgeLimit,
+      scale)._1
+
+  private[graft] def hitsInstrumented(
+      edges: DataFrame, iters: Int,
+      checkpointEvery: Int = 5,
+      singleTaskEdgeLimit: Long = 4000000L,
+      scale: Long = HitsScale): (DataFrame, Boolean) = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .distinct().cache()
+    val nEdges = e.count()
+    require(nEdges <= Long.MaxValue / scale,
+      s"hits: $nEdges edges overflow scale $scale — drop the scale a " +
+        "decade per decade of edges")
+
+    if (nEdges <= singleTaskEdgeLimit) {
+      val out = e.as[(Long, Long)].coalesce(1).mapPartitions { it =>
+        val pairs = it.toArray
+        // the two sides intern separately (a raw id may appear on both)
+        def interner() = (scala.collection.mutable.LongMap.empty[Int],
+          scala.collection.mutable.ArrayBuffer.empty[Long])
+        val (sIdx, sIds) = interner(); val (dIdx, dIds) = interner()
+        def intern(m: scala.collection.mutable.LongMap[Int],
+            ids: scala.collection.mutable.ArrayBuffer[Long], x: Long): Int =
+          m.getOrElseUpdate(x, { ids += x; ids.length - 1 })
+        val srcI = new Array[Int](pairs.length)
+        val dstI = new Array[Int](pairs.length)
+        var i = 0
+        while (i < pairs.length) {
+          srcI(i) = intern(sIdx, sIds, pairs(i)._1)
+          dstI(i) = intern(dIdx, dIds, pairs(i)._2)
+          i += 1
+        }
+        var h = Array.fill(sIds.length)(scale)
+        val a = new Array[Long](dIds.length)
+        var round = 0
+        while (round < iters) {
+          java.util.Arrays.fill(a, 0L)
+          i = 0
+          while (i < pairs.length) { a(dstI(i)) += h(srcI(i)); i += 1 }
+          var tot = 0L
+          i = 0; while (i < a.length) { tot += a(i); i += 1 }
+          val dA = math.max(tot / scale, 1L)
+          i = 0; while (i < a.length) { a(i) /= dA; i += 1 }
+          val hn = new Array[Long](h.length)
+          i = 0
+          while (i < pairs.length) { hn(srcI(i)) += a(dstI(i)); i += 1 }
+          tot = 0L
+          i = 0; while (i < hn.length) { tot += hn(i); i += 1 }
+          val dH = math.max(tot / scale, 1L)
+          i = 0; while (i < hn.length) { hn(i) /= dH; i += 1 }
+          h = hn
+          round += 1
+        }
+        sIds.indices.iterator.map(j => (sIds(j), "hub", h(j))) ++
+          dIds.indices.iterator.map(j => (dIds(j), "auth", a(j)))
+      }.toDF("node", "side", "score_s").localCheckpoint()
+      e.unpersist()
+      return (out, true)
+    }
+
+    def renorm(raw: DataFrame, checkpoint: Boolean): DataFrame = {
+      val rc = raw.cache()
+      // 1-row total (bounded collect): the divisor must be ONE exact
+      // integer, not a per-partition approximation
+      val tot = rc.agg(sum(col("raw"))).first().getLong(0)
+      val d = math.max(tot / scale, 1L)
+      val s = rc.select(col("node"), expr(s"raw div $d").as("s"))
+      val out = if (checkpoint) s.localCheckpoint() else { s.cache().count(); s }
+      rc.unpersist()
+      out
+    }
+    var h = e.select(col("src").as("node")).distinct()
+      .select(col("node"), lit(scale).as("s")).cache()
+    var a: DataFrame = h // replaced in round 1
+    var prevH = h
+    var prevA: DataFrame = null
+    var round = 0
+    while (round < iters) {
+      val cp = (round + 1) % checkpointEvery == 0
+      a = renorm(e.join(h.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node")).agg(sum(col("s")).as("raw")), cp)
+      if (prevA != null) prevA.unpersist()
+      prevA = a
+      h = renorm(e.join(a.withColumnRenamed("node", "dst"), "dst")
+        .groupBy(col("src").as("node")).agg(sum(col("s")).as("raw")), cp)
+      prevH.unpersist()
+      prevH = h
+      round += 1
+    }
+    // h and a are materialized; the edge cache is no longer read
+    e.unpersist()
+    val out = h.select(col("node"), lit("hub").as("side"),
+        col("s").as("score_s"))
+      .unionAll(a.select(col("node"), lit("auth").as("side"),
+        col("s").as("score_s")))
+    (out, false)
+  }
+
   /** The shared fixpoint. `seeds = None` is the uniform variant — restart
     * mass at every node, which needs no membership structures at all.
     */
