@@ -95,6 +95,57 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","canary_med":$canMed,"canary_max":$canMax,"sf":"$sfDir","errors":$errs,"queries":$qs}"""
     println(canaryLine)
     println(line)
+    // ---- Tail-proof re-emission ------------------------------------------
+    // The driver records ONLY the LAST 2000 chars of stdout (measured: every
+    // BENCH_r01..r10 tail is exactly 2000 chars and `parsed` is null in all
+    // ten — the single full line above has NEVER survived whole). Re-emit in
+    // tail-survivable form: short BENCHQ chunk lines ordered cheap →
+    // expensive (what the 2000-char window cuts is the cheap head), then ONE
+    // final complete JSON object ≤ ~1800 chars in the driver's contract
+    // shape, carrying total/canary summary plus the most expensive query
+    // medians and the historically-flagged BENCHGAP slots WITH their canary
+    // readings (the per-slot ENV-vs-engine adjudication data that the
+    // truncation has swallowed two rounds running). BenchGap's flat
+    // pair-scan keeps the LAST occurrence of a key, so the 4-decimal
+    // re-emission wins over the full-precision line — 0.1 ms granularity is
+    // far inside the documented ±25% container-load band.
+    def r4(v: Double): String =
+      if (v.isNaN) "null"
+      else String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
+    val flaggedSlots = Seq( // open BENCHGAP flags awaiting canary adjudication
+      "value_histogram", "corpus_curation", "quality_from_artifact")
+    val byCost = results.toSeq.sortBy { case (_, v) =>
+      if (v.isNaN) Double.MaxValue else v } // cheap first; NaN (errored) last
+    val chunk = new StringBuilder
+    byCost.foreach { case (k, v) =>
+      val pairStr = jstr(k) + ":" + r4(v)
+      if (chunk.nonEmpty && chunk.length + pairStr.length > 180) {
+        println("BENCHQ {" + chunk + "}"); chunk.clear()
+      }
+      if (chunk.nonEmpty) chunk ++= ","
+      chunk ++= pairStr
+    }
+    if (chunk.nonEmpty) println("BENCHQ {" + chunk + "}")
+    // Final line: flagged slots + their canaries go at the END of the map
+    // (defense in depth if the window ever shrinks), most-expensive queries
+    // fill from the front until the ~1800-char budget is reached.
+    val tailPairs = flaggedSlots.filter(results.contains).flatMap { q =>
+      Seq(jstr(q) + ":" + r4(results(q))) ++
+        canaries.get(q).map(c => jstr(q + "__canary") + ":" + r4(c))
+    }
+    val head =
+      s"""{"metric":"total","value":${r4(total)},"unit":"sec","sf":"$sfDir","n":${results.size},"canary_med":${r4(canMed)},"canary_max":${r4(canMax)},"nerr":${errors.size},"queries":{"""
+    val close = "}}"
+    var budget = 1800 - head.length - close.length -
+      tailPairs.map(_.length + 1).sum
+    val fillPairs = scala.collection.mutable.ArrayBuffer.empty[String]
+    byCost.reverse.foreach { case (k, v) => // expensive first
+      if (!flaggedSlots.contains(k) && !v.isNaN) {
+        val p = jstr(k) + ":" + r4(v)
+        if (budget - (p.length + 1) >= 0) { fillPairs += p; budget -= p.length + 1 }
+      }
+    }
+    println(head + (fillPairs ++ tailPairs).mkString(",") + close)
     // Persist BOTH maps in one full object so every registered query's
     // median and canary survives the round regardless of any log-tail
     // truncation (see CLAUDE.md; BenchGap reads flat pairs from either).

@@ -45,7 +45,22 @@ object Tables {
     * millis-as-long, …) fails fast here instead of silently producing
     * nulls or shifted values downstream.
     */
-  def events(spark: SparkSession, sfDir: String): DataFrame = {
+  def events(spark: SparkSession, sfDir: String): DataFrame =
+    eventsImpl(spark, sfDir, None)
+
+  /** [[events]] restricted to `ts ≥ fromUs` (epoch micros), with the
+    * bound applied to the RAW stored column BEFORE the canonicalizing
+    * cast — a filter above the cast does not reach the parquet reader,
+    * one below it lands in `PushedFilters` and prunes row groups /
+    * partitions at storage level. This is the incremental-recompute
+    * read path: a manifest diff names the changed days, this scan
+    * re-reads only them.
+    */
+  def eventsSince(spark: SparkSession, sfDir: String, fromUs: Long): DataFrame =
+    eventsImpl(spark, sfDir, Some(fromUs))
+
+  private def eventsImpl(spark: SparkSession, sfDir: String,
+      fromUs: Option[Long]): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // the NTZ→TIMESTAMP cast below is wall-clock-preserving ONLY under a
     // UTC session; fail fast on a conflicting session timezone instead of
@@ -60,9 +75,19 @@ object Tables {
     import org.apache.spark.sql.types._
     df.schema("ts").dataType match {
       case LongType =>
-        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case TimestampNTZType | TimestampType =>
-        df.withColumn("ts", col("ts").cast("timestamp"))
+        val base = fromUs.map(us => df.filter(col("ts") >= us * 1000L))
+          .getOrElse(df)
+        base.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case t if t == TimestampNTZType || t == TimestampType =>
+        // literal cast to the stored dtype keeps the COLUMN bare in the
+        // comparison (constant folding evaluates the literal side), so
+        // the predicate pushes; under the UTC session the cast is the
+        // identity on the stored micros
+        val base = fromUs.map { us =>
+          df.filter(col("ts") >= lit(java.time.Instant.ofEpochSecond(
+            us / 1000000L, (us % 1000000L) * 1000L)).cast(t))
+        }.getOrElse(df)
+        base.withColumn("ts", col("ts").cast("timestamp"))
       case other => throw new IllegalStateException(
         s"events.ts has unsupported dtype $other; expected legacy " +
           "nanos-as-LONG or TIMESTAMP[_NTZ] micros — teach Tables.events " +

@@ -478,7 +478,7 @@ object AnalyticsJobs {
       |       MAX(CASE WHEN rn = 1 THEN event_type END) AS top_type
       |FROM ranked GROUP BY day""".stripMargin
 
-  private val PR_ITERS = 10
+  private[jobs] val PR_ITERS = 10
 
   /** PageRank over the bipartite user↔item interaction graph — the link-
     * analysis workload (importance scoring for recommendation / crawl
@@ -638,7 +638,15 @@ object AnalyticsJobs {
     * Scale shape: one two-phase hash aggregate over day keys; the
     * canonical string + md5 stays inside the scan's codegen.
     */
-  def partitionManifest(spark: SparkSession, sfDir: String): DataFrame = {
+  def partitionManifest(spark: SparkSession, sfDir: String): DataFrame =
+    manifestOf(Tables.events(spark, sfDir))
+
+  /** [[partitionManifest]] over an arbitrary events-shaped frame — the
+    * form the incremental-recompute consumer
+    * ([[ArtifactJobs.itemPagerankIncremental]]) diffs: yesterday's stored
+    * manifest vs today's, per slice.
+    */
+  def manifestOf(events: DataFrame): DataFrame = {
     val cents = round(col("value") * 100, 0).cast("long")
     // Every field rides through an explicit NULL sentinel (unit separator,
     // chr(31)): concat_ws SKIPS nulls while the oracle's '||' chain nulls
@@ -650,7 +658,7 @@ object AnalyticsJobs {
       canon(col("event_id")), canon(expr("unix_micros(ts)")),
       canon(col("user_id")), canon(col("event_type")), canon(cents),
       canon(col("props")))
-    Tables.events(spark, sfDir)
+    events
       .select(expr("datediff(cast(ts as date), date'1970-01-01')").as("day"),
         conv(substring(md5(canonical), 1, 15), 16, 10).cast("long").as("h"),
         cents.as("cents"))
@@ -773,35 +781,45 @@ object AnalyticsJobs {
 
   /** Oracle: the identical integer recurrence, 10 rounds unrolled as CTE
     * quadruples (raw sum → scalar total → floor-div renorm), HUGEINT
-    * sums cast back per the round-4 rule.
+    * sums cast back per the round-4 rule. Every per-round CTE is
+    * MATERIALIZED: each raw-sum frame is referenced TWICE (by its scalar
+    * divisor subquery and by the renormed frame), so DuckDB's default
+    * inlining doubles the expression tree per reference — 4^10 plan
+    * blowup across 10 rounds (measured: >120 s planning and an fd-limit
+    * blowout from re-opened parquet scans on a 7,310-edge input; the
+    * materialized form runs in milliseconds). `item_ppr`'s linear chain
+    * never needed this — only diamond-referenced CTEs do.
     */
   val itemHitsSql: String = {
     val S = graft.ops.Graph.HitsScale
     val rounds = (1 to HITS_ITERS).map { i =>
-      s"""ar$i AS (
+      s"""ar$i AS MATERIALIZED (
          |  SELECT e.dst AS node, CAST(SUM(h.s) AS BIGINT) AS raw
          |  FROM edges e JOIN h${i - 1} h ON h.node = e.src GROUP BY 1
-         |), ad$i AS (
+         |), ad$i AS MATERIALIZED (
          |  SELECT GREATEST(CAST((SELECT SUM(raw) FROM ar$i) AS BIGINT)
          |    // $S, 1) AS d
-         |), a$i AS (
+         |), a$i AS MATERIALIZED (
          |  SELECT node, CAST(raw // d AS BIGINT) AS s FROM ar$i, ad$i
-         |), hr$i AS (
+         |), hr$i AS MATERIALIZED (
          |  SELECT e.src AS node, CAST(SUM(a.s) AS BIGINT) AS raw
          |  FROM edges e JOIN a$i a ON a.node = e.dst GROUP BY 1
-         |), hd$i AS (
+         |), hd$i AS MATERIALIZED (
          |  SELECT GREATEST(CAST((SELECT SUM(raw) FROM hr$i) AS BIGINT)
          |    // $S, 1) AS d
-         |), h$i AS (
+         |), h$i AS MATERIALIZED (
          |  SELECT node, CAST(raw // d AS BIGINT) AS s FROM hr$i, hd$i
          |)""".stripMargin
     }.mkString(",\n")
+    // edges MATERIALIZED: the 10 unrolled rounds reference it ~20 times
+    // and DuckDB's default CTE inlining re-opens the events parquet per
+    // reference — enough scans to blow the fd limit on the oracle side
     s"""WITH ev AS (
        |  SELECT user_id AS src,
        |         CAST(json_extract_string(props, '$$.k') AS BIGINT) AS dst
        |  FROM events
        |  WHERE json_extract_string(props, '$$.k') IS NOT NULL
-       |), edges AS (SELECT DISTINCT src, dst FROM ev),
+       |), edges AS MATERIALIZED (SELECT DISTINCT src, dst FROM ev),
        |h0 AS (SELECT DISTINCT src AS node, CAST($S AS BIGINT) AS s
        |       FROM edges),
        |$rounds
@@ -1035,6 +1053,8 @@ object AnalyticsJobs {
     "conversion_latency" -> conversionLatency,
     "rolling_uniques_approx" -> rollingUniquesApprox,
     "item_ppr" -> itemPpr,
+    "item_hits" -> itemHits,
+    "item_similarity" -> itemSimilarity,
     "partition_manifest" -> partitionManifest,
     "rolling_uniques" -> rollingUniques,
     "salted_join" -> saltedJoinAgg,
@@ -1060,6 +1080,8 @@ object AnalyticsJobs {
     "rolling_uniques" -> rollingUniquesSql,
     "partition_manifest" -> partitionManifestSql,
     "item_ppr" -> itemPprSql,
+    "item_hits" -> itemHitsSql,
+    "item_similarity" -> itemSimilaritySql,
     "rolling_uniques_approx" -> rollingUniquesApproxSql,
     "conversion_latency" -> conversionLatencySql,
     "engagement_decay" -> engagementDecaySql,

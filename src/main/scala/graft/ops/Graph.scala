@@ -24,34 +24,54 @@ import org.apache.spark.sql.functions._
 object Graph {
 
   /** Rank scale: 1.0 of probability mass = 10^12. The binding constraint
-    * is the damping step `r·85`, not the total mass: a single node's rank
-    * must stay ≤ Long.MaxValue/85 ≈ 1.08·10^17. For UNIFORM PageRank at
-    * N = 10^6 nodes (total mass 10^18) that means no single hub may hold
-    * more than ~10.8% of total mass — true of interaction graphs but NOT
-    * guaranteed in general; hubbier graphs (or N beyond 10^6) drop the
-    * scale a decade per decade (the contract only needs scale ≫ N for
-    * resolution). For PERSONALIZED PageRank the constraint binds in round
-    * 1 already — each seed starts at exactly SCALE·N div |S| — so
-    * [[checkSeedMass]] asserts it instead of wrapping silently (non-ANSI
-    * Spark and Scala Long arithmetic both wrap without error).
+    * is the damping step `r·85`: whatever rank it multiplies must stay
+    * ≤ Long.MaxValue/85 or non-ANSI Spark and Scala Long arithmetic wrap
+    * silently. Two guards, split by what is knowable when:
+    *
+    *  - ROUND-1 statically: the personalized seed mass SCALE·N div |S|
+    *    (and its SCALE·N intermediate) — [[checkSeedMass]] requires both
+    *    products fit before any arithmetic runs.
+    *  - LATER ROUNDS at runtime: total mass only leaks (Σrₜ₊₁ ≤
+    *    0.15·SCALE·N + 0.85·Σrₜ, contraction toward ≤ SCALE·N), but a hub
+    *    can still ABSORB up to the whole total — SCALE·N, which already
+    *    exceeds Long.MaxValue/85 past N ≈ 1.08·10^5 at this scale, so a
+    *    static worst-case bound would outlaw every graph the distributed
+    *    regime exists for. Instead [[checkRankCeiling]] asserts the ACTUAL
+    *    per-round max rank, piggybacked on the materialization pass each
+    *    round already pays (the distributed loop's per-round `count()`
+    *    becomes an `agg(max)`; the in-task loop scans the array it just
+    *    filled) — exact, zero false positives, and the overflow surfaces
+    *    as a clear error naming the fix (drop the scale a decade) rather
+    *    than as silently wrong ranks.
     */
   val PrScale: Long = 1000000000000L
 
-  /** Personalized-variant overflow guard: r₀(seed) = SCALE·N div |S| and
-    * the damping step multiplies a rank by 85 before its div, so both
-    * SCALE·N and (SCALE·N div |S|)·85 must fit a Long or the fixpoint
-    * silently wraps. Runs in both regimes (in-task below the edge limit,
-    * driver-side above) before any rank arithmetic.
+  /** The damping step's hard ceiling: any rank above this wraps in `r·85`. */
+  private[graft] val RankCeiling: Long = Long.MaxValue / 85L
+
+  /** Round-1 static overflow guard (see [[PrScale]]): r₀(seed) =
+    * SCALE·N div |S| and its SCALE·N intermediate must both fit. Uniform
+    * r₀ = SCALE needs nothing (SCALE ≪ ceiling); later rounds of both
+    * variants are guarded at runtime by [[checkRankCeiling]].
     */
   private[graft] def checkSeedMass(n: Long, nSeeds: Long): Unit = {
     require(n <= Long.MaxValue / PrScale,
-      s"pageRank: N=$n nodes overflows scale $PrScale — drop Graph.PrScale" +
-        " a decade per decade of nodes")
-    require(PrScale * n / nSeeds <= Long.MaxValue / 85L,
-      s"personalizedPageRank: seed restart mass ${PrScale} * $n / $nSeeds " +
+      s"personalizedPageRank: N=$n nodes overflows the SCALE*N seed-mass " +
+        s"intermediate at scale $PrScale — drop Graph.PrScale a decade " +
+        "per decade of nodes")
+    require(PrScale * n / nSeeds <= RankCeiling,
+      s"personalizedPageRank: seed restart mass $PrScale * $n / $nSeeds " +
         s"overflows the 85x damping step (N/|S| too large for scale " +
         s"$PrScale) — drop Graph.PrScale or widen the seed set")
   }
+
+  /** Runtime guard for every post-init round (see [[PrScale]]). */
+  private[graft] def checkRankCeiling(maxRank: Long, round: Int): Unit =
+    require(maxRank <= RankCeiling,
+      s"pageRank: max rank $maxRank after round $round exceeds " +
+        s"Long.MaxValue/85 — the next damping multiply would wrap. A hub " +
+        s"is absorbing too much mass for scale $PrScale; drop " +
+        "Graph.PrScale a decade per decade of nodes")
 
   /** Damped base mass: (1-d)·SCALE with d = 0.85, as exact integers. */
   val PrBase: Long = PrScale * 15L / 100L
@@ -169,12 +189,22 @@ object Graph {
       scale: Long = HitsScale): (DataFrame, Boolean) = {
     val spark = edges.sparkSession
     import spark.implicits._
+    // iters = 0 would diverge between regimes (the single-task path's `a`
+    // array is never filled; the distributed path would relabel the hub
+    // init frame) — and a 0-round HITS is meaningless anyway
+    require(iters >= 1, s"hits: iters must be >= 1, got $iters")
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .distinct().cache()
     val nEdges = e.count()
-    require(nEdges <= Long.MaxValue / scale,
-      s"hits: $nEdges edges overflow scale $scale — drop the scale a " +
-        "decade per decade of edges")
+    // 2·scale, not scale: renorm divides by max(tot div scale, 1), so a
+    // side's post-renorm TOTAL lands in [scale, 2·scale) (tot div scale = d
+    // leaves tot/d just under 2·scale when tot = (d+1)·scale − 1) — a
+    // later round's raw sum is bounded by E·max_score ≤ E·2·scale, and
+    // guarding only E·scale would let it wrap right at the boundary
+    require(nEdges <= Long.MaxValue / (2L * scale),
+      s"hits: $nEdges edges overflow scale $scale (raw half-step sums are " +
+        "bounded by E * 2 * scale) — drop the scale a decade per decade " +
+        "of edges")
 
     if (nEdges <= singleTaskEdgeLimit) {
       val out = e.as[(Long, Long)].coalesce(1).mapPartitions { it =>
@@ -316,6 +346,9 @@ object Graph {
             i += 1
           }
           r = nxt
+          var mx = 0L
+          i = 0; while (i < r.length) { if (r(i) > mx) mx = r(i); i += 1 }
+          checkRankCeiling(mx, round + 1)
           round += 1
         }
         ids.indices.iterator.map(j => (ids(j), r(j)))
@@ -364,7 +397,12 @@ object Graph {
           (col("base") + coalesce(col("in_r"), lit(0L))).as("r"))
       val next = if ((round + 1) % checkpointEvery == 0) next0.localCheckpoint()
                  else next0.cache()
-      next.count()
+      // the materialization pass doubles as the runtime overflow guard:
+      // agg(max) scans (and thus populates) every cached partition exactly
+      // like the count() it replaces
+      val mxRow = next.agg(max(col("r"))).first()
+      checkRankCeiling(if (mxRow.isNullAt(0)) 0L else mxRow.getLong(0),
+        round + 1)
       prev.unpersist()
       prev = next
       ranks = next

@@ -78,7 +78,7 @@ object BenchGap {
       .filterNot { case (k, _) =>
         // the driver wrapper's own numeric fields, not query medians —
         // and the r9 per-slot I/O canary entries/summary
-        Set("n", "rc", "cpus", "sf", "value",
+        Set("n", "rc", "cpus", "sf", "value", "nerr",
           "canary_med", "canary_max").contains(k) || k.endsWith("__canary")
       }
       .toMap

@@ -252,6 +252,58 @@ class AnalyticsJobsSpec extends SparkSpec {
     }
   }
 
+  test("partition_manifest: NULL fields neither alias nor drop rows") {
+    import org.apache.spark.sql.functions._
+    // Two rows whose canonical fields would COLLAPSE to the same string
+    // under concat_ws's NULL-skipping (A: type='100', cents=NULL, B:
+    // type=NULL, cents=100 — both '…|100|x' without the sentinel): the
+    // chr(31) sentinel must keep them distinct, so their hashes XOR to a
+    // non-zero fingerprint instead of cancelling to 0.
+    val dir = java.nio.file.Files.createTempDirectory("pm_null").toString
+    Seq(
+      (1L, "2024-03-05 10:00:00", 10L, Option("100"), Option.empty[Double],
+        Option("x")),
+      (1L, "2024-03-05 10:00:00", 10L, Option.empty[String], Option(1.0),
+        Option("x")))
+      .toDF("event_id", "tss", "user_id", "event_type", "value", "props")
+      .withColumn("ts", $"tss".cast("timestamp")).drop("tss")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = AnalyticsJobs.partitionManifest(spark, dir)
+      .select($"day", $"n_rows", $"fp_xor", $"cents_sum")
+      .as[(Int, Long, Long, Long)].collect()
+    assert(out.length == 1)
+    val (_, nRows, fpXor, cents) = out.head
+    assert(nRows == 2L)    // the NULL-field rows are counted, not dropped
+    assert(fpXor != 0L)    // distinct canonicals: XOR of two hashes ≠ 0
+    assert(cents == 100L)  // NULL cents skipped by SUM, not poisoning it
+  }
+
+  test("item_similarity: jaccard ppm and top-k match a brute-force recompute") {
+    val dir = sf("sf0.001")
+    val out = AnalyticsJobs.itemSimilarity(spark, dir)
+      .select($"item_id", $"rank", $"partner", $"jacc_ppm")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    val ui = graft.io.Tables.events(spark, dir)
+      .selectExpr("user_id as u",
+        "cast(regexp_extract(props, '\"k\"\\\\s*:\\\\s*(-?\\\\d+)', 1) as long) as i")
+      .filter($"i".isNotNull).distinct().as[(Long, Long)].collect().toSet
+    val degOk = ui.groupBy(_._1).filter(_._2.size <= 50).keySet
+    val kept = ui.filter(p => degOk(p._1))
+    val items = kept.groupBy(_._2).map { case (i, g) => i -> g.map(_._1) }
+    val pairs = for {
+      (a, ua) <- items.toSeq; (b, ub) <- items.toSeq if a < b
+      inter = (ua & ub).size if inter > 0
+    } yield (a, b, inter.toLong * 1000000L / (ua.size + ub.size - inter))
+    val sym = pairs.flatMap { case (a, b, j) => Seq((a, b, j), (b, a, j)) }
+    val expect = sym.groupBy(_._1).flatMap { case (item, g) =>
+      g.sortBy(p => (-p._3, p._2)).take(5).zipWithIndex.map {
+        case ((_, partner, j), idx) => (item, idx + 1L, partner, j)
+      }
+    }.toSet
+    assert(out.toSet == expect)
+  }
+
   test("rolling_uniques: dau/wau7 equal a brute-force window recompute") {
     val dir = sf("sf0.001")
     val out = AnalyticsJobs.rollingUniques(spark, dir)

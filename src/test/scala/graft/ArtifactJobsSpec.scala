@@ -102,6 +102,40 @@ class ArtifactJobsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("item_pagerank_incremental: one-day delta, pushed delta scan, lossless") {
+    val dir = sf("sf0.001")
+    val (storedEdges, deltaScan, changed) =
+      ArtifactJobs.pagerankIncrementalParts(spark, dir)
+    // append-only corpus: exactly the last day is detected as changed
+    val maxDay = graft.io.Tables.events(spark, dir)
+      .selectExpr("max(datediff(cast(ts as date), date'1970-01-01'))")
+      .head().getInt(0)
+    assert(changed == Seq(maxDay),
+      s"expected only the delta day $maxDay changed, got $changed")
+    // the delta re-read is PRUNED AT STORAGE: the ts lower bound reaches
+    // the parquet reader (PushedFilters), it is not a post-scan filter
+    val scanPlan = deltaScan.queryExecution.executedPlan.toString
+    assert(scanPlan.contains("PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts"),
+      "delta scan must push the day bound into the reader; got:\n" +
+        scanPlan.linesIterator.filter(_.contains("FileScan")).mkString("\n"))
+    // stored edges exclude the delta day, so incremental = stored ∪ delta
+    // must reconstruct the full-corpus ranks bit-identically
+    val inc = ArtifactJobs.itemPagerankIncremental(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val full = jobs.AnalyticsJobs.itemPagerank(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(inc == full)
+    // and the stored aggregate genuinely carries yesterday only: fewer
+    // edges than the merged set (the delta day contributes new ones)
+    val nStored = storedEdges.count()
+    val nFull = graft.io.Tables.events(spark, dir)
+      .selectExpr("user_id * 2 as u",
+        "cast(regexp_extract(props, '\"k\"\\\\s*:\\\\s*(-?\\\\d+)', 1) as long) * 2 + 1 as it")
+      .filter(org.apache.spark.sql.functions.col("it").isNotNull)
+      .distinct().count() * 2
+    assert(nStored < nFull, s"stored $nStored !< full $nFull")
+  }
+
   test("artifacts land on disk as readable parquet models") {
     ArtifactJobs.bpeEncodeFromArtifact(spark, sf("sf0.001")).count()
     val p = java.nio.file.Paths.get(

@@ -44,6 +44,10 @@ class BloomPrescreenSpec extends SparkSpec {
   test("the corpus side is bloom-filtered before the band joins") {
     val p = DedupJobs.dedupIncrementalBloom(spark, sf("sf0.001"))
       .queryExecution.executedPlan.toString
+    // guard the guard: if this plan ever grows past SparkSpec's 1 MB
+    // stringification cap, the contains-assert below goes vacuous —
+    // fail loudly instead
+    assert(!p.contains("Truncated plan of"), "plan string hit the cap")
     assert(p.contains("bloom_might_contain"),
       s"prescreen missing from the plan:\n$p")
   }

@@ -29,6 +29,14 @@ class ExtensionsSpec extends SparkSpec {
         .boundaries(org.apache.spark.unsafe.types.UTF8String
           .fromString("abcdefghij"), 4, 3).toIntArray().toSeq
       assert(b == direct && b.last == 10)
+      // SQL misuse over a non-string column fails at ANALYSIS with the
+      // expression's own message, not as a codegen ClassCastException
+      // mid-job (the checkInputDataTypes contract)
+      val err = intercept[org.apache.spark.sql.AnalysisException] {
+        s2.sql("SELECT cdc_boundaries(42, 4, 3)").collect()
+      }
+      assert(err.getMessage.contains("cdc_boundaries") ||
+        err.getMessage.contains("STRING"))
     } finally {
       SparkSession.clearActiveSession()
       prevActive.foreach(SparkSession.setActiveSession)

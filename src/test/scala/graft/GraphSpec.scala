@@ -71,6 +71,89 @@ class GraphSpec extends SparkSpec {
     assert(one(5L) > 0L && one(5L) < one(0L) / 4)
   }
 
+  private def refHits(edges: Seq[(Long, Long)], iters: Int,
+      scale: Long): (Map[Long, Long], Map[Long, Long]) = {
+    val es = edges.distinct
+    val srcs = es.map(_._1).distinct
+    val dsts = es.map(_._2).distinct
+    var h = srcs.map(_ -> scale).toMap
+    var a = Map.empty[Long, Long]
+    for (_ <- 1 to iters) {
+      val araw = dsts.map(d =>
+        d -> es.filter(_._2 == d).map(e => h(e._1)).sum).toMap
+      val dA = math.max(araw.values.sum / scale, 1L)
+      a = araw.map { case (k, v) => k -> v / dA }
+      val hraw = srcs.map(s =>
+        s -> es.filter(_._1 == s).map(e => a(e._2)).sum).toMap
+      val dH = math.max(hraw.values.sum / scale, 1L)
+      h = hraw.map { case (k, v) => k -> v / dH }
+    }
+    (h, a)
+  }
+
+  test("hits: reference recurrence + regime equivalence on a bipartite graph") {
+    val rnd = new scala.util.Random(17)
+    val edges = Seq.fill(150) {
+      (rnd.nextInt(20).toLong, 100L + rnd.nextInt(15))
+    }.distinct
+    val df = edges.toDF("src", "dst")
+    val (one, p1) = Graph.hitsInstrumented(df, iters = 10)
+    val (dist, p2) = Graph.hitsInstrumented(df, iters = 10,
+      singleTaskEdgeLimit = 0L)
+    assert(p1 && !p2)
+    def toMap(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val a = toMap(one); val b = toMap(dist)
+    assert(a == b)
+    val (refH, refA) = refHits(edges, 10, Graph.HitsScale)
+    assert(refH.map { case (k, v) => (k, "hub") -> v } ++
+      refA.map { case (k, v) => (k, "auth") -> v } == a)
+  }
+
+  test("hits rejects iters = 0 — the regimes would diverge on it") {
+    intercept[IllegalArgumentException] {
+      Graph.hits(Seq((0L, 1L)).toDF("src", "dst"), iters = 0)
+    }
+  }
+
+  test("hits overflow guard bounds post-renorm totals (2x scale, not scale)") {
+    // renorm leaves a side's total just under 2*scale, so E*scale alone is
+    // not safe — the guard must reject E > Long.MaxValue/(2*scale)
+    val ex = intercept[IllegalArgumentException] {
+      Graph.hitsInstrumented(Seq((0L, 1L), (2L, 3L)).toDF("src", "dst"),
+        iters = 1, scale = Long.MaxValue / 3L)
+    }
+    assert(ex.getMessage.contains("2 * scale"))
+  }
+
+  test("checkSeedMass rejects seed concentration that would wrap round 1") {
+    // N over Long.MaxValue/SCALE: the SCALE*N intermediate itself wraps
+    intercept[IllegalArgumentException](Graph.checkSeedMass(10000000L, 1L))
+    // inside both limits: fine (SCALE*1e5 = 1e17 < Long.MaxValue/85)
+    Graph.checkSeedMass(100000L, 1L)
+  }
+
+  test("rank ceiling guard fires before a hub rank wraps, both regimes") {
+    // star: 140k leaves all pointing at node 0 — after round 1 the hub
+    // holds 140000 * floor(0.85e12) = 1.19e17 > Long.MaxValue/85, so the
+    // NEXT damping multiply would wrap; the guard must fire instead of
+    // letting round 2 produce silently-wrapped ranks
+    val star = spark.range(1L, 140001L)
+      .selectExpr("id as src", "cast(0 as long) as dst")
+    val exOne = intercept[Exception] {
+      Graph.pageRankInstrumented(star, iters = 2)
+    }
+    assert(exOne.getMessage.contains("damping multiply would wrap") ||
+      Option(exOne.getCause).exists(
+        _.getMessage.contains("damping multiply would wrap")))
+    val exDist = intercept[Exception] {
+      Graph.pageRankInstrumented(star, iters = 2, singleTaskEdgeLimit = 0L)
+    }
+    assert(exDist.getMessage.contains("damping multiply would wrap") ||
+      Option(exDist.getCause).exists(
+        _.getMessage.contains("damping multiply would wrap")))
+  }
+
   test("mass accounting: total rank stays within floor-loss of N*scale") {
     // each round redistributes total mass N·S: base injects 0.15·N·S and
     // damping passes ≤ 0.85·N·S; floor division only ever LOSES mass, at
