@@ -587,26 +587,56 @@ object Dedup {
     * c = 1 reproduces the disjoint plan exactly ([[Bands63]] for 63/3);
     * past the c = 4 ceiling, shard the corpus before pairing.
     */
+  /** Near-equal partition of [0, bits) into k blocks: (bits mod k) blocks
+    * get the extra bit, widest first so shifts are cumulative. The block
+    * layout for a super-band plan of c = k − maxHamming.
+    */
+  private[graft] def bandBlocks(k: Int, bits: Int): Seq[(Int, Int)] = {
+    val base = bits / k
+    val rem = bits % k
+    val widths = Seq.tabulate(k)(i => base + (if (i < rem) 1 else 0))
+    widths.scanLeft(0)(_ + _).zip(widths).map { case (s, w) => (s, w) }
+  }
+
   def bandPlan(distinctFps: Long, maxHamming: Int, bits: Int = 63)
-      : Seq[Seq[(Int, Int)]] = {
+      : Seq[Seq[(Int, Int)]] =
+    bandPlanMeasured(distinctFps, exactC1 = -1L, maxHamming, bits)
+
+  /** [[bandPlan]] fed a MEASURED c = 1 accidental-candidate count instead
+    * of the birthday estimate (`exactC1 < 0` = no measurement, assume
+    * uniform). The clustered probe (SCALE §8e addendum 2) is why: real
+    * perceptual fingerprints concentrate band VALUES, a hot value of
+    * multiplicity h contributes h²/2 candidates — at F = 9·10⁵ (600×
+    * below the uniform crossover) a 4.4% hot fraction already makes c = 2
+    * twice as fast, and the F-only model cannot see it (measured 165×
+    * birthday-underestimate at 8.9% hot). The skew factor
+    * s = exactC1 / birthday(1) rescales every c's birthday estimate —
+    * exact for c = 1 by construction; for c ≥ 2 it assumes the clustering
+    * lives inside single blocks so the wider key's extra bits divide the
+    * hot mass uniformly (conservative: it overestimates the wide-band
+    * accidental mass, erring toward c = 1). Validated against wall-clock
+    * at h/F = 2.2/4.4/8.9%: picks c=2 exactly where c=2 measures faster.
+    */
+  def bandPlanMeasured(distinctFps: Long, exactC1: Long, maxHamming: Int,
+      bits: Int = 63): Seq[Seq[(Int, Int)]] = {
     require(maxHamming >= 0 && bits >= maxHamming + 1,
       s"bandPlan needs bits ($bits) > maxHamming ($maxHamming)")
-    def blocksOf(k: Int): Seq[(Int, Int)] = {
-      // near-equal partition of [0, bits): (bits mod k) blocks get the
-      // extra bit, widest first so shifts are cumulative
-      val base = bits / k
-      val rem = bits % k
-      val widths = Seq.tabulate(k)(i => base + (if (i < rem) 1 else 0))
-      widths.scanLeft(0)(_ + _).zip(widths).map { case (s, w) => (s, w) }
-    }
-    def cost(c: Int): Double = {
+    def blocksOf(k: Int): Seq[(Int, Int)] = bandBlocks(k, bits)
+    val f = distinctFps.toDouble
+    def birthday(c: Int): Double = {
       val k = c + maxHamming
       val minWidth = blocksOf(k).map(_._2).sorted.take(c).sum
       val bands = (1 to c).foldLeft(1.0)((a, i) => a * (k - i + 1) / i)
-      val f = distinctFps.toDouble
-      bands * (f + f * f /
-        math.pow(2.0, math.min(minWidth + 1, 62).toDouble) /
-        AccidentalCostRatio)
+      bands * f * f /
+        math.pow(2.0, math.min(minWidth + 1, 62).toDouble)
+    }
+    val skew =
+      if (exactC1 < 0L) 1.0
+      else math.max(exactC1.toDouble / math.max(birthday(1), 1.0), 1.0)
+    def cost(c: Int): Double = {
+      val k = c + maxHamming
+      val bands = (1 to c).foldLeft(1.0)((a, i) => a * (k - i + 1) / i)
+      bands * f + skew * birthday(c) / AccidentalCostRatio
     }
     val c = (1 to 4).minBy(cost) // ties resolve to the smaller c
     blocksOf(c + maxHamming).combinations(c).toSeq
@@ -623,18 +653,45 @@ object Dedup {
       scope: CacheScope = CacheScope.unmanaged): DataFrame =
     hammingPairsPlanned(fp, bands.map(Seq(_)), maxHamming, scope)
 
-  /** [[hammingPairs]] with the band plan derived from the corpus: caches
-    * the fingerprint frame, counts DISTINCT fingerprints (one count on a
-    * frame the join reads anyway — the regime-selection discipline), and
-    * picks [[bandPlan]]'s width. Output is plan-invariant (both plans are
-    * lossless candidate generators with multiplicity exactly 1), so
-    * oracles never see the switch; only the candidate mass does.
+  /** Below this row count the disjoint c = 1 plan runs with ZERO
+    * model jobs: even the adversarial worst case (every distinct fp
+    * sharing one band value → n²/2 accidental candidates) costs under a
+    * second at the measured ~7 ns/candidate hot-key rate, i.e. less than
+    * the model jobs themselves — and the multimodal fixtures live far
+    * below it, so the pipelines stop paying the per-query counting
+    * overhead the r10 probe measured (1.99 s auto vs 1.22 s fixed at
+    * 64×).
+    */
+  val AutoShortCircuitRows: Long = 16384L
+
+  /** [[hammingPairs]] with the band plan derived from the corpus. Caches
+    * the fingerprint frame; its row count (a near-free job that
+    * materializes the cache the join reads anyway) short-circuits small
+    * corpora straight to the disjoint plan. Above
+    * [[AutoShortCircuitRows]], the distinct-fp frame is built ONCE
+    * (cached, shared with the join core — previously the core rebuilt
+    * it), counted, and one 16-bit-key aggregation measures the EXACT
+    * c = 1 accidental-candidate mass Σ C(cnt, 2) for
+    * [[bandPlanMeasured]] — the clustered probe showed F alone misses
+    * hot-value corpora by two orders. Output is plan-invariant (all
+    * plans are lossless candidate generators with multiplicity exactly
+    * 1), so oracles never see the switch; only the candidate mass does.
     */
   def hammingPairsAuto(fp: DataFrame, maxHamming: Int,
       scope: CacheScope = CacheScope.unmanaged, bits: Int = 63): DataFrame = {
     val fpc = scope.cache(fp.select(col("doc_id"), col("fp")))
-    val distinctFps = fpc.select(col("fp")).distinct().count()
-    hammingCore(fpc, bandPlan(distinctFps, maxHamming, bits), maxHamming)
+    val disjoint = bandBlocks(maxHamming + 1, bits).map(Seq(_))
+    if (fpc.count() <= AutoShortCircuitRows)
+      return hammingCore(fpc, disjoint, maxHamming)
+    val distinctFp = scope.cache(fpc.select(col("fp")).distinct())
+    val f = distinctFp.count()
+    val exactC1 = distinctFp
+      .select(posexplode(array(disjoint.map(b =>
+        superBandVal(col("fp"), b)): _*)).as(Seq("b", "bv")))
+      .groupBy(col("b"), col("bv")).count()
+      .agg(sum(expr("count * (count - 1) div 2"))).first().getLong(0)
+    hammingCore(fpc, bandPlanMeasured(f, exactC1, maxHamming, bits),
+      maxHamming, Some(distinctFp))
   }
 
   /** The banded-join core over an arbitrary super-band plan (each band a
@@ -657,10 +714,11 @@ object Dedup {
     * times: distinct, two member sides, two intra sides).
     */
   private def hammingCore(fpc: DataFrame, bands: Seq[Seq[(Int, Int)]],
-      maxHamming: Int): DataFrame = {
+      maxHamming: Int, sharedDistinct: Option[DataFrame] = None): DataFrame = {
     require(bands.size > maxHamming,
       s"pigeonhole needs more bands (${bands.size}) than maxHamming=$maxHamming")
-    val distinctFp = fpc.select(col("fp")).distinct()
+    val distinctFp =
+      sharedDistinct.getOrElse(fpc.select(col("fp")).distinct())
     val bandRows = distinctFp.select(col("fp"),
       posexplode(array(bands.map(b => superBandVal(col("fp"), b)): _*))
         .as(Seq("b", "bv")))

@@ -42,7 +42,12 @@ object UniquesStream {
   final case class WindowArrival(w: Int, day: Int, userId: Long,
       ts: java.sql.Timestamp)
 
-  final case class DayUniques(day: Int, wau7Est: Long)
+  /** Live window metrics: dau from the own-day sketch, wau7 from the
+    * 7-day window sketch, stickiness as the batch query's integer ppm
+    * ratio of the two estimates.
+    */
+  final case class DayUniques(day: Int, dauEst: Long, wau7Est: Long,
+      stickinessPpmEst: Long)
 
   /** Fan an event stream out to its 7 contributing windows; the watermark
     * is declared HERE, upstream of the stateful op.
@@ -74,14 +79,18 @@ object UniquesStream {
       extends StatefulProcessor[Int, WindowArrival, DayUniques] {
 
     @transient private var sketch: ValueState[Array[Byte]] = _
-    @transient private var own: ValueState[Boolean] = _
+    @transient private var ownSketch: ValueState[Array[Byte]] = _
     @transient private var armed: ValueState[Boolean] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       sketch = getHandle.getValueState[Array[Byte]]("hll",
         Encoders.BINARY, TTLConfig.NONE)
-      own = getHandle.getValueState[Boolean]("own",
-        Encoders.scalaBoolean, TTLConfig.NONE)
+      // second KB-sized sketch, fed only by the window's OWN day — live
+      // DAU beside the 7-day WAU, same state bound; its existence also
+      // marks "this window's own day was observed" (the batch join
+      // against observed days), so no separate boolean is needed
+      ownSketch = getHandle.getValueState[Array[Byte]]("hll_own",
+        Encoders.BINARY, TTLConfig.NONE)
       armed = getHandle.getValueState[Boolean]("armed",
         Encoders.scalaBoolean, TTLConfig.NONE)
     }
@@ -93,13 +102,16 @@ object UniquesStream {
       val hll =
         if (sketch.exists()) HllSketch.heapify(sketch.get())
         else new HllSketch(lgK, TgtHllType.HLL_8)
-      var sawOwnDay = own.exists() && own.get()
+      lazy val hllOwn =
+        if (ownSketch.exists()) HllSketch.heapify(ownSketch.get())
+        else new HllSketch(lgK, TgtHllType.HLL_8)
+      var sawOwnDay = false
       rows.foreach { r =>
         hll.update(r.userId)
-        if (r.day == key) sawOwnDay = true
+        if (r.day == key) { hllOwn.update(r.userId); sawOwnDay = true }
       }
       sketch.update(hll.toUpdatableByteArray)
-      if (sawOwnDay) own.update(true)
+      if (sawOwnDay) ownSketch.update(hllOwn.toUpdatableByteArray)
       if (!(armed.exists() && armed.get())) {
         // contributions to window w all carry ts < end of day w, so once
         // the watermark passes that instant the sketch is final
@@ -116,11 +128,15 @@ object UniquesStream {
       // no-op when state is already cleared (the round-4 timer rule)
       if (!sketch.exists()) return Iterator.empty
       val out =
-        if (own.exists() && own.get()) {
-          val est = Math.round(HllSketch.heapify(sketch.get()).getEstimate)
-          Iterator.single(DayUniques(key, est))
+        if (ownSketch.exists()) {
+          val dau = Math.round(
+            HllSketch.heapify(ownSketch.get()).getEstimate)
+          val wau = Math.round(HllSketch.heapify(sketch.get()).getEstimate)
+          // the batch query's integer ppm ratio, over the live estimates
+          val stick = if (wau > 0L) dau * 1000000L / wau else 0L
+          Iterator.single(DayUniques(key, dau, wau, stick))
         } else Iterator.empty
-      sketch.clear(); own.clear(); armed.clear()
+      sketch.clear(); ownSketch.clear(); armed.clear()
       out
     }
   }

@@ -364,6 +364,61 @@ object Probe {
       }
     }
 
+    def runClustered(): Unit = {
+      import graft.ops.Dedup
+      // The derate question (SCALE §8e): real perceptual fingerprints
+      // concentrate band VALUES (dark images, silent audio) — a hot value
+      // with multiplicity h contributes h²/2 accidental candidates to its
+      // band, not the birthday mean F²/2^(w+1). Fixture: n distinct fps,
+      // h of them sharing ONE value in the (0,16) band (distinct
+      // elsewhere: uniform high bits), the rest fully uniform; planted
+      // Hamming-1 dups so true pairs exist. Measured: c=1 (the hot band
+      // drowns), forced c=2 (the hot value splits across the wider key's
+      // extra uniform bits), and what auto picks from F alone.
+      println("== band-plan under clustered band values ==")
+      println(f"${"n"}%9s ${"hot"}%7s ${"exactC1"}%11s ${"fixed16"}%9s ${"c2"}%9s ${"auto"}%9s  autoplan")
+      val n = sys.env.getOrElse("SPARK_GRAFT_PROBE_CLUST_N", "800000").toLong
+      val hots = sys.env.getOrElse("SPARK_GRAFT_PROBE_CLUST_HOT",
+        "20000,40000,80000").split(",").map(_.trim.toLong).toSeq
+      val c2plan = Dedup.bandBlocks(5, 63).combinations(2).toSeq
+      for (h <- hots) {
+        val dir = s"/tmp/graft_probe_clust_${n}_$h"
+        // uniform 47 high bits << 16; low 16 = hot constant for the first
+        // h ids, else uniform — all fps distinct w.h.p. via the high bits
+        val hi = xxhash64(col("id")).bitwiseAND(lit((1L << 47) - 1L))
+        val lo = when(col("id") < h, lit(0x1234L))
+          .otherwise(xxhash64(col("id"), lit(7)).bitwiseAND(lit(0xFFFFL)))
+        val base = spark.range(n).select(col("id").as("doc_id"),
+          shiftleft(hi, 16).bitwiseOR(lo).as("fp"))
+        base.unionAll(base.filter(col("doc_id") % 8 === 0)
+            .select((col("doc_id") + lit(1L << 40)).as("doc_id"),
+              expr("fp ^ shiftleft(CAST(1 AS BIGINT), " +
+                "CAST(16 + doc_id % 47 AS INT))").as("fp")))
+          .write.mode("overwrite").parquet(dir)
+        val fp = () => spark.read.parquet(dir)
+        val f = fp().select(col("fp")).distinct().count()
+        // exact c=1 accidental candidate count: Σ_{band,value} C(cnt,2)
+        val exactC1 = fp().select(col("fp")).distinct()
+          .select(posexplode(array(Dedup.Bands63.map(b =>
+            Dedup.bandVal(col("fp"), b)): _*)).as(Seq("b", "bv")))
+          .groupBy(col("b"), col("bv")).count()
+          .agg(sum(expr("count * (count - 1) div 2"))).first().getLong(0)
+        val plan = Dedup.bandPlanMeasured(f, exactC1, 3)
+        var n1 = 0L; var n2 = 0L; var nA = 0L
+        val tF = median((1 to 3).map(_ => time {
+          n1 = Dedup.hammingPairs(fp(), Dedup.Bands63, 3).count(); n1 }))
+        val t2 = median((1 to 3).map(_ => time {
+          n2 = Dedup.hammingPairsPlanned(fp(), c2plan, 3).count(); n2 }))
+        val tA = median((1 to 3).map(_ => time {
+          nA = Dedup.hammingPairsAuto(fp(), 3).count(); nA }))
+        require(n1 == n2 && n2 == nA, s"plans disagree: $n1 / $n2 / $nA")
+        println(f"$f%9d $h%7d $exactC1%11d $tF%9.2f $t2%9.2f $tA%9.2f" +
+          s"  c=${plan.head.size}, ${plan.size} bands, $n1 pairs")
+      }
+    }
+
+    if (mode == "clustered")
+      runClustered()
     if (mode == "bands")
       runBands()
     if (mode == "graph")

@@ -107,6 +107,25 @@ class BandPlanSpec extends SparkSpec {
     }
   }
 
+  test("measured model: clustered candidate mass flips the plan, uniform doesn't") {
+    // the three clustered-probe operating points (SCALE §8e addendum 2):
+    // F = 9e5, exact c=1 candidate mass from hot-band multiplicity
+    val c1 = Dedup.Bands63.map(Seq(_))
+    // h = 20k hot (2.2%): near-tie, model stays on the cheaper-replication c=1
+    assert(Dedup.bandPlanMeasured(900000L, 284281684L, 3) == c1)
+    // h = 40k (4.4%): c=2 measured 2x faster — model must switch
+    val p40 = Dedup.bandPlanMeasured(900000L, 1043524993L, 3)
+    assert(p40.size == 10 && p40.forall(_.size == 2))
+    // h = 80k (8.9%): c=2 measured 4.2x faster
+    val p80 = Dedup.bandPlanMeasured(900000L, 4080876359L, 3)
+    assert(p80.size == 10 && p80.forall(_.size == 2))
+    // uniform mass at the same F (birthday ≈ exact): stays c=1, same as
+    // the estimate-only form — skew 1 reproduces the unmeasured model
+    val birthday1 = 4.0 * 9e5 * 9e5 / math.pow(2, 16)
+    assert(Dedup.bandPlanMeasured(900000L, birthday1.toLong, 3) == c1)
+    assert(Dedup.bandPlan(900000L, 3) == c1)
+  }
+
   test("hammingPairsAuto matches the explicit Bands63 call on the fixture") {
     val auto = Dedup.hammingPairsAuto(fixture, 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet

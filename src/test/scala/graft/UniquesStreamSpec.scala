@@ -63,18 +63,25 @@ class UniquesStreamSpec extends SparkSpec {
       q.processAllAvailable()
       in.addData((new java.sql.Timestamp(sentinelTs + 1000L), 999999L))
       q.processAllAvailable()
-      spark.table("stream_uniques").as[(Int, Long)].collect().toMap
+      spark.table("stream_uniques").as[(Int, Long, Long, Long)]
+        .collect().map(r => r._1 -> (r._2, r._3, r._4)).toMap
     } finally q.stop()
 
     val exact = graft.jobs.AnalyticsJobs.rollingUniques(spark, dir)
-      .select($"day", $"wau7").collect()
-      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      .select($"day", $"dau", $"wau7", $"stickiness_ppm").collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
     assert(got.keySet == exact.keySet,
       s"emitted days ${got.keySet} != observed days ${exact.keySet}")
-    exact.foreach { case (day, wau7) =>
-      val est = got(day)
-      assert(math.abs(est - wau7).toDouble / wau7 <= 0.05,
-        s"day $day: estimate $est vs exact $wau7 breaches the 5% gate")
+    exact.foreach { case (day, (dau, wau7, stick)) =>
+      val (dauEst, wauEst, stickEst) = got(day)
+      assert(math.abs(wauEst - wau7).toDouble / wau7 <= 0.05,
+        s"day $day: wau estimate $wauEst vs exact $wau7 breaches the 5% gate")
+      assert(math.abs(dauEst - dau).toDouble / dau <= 0.05,
+        s"day $day: dau estimate $dauEst vs exact $dau breaches the 5% gate")
+      // the ratio of two ±5% estimates: gate at the propagated ~10.5%
+      assert(math.abs(stickEst - stick).toDouble / math.max(stick, 1L) <= 0.105,
+        s"day $day: stickiness $stickEst vs exact $stick breaches the gate")
     }
     }
   }
