@@ -830,6 +830,65 @@ object AnalyticsJobs {
        |FROM a$HITS_ITERS""".stripMargin
   }
 
+  private val LPA_ITERS = 5
+
+  /** Label-propagation communities over the user↔item interaction graph —
+    * the community-structure companion of [[itemPagerank]]'s prestige
+    * ([[graft.ops.Graph.labelPropagation]]: synchronous rounds, most
+    * frequent neighbor label + one self-vote, ties to the smallest
+    * label; fixed 5 rounds, so the snapshot is deterministic in both
+    * engines). Same namespaced symmetric edge set as the PageRank pair.
+    */
+  def itemCommunities(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select((col("user_id") * 2).as("u"),
+        (regexp_extract(col("props"), "\"k\"\\s*:\\s*(-?\\d+)", 1)
+          .cast("long") * 2 + 1).as("it"))
+      .filter(col("it").isNotNull)
+    val edges = ev.select(col("u").as("src"), col("it").as("dst"))
+      .unionAll(ev.select(col("it").as("src"), col("u").as("dst")))
+    graft.ops.Graph.labelPropagation(edges, iters = LPA_ITERS)
+      .select(
+        when(col("node") % 2 === 0, "user").otherwise("item").as("node_kind"),
+        expr("node div 2").as("node_id"),
+        col("community"))
+  }
+
+  /** Oracle: the identical vote recurrence, rounds unrolled. Per-round
+    * CTEs MATERIALIZED — each label frame is referenced twice per round
+    * (neighbor join + self-vote union), the `item_hits` diamond-inlining
+    * lesson.
+    */
+  val itemCommunitiesSql: String = {
+    val rounds = (1 to LPA_ITERS).map { i =>
+      s"""v$i AS MATERIALIZED (
+         |  SELECT e.dst AS node, l.lbl
+         |  FROM edges e JOIN l${i - 1} l ON l.node = e.src
+         |  UNION ALL SELECT node, lbl FROM l${i - 1}
+         |), c$i AS MATERIALIZED (
+         |  SELECT node, lbl, COUNT(*) AS c FROM v$i GROUP BY 1, 2
+         |), l$i AS MATERIALIZED (
+         |  SELECT node, lbl FROM (
+         |    SELECT node, lbl, ROW_NUMBER() OVER (
+         |      PARTITION BY node ORDER BY c DESC, lbl ASC) AS rn
+         |    FROM c$i) r WHERE rn = 1
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ev AS (
+       |  SELECT user_id * 2 AS u,
+       |         CAST(json_extract_string(props, '$$.k') AS BIGINT) * 2 + 1 AS it
+       |  FROM events
+       |  WHERE json_extract_string(props, '$$.k') IS NOT NULL
+       |), e0 AS (SELECT DISTINCT u, it FROM ev),
+       |edges AS MATERIALIZED (SELECT u AS src, it AS dst FROM e0
+       |          UNION ALL SELECT it, u FROM e0),
+       |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM edges),
+       |$rounds
+       |SELECT CASE WHEN node % 2 = 0 THEN 'user' ELSE 'item' END AS node_kind,
+       |       node // 2 AS node_id, lbl AS community
+       |FROM l$LPA_ITERS""".stripMargin
+  }
+
   /** Power-user cap for [[itemSimilarity]]: a user with d distinct items
     * contributes d² co-occurrence pairs, so unbounded-degree users are
     * THE quadratic zone of every item-item pipeline; production
@@ -1055,6 +1114,7 @@ object AnalyticsJobs {
     "item_ppr" -> itemPpr,
     "item_hits" -> itemHits,
     "item_similarity" -> itemSimilarity,
+    "item_communities" -> itemCommunities,
     "partition_manifest" -> partitionManifest,
     "rolling_uniques" -> rollingUniques,
     "salted_join" -> saltedJoinAgg,
@@ -1082,6 +1142,7 @@ object AnalyticsJobs {
     "item_ppr" -> itemPprSql,
     "item_hits" -> itemHitsSql,
     "item_similarity" -> itemSimilaritySql,
+    "item_communities" -> itemCommunitiesSql,
     "rolling_uniques_approx" -> rollingUniquesApproxSql,
     "conversion_latency" -> conversionLatencySql,
     "engagement_decay" -> engagementDecaySql,

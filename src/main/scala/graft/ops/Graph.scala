@@ -290,6 +290,123 @@ object Graph {
     (out, false)
   }
 
+  /** Label-propagation community detection over a (symmetric) edge list
+    * (`src`, `dst` LONG) — the third classic link fixpoint beside
+    * [[pageRank]] and [[hits]], sharing their regime discipline and
+    * integer-exactness contract. Labels start as the node's own id;
+    * each SYNCHRONOUS round every node adopts the most frequent label
+    * among its in-neighbors plus ONE vote for its own current label,
+    * ties broken by the SMALLEST label — counts and ids only, so any
+    * engine lands identical labels and `iters` rounds restate as
+    * unrolled SQL CTEs (count → ROW_NUMBER argmax per node). Fixed
+    * round count, no convergence test: synchronous LPA can oscillate on
+    * bipartite structure, and a deterministic fixed-round snapshot is
+    * exactly reproducible where "until stable" is not.
+    *
+    * Regimes (§8f/§8g): at or below `singleTaskEdgeLimit` the rounds run
+    * in ONE task over a dst-sorted edge array (per-node vote counting in
+    * a scratch map, O(E) per round); above it, per-round edge⨝label join,
+    * (node, label) count aggregate, and a node-partitioned ROW_NUMBER
+    * argmax — every key a LONG, `localCheckpoint` every
+    * `checkpointEvery` rounds. Output: (node, community).
+    */
+  def labelPropagation(edges: DataFrame, iters: Int = 5,
+      checkpointEvery: Int = 5,
+      singleTaskEdgeLimit: Long = 4000000L): DataFrame =
+    labelPropagationInstrumented(edges, iters, checkpointEvery,
+      singleTaskEdgeLimit)._1
+
+  private[graft] def labelPropagationInstrumented(
+      edges: DataFrame, iters: Int,
+      checkpointEvery: Int = 5,
+      singleTaskEdgeLimit: Long = 4000000L): (DataFrame, Boolean) = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    require(iters >= 0, s"labelPropagation: iters must be >= 0, got $iters")
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .distinct().cache()
+    val nEdges = e.count()
+
+    if (nEdges <= singleTaskEdgeLimit) {
+      val out = e.as[(Long, Long)].coalesce(1).mapPartitions { it =>
+        val pairs = it.toArray
+        val idx = scala.collection.mutable.LongMap.empty[Int]
+        val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+        def intern(x: Long): Int =
+          idx.getOrElseUpdate(x, { ids += x; ids.length - 1 })
+        val srcI = new Array[Int](pairs.length)
+        val dstI = new Array[Int](pairs.length)
+        var i = 0
+        while (i < pairs.length) {
+          srcI(i) = intern(pairs(i)._1); dstI(i) = intern(pairs(i)._2)
+          i += 1
+        }
+        val n = ids.length
+        // dst-sorted edge order so each round walks per-node vote groups
+        val order = Array.range(0, pairs.length)
+          .sortBy(j => (dstI(j), srcI(j)))
+        var lbl = Array.tabulate(n)(j => ids(j)) // label₀ = own id
+        var round = 0
+        while (round < iters) {
+          val next = lbl.clone() // isolated nodes keep their label
+          val votes = scala.collection.mutable.LongMap.empty[Int]
+          var p = 0
+          while (p < order.length) {
+            val node = dstI(order(p))
+            votes.clear()
+            var q = p
+            while (q < order.length && dstI(order(q)) == node) {
+              val l = lbl(srcI(order(q)))
+              votes.update(l, votes.getOrElse(l, 0) + 1)
+              q += 1
+            }
+            val own = lbl(node)
+            votes.update(own, votes.getOrElse(own, 0) + 1)
+            var bestL = Long.MaxValue; var bestC = -1
+            votes.foreach { case (l, c) =>
+              if (c > bestC || (c == bestC && l < bestL)) {
+                bestC = c; bestL = l
+              }
+            }
+            next(node) = bestL
+            p = q
+          }
+          lbl = next
+          round += 1
+        }
+        ids.indices.iterator.map(j => (ids(j), lbl(j)))
+      }.toDF("node", "community").localCheckpoint()
+      e.unpersist()
+      return (out, true)
+    }
+
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().cache()
+    var lbl = nodes.select(col("node"), col("node").as("lbl")).cache()
+    var prev = lbl
+    var round = 0
+    import org.apache.spark.sql.expressions.Window
+    while (round < iters) {
+      val votes = e.join(lbl.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), col("lbl"))
+        .unionAll(lbl) // one self-vote
+      val counted = votes.groupBy(col("node"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+      val next0 = counted
+        .withColumn("rn", row_number().over(Window.partitionBy(col("node"))
+          .orderBy(col("c").desc, col("lbl").asc)))
+        .filter(col("rn") === 1).select(col("node"), col("lbl"))
+      val next = if ((round + 1) % checkpointEvery == 0) next0.localCheckpoint()
+                 else { val c = next0.cache(); c.count(); c }
+      prev.unpersist()
+      prev = next
+      lbl = next
+      round += 1
+    }
+    val out = lbl.withColumnRenamed("lbl", "community")
+    (out, false)
+  }
+
   /** The shared fixpoint. `seeds = None` is the uniform variant — restart
     * mass at every node, which needs no membership structures at all.
     */

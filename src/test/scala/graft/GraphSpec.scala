@@ -154,6 +154,47 @@ class GraphSpec extends SparkSpec {
         _.getMessage.contains("damping multiply would wrap")))
   }
 
+  private def refLpa(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val es = edges.distinct
+    val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct
+    var lbl = nodes.map(n => n -> n).toMap
+    for (_ <- 1 to iters) {
+      lbl = nodes.map { v =>
+        val votes = es.filter(_._2 == v).map(e => lbl(e._1)) :+ lbl(v)
+        val counts = votes.groupBy(identity).map { case (l, g) => l -> g.size }
+        v -> counts.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }.toMap
+    }
+    lbl
+  }
+
+  test("label propagation: reference recurrence, regimes agree, cliques found") {
+    // two 4-cliques bridged by one symmetric edge
+    def clique(ids: Seq[Long]) =
+      for (a <- ids; b <- ids if a != b) yield (a, b)
+    val edges = (clique(Seq(0L, 1L, 2L, 3L)) ++
+      clique(Seq(10L, 11L, 12L, 13L)) ++ Seq((3L, 10L), (10L, 3L))).distinct
+    val df = edges.toDF("src", "dst")
+    val (one, p1) = Graph.labelPropagationInstrumented(df, iters = 5)
+    val (dist, p2) = Graph.labelPropagationInstrumented(df, iters = 5,
+      singleTaskEdgeLimit = 0L)
+    assert(p1 && !p2)
+    val a = one.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = dist.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+    assert(a == refLpa(edges, 5))
+    // the cliques resolve to one community each, and they differ
+    assert(Seq(1L, 2L, 3L).forall(n => a(n) == a(0L)))
+    assert(Seq(12L, 13L).forall(n => a(n) == a(11L)))
+    assert(a(0L) != a(11L))
+    // iters = 0: every node keeps its own id, both regimes
+    val z1 = Graph.labelPropagation(df, iters = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val z2 = Graph.labelPropagation(df, iters = 0, singleTaskEdgeLimit = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(z1 == z2 && z1.forall { case (n, c) => n == c })
+  }
+
   test("mass accounting: total rank stays within floor-loss of N*scale") {
     // each round redistributes total mass N·S: base injects 0.15·N·S and
     // damping passes ≤ 0.85·N·S; floor division only ever LOSES mass, at
