@@ -830,7 +830,7 @@ object AnalyticsJobs {
        |FROM a$HITS_ITERS""".stripMargin
   }
 
-  private val LPA_ITERS = 5
+  private[jobs] val LPA_ITERS = 5
 
   /** Label-propagation communities over the user↔item interaction graph —
     * the community-structure companion of [[itemPagerank]]'s prestige

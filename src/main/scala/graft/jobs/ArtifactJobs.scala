@@ -328,8 +328,30 @@ object ArtifactJobs {
         col("r").as("rank_s"))
   }
 
+  /** [[itemPagerankIncremental]]'s pattern applied to community
+    * detection: the SAME stored edge aggregate + manifest artifacts
+    * (shared on disk — one nightly edge-maintenance job feeds every
+    * graph metric), one day's delta re-scanned, label propagation rerun
+    * on the merged edge set. Oracle: the full `item_communities`
+    * recompute verbatim.
+    */
+  def itemCommunitiesIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val (storedEdges, deltaScan, changed) =
+      pagerankIncrementalParts(spark, sfDir)
+    val dayOf = expr("datediff(cast(ts as date), date'1970-01-01')")
+    val delta = interactionEdges(
+      deltaScan.filter(dayOf.isin(changed.map(Integer.valueOf): _*)))
+    graft.ops.Graph.labelPropagation(storedEdges.unionAll(delta),
+        iters = AnalyticsJobs.LPA_ITERS)
+      .select(
+        when(col("node") % 2 === 0, "user").otherwise("item").as("node_kind"),
+        expr("node div 2").as("node_id"),
+        col("community"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "item_pagerank_incremental" -> itemPagerankIncremental,
+    "item_communities_incremental" -> itemCommunitiesIncremental,
     "coreset_assign_from_artifact" -> coresetAssignFromArtifact,
     "hard_negatives_from_artifact" -> hardNegativesFromArtifact,
     "ann_ivf_from_artifact" -> annIvfFromArtifact,
@@ -347,6 +369,7 @@ object ArtifactJobs {
     */
   val oracles: Map[String, String] = Map(
     "item_pagerank_incremental" -> AnalyticsJobs.itemPagerankSql,
+    "item_communities_incremental" -> AnalyticsJobs.itemCommunitiesSql,
     "coreset_assign_from_artifact" -> SimilarityJobs.coresetKcenterSql,
     "hard_negatives_from_artifact" -> SimilarityJobs.hardNegativesSql,
     "ann_ivf_from_artifact" -> SimilarityJobs.annIvfTrainedSql,

@@ -858,6 +858,61 @@ object SimilarityJobs {
        |SELECT vec_id, center_id, dist2 FROM assign WHERE rn = 1""".stripMargin
   }
 
+  private[jobs] val MMR_K = 16
+
+  /** MMR diversity selection of 16 vectors — centrality-vs-redundancy
+    * curation beside `coreset_kcenter`'s pure-spread greedy
+    * ([[Similarity.mmrSelect]] scaladoc for the λ = 1/2 integer
+    * restatement and why the score multiplies through by n instead of
+    * dividing).
+    */
+  def diversitySample(spark: SparkSession, sfDir: String): DataFrame =
+    Similarity.mmrSelect(vectors(spark, sfDir), MMR_K)
+
+  /** Oracle: the identical greedy recurrence, 16 rounds unrolled. Every
+    * per-round CTE MATERIALIZED — sel_t is referenced three times per
+    * round (penalty subquery, NOT IN, union), the `item_hits`
+    * diamond-inlining lesson at 3^16 scale.
+    */
+  val diversitySampleSql: String = {
+    val quant = "CAST(CAST(ROUND(x * 1000.0 + 1e-9) AS BIGINT) AS DOUBLE)"
+    val rounds = (2 to MMR_K).map { t =>
+      s"""p$t AS MATERIALIZED (
+         |  SELECT p.vec_id, p.qv,
+         |         p.rel - (SELECT n FROM params) *
+         |           (SELECT MAX(CAST(list_dot_product(p.qv, s.qv) AS BIGINT))
+         |            FROM sel${t - 1} s) AS score
+         |  FROM r p
+         |  WHERE p.vec_id NOT IN (SELECT vec_id FROM sel${t - 1})
+         |), w$t AS MATERIALIZED (
+         |  SELECT $t AS sel_rank, vec_id, score, qv FROM p$t
+         |  ORDER BY score DESC, vec_id ASC LIMIT 1
+         |), sel$t AS MATERIALIZED (
+         |  SELECT * FROM sel${t - 1} UNION ALL SELECT * FROM w$t
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH q AS MATERIALIZED (
+       |  SELECT vec_id, list_transform(embedding::DOUBLE[], x -> $quant) AS qv
+       |  FROM embeddings
+       |), params AS MATERIALIZED (SELECT COUNT(*) AS n FROM q),
+       |sv AS MATERIALIZED (
+       |  SELECT list(s ORDER BY dim) AS sumv FROM (
+       |    SELECT u.dim AS dim, SUM(u.x) AS s FROM (
+       |      SELECT unnest(qv) AS x, generate_subscripts(qv, 1) AS dim
+       |      FROM q) u
+       |    GROUP BY u.dim) g
+       |), r AS MATERIALIZED (
+       |  SELECT q.vec_id, q.qv,
+       |         CAST(list_dot_product(q.qv, sv.sumv) AS BIGINT) AS rel
+       |  FROM q, sv
+       |), sel1 AS MATERIALIZED (
+       |  SELECT 1 AS sel_rank, vec_id, rel AS score, qv FROM r
+       |  ORDER BY rel DESC, vec_id ASC LIMIT 1
+       |),
+       |$rounds
+       |SELECT sel_rank, vec_id, score AS mmr_score FROM sel$MMR_K""".stripMargin
+  }
+
   private val PCA_ITERS = 5
 
   /** Integer power-iteration top-PC projection of every embedding — the
@@ -906,6 +961,7 @@ object SimilarityJobs {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "embedding_pca" -> embeddingPca,
+    "diversity_sample" -> diversitySample,
     "coreset_kcenter" -> coresetKcenter,
     "pq_codes" -> pqCodes,
     "pq_codes_trained" -> pqCodesTrained,
@@ -926,6 +982,7 @@ object SimilarityJobs {
 
   val oracles: Map[String, String] = Map(
     "embedding_pca" -> embeddingPcaSql,
+    "diversity_sample" -> diversitySampleSql,
     "coreset_kcenter" -> coresetKcenterSql,
     "pq_codes" -> pqCodesSql,
     "pq_codes_trained" -> pqCodesTrainedSql,

@@ -893,6 +893,90 @@ object Similarity {
       .select(col("vec_id"), col("center_id"), col("dist2"))
   }
 
+  /** MMR quantization scale — coarse like [[PcaXScale]] and for the same
+    * reason: the relevance term is a dot against the CORPUS-SUM vector,
+    * so its magnitude carries a factor n. At 10³ every score term stays
+    * ≤ dims·10³·(n·10³) — exactly representable in a double (< 2^53)
+    * through n ≈ 10⁸ vectors at dims 64; past that, drop the scale a
+    * decade per decade (the [[graft.ops.Graph.PrScale]] rule).
+    */
+  val MmrQuantScale: Double = 1e3
+
+  /** Maximal-marginal-relevance diversity selection: greedily pick k
+    * vectors maximizing (centrality − redundancy) — the training-data
+    * curation step that wants REPRESENTATIVE-yet-SPREAD examples, where
+    * [[kCenterCoreset]] wants pure spread (max-min coverage) and k-means
+    * wants pure density. Classic MMR takes λ·relevance −
+    * (1−λ)·max-similarity-to-selected; with λ = 1/2 the argmax is
+    * invariant to doubling, so the score is the pure integer
+    *
+    *   score(d) = dot(qd, Σ qv) − n · max_{s ∈ S} dot(qd, qs)
+    *
+    * (relevance = unnormalized similarity to the corpus MEAN, stated as
+    * the sum-vector dot times 1 vs the max-sim times n — multiplying
+    * through by n instead of dividing keeps every term an integer;
+    * Spark `div` truncates toward zero while DuckDB `//` floors, so an
+    * actual division would diverge on negative dots). Round 0 has no
+    * penalty term: the seed is the most central vector. Ties break on
+    * the smaller vec_id.
+    *
+    * Engine-exact: [[MmrQuantScale]]-quantized coords make every dot an
+    * integer-valued double; sums, maxes and differences of those are
+    * exact, so both engines land identical scores and the k rounds
+    * restate as unrolled SQL CTEs. Scale shape: the per-dim corpus sum
+    * is one aggregation (dims-sized driver copy), then each round is ONE
+    * scan with ≤ k codegen'd dot products and a global
+    * `orderBy().limit(1)` — TakeOrderedAndProject, the [[kCenterCenters]]
+    * shape; the selected set lives on the driver (k·dims values, the
+    * model-sized contract). Output: (sel_rank, vec_id, mmr_score).
+    */
+  def mmrSelect(vectors: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, "mmrSelect needs k >= 1")
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val q = vectors.select(col("vec_id"),
+      expr(s"transform(v, x -> cast(cast(round(x * $MmrQuantScale + 1e-9) " +
+        "as bigint) as double))").as("qv")).cache()
+    val n = q.count()
+    if (n == 0L) {
+      q.unpersist()
+      return Seq.empty[(Long, Long, Long)].toDF("sel_rank", "vec_id", "mmr_score")
+    }
+    // per-dim corpus sum: dims rows to the driver (model-sized)
+    val sumV = q.select(posexplode(col("qv")).as(Seq("pos", "x")))
+      .groupBy(col("pos")).agg(sum(col("x")).as("s"))
+      .orderBy(col("pos")).collect().map(_.getDouble(1))
+    val relCol = dot(col("qv"), typedLit(sumV.toSeq))
+    var selected = Vector.empty[(Long, Array[Double], Double)]
+    var t = 0
+    var exhausted = false
+    while (t < k && !exhausted) {
+      val score =
+        if (selected.isEmpty) relCol
+        else {
+          val sims = selected.map { case (_, s, _) =>
+            dot(col("qv"), typedLit(s.toSeq)) }
+          relCol - (if (sims.size == 1) sims.head else greatest(sims: _*)) *
+            lit(n.toDouble)
+        }
+      val base =
+        if (selected.isEmpty) q
+        else q.filter(!col("vec_id").isInCollection(selected.map(_._1)))
+      val nxt = base.select(col("vec_id"), score.as("score"), col("qv"))
+        .orderBy(col("score").desc, col("vec_id").asc).limit(1).collect()
+      if (nxt.isEmpty) exhausted = true // k > corpus: everything selected
+      else {
+        selected = selected :+ ((nxt(0).getLong(0),
+          nxt(0).getSeq[Double](2).toArray, nxt(0).getDouble(1)))
+        t += 1
+      }
+    }
+    q.unpersist()
+    selected.zipWithIndex.map { case ((id, _, sc), i) =>
+      (i + 1L, id, sc.toLong) // integer-valued double: exact narrowing
+    }.toDF("sel_rank", "vec_id", "mmr_score")
+  }
+
   /** Coordinate quantization scale for the PCA power iteration: coarser
     * than [[KmeansQuantScale]] (10³ vs 10⁶) because the Gram entries are
     * SUMS of coordinate products over the whole corpus — at 10³ a Gram

@@ -136,6 +136,15 @@ class ArtifactJobsSpec extends SparkSpec {
     assert(nStored < nFull, s"stored $nStored !< full $nFull")
   }
 
+  test("item_communities_incremental reconstructs the full-corpus labels") {
+    val dir = sf("sf0.001")
+    val inc = ArtifactJobs.itemCommunitiesIncremental(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val full = jobs.AnalyticsJobs.itemCommunities(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(inc == full)
+  }
+
   test("artifacts land on disk as readable parquet models") {
     ArtifactJobs.bpeEncodeFromArtifact(spark, sf("sf0.001")).count()
     val p = java.nio.file.Paths.get(

@@ -73,6 +73,54 @@ class KCenterSpec extends SparkSpec {
     assert(out == assign, s"centers chosen: $centers")
   }
 
+  private def refMmr(pts: Map[Long, Seq[Double]], k: Int): Seq[(Long, Long, Long)] = {
+    // the mmrSelect recurrence replayed exactly: 1e3 quantization,
+    // score = dot(d, Σ) − n·maxSim, ties to the smaller id
+    val q = pts.map { case (id, v) =>
+      id -> v.map(x => math.round(x * 1e3 + 1e-9).toDouble).toArray }
+    val n = q.size.toLong
+    val dims = q.head._2.length
+    val sumV = Array.tabulate(dims)(d => q.values.map(_(d)).sum)
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    var sel = Vector.empty[(Long, Long)] // (id, score)
+    while (sel.size < k && sel.size < q.size) {
+      val chosen = sel.map(_._1).toSet
+      val next = q.keys.filterNot(chosen).map { id =>
+        val rel = dot(q(id), sumV)
+        val pen =
+          if (sel.isEmpty) 0.0
+          else n.toDouble * sel.map(s => dot(q(id), q(s._1))).max
+        (id, (rel - pen).toLong)
+      }.toSeq.minBy { case (id, sc) => (-sc, id) }
+      sel :+= next
+    }
+    sel.zipWithIndex.map { case ((id, sc), i) => (i + 1L, id, sc) }
+  }
+
+  test("mmr selection matches the reference replay; redundancy is penalized") {
+    val rnd = new scala.util.Random(13)
+    // 30 base vectors + 5 exact duplicates of vector 0: MMR must not
+    // pick a duplicate of an already-selected vector while distinct
+    // candidates remain (its penalty is maximal)
+    val base = (0L until 30L).map(i =>
+      i -> Seq.fill(8)(rnd.nextDouble() * 2 - 1))
+    val dups = (0L until 5L).map(j => (100L + j) -> base.head._2)
+    val pts = (base ++ dups).toMap
+    val df = pts.toSeq.toDF("vec_id", "v")
+      .select(col("vec_id"), col("v").cast("array<double>").as("v"))
+    val got = Similarity.mmrSelect(df, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == refMmr(pts, 10))
+    // at most one member of the duplicate family {0, 100..104} selected
+    val fam = Set(0L, 100L, 101L, 102L, 103L, 104L)
+    assert(got.count(g => fam(g._2)) <= 1)
+    // k > corpus: selects everything, once
+    val all = Similarity.mmrSelect(df, 100).collect()
+    assert(all.length == pts.size &&
+      all.map(_.getLong(1)).distinct.length == pts.size)
+  }
+
   test("pca power projection matches an in-memory replay and finds the planted axis") {
     val rnd = new scala.util.Random(3)
     val dims = 6
