@@ -207,6 +207,173 @@ object DedupJobs {
 
   val ngramJaccardSql: String = ngramJaccardSqlAt(JACCARD_THRESHOLD)
 
+  private val CONT_THRESHOLD_PPM = 500000L
+
+  /** Direction-resolved n-gram containment pairs
+    * ([[graft.ops.Dedup.containmentPairs]] scaladoc: the
+    * subset-relationship detector Jaccard misses — quotes and partial
+    * copies score ≈ 1 in one direction while their Jaccard stays small).
+    */
+  def docContainment(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"), col("lang").as("block"))
+    Dedup.containmentPairs(d, JACCARD_N, CONT_THRESHOLD_PPM)
+  }
+
+  /** Oracle: the Jaccard oracle's gram chain with both ppm
+    * floor-divisions (all-positive, `//` ≡ Spark `div`).
+    */
+  val docContainmentSql: String =
+    s"""WITH e AS (
+       |  SELECT DISTINCT doc_id, block, ${hexIntSql("gram")} AS gh FROM (
+       |    SELECT doc_id, lang AS block, unnest(
+       |      [array_to_string(w[i:i+${JACCARD_N - 1}], ' ')
+       |       FOR i IN range(1, len(w) - ${JACCARD_N - 2})]) AS gram
+       |    FROM (SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS w
+       |          FROM documents)
+       |    WHERE len(w) >= $JACCARD_N)
+       |), sizes AS (
+       |  SELECT doc_id, COUNT(*) AS n_grams FROM e GROUP BY doc_id
+       |), inter AS (
+       |  SELECT ga.doc_id AS doc_a, gb.doc_id AS doc_b, COUNT(*) AS inter
+       |  FROM e ga JOIN e gb
+       |    ON ga.gh = gb.gh AND ga.block = gb.block
+       |   AND ga.doc_id < gb.doc_id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT doc_a, doc_b,
+       |       CAST((inter * 1000000) // sa.n_grams AS BIGINT) AS cont_ab_ppm,
+       |       CAST((inter * 1000000) // sb.n_grams AS BIGINT) AS cont_ba_ppm
+       |FROM inter
+       |JOIN sizes sa ON sa.doc_id = doc_a
+       |JOIN sizes sb ON sb.doc_id = doc_b
+       |WHERE GREATEST((inter * 1000000) // sa.n_grams,
+       |               (inter * 1000000) // sb.n_grams) >= $CONT_THRESHOLD_PPM""".stripMargin
+
+  private val SNM_WINDOW = 5
+  private val SNM_KEY_LEN = 40
+
+  /** Sorted-neighborhood near-dup pairs — the third blocking strategy
+    * beside MinHash-LSH banding and PPJoin prefix filtering: sort the
+    * corpus on a canonical key (lang, normalized 40-char prefix,
+    * doc_id), pair each document with its ≤ [[SNM_WINDOW]] successors in
+    * the sorted order, verify candidates with exact n-gram Jaccard.
+    * Classic SNM trades recall for a LINEAR candidate count (N·W pairs
+    * regardless of content distribution) — the fence of choice when even
+    * banded joins are too hot.
+    *
+    * 100 TB shape: the global rank is NOT a single-partition ROW_NUMBER —
+    * it is the [[trainingOrder]] distributed prefix-sum (range-partition
+    * by the sort key, per-partition counts, tiny offsets frame broadcast
+    * back); window pairs are an EQUI-join on rank + offset (offsets
+    * exploded 1..W, the rolling-uniques contribution pattern), never a
+    * global window; the Jaccard verify joins hashed gram sets only for
+    * the N·W candidates.
+    */
+  def sortedNeighborhood(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val key = substring(
+      regexp_replace(lower(trim(col("text"))), "\\s+", " "), 1, SNM_KEY_LEN)
+    val base = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang").as("block"), col("text"),
+        key.as("skey"))
+      .repartitionByRange(col("block"), col("skey"), col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+      .cache() // the partitioner samples — round-4 docPacking rule
+    val offsets = base.groupBy(col("pid"))
+      .agg(count(lit(1)).as("part_n"))
+      .withColumn("part_offset",
+        coalesce(sum(col("part_n")).over(
+          Window.orderBy(col("pid"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("pid"), col("part_offset"))
+    val wLocal = Window.partitionBy(col("pid"))
+      .orderBy(col("block").asc, col("skey").asc, col("doc_id").asc)
+    val ranked = base.join(broadcast(offsets), "pid")
+      .withColumn("rank", col("part_offset") + row_number().over(wLocal))
+      .select(col("doc_id"), col("block"), col("rank"))
+      .cache()
+    // candidate pairs: rank equi-join via exploded offsets, same block
+    val cand = ranked.alias("a")
+      .select(col("a.doc_id").as("doc_a"), col("a.block"),
+        explode(sequence(col("a.rank") + 1, col("a.rank") + SNM_WINDOW))
+          .as("rank"))
+      .join(ranked.alias("b")
+        .select(col("b.doc_id").as("doc_b"), col("b.block"), col("b.rank")),
+        Seq("block", "rank"))
+      // multiplicity exactly 1: only the lower rank generates a pair and
+      // each (rank, offset) lands on one partner — no distinct needed
+      // (the round-2 wasted-shuffle rule); least/greatest normalizes ids
+      .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
+        greatest(col("doc_a"), col("doc_b")).as("doc_b"))
+    // exact verify on the linear candidate set, shared-gram machinery
+    val g = Dedup.explodedGrams(
+        Tables.documents(spark, sfDir).select(col("doc_id"), col("text")),
+        JACCARD_N, distinct = false)
+      .select(col("doc_id"), Dedup.md5Long(col("gram")).as("gh"))
+      .distinct().cache()
+    val sizes = g.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+    val inter = cand
+      .join(g.select(col("doc_id").as("doc_a"), col("gh")), "doc_a")
+      .join(g.select(col("doc_id").as("doc_b"), col("gh")), Seq("doc_b", "gh"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n_grams", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n_grams", "nb"), "doc_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= JACCARD_THRESHOLD)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("jaccard"))
+  }
+
+  /** Oracle: ROW_NUMBER over the identical total sort key (DuckDB may
+    * single-thread it — oracle-side only; the Spark side uses the
+    * distributed prefix-sum), window pairs by rank difference, the
+    * Jaccard oracle's gram chain for the verify.
+    */
+  val sortedNeighborhoodSql: String =
+    s"""WITH ranked AS (
+       |  SELECT doc_id, lang AS block,
+       |         ROW_NUMBER() OVER (ORDER BY
+       |           lang ASC,
+       |           substr(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+       |                  1, $SNM_KEY_LEN) ASC,
+       |           doc_id ASC) AS rank
+       |  FROM documents
+       |), cand AS (
+       |  SELECT LEAST(a.doc_id, b.doc_id) AS doc_a,
+       |         GREATEST(a.doc_id, b.doc_id) AS doc_b
+       |  FROM ranked a JOIN ranked b
+       |    ON b.rank BETWEEN a.rank + 1 AND a.rank + $SNM_WINDOW
+       |   AND a.block = b.block
+       |), e AS (
+       |  SELECT DISTINCT doc_id, ${hexIntSql("gram")} AS gh FROM (
+       |    SELECT doc_id, unnest(
+       |      [array_to_string(w[i:i+${JACCARD_N - 1}], ' ')
+       |       FOR i IN range(1, len(w) - ${JACCARD_N - 2})]) AS gram
+       |    FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+       |          FROM documents)
+       |    WHERE len(w) >= $JACCARD_N)
+       |), sizes AS (
+       |  SELECT doc_id, COUNT(*) AS n_grams FROM e GROUP BY doc_id
+       |), inter AS (
+       |  SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+       |  FROM cand c
+       |  JOIN e ga ON ga.doc_id = c.doc_a
+       |  JOIN e gb ON gb.doc_id = c.doc_b AND gb.gh = ga.gh
+       |  GROUP BY 1, 2
+       |)
+       |SELECT doc_a, doc_b, inter,
+       |       CAST(inter AS DOUBLE) / (sa.n_grams + sb.n_grams - inter)
+       |         AS jaccard
+       |FROM inter
+       |JOIN sizes sa ON sa.doc_id = doc_a
+       |JOIN sizes sb ON sb.doc_id = doc_b
+       |WHERE CAST(inter AS DOUBLE) / (sa.n_grams + sb.n_grams - inter)
+       |      >= $JACCARD_THRESHOLD""".stripMargin
+
   // ---- near-dup cluster resolution (connected components) ----
 
   /** Cluster resolution over the MinHash-LSH candidate pairs: each doc
@@ -1163,6 +1330,8 @@ object DedupJobs {
     "dedup_incremental_bloom" -> dedupIncrementalBloom,
     "ngram_contamination" -> ngramContamination,
     "ngram_jaccard" -> ngramJaccard,
+    "doc_containment" -> docContainment,
+    "sorted_neighborhood" -> sortedNeighborhood,
     "ngram_jaccard_prefix" -> ngramJaccardPrefix,
     "substring_dup_rate" -> substringDupRate,
     "substring_dedup_clean" -> substringDedupClean,
@@ -1189,6 +1358,8 @@ object DedupJobs {
     "dedup_incremental_bloom" -> dedupIncrementalSql,
     "ngram_contamination" -> ngramContaminationSql,
     "ngram_jaccard" -> ngramJaccardSql,
+    "doc_containment" -> docContainmentSql,
+    "sorted_neighborhood" -> sortedNeighborhoodSql,
     // the composed fence is lossless, so the identical uncompressed
     // semantics (at the gate's τ) hash-check it — losslessness IS the
     // checked contract

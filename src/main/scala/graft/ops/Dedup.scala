@@ -832,6 +832,46 @@ object Dedup {
       scope: CacheScope = CacheScope.unmanaged): DataFrame =
     identityCompressed(df, scope)(jaccardCore(_, n, threshold, scope))
 
+  /** Asymmetric n-gram CONTAINMENT pairs within a blocking key — the
+    * subset-relationship detector Jaccard misses: a short document fully
+    * quoted inside a long one scores |A∩B|/|A| ≈ 1 (A contained in B)
+    * while its Jaccard |A∩B|/|A∪B| stays small. The decontamination
+    * use-case direction-resolved to document pairs: both ppm ratios are
+    * emitted, a pair survives when EITHER direction clears the
+    * threshold. Ratios are integer ppm floor-divisions of exact set
+    * counts (all-positive operands — Spark `div` ≡ DuckDB `//`).
+    *
+    * Same shared-gram machinery as [[jaccardPairs]]'s core (set
+    * semantics via ONE distinct on int hashes riding the gram window's
+    * doc_id partitioning; block-fenced int-keyed equi-join, never
+    * all-pairs). `df` must provide (doc_id, text, block).
+    */
+  def containmentPairs(df: DataFrame, n: Int, thresholdPpm: Long,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    val g = scope.cache(explodedGrams(
+        df.select(col("doc_id"), col("block"), col("text")), n,
+        distinct = false)
+      .select(col("doc_id"), col("block"), md5Long(col("gram")).as("gh"))
+      .distinct())
+    val sizes = g.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+    val inter = g.alias("ga").join(g.alias("gb"),
+        col("ga.gh") === col("gb.gh") &&
+          col("ga.block") === col("gb.block") &&
+          col("ga.doc_id") < col("gb.doc_id"))
+      .groupBy(col("ga.doc_id").as("doc_a"), col("gb.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n_grams", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n_grams", "nb"), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        expr("(inter * 1000000) div na").as("cont_ab_ppm"),
+        expr("(inter * 1000000) div nb").as("cont_ba_ppm"))
+      .filter(greatest(col("cont_ab_ppm"), col("cont_ba_ppm"))
+        >= thresholdPpm)
+  }
+
   /** Identity compression around any representative-level pairing core:
     * collapse identical whitespace-normalized contents to one
     * representative per (block, content) group, run `core` (which returns

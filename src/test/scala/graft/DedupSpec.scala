@@ -358,6 +358,57 @@ class DedupSpec extends SparkSpec {
       run.head.getAs[Long]("n_removed") == 3L)
   }
 
+  test("containment pairs: subset relationships score ~1e6 one-way") {
+    // B contains A verbatim plus extra text: every bigram of A is in B,
+    // so cont(A→B) = 1e6 while the Jaccard stays below the pair gate;
+    // C shares nothing
+    val docs = Seq(
+      (1L, "alpha beta gamma delta", "en"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "en"),
+      (3L, "one two three four five six", "en"),
+      (4L, "one two three four five six", "fr")) // other block: fenced out
+      .toDF("doc_id", "text", "block")
+    val got = Dedup.containmentPairs(docs, 2, 500000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3))).toSeq
+    // A has 3 bigrams, all inside B's 9 → (1e6·3) div 3 / (1e6·3) div 9
+    assert(got == Seq((1L, 2L, 1000000L, 333333L)))
+    // and the symmetric Jaccard on the same frame misses the pair at the
+    // same 0.5 operating point: 3/(3+9-3) = 1/3
+    val jacc = Dedup.jaccardPairs(docs, 2, 0.5).collect()
+    assert(jacc.isEmpty)
+  }
+
+  test("sorted_neighborhood equals a brute-force replay of rank+window+jaccard") {
+    val dir = sf("sf0.001")
+    val got = DedupJobs.sortedNeighborhood(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        math.rint(r.getDouble(3) * 1e6) / 1e6)).toSet
+    val docs = graft.io.Tables.documents(spark, dir)
+      .select($"doc_id", $"lang", $"text")
+      .as[(Long, String, String)].collect()
+    // reference: global (lang, 40-char normalized prefix, doc_id) order
+    val ranked = docs.sortBy { case (id, lang, text) =>
+      (lang, text.trim.toLowerCase.replaceAll("\\s+", " ").take(40), id)
+    }
+    val cand = (for {
+      i <- ranked.indices; j <- (i + 1) to math.min(i + 5, ranked.length - 1)
+      if ranked(i)._2 == ranked(j)._2
+    } yield (math.min(ranked(i)._1, ranked(j)._1),
+      math.max(ranked(i)._1, ranked(j)._1))).toSet
+    val grams = docs.map { case (id, _, text) =>
+      id -> text.trim.split("\\s+").toSeq.sliding(2).filter(_.size == 2)
+        .map(_.mkString(" ")).toSet
+    }.toMap
+    val expect = cand.flatMap { case (a, b) =>
+      val inter = (grams(a) & grams(b)).size
+      val j = inter.toDouble / (grams(a).size + grams(b).size - inter)
+      if (j >= 0.35) Some((a, b, inter.toLong, math.rint(j * 1e6) / 1e6))
+      else None
+    }
+    assert(got == expect && got.nonEmpty)
+  }
+
   test("curation pipeline: per-source funnel monotone, totals consistent") {
     val out = DedupJobs.curationPipeline(spark, sf("sf0.001"))
       .select($"source", $"docs_in", $"docs_deduped", $"tokens_removed",
