@@ -424,11 +424,14 @@ object AnalyticsJobs {
     */
   def eventDrift(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // |days|·|types|-sized; cached — grid's two DISTINCT branches and the
+    // fill join all read it (uncached = three full events scans)
     val counts = Tables.events(spark, sfDir)
       .select(expr("datediff(cast(ts as date), date'1970-01-01')").as("day"),
         col("event_type"))
       .groupBy(col("day"), col("event_type"))
       .agg(count(lit(1)).as("c"))
+      .cache()
     val grid = counts.select(col("day")).distinct()
       .crossJoin(counts.select(col("event_type")).distinct())
     val full = grid.join(counts, Seq("day", "event_type"), "left")
@@ -1107,7 +1110,305 @@ object AnalyticsJobs {
       |       MAX(day) AS last_day
       |FROM e GROUP BY user_id""".stripMargin
 
+  /** Lift threshold for the co-occurrence ITEM-ITEM graph shared by
+    * [[itemTriangles]] / [[itemKcore]]: keep a pair iff
+    * co·U·100 > 105·na·nb (observed co-occurrence exceeds the
+    * independence expectation na·nb/U by >5%) — a RELATIVE criterion,
+    * because absolute co-occurrence counts scale with corpus size (the
+    * probe: co≥5 keeps the complete 4,950-pair graph at every SF, while
+    * lift>1.05 lands 2099/1572/309 edges at sf0.001/0.01/0.1 — structure
+    * at every scale from one constant). Integer-exact: both sides are
+    * products of exact counts, no ratio is ever materialized.
+    */
+  private val LIFT_PCT = 105
+
+  /** Undirected item-item edge list (`ia` < `ib`, distinct) from
+    * co-occurrence under [[SIM_USER_CAP]]'s power-user fence (a user with
+    * d items contributes d² pairs — the quadratic zone every
+    * co-occurrence pipeline caps), thinned by the [[LIFT_PCT]] lift
+    * criterion. The kept-user count rides a broadcast 1-row frame (the
+    * `engagement_decay` anchor pattern), so the whole build is
+    * int-keyed joins + counts — one shuffle lineage, no window.
+    *
+    * Overflow note: co·U·100 and 105·na·nb are products of kept-user
+    * counts — at 10⁹ kept users the LHS needs HUGEINT-style widening;
+    * per the [[graft.ops.Graph.PrScale]] discipline that is a documented
+    * rescale (drop the ·100/·105 to ·4/·5), not a silent wrap, because
+    * co ≤ min(na, nb) ≤ U bounds every operand by U².
+    */
+  private[jobs] def liftEdges(spark: SparkSession, sfDir: String): DataFrame = {
+    val ui = Tables.events(spark, sfDir)
+      .select(col("user_id").as("u"),
+        (regexp_extract(col("props"), "\"k\"\\s*:\\s*(-?\\d+)", 1)
+          .cast("long")).as("i"))
+      .filter(col("i").isNotNull)
+      .distinct()
+    val kept = ui.join(
+      ui.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") <= SIM_USER_CAP).select(col("u")), "u")
+      .cache()
+    val uCount = kept.agg(count_distinct(col("u")).as("uc"))
+    val sizes = kept.groupBy(col("i")).agg(count(lit(1)).as("n"))
+    kept.alias("a").join(kept.alias("b"),
+        col("a.u") === col("b.u") && col("a.i") < col("b.i"))
+      .groupBy(col("a.i").as("ia"), col("b.i").as("ib"))
+      .agg(count(lit(1)).as("co"))
+      .join(sizes.select(col("i").as("ia"), col("n").as("na")), "ia")
+      .join(sizes.select(col("i").as("ib"), col("n").as("nb")), "ib")
+      .crossJoin(broadcast(uCount))
+      .filter(col("co") * col("uc") * 100 > lit(LIFT_PCT) * col("na") * col("nb"))
+      .select(col("ia"), col("ib"))
+      // localCheckpoint (not cache): every consumer ([[itemTriangles]]'s
+      // deg/ed/orientation branches, [[itemKcore]]'s sym union) is a
+      // multi-reference, and a cache still re-prints/re-analyzes the whole
+      // co-occurrence lineage per reference (measured: 613-node CARTx17
+      // triangles plan uncached, 1203-node cached). The edge frame is
+      // lift-thinned item-pair-bounded — model-sized, never the corpus —
+      // so truncating its lineage is the [[graft.ops.Graph]] iterative
+      // pattern, not a durability risk worth re-deriving per branch.
+      .localCheckpoint()
+  }
+
+  /** Shared oracle CTE chain ending in `und(ia, ib)` — the lift graph.
+    * `kept` and `und` are MATERIALIZED (each is diamond-referenced:
+    * kept by uu/sz/co×2, und by every consumer) per the `item_hits`
+    * inlining lesson.
+    */
+  private val liftEdgesCte: String =
+    s"""ev AS (
+       |  SELECT DISTINCT user_id AS u,
+       |         CAST(json_extract_string(props, '$$.k') AS BIGINT) AS i
+       |  FROM events
+       |  WHERE json_extract_string(props, '$$.k') IS NOT NULL
+       |), udeg AS (SELECT u, COUNT(*) AS d FROM ev GROUP BY u),
+       |kept AS MATERIALIZED (
+       |  SELECT ev.u, ev.i FROM ev JOIN udeg ON udeg.u = ev.u
+       |  WHERE udeg.d <= $SIM_USER_CAP
+       |), uu AS (SELECT COUNT(DISTINCT u) AS uc FROM kept),
+       |sz AS (SELECT i, COUNT(*) AS n FROM kept GROUP BY i),
+       |cooc AS (
+       |  SELECT a.i AS ia, b.i AS ib, COUNT(*) AS co
+       |  FROM kept a JOIN kept b ON a.u = b.u AND a.i < b.i
+       |  GROUP BY 1, 2
+       |), und AS MATERIALIZED (
+       |  SELECT c.ia, c.ib
+       |  FROM cooc c
+       |  JOIN sz sa ON sa.i = c.ia
+       |  JOIN sz sb ON sb.i = c.ib
+       |  CROSS JOIN uu
+       |  WHERE c.co * uc * 100 > $LIFT_PCT * sa.n * sb.n
+       |)""".stripMargin
+
+  /** Per-item triangle count + local clustering coefficient over the
+    * lift graph ([[liftEdges]]) — graph cohesion for the recommendation
+    * stack ([[graft.ops.Graph.triangles]]: degree-ordered orientation
+    * bounds the wedge join at O(E^1.5) total candidates, heavy hitters
+    * included; counts + one ppm floor division, engine-exact).
+    */
+  def itemTriangles(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Graph.triangles(
+        liftEdges(spark, sfDir).select(col("ia").as("a"), col("ib").as("b")))
+      .select(col("node").as("item_id"), col("deg"), col("tri"),
+        col("lcc_ppm"))
+
+  val itemTrianglesSql: String =
+    s"""WITH $liftEdgesCte,
+       |nd AS (SELECT ia AS node FROM und UNION ALL SELECT ib FROM und),
+       |gdeg AS MATERIALIZED (SELECT node, COUNT(*) AS deg FROM nd GROUP BY 1),
+       |ed AS (
+       |  SELECT e.ia AS a, e.ib AS b, da.deg AS da, db.deg AS db
+       |  FROM und e
+       |  JOIN gdeg da ON da.node = e.ia
+       |  JOIN gdeg db ON db.node = e.ib
+       |), ori AS MATERIALIZED (
+       |  SELECT CASE WHEN da < db OR (da = db AND a < b) THEN a ELSE b END AS u,
+       |         CASE WHEN da < db OR (da = db AND a < b) THEN b ELSE a END AS v,
+       |         CASE WHEN da < db OR (da = db AND a < b) THEN db ELSE da END AS dv
+       |  FROM ed
+       |), wed AS (
+       |  SELECT x.u AS t1, x.v AS t2, y.v AS t3
+       |  FROM ori x JOIN ori y
+       |    ON x.u = y.u AND (x.dv < y.dv OR (x.dv = y.dv AND x.v < y.v))
+       |), tri AS (
+       |  SELECT t1, t2, t3 FROM wed
+       |  JOIN ori o ON o.u = wed.t2 AND o.v = wed.t3
+       |), pn AS (
+       |  SELECT node, COUNT(*) AS tri FROM (
+       |    SELECT t1 AS node FROM tri
+       |    UNION ALL SELECT t2 FROM tri
+       |    UNION ALL SELECT t3 FROM tri) GROUP BY 1
+       |)
+       |SELECT d.node AS item_id, d.deg,
+       |       CAST(COALESCE(p.tri, 0) AS BIGINT) AS tri,
+       |       CAST(CASE WHEN d.deg < 2 THEN 0
+       |            ELSE (2 * COALESCE(p.tri, 0) * 1000000)
+       |                 // (d.deg * (d.deg - 1)) END AS BIGINT) AS lcc_ppm
+       |FROM gdeg d LEFT JOIN pn p ON p.node = d.node""".stripMargin
+
+  private[jobs] val KCORE_ITERS = 12
+
+  /** Coreness (k-core number) per item over the lift graph — density
+    * stratification for corpus curation ([[graft.ops.Graph.coreness]]:
+    * the order-independent h-index fixpoint, converged-asserted, so the
+    * output is exactly the degeneracy decomposition). 12 rounds covers
+    * every fixture with headroom (probe: ≤ 9 including the fixpoint
+    * check at sf0.1); converged extra rounds are no-ops in both engines.
+    */
+  def itemKcore(spark: SparkSession, sfDir: String): DataFrame = {
+    val und = liftEdges(spark, sfDir)
+    val sym = und.select(col("ia").as("src"), col("ib").as("dst"))
+      .unionAll(und.select(col("ib").as("src"), col("ia").as("dst")))
+    graft.ops.Graph.coreness(sym, iters = KCORE_ITERS)
+      .select(col("node").as("item_id"), col("deg"), col("coreness"))
+  }
+
+  /** Oracle: the identical h-index recurrence, rounds unrolled — each
+    * round is neighbor join → per-node DESC row_number → MAX(LEAST(r, c)).
+    * Rank ties among equal values are arbitrary in BOTH engines and
+    * provably don't matter: equal-valued neighbors receive a permutation
+    * of the same consecutive ranks, and MAX(LEAST(r, c)) is invariant
+    * under permuting ranks within an equal-value run. `sym` is
+    * MATERIALIZED (referenced every round — the parquet-reopen fd
+    * lesson); the value chain is linear, so per-round CTEs are not.
+    */
+  val itemKcoreSql: String = {
+    val rounds = (1 to KCORE_ITERS).map { i =>
+      s"""nb$i AS (
+         |  SELECT e.dst AS node, c.c
+         |  FROM sym e JOIN c${i - 1} c ON c.node = e.src
+         |), rk$i AS (
+         |  SELECT node, c, ROW_NUMBER() OVER (
+         |    PARTITION BY node ORDER BY c DESC) AS r
+         |  FROM nb$i
+         |), c$i AS MATERIALIZED (
+         |  SELECT node, CAST(MAX(LEAST(r, c)) AS BIGINT) AS c
+         |  FROM rk$i GROUP BY node
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $liftEdgesCte,
+       |sym AS MATERIALIZED (
+       |  SELECT ia AS src, ib AS dst FROM und
+       |  UNION ALL SELECT ib, ia FROM und
+       |), gdeg AS MATERIALIZED (
+       |  SELECT dst AS node, COUNT(*) AS deg FROM sym GROUP BY 1
+       |), c0 AS (SELECT node, deg AS c FROM gdeg),
+       |$rounds
+       |SELECT g.node AS item_id, g.deg, c.c AS coreness
+       |FROM gdeg g JOIN c$KCORE_ITERS c ON c.node = g.node""".stripMargin
+  }
+
+  /** Integer-exact z-score anomaly flags on per-(type, day) event counts —
+    * the monitoring primitive over the same 0-filled day×type grid as
+    * [[eventDrift]]. The z² comparison restates without ANY float or
+    * sqrt: z²(c) = (n·c − S)² / (n·Q − S²) with n = #days,
+    * S = Σc, Q = Σc² (all exact integers), so
+    * z² > 9 ⟺ (n·c − S)²·10⁶ > 9·10⁶·(n·Q − S²) — both sides BIGINT
+    * products, any engine identical. Zero variance (all days equal)
+    * short-circuits to z² = 0. Scale shape: one grid-fill join + two
+    * type-keyed hash aggregates; nothing wider than |types|·|days| ever
+    * shuffles.
+    */
+  def anomalyDays(spark: SparkSession, sfDir: String): DataFrame = {
+    // |days|·|types|-sized; cached — grid's two DISTINCT branches and the
+    // fill join all read it (uncached = three full events scans)
+    val counts = Tables.events(spark, sfDir)
+      .select(expr("datediff(cast(ts as date), date'1970-01-01')").as("day"),
+        col("event_type"))
+      .groupBy(col("day"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+      .cache()
+    val grid = counts.select(col("day")).distinct()
+      .crossJoin(counts.select(col("event_type")).distinct())
+    val filled = grid.join(counts, Seq("day", "event_type"), "left")
+      .select(col("day"), col("event_type"),
+        coalesce(col("c"), lit(0L)).as("c"))
+    val stats = filled.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("s"),
+        sum(col("c") * col("c")).as("q"))
+    filled.join(stats, "event_type")
+      .withColumn("z2_ppm",
+        when(expr("n*q - s*s") <= 0, lit(0L))
+          .otherwise(expr("((n*c - s) * (n*c - s) * 1000000) div (n*q - s*s)")))
+      .select(col("day"), col("event_type"), col("c"), col("z2_ppm"),
+        (col("z2_ppm") > 9000000L).as("anomaly"))
+  }
+
+  val anomalyDaysSql: String =
+    """WITH counts AS (
+      |  SELECT (ts::DATE - DATE '1970-01-01') AS day, event_type,
+      |         COUNT(*) AS c
+      |  FROM events GROUP BY 1, 2
+      |), grid AS (
+      |  SELECT d.day, t.event_type
+      |  FROM (SELECT DISTINCT day FROM counts) d
+      |  CROSS JOIN (SELECT DISTINCT event_type FROM counts) t
+      |), filled AS (
+      |  SELECT g.day, g.event_type, COALESCE(c.c, 0) AS c
+      |  FROM grid g LEFT JOIN counts c
+      |    ON c.day = g.day AND c.event_type = g.event_type
+      |), stats AS (
+      |  SELECT event_type, COUNT(*) AS n,
+      |         CAST(SUM(c) AS BIGINT) AS s,
+      |         CAST(SUM(c * c) AS BIGINT) AS q
+      |  FROM filled GROUP BY 1
+      |)
+      |SELECT f.day, f.event_type, f.c,
+      |       CAST(CASE WHEN n*q - s*s <= 0 THEN 0
+      |            ELSE ((n*f.c - s) * (n*f.c - s) * 1000000) // (n*q - s*s)
+      |            END AS BIGINT) AS z2_ppm,
+      |       (CASE WHEN n*q - s*s <= 0 THEN 0
+      |        ELSE ((n*f.c - s) * (n*f.c - s) * 1000000) // (n*q - s*s)
+      |        END) > 9000000 AS anomaly
+      |FROM filled f JOIN stats st ON st.event_type = f.event_type""".stripMargin
+
+  /** First-order Markov transition matrix over per-user event sequences
+    * (what follows what, with exact ppm probabilities) — the
+    * next-action model behind funnel diagnosis and session simulation.
+    * Sequence order is (ts, event_id) — the repo's deterministic
+    * tie-break; probability is one floor division of exact counts.
+    * Scale shape: one per-user window (user-keyed, high-cardinality —
+    * never a global funnel), then two type-pair-keyed aggregates over a
+    * |types|²-bounded frame.
+    */
+  def markovTransitions(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val pairs = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+    val cnt = pairs.groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n_trans"))
+    val tot = cnt.groupBy(col("from_type"))
+      .agg(sum(col("n_trans")).as("total"))
+    cnt.join(tot, "from_type")
+      .select(col("from_type"), col("to_type"), col("n_trans"),
+        expr("(n_trans * 1000000) div total").as("p_ppm"))
+  }
+
+  val markovTransitionsSql: String =
+    """WITH pairs AS (
+      |  SELECT event_type AS from_type,
+      |         LEAD(event_type) OVER (
+      |           PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+      |  FROM events
+      |), cnt AS (
+      |  SELECT from_type, to_type, COUNT(*) AS n_trans
+      |  FROM pairs WHERE to_type IS NOT NULL GROUP BY 1, 2
+      |), tot AS (
+      |  SELECT from_type, CAST(SUM(n_trans) AS BIGINT) AS total
+      |  FROM cnt GROUP BY 1
+      |)
+      |SELECT c.from_type, c.to_type, c.n_trans,
+      |       (c.n_trans * 1000000) // t.total AS p_ppm
+      |FROM cnt c JOIN tot t ON t.from_type = c.from_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "item_triangles" -> itemTriangles,
+    "item_kcore" -> itemKcore,
+    "anomaly_days" -> anomalyDays,
+    "markov_transitions" -> markovTransitions,
     "engagement_decay" -> engagementDecay,
     "conversion_latency" -> conversionLatency,
     "rolling_uniques_approx" -> rollingUniquesApprox,
@@ -1135,6 +1436,10 @@ object AnalyticsJobs {
     "value_histogram" -> valueHistogram)
 
   val oracles: Map[String, String] = Map(
+    "item_triangles" -> itemTrianglesSql,
+    "item_kcore" -> itemKcoreSql,
+    "anomaly_days" -> anomalyDaysSql,
+    "markov_transitions" -> markovTransitionsSql,
     "item_pagerank" -> itemPagerankSql,
     "salted_join" -> saltedJoinAggSql,
     "rolling_uniques" -> rollingUniquesSql,

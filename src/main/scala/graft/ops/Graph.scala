@@ -407,6 +407,206 @@ object Graph {
     (out, false)
   }
 
+  /** Coreness (k-core number) per node over an UNDIRECTED simple edge
+    * list given SYMMETRICALLY (`src`, `dst` LONG; both directions
+    * present) — the degeneracy decomposition every graph-curation
+    * pipeline runs to separate the dense interaction core from the
+    * sparse periphery. Computed by the h-index fixpoint (Lü, Zhou,
+    * Zhang, Stanley 2016, "The H-index of a network node"): start every
+    * node at its degree, then synchronously replace each node's value
+    * with the h-index of its neighbors' values (the largest h such that
+    * ≥ h neighbors hold value ≥ h); the sequence is monotonically
+    * non-increasing and its fixpoint IS the core number. Unlike the
+    * textbook min-degree peel this iteration is ORDER-INDEPENDENT —
+    * counts and comparisons only, so any partitioning, any engine lands
+    * identical values and `iters` rounds restate as unrolled SQL CTEs
+    * (neighbor join → per-node DESC rank → MAX(LEAST(rank, value))).
+    *
+    * `iters` is a fixed round count for determinism; the final round is
+    * REQUIRED to be a no-op (asserted), so the output is exactly the
+    * coreness, not a truncated iterate — callers raise `iters` when the
+    * assert names a deeper graph (convergence takes O(diameter)-ish
+    * rounds; ≤ 9 on every fixture probed).
+    *
+    * Regimes ([[pageRank]] scaladoc; SCALE.md §8f/§8g): at or below
+    * `singleTaskEdgeLimit` the loop runs in ONE task over a dst-sorted
+    * edge array (per-node h-index from a sorted neighbor scan, O(E log E)
+    * once + O(E) per round); above it, per-round edge⨝value join, a
+    * node-partitioned DESC row_number (catalog-keyed window, never a
+    * global funnel), and a map-side-combinable MAX aggregate, with
+    * `localCheckpoint` every `checkpointEvery` rounds. Output:
+    * (node, deg, coreness).
+    */
+  def coreness(edges: DataFrame, iters: Int = 12,
+      checkpointEvery: Int = 5,
+      singleTaskEdgeLimit: Long = 4000000L): DataFrame =
+    corenessInstrumented(edges, iters, checkpointEvery,
+      singleTaskEdgeLimit)._1
+
+  private[graft] def corenessInstrumented(
+      edges: DataFrame, iters: Int,
+      checkpointEvery: Int = 5,
+      singleTaskEdgeLimit: Long = 4000000L): (DataFrame, Boolean) = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    require(iters >= 1, s"coreness: iters must be >= 1, got $iters")
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .distinct().cache()
+    val nEdges = e.count()
+
+    if (nEdges <= singleTaskEdgeLimit) {
+      val out = e.as[(Long, Long)].coalesce(1).mapPartitions { it =>
+        val pairs = it.toArray
+        val idx = scala.collection.mutable.LongMap.empty[Int]
+        val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+        def intern(x: Long): Int =
+          idx.getOrElseUpdate(x, { ids += x; ids.length - 1 })
+        val srcI = new Array[Int](pairs.length)
+        val dstI = new Array[Int](pairs.length)
+        var i = 0
+        while (i < pairs.length) {
+          srcI(i) = intern(pairs(i)._1); dstI(i) = intern(pairs(i)._2)
+          i += 1
+        }
+        val n = ids.length
+        // dst-sorted edge order: each round walks per-node neighbor groups
+        val order = Array.range(0, pairs.length)
+          .sortBy(j => (dstI(j), srcI(j)))
+        val deg = new Array[Long](n)
+        i = 0; while (i < pairs.length) { deg(dstI(i)) += 1L; i += 1 }
+        var c = deg.clone()
+        var round = 0
+        var converged = false
+        while (round < iters && !converged) {
+          val next = c.clone() // isolated nodes (none by construction) keep
+          val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+          var p = 0
+          while (p < order.length) {
+            val node = dstI(order(p))
+            buf.clear()
+            var q = p
+            while (q < order.length && dstI(order(q)) == node) {
+              buf += c(srcI(order(q))); q += 1
+            }
+            val vs = buf.toArray
+            java.util.Arrays.sort(vs)
+            // h-index: vs ascending; h = max over r of min(d-j, vs(j))
+            var h = 0L
+            var j = vs.length - 1
+            var rank = 1L
+            while (j >= 0) {
+              val m = math.min(rank, vs(j))
+              if (m > h) h = m
+              j -= 1; rank += 1
+            }
+            next(node) = h
+            p = q
+          }
+          converged = java.util.Arrays.equals(next, c)
+          c = next
+          round += 1
+        }
+        if (!converged) throw new IllegalStateException(
+          s"coreness: h-index fixpoint not converged after $iters rounds — " +
+            "raise iters (convergence needs O(diameter)-ish rounds)")
+        ids.indices.iterator.map(j => (ids(j), deg(j), c(j)))
+      }.toDF("node", "deg", "coreness").localCheckpoint()
+      e.unpersist()
+      return (out, true)
+    }
+
+    import org.apache.spark.sql.expressions.Window
+    val deg = e.groupBy(col("dst").as("node"))
+      .agg(count(lit(1)).as("deg")).cache()
+    var c = deg.select(col("node"), col("deg").as("c")).cache()
+    var prev = c
+    var round = 0
+    var stable = false
+    while (round < iters && !stable) {
+      val nb = e.join(c.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), col("c"))
+      val ranked = nb.withColumn("r",
+        row_number().over(Window.partitionBy(col("node"))
+          .orderBy(col("c").desc)))
+      val next0 = ranked.groupBy(col("node"))
+        .agg(max(least(col("r").cast("long"), col("c"))).as("c"))
+      val next = if ((round + 1) % checkpointEvery == 0) next0.localCheckpoint()
+                 else { val cc = next0.cache(); cc.count(); cc }
+      // convergence probe on node-sized frames (cheap; also the monotone
+      // no-op tail means converged rounds cost one join over stable caches)
+      stable = next.join(prev.withColumnRenamed("c", "pc"), "node")
+        .filter(col("c") =!= col("pc")).isEmpty
+      prev.unpersist()
+      prev = next
+      c = next
+      round += 1
+    }
+    require(stable,
+      s"coreness: h-index fixpoint not converged after $iters rounds — " +
+        "raise iters (convergence needs O(diameter)-ish rounds)")
+    val out = deg.join(c, "node")
+      .select(col("node"), col("deg"), col("c").as("coreness"))
+    (out, false)
+  }
+
+  /** Per-node triangle counts + local clustering coefficient over an
+    * UNDIRECTED simple edge list (`a` < `b` LONG, distinct) — the
+    * cohesion metric beside [[coreness]]'s density stratification.
+    *
+    * Degree-ordered orientation ("compact-forward"): each edge points
+    * from its (deg, id)-lexicographically smaller endpoint to the
+    * larger, which bounds every oriented out-degree by O(√E), so the
+    * wedge self-join — THE quadratic zone of naive triangle counting —
+    * enumerates at most Σ outdeg² = O(E^1.5) candidate wedges
+    * regardless of hub degrees (the standard heavy-hitter-proof bound).
+    * Each triangle is then closed by ONE equi-join of the wedge frame
+    * against the oriented edge set and counted exactly once.
+    *
+    * Exactness: counts and one ppm floor division —
+    * lcc_ppm = (2·tri·10⁶) div (deg·(deg−1)), 0 below degree 2 — so the
+    * whole frame hash-matches any engine. Scale shape: two int-keyed
+    * joins (wedge build on the shared endpoint, closure on the (v,w)
+    * pair), one explode(3) + count per triangle, one broadcast-sized
+    * degree join back; no window, no global funnel.
+    */
+  def triangles(und: DataFrame): DataFrame = {
+    val e = und.select(col("a").cast("long"), col("b").cast("long"))
+    // node-sized, referenced by both orientation sides and the final join
+    val deg = e.select(col("a").as("node"))
+      .unionAll(e.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      .cache()
+    val ed = e
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+    // orient: u = (deg,id)-smaller endpoint; carry v's key for the wedge order
+    val oriented = ed.select(
+        when(col("da") < col("db") ||
+             (col("da") === col("db") && col("a") < col("b")),
+          struct(col("a").as("u"), col("b").as("v"), col("db").as("dv")))
+        .otherwise(
+          struct(col("b").as("u"), col("a").as("v"), col("da").as("dv")))
+        .as("o"))
+      .select(col("o.u").as("u"), col("o.v").as("v"), col("o.dv").as("dv"))
+      .cache()
+    val wedges = oriented.alias("x").join(oriented.alias("y"),
+        col("x.u") === col("y.u") &&
+          (col("x.dv") < col("y.dv") ||
+            (col("x.dv") === col("y.dv") && col("x.v") < col("y.v"))))
+      .select(col("x.u").as("t1"), col("x.v").as("t2"), col("y.v").as("t3"))
+    val tris = wedges.join(
+      oriented.select(col("u").as("t2"), col("v").as("t3")), Seq("t2", "t3"))
+    val perNode = tris
+      .select(explode(array(col("t1"), col("t2"), col("t3"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("tri"))
+    deg.join(perNode, Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("tri"), lit(0L)).as("tri"))
+      .withColumn("lcc_ppm",
+        when(col("deg") < 2, lit(0L))
+          .otherwise(expr("(2 * tri * 1000000) div (deg * (deg - 1))")))
+  }
+
   /** The shared fixpoint. `seeds = None` is the uniform variant — restart
     * mass at every node, which needs no membership structures at all.
     */

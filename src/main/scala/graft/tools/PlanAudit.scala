@@ -68,6 +68,11 @@ object PlanAudit {
         "-- the greedy rounds themselves are TakeOrderedAndProject scans with driver-held centers, never a pair join"),
       "event_drift" -> ("CROSS is the days x types grid densification -- two DISTINCT aggregates of the " +
         "(day, type) count frame (both bounded by the observed-day count and the type alphabet, never the corpus)"),
+      "anomaly_days" -> ("CROSSes are the days x types grid densification over the CACHED (day, type) count frame " +
+        "(both sides bounded by the observed-day count and the type alphabet, never the corpus)"),
+      "item_triangles" -> ("CROSS is the 1-row kept-user-count broadcast inside the cached lift-graph build " +
+        "(the relative lift threshold co*U*100 > 105*na*nb); the wedge stage itself is a degree-ordered " +
+        "equi-join on the shared endpoint, never all-pairs"),
       "coreset_assign_from_artifact" -> ("CROSS is the k-row (k=8) LOADED-center frame broadcast into the " +
         "assignment scan (the serve-time twin of coreset_kcenter's assignment; no greedy rounds in this plan at all)"),
       "engagement_decay" -> "CROSS is the 1-row max-timestamp anchor broadcast into the scoring scan",

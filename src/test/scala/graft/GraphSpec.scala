@@ -195,6 +195,118 @@ class GraphSpec extends SparkSpec {
     assert(z1 == z2 && z1.forall { case (n, c) => n == c })
   }
 
+  /** True coreness via the textbook min-degree peel (order-independent
+    * RESULT even though the peel itself is sequential).
+    */
+  private def refCoreness(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val adj = edges.distinct.groupBy(_._1)
+      .map { case (s, g) => s -> g.map(_._2).toSet }
+    val deg = scala.collection.mutable.Map.empty[Long, Int]
+    adj.foreach { case (v, ns) => deg(v) = ns.size }
+    val alive = scala.collection.mutable.Set(adj.keys.toSeq: _*)
+    val core = scala.collection.mutable.Map.empty[Long, Long]
+    var k = 0L
+    while (alive.nonEmpty) {
+      val v = alive.minBy(x => (deg(x), x))
+      k = math.max(k, deg(v).toLong)
+      core(v) = k
+      alive -= v
+      adj(v).foreach(w => if (alive(w)) deg(w) -= 1)
+    }
+    core.toMap
+  }
+
+  test("coreness: h-index fixpoint equals the min-degree peel, both regimes") {
+    // K5 clique (core 4) + a pendant path 100-101-102 off node 0
+    // (cores 1) + a K3 hung off node 1 (core 2 for the two new nodes)
+    def clique(ids: Seq[Long]) =
+      for (a <- ids; b <- ids if a != b) yield (a, b)
+    val edges = (clique(Seq(0L, 1L, 2L, 3L, 4L)) ++
+      Seq((0L, 100L), (100L, 0L), (100L, 101L), (101L, 100L),
+        (101L, 102L), (102L, 101L)) ++
+      clique(Seq(1L, 200L, 201L))).distinct
+    val df = edges.toDF("src", "dst")
+    val (one, p1) = Graph.corenessInstrumented(df, iters = 12)
+    val (dist, p2) = Graph.corenessInstrumented(df, iters = 12,
+      singleTaskEdgeLimit = 0L)
+    assert(p1 && !p2)
+    def toMap(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val a = toMap(one); val b = toMap(dist)
+    assert(a == b)
+    val ref = refCoreness(edges)
+    assert(a.view.mapValues(_._2).toMap == ref)
+    // spot-check the strata: clique core 4, K3 members 2, path tail 1
+    assert(a(2L)._2 == 4L && a(200L)._2 == 2L && a(102L)._2 == 1L)
+    // deg column is the plain degree
+    assert(a(0L)._1 == 5L && a(102L)._1 == 1L)
+  }
+
+  test("coreness refuses an unconverged round budget instead of truncating") {
+    // a 12-node PATH needs ~length/2 h-index rounds (the endpoint 1s walk
+    // inward one step per round); iters = 1 cannot converge. (A cycle
+    // would be a bad case here: all degrees 2 is already the fixpoint.)
+    val cyc = (0L until 11L).flatMap(i => Seq((i, i + 1), (i + 1, i)))
+    val ex1 = intercept[Exception] {
+      Graph.coreness(cyc.toDF("src", "dst"), iters = 1).collect()
+    }
+    def msg(e: Throwable) =
+      e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg(ex1).contains("not converged"))
+    val ex2 = intercept[Exception] {
+      Graph.coreness(cyc.toDF("src", "dst"), iters = 1,
+        singleTaskEdgeLimit = 0L).collect()
+    }
+    assert(msg(ex2).contains("not converged"))
+  }
+
+  /** Brute-force triangle enumeration over undirected (a < b) pairs. */
+  private def refTriangles(und: Seq[(Long, Long)]): Map[Long, Long] = {
+    val es = und.toSet
+    val nodes = und.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    def has(x: Long, y: Long) = es((math.min(x, y), math.max(x, y)))
+    val tri = scala.collection.mutable.Map.empty[Long, Long]
+      .withDefaultValue(0L)
+    for {
+      i <- nodes.indices; j <- (i + 1) until nodes.length
+      k <- (j + 1) until nodes.length
+      if has(nodes(i), nodes(j)) && has(nodes(j), nodes(k)) &&
+        has(nodes(i), nodes(k))
+    } {
+      tri(nodes(i)) += 1; tri(nodes(j)) += 1; tri(nodes(k)) += 1
+    }
+    tri.toMap.withDefaultValue(0L)
+  }
+
+  test("triangles: oriented wedge count matches brute force; lcc exact") {
+    // K4 (every node: 3 triangles, lcc 1.0) + square 10-11-12-13 (no
+    // triangles) + a pendant edge (deg-1 node: lcc 0 by convention)
+    val und = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L), (2L, 3L),
+      (10L, 11L), (11L, 12L), (12L, 13L), (10L, 13L), (0L, 20L))
+    val got = Graph.triangles(und.toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3))).toMap
+    val ref = refTriangles(und)
+    assert(got.view.mapValues(_._2).toMap ==
+      got.keys.map(n => n -> ref(n)).toMap)
+    assert(got(1L) == ((3L, 3L, 1000000L))) // K4 interior
+    assert(got(0L) == ((4L, 3L, 500000L))) // 3 tri of C(4,2)=6 wedges
+    assert(got(10L)._2 == 0L && got(10L)._3 == 0L) // square: no triangles
+    assert(got(20L) == ((1L, 0L, 0L))) // deg-1 convention
+  }
+
+  test("triangles: random graph matches brute force exactly") {
+    val rnd = new scala.util.Random(23)
+    val und = Seq.fill(200) {
+      val a = rnd.nextInt(25).toLong; val b = rnd.nextInt(25).toLong
+      (math.min(a, b), math.max(a, b))
+    }.filter(e => e._1 != e._2).distinct
+    val got = Graph.triangles(und.toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val ref = refTriangles(und)
+    assert(got == got.keys.map(n => n -> ref(n)).toMap)
+  }
+
   test("mass accounting: total rank stays within floor-loss of N*scale") {
     // each round redistributes total mass N·S: base injects 0.15·N·S and
     // damping passes ≤ 0.85·N·S; floor division only ever LOSES mass, at
