@@ -959,7 +959,120 @@ object SimilarityJobs {
        |GROUP BY x.vec_id""".stripMargin
   }
 
+  private[jobs] val RRF_K = 60    // the standard reciprocal-rank constant
+  private[jobs] val RRF_DEPTH = 10 // per-list candidate depth
+  private[jobs] val RRF_TOP = 5    // fused output depth
+
+  /** Reciprocal-rank-fusion hybrid retrieval — the standard way to merge a
+    * dense (embedding) and a sparse (lexical) candidate list without
+    * commensurable scores (Cormack, Clarke, Büttcher 2009, SIGIR: RRF
+    * outperforms either list alone and any score-normalization fusion).
+    * For each query id < [[N_QUERIES]]:
+    *
+    *  - dense list: exact cosine top-[[RRF_DEPTH]] (the brute-force
+    *    baseline contract of `ann_cosine_topk`; at scale the swap-in is
+    *    the `ann_ivf_pq_rerank` artifact path — same (query_id, doc_id,
+    *    rank) shape),
+    *  - sparse list: distinct-token overlap top-[[RRF_DEPTH]] via an
+    *    INVERTED-INDEX equi-join on [[graft.ops.Dedup.md5Long]] token
+    *    hashes (query side bounded, so candidate volume is
+    *    O(queries × postings), never corpus × corpus; int join keys per
+    *    the pair-lineage discipline),
+    *  - fusion: score = Σ_lists 10⁹ div ([[RRF_K]] + rank), a FLOOR
+    *    division of exact integers (no 1/x float drift), absent list ⇒ 0
+    *    contribution; final order (score DESC, doc_id) — every emitted
+    *    number engine-exact.
+    *
+    * Scale shape: both lists are (queries × depth)-bounded frames; the
+    * full-outer fusion join and the final per-query rank run on frames
+    * that fit in one broadcast regardless of corpus size. Reference
+    * anchor: the reference's top-N + rank-merge idiom
+    * (TopNHotItems.java) applied to retrieval lists.
+    */
+  def rrfFusion(spark: SparkSession, sfDir: String): DataFrame = {
+    val v = vectors(spark, sfDir)
+    val dense = Similarity
+      .bruteForceTopK(v, v.filter(col("vec_id") < N_QUERIES), RRF_DEPTH)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("rn").as("dense_rn"))
+    // distinct ONCE on int hashes (round-3 set-semantics discipline);
+    // cached: the query side and the posting side both read it
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        explode(graft.ops.TextAnalysis.tokens(lower(col("text")))).as("w"))
+      .select(col("doc_id"), graft.ops.Dedup.md5Long(col("w")).as("th"))
+      .distinct()
+      .cache()
+    val overlap = toks.filter(col("doc_id") < N_QUERIES)
+      .select(col("doc_id").as("query_id"), col("th"))
+      .join(toks, "th")
+      .filter(col("query_id") =!= col("doc_id"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("ov"))
+    val sparse = graft.ops.TopN
+      .topNPer(overlap, col("query_id"), col("ov"), col("doc_id"), RRF_DEPTH)
+      .select(col("query_id"), col("doc_id"), col("rn").as("sparse_rn"))
+    val fused = dense.join(sparse, Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"),
+        (coalesce(expr(s"1000000000 div ($RRF_K + dense_rn)"), lit(0L)) +
+          coalesce(expr(s"1000000000 div ($RRF_K + sparse_rn)"), lit(0L)))
+          .as("rrf_ppb"),
+        coalesce(col("dense_rn"), lit(0L)).as("dense_rn"),
+        coalesce(col("sparse_rn"), lit(0L)).as("sparse_rn"))
+    graft.ops.TopN
+      .topNPer(fused, col("query_id"), col("rrf_ppb"), col("doc_id"), RRF_TOP)
+      .select(col("query_id"), col("doc_id"), col("rrf_ppb"),
+        col("dense_rn"), col("sparse_rn"), col("rn"))
+  }
+
+  val rrfFusionSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |), s AS (
+       |  SELECT q.vec_id AS query_id, e.vec_id AS doc_id,
+       |         ROUND(list_cosine_similarity(q.v, e.v) + 1e-12, 6) AS sim
+       |  FROM e q JOIN e ON q.vec_id < $N_QUERIES AND q.vec_id <> e.vec_id
+       |), dense AS (
+       |  SELECT query_id, doc_id, rn AS dense_rn FROM (
+       |    SELECT *, ROW_NUMBER() OVER (
+       |      PARTITION BY query_id ORDER BY sim DESC, doc_id ASC) AS rn
+       |    FROM s) r
+       |  WHERE rn <= $RRF_DEPTH
+       |), tok AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id, ${OracleSql.hexIntSql("w")} AS th
+       |  FROM (SELECT doc_id,
+       |          unnest(regexp_extract_all(lower(text), '[A-Za-z0-9]+')) AS w
+       |        FROM documents) raw
+       |), ov AS (
+       |  SELECT q.doc_id AS query_id, c.doc_id AS doc_id, COUNT(*) AS ov
+       |  FROM tok q JOIN tok c ON q.th = c.th AND q.doc_id <> c.doc_id
+       |  WHERE q.doc_id < $N_QUERIES
+       |  GROUP BY 1, 2
+       |), sparse AS (
+       |  SELECT query_id, doc_id, rn AS sparse_rn FROM (
+       |    SELECT *, ROW_NUMBER() OVER (
+       |      PARTITION BY query_id ORDER BY ov DESC, doc_id ASC) AS rn
+       |    FROM ov) r
+       |  WHERE rn <= $RRF_DEPTH
+       |), fused AS (
+       |  SELECT COALESCE(d.query_id, sp.query_id) AS query_id,
+       |         COALESCE(d.doc_id, sp.doc_id) AS doc_id,
+       |         CAST(COALESCE(1000000000 // ($RRF_K + d.dense_rn), 0)
+       |           + COALESCE(1000000000 // ($RRF_K + sp.sparse_rn), 0)
+       |           AS BIGINT) AS rrf_ppb,
+       |         CAST(COALESCE(d.dense_rn, 0) AS BIGINT) AS dense_rn,
+       |         CAST(COALESCE(sp.sparse_rn, 0) AS BIGINT) AS sparse_rn
+       |  FROM dense d FULL JOIN sparse sp
+       |    ON d.query_id = sp.query_id AND d.doc_id = sp.doc_id
+       |)
+       |SELECT query_id, doc_id, rrf_ppb, dense_rn, sparse_rn, rn FROM (
+       |  SELECT *, ROW_NUMBER() OVER (
+       |    PARTITION BY query_id ORDER BY rrf_ppb DESC, doc_id ASC) AS rn
+       |  FROM fused) r
+       |WHERE rn <= $RRF_TOP""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rrf_fusion" -> rrfFusion,
     "embedding_pca" -> embeddingPca,
     "diversity_sample" -> diversitySample,
     "coreset_kcenter" -> coresetKcenter,
@@ -981,6 +1094,7 @@ object SimilarityJobs {
     "semantic_dedup" -> semanticDedup)
 
   val oracles: Map[String, String] = Map(
+    "rrf_fusion" -> rrfFusionSql,
     "embedding_pca" -> embeddingPcaSql,
     "diversity_sample" -> diversitySampleSql,
     "coreset_kcenter" -> coresetKcenterSql,

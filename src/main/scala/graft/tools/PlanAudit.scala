@@ -39,6 +39,9 @@ object PlanAudit {
       "heavy_hitters" -> "CROSS is the 1-row CMS sketch aggregate broadcast",
       "vocab_coverage" -> "CROSS is the 1-row vocab-array broadcast",
       "ann_cosine_topk" -> "CROSS is the bounded query-side broadcast (brute-force baseline, labeled small-scale)",
+      "rrf_fusion" -> ("CROSS is the bounded query-side broadcast of the dense list's brute-force baseline " +
+        "(ann_cosine_topk's shape; the artifact-served IVF path is the documented scale swap-in); " +
+        "the sparse list is an inverted-index equi-join on int token hashes, and the fusion join runs on (queries x depth)-bounded frames"),
       "embedding_neardup" -> "CROSS (if present) is the 1-row plane-matrix broadcast",
       "doc_packing" -> "CROSS is the 1-row per-(pid,lang) offsets-frame broadcast of the distributed prefix sum",
       "ann_ivf" -> centroidCross,

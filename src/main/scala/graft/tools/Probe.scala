@@ -268,6 +268,16 @@ object Probe {
       val b = median((1 to 3).map(_ => timeQuery("item_pagerank", sfDir)))
       val p = median((1 to 3).map(_ => timeQuery("item_pagerank", dir)))
       println(f"item_pagerank          $b%8.2f $p%8.2f  ${p / b}%.1fx")
+      // round 11: the lift-thresholded metrics. Fresh user namespaces
+      // scale co, na, nb, and U together, so the lift RATIO — and with it
+      // the edge set — is copy-invariant: the probe isolates the
+      // corpus-proportional stages (event scan + capped per-user pair
+      // join) from the fixpoint/wedge cost, which must stay flat.
+      for (q <- Seq("item_triangles", "item_kcore")) {
+        val qb = median((1 to 3).map(_ => timeQuery(q, sfDir)))
+        val qp = median((1 to 3).map(_ => timeQuery(q, dir)))
+        println(f"$q%-22s $qb%8.2f $qp%8.2f  ${qp / qb}%.1fx")
+      }
       println("== pageRank regime crossover (synthetic bipartite) ==")
       println(f"${"edges"}%10s ${"single-task"}%12s ${"distributed"}%12s")
       val sizes = sys.env.getOrElse("SPARK_GRAFT_PROBE_PR_SIZES",

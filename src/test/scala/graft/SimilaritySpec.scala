@@ -278,4 +278,53 @@ class SimilaritySpec extends SparkSpec {
     // only s0, v1 differs in both subspaces (each |a-b|² = 2 → 2·10⁶)
     assert(out == Seq((3L, 0L), (2L, 2000000L), (1L, 4000000L)))
   }
+
+  test("RRF fusion equals an independent in-memory re-derivation") {
+    import graft.io.Tables
+    val sfd = sf("sf0.001")
+    // dense lists: the already-spec'd brute-force ranker at fusion depth
+    val vr = Similarity.withNorm(Tables.embeddings(spark, sfd),
+      $"vec_id", $"embedding")
+    val dense = Similarity
+      .bruteForceTopK(vr, vr.filter($"vec_id" < 20), 10)
+      .select($"query_id", $"neighbor_id", $"rn")
+      .as[(Long, Long, Long)].collect()
+      .map { case (q, d, r) => (q, d) -> r }.toMap
+    // sparse lists: tokenize + overlap + rank entirely in Scala
+    val texts = Tables.documents(spark, sfd)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val tokSets = texts.map { case (id, t) =>
+      id -> "[A-Za-z0-9]+".r.findAllIn(t.toLowerCase).toSet
+    }.toMap
+    val ids = tokSets.keys.toSeq.sorted
+    val sparse = ids.filter(_ < 20).flatMap { q =>
+      ids.filter(c => c != q)
+        .map(c => (c, (tokSets(q) & tokSets(c)).size))
+        .filter(_._2 > 0)
+        .sortBy { case (c, ov) => (-ov, c) }
+        .take(10).zipWithIndex
+        .map { case ((c, _), i) => (q, c) -> (i + 1).toLong }
+    }.toMap
+    val expected = (dense.keySet ++ sparse.keySet).groupBy(_._1)
+      .flatMap { case (q, pairs) =>
+        pairs.toSeq.map { case (_, d) =>
+          val dr = dense.getOrElse((q, d), 0L)
+          val sr = sparse.getOrElse((q, d), 0L)
+          val score = (if (dr > 0) 1000000000L / (60 + dr) else 0L) +
+            (if (sr > 0) 1000000000L / (60 + sr) else 0L)
+          (q, d, score, dr, sr)
+        }.sortBy { case (_, d, s, _, _) => (-s, d) }
+          .take(5).zipWithIndex
+          .map { case ((q2, d, s, dr, sr), i) =>
+            (q2, d, s, dr, sr, (i + 1).toLong) }
+      }.toSet
+    val got = SimilarityJobs.rrfFusion(spark, sfd)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(expected.nonEmpty, "fixture produced no fused lists")
+    assert(got == expected)
+    // both modalities actually contribute somewhere in the fused top-5
+    assert(got.exists(r => r._4 > 0 && r._5 == 0) ||
+      got.exists(r => r._4 > 0 && r._5 > 0))
+    assert(got.exists(r => r._5 > 0))
+  }
 }
