@@ -1314,7 +1314,60 @@ object DedupJobs {
        |GROUP BY s.source, ins.docs_in""".stripMargin
   }
 
+  /** Blocking-strategy evaluation — the QA step every dedup pipeline owes
+    * before trusting its candidate fence: recall and precision of the
+    * MinHash-LSH candidate generator ([[dedupMinhashLsh]]) against the
+    * exact lang-blocked Jaccard ≥ τ ground truth ([[ngramJaccard]]).
+    * One row: pair counts + tp + recall_ppm/precision_ppm as floor
+    * divisions of exact counts. Both inputs emit each pair exactly once
+    * in `doc_a < doc_b` orientation, so tp is ONE pair-keyed equi-join —
+    * no distinct. Scale shape: two already-fenced pipelines (a library
+    * user shares one [[graft.ops.DedupPipeline]] corpus pass; the gate
+    * query instantiates each for isolation) + 1-row aggregate cross
+    * joins. Recall here is the number that decides banding (k, bands);
+    * precision prices the verify pass that follows candidates.
+    */
+  def dedupEval(spark: SparkSession, sfDir: String): DataFrame = {
+    val truth = ngramJaccard(spark, sfDir).select(col("doc_a"), col("doc_b"))
+      .cache()
+    val cand = dedupMinhashLsh(spark, sfDir).select(col("doc_a"), col("doc_b"))
+      .cache()
+    val t = truth.agg(count(lit(1)).as("n_truth"))
+    val c = cand.agg(count(lit(1)).as("n_cand"))
+    val tp = truth.join(cand, Seq("doc_a", "doc_b"))
+      .agg(count(lit(1)).as("tp"))
+    t.crossJoin(broadcast(c)).crossJoin(broadcast(tp))
+      .select(col("n_truth"), col("n_cand"), col("tp"),
+        expr("case when n_truth = 0 then 0 else (tp * 1000000) div n_truth end")
+          .as("recall_ppm"),
+        expr("case when n_cand = 0 then 0 else (tp * 1000000) div n_cand end")
+          .as("precision_ppm"))
+  }
+
+  /** Oracle: the two existing pair contracts composed verbatim as nested
+    * WITH CTEs (the tokenizer_compare pattern) + the same integer
+    * arithmetic.
+    */
+  val dedupEvalSql: String =
+    s"""WITH truth AS MATERIALIZED (
+       |  SELECT doc_a, doc_b FROM ($ngramJaccardSql) tq
+       |), cand AS MATERIALIZED (
+       |  SELECT doc_a, doc_b FROM ($dedupMinhashLshSql) cq
+       |), t AS (SELECT COUNT(*) AS n_truth FROM truth),
+       |c AS (SELECT COUNT(*) AS n_cand FROM cand),
+       |p AS (
+       |  SELECT COUNT(*) AS tp
+       |  FROM truth JOIN cand USING (doc_a, doc_b)
+       |)
+       |SELECT n_truth, n_cand, tp,
+       |       CAST(CASE WHEN n_truth = 0 THEN 0
+       |            ELSE (tp * 1000000) // n_truth END AS BIGINT) AS recall_ppm,
+       |       CAST(CASE WHEN n_cand = 0 THEN 0
+       |            ELSE (tp * 1000000) // n_cand END AS BIGINT) AS precision_ppm
+       |FROM t CROSS JOIN c CROSS JOIN p""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_eval" -> dedupEval,
     "dedup_exact" -> dedupExact,
     "corpus_curation" -> corpusCuration,
     "curation_pipeline" -> curationPipeline,
@@ -1341,6 +1394,7 @@ object DedupJobs {
     "decontamination" -> decontamination)
 
   val oracles: Map[String, String] = Map(
+    "dedup_eval" -> dedupEvalSql,
     "dedup_exact" -> dedupExactSql,
     "corpus_curation" -> corpusCurationSql,
     "curation_pipeline" -> curationPipelineSql,

@@ -67,6 +67,8 @@ object PlanAudit {
         "(the serve-time cell assignment against the persisted k-means artifact, same shape as semantic_dedup's in-line trained cells); " +
         "the pair stage stays the within-cell int-keyed equi-join on distinct vectors"),
       "mixture_plan" -> "CROSS is the 1-row total-weight aggregate broadcast",
+      "dedup_eval" -> ("CROSSes are the 1-row count-aggregate broadcasts (n_cand, tp) joined onto n_truth " +
+        "for the single metrics row; the pair inputs are the two already-fenced dedup contracts"),
       "coreset_kcenter" -> ("CROSS is the k-row (k=8) chosen-center frame broadcast into the assignment scan " +
         "-- the greedy rounds themselves are TakeOrderedAndProject scans with driver-held centers, never a pair join"),
       "event_drift" -> ("CROSS is the days x types grid densification -- two DISTINCT aggregates of the " +

@@ -427,4 +427,25 @@ class DedupSpec extends SparkSpec {
     // docs_in totals cover the corpus
     assert(out.map(_._2).sum == 500L)
   }
+
+  test("dedup_eval arithmetic matches a set-algebra re-derivation") {
+    import graft.jobs.DedupJobs
+    val sfd = sf("sf0.001")
+    val truth = DedupJobs.ngramJaccard(spark, sfd)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    val cand = DedupJobs.dedupMinhashLsh(spark, sfd)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    val tp = (truth & cand).size.toLong
+    val expected = (truth.size.toLong, cand.size.toLong, tp,
+      if (truth.isEmpty) 0L else tp * 1000000L / truth.size,
+      if (cand.isEmpty) 0L else tp * 1000000L / cand.size)
+    val got = DedupJobs.dedupEval(spark, sfd)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(expected))
+    // the fixture must actually exercise both sides of the confusion
+    // matrix: some true pairs, and a candidate set the bands generated
+    assert(truth.nonEmpty && cand.nonEmpty && tp > 0)
+    assert(got.head._4 >= 0 && got.head._4 <= 1000000L)
+    assert(got.head._5 >= 0 && got.head._5 <= 1000000L)
+  }
 }
