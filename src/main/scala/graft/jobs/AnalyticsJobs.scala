@@ -977,6 +977,96 @@ object AnalyticsJobs {
        |  FROM sym) r
        |WHERE rank <= $SIM_TOP_K""".stripMargin
 
+  private val REC_TOP_K = 3
+
+  /** Per-user top-[[REC_TOP_K]] item recommendations — the SERVING
+    * operator of the co-occurrence CF stack: each candidate scores
+    * Σ jacc_ppm over its appearances in the top-[[SIM_TOP_K]] similarity
+    * lists of the user's history items (exact BIGINT sum of the ppm
+    * integers — order-independent, engine-exact), items the user already
+    * interacted with are removed by ONE (u, item)-keyed anti-join (the
+    * classic already-seen filter), then a user-partitioned rank
+    * (score DESC, n_hits DESC, item ASC — n_hits joins the tie-break so
+    * equal sums from different support widths stay deterministic).
+    *
+    * Scale shape: the similarity lists are catalog × K rows (model-sized
+    * next to the corpus — AQE broadcasts them when they fit, degrades to
+    * a hash join when a 10⁸-item catalog doesn't); history and the
+    * anti-join are int-keyed equi-joins under [[SIM_USER_CAP]]'s fence,
+    * so per-user candidate mass is ≤ cap·K rows — nothing quadratic
+    * anywhere. The gate query recomputes the lists inline for isolation;
+    * a production pipeline persists them once as a parquet artifact and
+    * serves hist ⨝ artifact (the [[ArtifactJobs]] contract — the lists
+    * are the CF model, catalog-sized, so they belong in storage, not
+    * driver memory). Reference anchor: the reference's per-key top-N
+    * serving read (TopNHotItems.java:60 keyed-state sort) applied to CF
+    * scores.
+    */
+  def itemRecs(spark: SparkSession, sfDir: String): DataFrame = {
+    val ui = Tables.events(spark, sfDir)
+      .select(col("user_id").as("u"),
+        (regexp_extract(col("props"), "\"k\"\\s*:\\s*(-?\\d+)", 1)
+          .cast("long")).as("i"))
+      .filter(col("i").isNotNull)
+      .distinct()
+    val hist = ui.join(
+      ui.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") <= SIM_USER_CAP).select(col("u")), "u")
+      .cache()
+    val sims = itemSimilarity(spark, sfDir)
+      .select(col("item_id").as("i"), col("partner").as("rec_item"),
+        col("jacc_ppm"))
+    val scored = hist.join(sims, "i")
+      .join(hist.select(col("u"), col("i").as("rec_item")),
+        Seq("u", "rec_item"), "left_anti")
+      .groupBy(col("u").as("user_id"), col("rec_item"))
+      .agg(sum(col("jacc_ppm")).as("score_ppm"),
+        count(lit(1)).as("n_hits"))
+    import org.apache.spark.sql.expressions.Window
+    scored.withColumn("rank", row_number().over(
+        Window.partitionBy(col("user_id"))
+          .orderBy(col("score_ppm").desc, col("n_hits").desc,
+            col("rec_item").asc)).cast("long"))
+      .filter(col("rank") <= REC_TOP_K)
+      .select(col("user_id"), col("rank"), col("rec_item"),
+        col("score_ppm"), col("n_hits"))
+  }
+
+  /** Oracle: [[itemSimilaritySql]] composed verbatim as a nested-WITH CTE
+    * (the tokenizer_compare pattern), then the identical hist join /
+    * anti-join / exact sum / rank. SUM(BIGINT) is HUGEINT in DuckDB —
+    * CAST back before it ever reaches the output or the ORDER BY.
+    */
+  val itemRecsSql: String =
+    s"""WITH simtop AS MATERIALIZED (
+       |  SELECT item_id AS i, partner AS rec_item, jacc_ppm
+       |  FROM ($itemSimilaritySql) sq
+       |), ui AS (
+       |  SELECT DISTINCT user_id AS u,
+       |         CAST(json_extract_string(props, '$$.k') AS BIGINT) AS i
+       |  FROM events
+       |  WHERE json_extract_string(props, '$$.k') IS NOT NULL
+       |), hist AS MATERIALIZED (
+       |  SELECT ui.u, ui.i FROM ui JOIN (
+       |    SELECT u FROM ui GROUP BY u HAVING COUNT(*) <= $SIM_USER_CAP) d
+       |  ON d.u = ui.u
+       |), scored AS (
+       |  SELECT h.u AS user_id, s.rec_item,
+       |         CAST(SUM(s.jacc_ppm) AS BIGINT) AS score_ppm,
+       |         COUNT(*) AS n_hits
+       |  FROM hist h JOIN simtop s ON s.i = h.i
+       |  WHERE NOT EXISTS (
+       |    SELECT 1 FROM hist h2
+       |    WHERE h2.u = h.u AND h2.i = s.rec_item)
+       |  GROUP BY 1, 2
+       |)
+       |SELECT user_id, rank, rec_item, score_ppm, n_hits FROM (
+       |  SELECT *, ROW_NUMBER() OVER (
+       |    PARTITION BY user_id
+       |    ORDER BY score_ppm DESC, n_hits DESC, rec_item ASC) AS rank
+       |  FROM scored) r
+       |WHERE rank <= $REC_TOP_K""".stripMargin
+
   /** The sketch-merge form of [[rollingUniques]] — its OWN scaladoc's
     * 100 TB path made a checked gate: per-day DataSketches HLL sketches
     * (`hll_sketch_agg`) union across the 7-day window (`hll_union_agg`),
@@ -1409,6 +1499,7 @@ object AnalyticsJobs {
     "item_kcore" -> itemKcore,
     "anomaly_days" -> anomalyDays,
     "markov_transitions" -> markovTransitions,
+    "item_recs" -> itemRecs,
     "engagement_decay" -> engagementDecay,
     "conversion_latency" -> conversionLatency,
     "rolling_uniques_approx" -> rollingUniquesApprox,
@@ -1440,6 +1531,7 @@ object AnalyticsJobs {
     "item_kcore" -> itemKcoreSql,
     "anomaly_days" -> anomalyDaysSql,
     "markov_transitions" -> markovTransitionsSql,
+    "item_recs" -> itemRecsSql,
     "item_pagerank" -> itemPagerankSql,
     "salted_join" -> saltedJoinAggSql,
     "rolling_uniques" -> rollingUniquesSql,
