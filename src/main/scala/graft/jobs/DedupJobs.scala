@@ -36,6 +36,48 @@ object DedupJobs {
       |       MIN(doc_id) AS keeper, COUNT(*) AS n_dups
       |FROM documents GROUP BY 1""".stripMargin
 
+  /** Soft dedup — the down-weighting alternative to hard keep-one over the
+    * NEAR-dup clusters of [[dedupClusters]] (this fixture has no exact
+    * dups, so fingerprint-keyed weighting would be all-singleton dead
+    * code — the round-6 rule): every member of an n-doc near-dup family
+    * gets training weight 1/n (`weight_ppm`, one floor division of the
+    * exact cluster count), and `kept` realizes the
+    * keep-with-probability-1/n sampling recipe deterministically
+    * (md5 of doc_id#cluster mod n — expectation one survivor per family,
+    * reproducible across runs and engines, and hash-uniform rather than
+    * biased toward early ids like keeper=min(id)). Scale shape: the
+    * cluster labels are the already-fenced LSH+CC pipeline; this adds one
+    * cluster-keyed groupBy + a cluster-keyed join back — linear.
+    */
+  def softDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val cl = dedupClusters(spark, sfDir)
+    val sizes = cl.groupBy(col("cluster")).agg(count(lit(1)).as("csize"))
+    cl.join(sizes, "cluster")
+      .select(col("doc_id"), col("cluster"), col("csize"),
+        expr("1000000 div csize").as("weight_ppm"),
+        (Dedup.md5Long(concat_ws("#", col("doc_id"), col("cluster")))
+          % col("csize") === 0).cast("long").as("kept"))
+  }
+
+  /** Oracle: [[dedupClustersSql]] composed verbatim (MATERIALIZED — the
+    * label frame is diamond-referenced by sizes and the final join) + the
+    * same integer weight/keep arithmetic.
+    */
+  // lazy: composes dedupClustersSql, which is declared later in the file
+  lazy val softDedupSql: String = {
+    val keptHash = hexIntSql("doc_id || '#' || cluster")
+    s"""WITH cl AS MATERIALIZED (
+       |  SELECT doc_id, cluster FROM ($dedupClustersSql) cq
+       |), sizes AS (
+       |  SELECT cluster, COUNT(*) AS csize FROM cl GROUP BY 1
+       |)
+       |SELECT doc_id, cluster, csize,
+       |       CAST(1000000 // csize AS BIGINT) AS weight_ppm,
+       |       CAST(CASE WHEN $keptHash % csize = 0 THEN 1 ELSE 0 END
+       |            AS BIGINT) AS kept
+       |FROM cl JOIN sizes USING (cluster)""".stripMargin
+  }
+
   // ---- minhash signatures + LSH candidate pairs ----
 
   /** The shared gram→signature stage (one cached corpus scan) the three
@@ -1369,6 +1411,7 @@ object DedupJobs {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_eval" -> dedupEval,
     "dedup_exact" -> dedupExact,
+    "soft_dedup" -> softDedup,
     "corpus_curation" -> corpusCuration,
     "curation_pipeline" -> curationPipeline,
     "doc_sample" -> docSample,
@@ -1396,6 +1439,7 @@ object DedupJobs {
   val oracles: Map[String, String] = Map(
     "dedup_eval" -> dedupEvalSql,
     "dedup_exact" -> dedupExactSql,
+    "soft_dedup" -> softDedupSql,
     "corpus_curation" -> corpusCurationSql,
     "curation_pipeline" -> curationPipelineSql,
     "doc_sample" -> docSampleSql,

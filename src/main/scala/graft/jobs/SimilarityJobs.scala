@@ -1071,7 +1071,125 @@ object SimilarityJobs {
        |  FROM fused) r
        |WHERE rn <= $RRF_TOP""".stripMargin
 
+  /** ANN-index QA — the retrieval twin of [[DedupJobs.dedupEval]]: per-query
+    * recall and rank agreement of the IVF index ([[annIvf]]) against the
+    * exact brute-force truth ([[annCosineTopK]]). One row per query:
+    * `n_truth`/`n_hit` exact counts, `recall_ppm` a floor division, and
+    * `rr_sum_ppm` = Σ 10⁶ div approx_rank over the hits (the integer MRR
+    * numerator — order-independent BIGINT sum, engine-exact). This is the
+    * number that prices an nprobe setting before a 100 TB index rebuild:
+    * both inputs are the already-fenced pipelines (truth is query-side
+    * broadcast, IVF probes nprobe/centroids of the corpus), and the eval
+    * itself is a (query, neighbor)-keyed left join + a query-keyed agg —
+    * 20-row output, nothing new shuffles at corpus width.
+    */
+  def annEval(spark: SparkSession, sfDir: String): DataFrame = {
+    val truth = annCosineTopK(spark, sfDir)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = annIvf(spark, sfDir)
+      .select(col("query_id"), col("neighbor_id"), col("rn").as("approx_rn"))
+    truth.join(approx, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_truth"),
+        count(col("approx_rn")).as("n_hit"),
+        coalesce(sum(expr("1000000 div approx_rn")), lit(0L)).as("rr_sum_ppm"))
+      .select(col("query_id"), col("n_truth"), col("n_hit"),
+        expr("(n_hit * 1000000) div n_truth").as("recall_ppm"),
+        col("rr_sum_ppm"))
+  }
+
+  /** Oracle: the two existing contracts composed verbatim (each referenced
+    * once — linear, no MATERIALIZED needed) + the same integer arithmetic.
+    */
+  val annEvalSql: String =
+    s"""WITH truth AS (
+       |  SELECT query_id, neighbor_id FROM ($annCosineTopKSql) tq
+       |), approx AS (
+       |  SELECT query_id, neighbor_id, rn AS approx_rn FROM ($annIvfSql) aq
+       |), j AS (
+       |  SELECT t.query_id, a.approx_rn
+       |  FROM truth t LEFT JOIN approx a
+       |    ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+       |)
+       |SELECT query_id, COUNT(*) AS n_truth,
+       |       COUNT(approx_rn) AS n_hit,
+       |       CAST((COUNT(approx_rn) * 1000000) // COUNT(*) AS BIGINT)
+       |         AS recall_ppm,
+       |       CAST(COALESCE(SUM(1000000 // approx_rn), 0) AS BIGINT)
+       |         AS rr_sum_ppm
+       |FROM j GROUP BY query_id""".stripMargin
+
+  private[jobs] val KNN_K = 5
+
+  /** kNN label serving: classify the held-out half of the corpus (odd
+    * vec_ids) by majority vote of their [[KNN_K]] nearest labeled
+    * neighbors (even vec_ids) — the standard embedding-space classifier a
+    * curation pipeline runs to propagate scarce human labels. Vote is
+    * deterministic: neighbor rank ties break on id (the brute-force
+    * contract), the vote itself on (votes DESC, label ASC). Output is
+    * row-level (vec_id, true_label, predicted, correct) so accuracy is an
+    * audit-side aggregate, not a baked-in estimate. Scale shape: the gate
+    * query uses the exact brute-force scorer (test side broadcast); at
+    * 10⁹ vectors the drop-in is the IVF/PQ artifact path
+    * ([[annIvfPqRerank]]) feeding the SAME vote — the vote stage is a
+    * (query, label)-keyed agg + a query-partitioned rank, linear in k·|test|.
+    */
+  def knnClassify(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lab = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label").cast("long").as("label"))
+    val v = vectors(spark, sfDir)
+    val train = v.filter(col("vec_id") % 2 === 0)
+    val test = v.filter(col("vec_id") % 2 === 1)
+    val nn = Similarity.bruteForceTopK(train, test, KNN_K)
+    val votes = nn.join(
+        lab.select(col("vec_id").as("neighbor_id"), col("label").as("nlabel")),
+        "neighbor_id")
+      .groupBy(col("query_id"), col("nlabel"))
+      .agg(count(lit(1)).as("votes"))
+    val pred = votes.withColumn("vrank",
+        row_number().over(Window.partitionBy(col("query_id"))
+          .orderBy(col("votes").desc, col("nlabel").asc)))
+      .filter(col("vrank") === 1)
+    pred.join(lab.select(col("vec_id").as("query_id"),
+        col("label").as("true_label")), "query_id")
+      .select(col("query_id").as("vec_id"), col("true_label"),
+        col("nlabel").as("predicted"),
+        (col("true_label") === col("nlabel")).cast("long").as("correct"))
+  }
+
+  val knnClassifySql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v, CAST(label AS BIGINT) AS label
+       |  FROM embeddings
+       |), s AS (
+       |  SELECT q.vec_id AS query_id, t.vec_id AS neighbor_id, t.label AS nlabel,
+       |         ROUND(list_cosine_similarity(q.v, t.v) + 1e-12, 6) AS sim
+       |  FROM e q JOIN e t ON q.vec_id % 2 = 1 AND t.vec_id % 2 = 0
+       |), nn AS (
+       |  SELECT query_id, nlabel FROM (
+       |    SELECT *, ROW_NUMBER() OVER (
+       |      PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rn
+       |    FROM s) r
+       |  WHERE rn <= $KNN_K
+       |), votes AS (
+       |  SELECT query_id, nlabel, COUNT(*) AS votes FROM nn GROUP BY 1, 2
+       |), pred AS (
+       |  SELECT query_id, nlabel FROM (
+       |    SELECT *, ROW_NUMBER() OVER (
+       |      PARTITION BY query_id ORDER BY votes DESC, nlabel ASC) AS vrank
+       |    FROM votes) r
+       |  WHERE vrank = 1
+       |)
+       |SELECT p.query_id AS vec_id, e.label AS true_label,
+       |       p.nlabel AS predicted,
+       |       CAST(CASE WHEN e.label = p.nlabel THEN 1 ELSE 0 END AS BIGINT)
+       |         AS correct
+       |FROM pred p JOIN e ON e.vec_id = p.query_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_eval" -> annEval,
+    "knn_classify" -> knnClassify,
     "rrf_fusion" -> rrfFusion,
     "embedding_pca" -> embeddingPca,
     "diversity_sample" -> diversitySample,
@@ -1094,6 +1212,8 @@ object SimilarityJobs {
     "semantic_dedup" -> semanticDedup)
 
   val oracles: Map[String, String] = Map(
+    "ann_eval" -> annEvalSql,
+    "knn_classify" -> knnClassifySql,
     "rrf_fusion" -> rrfFusionSql,
     "embedding_pca" -> embeddingPcaSql,
     "diversity_sample" -> diversitySampleSql,

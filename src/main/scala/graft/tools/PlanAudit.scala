@@ -39,6 +39,11 @@ object PlanAudit {
       "heavy_hitters" -> "CROSS is the 1-row CMS sketch aggregate broadcast",
       "vocab_coverage" -> "CROSS is the 1-row vocab-array broadcast",
       "ann_cosine_topk" -> "CROSS is the bounded query-side broadcast (brute-force baseline, labeled small-scale)",
+      "ann_eval" -> ("CROSSes are its two composed inputs' designed shapes: the truth side is ann_cosine_topk's " +
+        "bounded query-side broadcast, the approx side ann_ivf's C-bounded centroid broadcasts; " +
+        "the eval itself adds only a (query, neighbor)-keyed left join + a query-keyed agg"),
+      "knn_classify" -> ("CROSS is the bounded test-half broadcast into the brute-force scorer " +
+        "(ann_cosine_topk's shape; the IVF/PQ artifact path is the documented scale swap-in feeding the same vote)"),
       "rrf_fusion" -> ("CROSS is the bounded query-side broadcast of the dense list's brute-force baseline " +
         "(ann_cosine_topk's shape; the artifact-served IVF path is the documented scale swap-in); " +
         "the sparse list is an inverted-index equi-join on int token hashes, and the fusion join runs on (queries x depth)-bounded frames"),

@@ -448,4 +448,33 @@ class DedupSpec extends SparkSpec {
     assert(got.head._4 >= 0 && got.head._4 <= 1000000L)
     assert(got.head._5 >= 0 && got.head._5 <= 1000000L)
   }
+
+  test("soft_dedup: weights invert near-dup family sizes, sampling hash-exact") {
+    import graft.jobs.DedupJobs
+    val sfd = sf("sf0.001")
+    val out = DedupJobs.softDedup(spark, sfd).collect()
+    val docs = graft.io.Tables.documents(spark, sfd).count()
+    assert(out.length == docs, "one row per document")
+    // family sizes agree with an independent dedup_clusters recount
+    val famSizes = DedupJobs.dedupClusters(spark, sfd)
+      .groupBy($"cluster").count().select($"count").as[Long].collect()
+    assert(out.map(_.getAs[Long]("csize")).sum ==
+      famSizes.map(n => n * n).sum, "Σ per-doc csize = Σ n²")
+    out.foreach { r =>
+      val n = r.getAs[Long]("csize")
+      assert(r.getAs[Long]("weight_ppm") == 1000000L / n)
+      assert(Set(0L, 1L).contains(r.getAs[Long]("kept")))
+    }
+    // total retained mass ≈ family count: an n-doc family carries
+    // n·floor(1e6/n) ∈ [1e6−(n−1), 1e6] ppm
+    val mass = out.map(_.getAs[Long]("weight_ppm")).sum
+    val families = famSizes.length * 1000000L
+    assert(mass <= families && mass >= families - (docs - famSizes.length),
+      s"mass=$mass families=${famSizes.length}")
+    // the fixture must exercise a real near-dup family, and singletons
+    // are always kept (x mod 1 = 0)
+    assert(out.exists(_.getAs[Long]("csize") > 1L))
+    assert(out.filter(_.getAs[Long]("csize") == 1L)
+      .forall(_.getAs[Long]("kept") == 1L))
+  }
 }
