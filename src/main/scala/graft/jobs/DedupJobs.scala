@@ -78,6 +78,117 @@ object DedupJobs {
        |FROM cl JOIN sizes USING (cluster)""".stripMargin
   }
 
+  /** Quality-ranked keeper per near-dup family — production dedup keeps
+    * the BEST member, not the first: keeper = argmax quality (the shared
+    * [[graft.ops.TextAnalysis.qualityScore]] rational arithmetic, ties to
+    * the smaller doc_id). One row per family: (cluster, keeper,
+    * best_quality, n_members). Scale shape: the labels are the fenced
+    * LSH+CC pipeline; this adds one doc_id-keyed join to the scoring scan
+    * and ONE family-partitioned window (family count ≈ corpus width,
+    * never a global funnel).
+    */
+  def dedupBestKeeper(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.ops.TextAnalysis
+    import org.apache.spark.sql.expressions.Window
+    val cl = dedupClusters(spark, sfDir)
+    val q = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        TextAnalysis.qualityScore(TextAnalysis.tokenCount(col("text")),
+          TextAnalysis.stopwordCount(col("text"))).as("quality"))
+    val w = Window.partitionBy(col("cluster"))
+    cl.join(q, "doc_id")
+      .withColumn("rk", row_number().over(
+        w.orderBy(col("quality").desc, col("doc_id").asc)))
+      .withColumn("n_members", count(lit(1)).over(w).cast("long"))
+      .filter(col("rk") === 1)
+      .select(col("cluster"), col("doc_id").as("keeper"),
+        col("quality").as("best_quality"), col("n_members"))
+  }
+
+  // lazy: composes dedupClustersSql, declared later in the file
+  lazy val dedupBestKeeperSql: String = {
+    val nTokSql = "CAST(length(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT)"
+    val nStopSql =
+      "CAST(length(regexp_extract_all(text, '\\b(the|a|of|and|to|in|is|on|for|with)\\b')) AS BIGINT)"
+    val qualitySql =
+      s"""ROUND(least(CAST($nTokSql AS DOUBLE) / 100.0, 1.0) * 0.6 +
+         |    (CAST($nStopSql AS DOUBLE) / CAST(greatest($nTokSql, 1) AS DOUBLE)) * 0.4
+         |    + 1e-9, 4)""".stripMargin
+    s"""WITH cl AS (
+       |  SELECT doc_id, cluster FROM ($dedupClustersSql) cq
+       |), scored AS (
+       |  SELECT cl.cluster, cl.doc_id, $qualitySql AS quality
+       |  FROM cl JOIN documents ON documents.doc_id = cl.doc_id
+       |)
+       |SELECT cluster, doc_id AS keeper, quality AS best_quality, n_members
+       |FROM (
+       |  SELECT *, ROW_NUMBER() OVER (
+       |    PARTITION BY cluster ORDER BY quality DESC, doc_id ASC) AS rk,
+       |         COUNT(*) OVER (PARTITION BY cluster) AS n_members
+       |  FROM scored) r
+       |WHERE rk = 1""".stripMargin
+  }
+
+  /** Cross-source duplication matrix — which sources copy from which: the
+    * verified near-dup pairs of [[ngramJaccard]] labeled with their two
+    * sources (unordered: least/greatest), counted per source pair, with a
+    * pair-rate denominator (docs_a·docs_b off-diagonal, the n·(n−1)/2
+    * half-matrix on the diagonal — ×2·10⁶ so both arms stay integer).
+    * The answer a curation run reads before deciding which source to
+    * trust as canonical. Scale shape: two doc_id-keyed joins to a
+    * (doc_id, source) projection + a |sources|²-bounded agg on top of the
+    * already-fenced pair pipeline — nothing new at corpus width.
+    */
+  def crossSourceDups(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = ngramJaccard(spark, sfDir).select(col("doc_a"), col("doc_b"))
+    val src = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"))
+    val lab = pairs
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")),
+        "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")),
+        "doc_b")
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+    val counts = src.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    lab.groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .join(counts.select(col("source").as("source_a"), col("n").as("docs_a")),
+        "source_a")
+      .join(counts.select(col("source").as("source_b"), col("n").as("docs_b")),
+        "source_b")
+      .select(col("source_a"), col("source_b"), col("n_pairs"),
+        col("docs_a"), col("docs_b"),
+        expr("""case when source_a = source_b
+               |  then (n_pairs * 2000000) div (docs_a * (docs_a - 1))
+               |  else (n_pairs * 1000000) div (docs_a * docs_b) end"""
+          .stripMargin).as("rate_ppm"))
+  }
+
+  lazy val crossSourceDupsSql: String =
+    s"""WITH pairs AS (
+       |  SELECT doc_a, doc_b FROM ($ngramJaccardSql) pq
+       |), src AS (
+       |  SELECT doc_id, source FROM documents
+       |), lab AS (
+       |  SELECT least(a.source, b.source) AS source_a,
+       |         greatest(a.source, b.source) AS source_b
+       |  FROM pairs p JOIN src a ON a.doc_id = p.doc_a
+       |               JOIN src b ON b.doc_id = p.doc_b
+       |), counts AS (
+       |  SELECT source, COUNT(*) AS n FROM src GROUP BY 1
+       |), agg AS (
+       |  SELECT source_a, source_b, COUNT(*) AS n_pairs FROM lab GROUP BY 1, 2
+       |)
+       |SELECT g.source_a, g.source_b, g.n_pairs,
+       |       ca.n AS docs_a, cb.n AS docs_b,
+       |       CAST(CASE WHEN g.source_a = g.source_b
+       |            THEN (g.n_pairs * 2000000) // (ca.n * (ca.n - 1))
+       |            ELSE (g.n_pairs * 1000000) // (ca.n * cb.n) END AS BIGINT)
+       |         AS rate_ppm
+       |FROM agg g JOIN counts ca ON ca.source = g.source_a
+       |           JOIN counts cb ON cb.source = g.source_b""".stripMargin
+
   // ---- minhash signatures + LSH candidate pairs ----
 
   /** The shared gram→signature stage (one cached corpus scan) the three
@@ -1412,6 +1523,8 @@ object DedupJobs {
     "dedup_eval" -> dedupEval,
     "dedup_exact" -> dedupExact,
     "soft_dedup" -> softDedup,
+    "dedup_best_keeper" -> dedupBestKeeper,
+    "cross_source_dups" -> crossSourceDups,
     "corpus_curation" -> corpusCuration,
     "curation_pipeline" -> curationPipeline,
     "doc_sample" -> docSample,
@@ -1440,6 +1553,8 @@ object DedupJobs {
     "dedup_eval" -> dedupEvalSql,
     "dedup_exact" -> dedupExactSql,
     "soft_dedup" -> softDedupSql,
+    "dedup_best_keeper" -> dedupBestKeeperSql,
+    "cross_source_dups" -> crossSourceDupsSql,
     "corpus_curation" -> corpusCurationSql,
     "curation_pipeline" -> curationPipelineSql,
     "doc_sample" -> docSampleSql,

@@ -477,4 +477,60 @@ class DedupSpec extends SparkSpec {
     assert(out.filter(_.getAs[Long]("csize") == 1L)
       .forall(_.getAs[Long]("kept") == 1L))
   }
+
+  test("dedup_best_keeper: argmax-quality keeper per family, exact") {
+    import graft.jobs.DedupJobs
+    import graft.ops.TextAnalysis
+    val sfd = sf("sf0.001")
+    val labels = DedupJobs.dedupClusters(spark, sfd)
+      .as[(Long, Long)].collect()
+    val quality = graft.io.Tables.documents(spark, sfd)
+      .select($"doc_id",
+        TextAnalysis.qualityScore(TextAnalysis.tokenCount($"text"),
+          TextAnalysis.stopwordCount($"text")).as("q"))
+      .as[(Long, Double)].collect().toMap
+    val expected = labels.groupBy(_._2).map { case (cluster, members) =>
+      val best = members.map(_._1).minBy(id => (-quality(id), id))
+      cluster -> (best, quality(best), members.length.toLong)
+    }
+    val got = DedupJobs.dedupBestKeeper(spark, sfd).collect()
+      .map(r => r.getAs[Long]("cluster") ->
+        (r.getAs[Long]("keeper"), r.getAs[Double]("best_quality"),
+          r.getAs[Long]("n_members"))).toMap
+    assert(got == expected)
+    // a real multi-member family must be exercised, and at least one
+    // family's keeper must differ from min(doc_id) (else the quality rank
+    // is dead code on this fixture)
+    assert(expected.values.exists(_._3 > 1L))
+    assert(expected.exists { case (cluster, (keeper, _, n)) =>
+      n > 1L && keeper != cluster
+    }, "quality rank never overrode the min-id keeper")
+  }
+
+  test("cross_source_dups: pair counts and rates from a re-derivation") {
+    import graft.jobs.DedupJobs
+    val sfd = sf("sf0.001")
+    val srcOf = graft.io.Tables.documents(spark, sfd)
+      .select($"doc_id", $"source").as[(Long, String)].collect().toMap
+    val pairs = DedupJobs.ngramJaccard(spark, sfd)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect()
+    val nBySrc = srcOf.values.groupBy(identity).map { case (s, o) => s -> o.size.toLong }
+    val expected = pairs
+      .map { case (a, b) =>
+        val (sa, sb) = (srcOf(a), srcOf(b))
+        (if (sa <= sb) sa else sb, if (sa <= sb) sb else sa)
+      }
+      .groupBy(identity).map { case ((sa, sb), o) =>
+        val (na, nb) = (nBySrc(sa), nBySrc(sb))
+        val rate = if (sa == sb) o.size * 2000000L / (na * (na - 1))
+                   else o.size * 1000000L / (na * nb)
+        (sa, sb) -> (o.size.toLong, na, nb, rate)
+      }
+    val got = DedupJobs.crossSourceDups(spark, sfd).collect()
+      .map(r => (r.getAs[String]("source_a"), r.getAs[String]("source_b")) ->
+        (r.getAs[Long]("n_pairs"), r.getAs[Long]("docs_a"),
+          r.getAs[Long]("docs_b"), r.getAs[Long]("rate_ppm"))).toMap
+    assert(got == expected)
+    assert(got.nonEmpty, "fixture yields near-dup pairs")
+  }
 }
