@@ -912,13 +912,19 @@ object AnalyticsJobs {
     * sums, item set sizes join back on int keys, and the top-k window
     * partitions by item (catalog-sized key space, never a global funnel).
     */
-  def itemSimilarity(spark: SparkSession, sfDir: String): DataFrame = {
-    val ui = Tables.events(spark, sfDir)
+  def itemSimilarity(spark: SparkSession, sfDir: String): DataFrame =
+    itemSimilarityCore(Tables.events(spark, sfDir)
       .select(col("user_id").as("u"),
         (regexp_extract(col("props"), "\"k\"\\s*:\\s*(-?\\d+)", 1)
           .cast("long")).as("i"))
       .filter(col("i").isNotNull)
-      .distinct()
+      .distinct())
+
+  /** The CF core over an already-distinct (u, i) interaction frame —
+    * exposed so [[ArtifactJobs.itemSimilarityIncremental]] can feed it
+    * the artifact-maintained interaction set.
+    */
+  private[jobs] def itemSimilarityCore(ui: DataFrame): DataFrame = {
     val kept = ui.join(
       ui.groupBy(col("u")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") <= SIM_USER_CAP).select(col("u")), "u")

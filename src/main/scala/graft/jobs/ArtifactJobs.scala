@@ -349,9 +349,35 @@ object ArtifactJobs {
         col("community"))
   }
 
+  /** The same shared edge artifacts feeding the CF model: the distinct
+    * (user, item) interaction set is recoverable from the stored
+    * bidirectional edge aggregate (even-src rows ARE the u→item copies,
+    * ids decode by div 2), one day's delta is re-scanned under the
+    * manifest gate, and [[AnalyticsJobs.itemSimilarityCore]] reruns on
+    * the merged interaction set — one nightly edge-maintenance job now
+    * feeds PageRank, communities, AND the similarity lists item_recs
+    * serves. Oracle: the full `item_similarity` recompute verbatim —
+    * hash-equality proves the artifact round-trip lossless.
+    */
+  def itemSimilarityIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val (storedEdges, deltaScan, changed) =
+      pagerankIncrementalParts(spark, sfDir)
+    val dayOf = expr("datediff(cast(ts as date), date'1970-01-01')")
+    val deltaUi = deltaScan
+      .filter(dayOf.isin(changed.map(Integer.valueOf): _*))
+      .select(col("user_id").as("u"),
+        (regexp_extract(col("props"), "\"k\"\\s*:\\s*(-?\\d+)", 1)
+          .cast("long")).as("i"))
+      .filter(col("i").isNotNull)
+    val storedUi = storedEdges.filter(col("src") % 2 === 0)
+      .select(expr("src div 2").as("u"), expr("dst div 2").as("i"))
+    AnalyticsJobs.itemSimilarityCore(storedUi.unionAll(deltaUi).distinct())
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "item_pagerank_incremental" -> itemPagerankIncremental,
     "item_communities_incremental" -> itemCommunitiesIncremental,
+    "item_similarity_incremental" -> itemSimilarityIncremental,
     "coreset_assign_from_artifact" -> coresetAssignFromArtifact,
     "hard_negatives_from_artifact" -> hardNegativesFromArtifact,
     "ann_ivf_from_artifact" -> annIvfFromArtifact,
@@ -370,6 +396,7 @@ object ArtifactJobs {
   val oracles: Map[String, String] = Map(
     "item_pagerank_incremental" -> AnalyticsJobs.itemPagerankSql,
     "item_communities_incremental" -> AnalyticsJobs.itemCommunitiesSql,
+    "item_similarity_incremental" -> AnalyticsJobs.itemSimilaritySql,
     "coreset_assign_from_artifact" -> SimilarityJobs.coresetKcenterSql,
     "hard_negatives_from_artifact" -> SimilarityJobs.hardNegativesSql,
     "ann_ivf_from_artifact" -> SimilarityJobs.annIvfTrainedSql,

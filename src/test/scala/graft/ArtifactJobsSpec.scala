@@ -145,6 +145,18 @@ class ArtifactJobsSpec extends SparkSpec {
     assert(inc == full)
   }
 
+  test("item_similarity_incremental reconstructs the full-corpus CF lists") {
+    val dir = sf("sf0.001")
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))
+    val inc = ArtifactJobs.itemSimilarityIncremental(spark, dir)
+      .collect().map(key).toMap
+    val full = jobs.AnalyticsJobs.itemSimilarity(spark, dir)
+      .collect().map(key).toMap
+    assert(inc == full)
+    assert(inc.nonEmpty)
+  }
+
   test("artifacts land on disk as readable parquet models") {
     ArtifactJobs.bpeEncodeFromArtifact(spark, sf("sf0.001")).count()
     val p = java.nio.file.Paths.get(
