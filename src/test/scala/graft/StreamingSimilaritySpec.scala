@@ -208,4 +208,36 @@ class StreamingSimilaritySpec extends SparkSpec {
       query.stop(); q.unpersist(); centers.unpersist()
     }
   }
+
+  test("streaming kNN classify is bit-equal to the batch knn_classify vote") {
+    implicit val sqlCtx = spark.sqlContext
+    val sfd = sf("sf0.001")
+    val emb = graft.io.Tables.embeddings(spark, sfd)
+    val labeled = Similarity.withNorm(
+        emb.filter(col("vec_id") % 2 === 0), col("vec_id"), col("embedding"))
+      .join(emb.select(col("vec_id"),
+        col("label").cast("long").as("label")), "vec_id")
+    val arrivals = emb.filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect()
+      .map { case (id, e) => (id, e, ts(100 + id)) }
+
+    val in = MemoryStream[(Long, Array[Float], Timestamp)]
+    val q = graft.streaming.ClassifyStream.classify(
+        in.toDF().toDF("vec_id", "embedding", "ts"), "ts", "0 seconds",
+        labeled, k = 5)
+      .writeStream.format("memory").queryName("stream_knn")
+      .outputMode("append").start()
+    val got = try {
+      in.addData(arrivals: _*)
+      q.processAllAvailable()
+      spark.table("stream_knn").select($"vec_id", $"predicted")
+        .as[(Long, Long)].collect().toMap
+    } finally q.stop()
+
+    val batch = graft.jobs.SimilarityJobs.knnClassify(spark, sfd)
+      .select($"vec_id", $"predicted").as[(Long, Long)].collect().toMap
+    assert(got == batch, "online vote must equal the batch twin exactly")
+    assert(got.size == arrivals.length)
+  }
 }
