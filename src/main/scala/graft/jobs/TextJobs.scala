@@ -2423,7 +2423,61 @@ object TextJobs {
        |FROM ranked""".stripMargin
   }
 
+  /** Per-language tokenizer fertility — the number that decides a
+    * multilingual vocab budget: how many BPE tokens a language pays per
+    * word (`tokens_per_word_ppm`) and how many characters each token
+    * covers (`chars_per_token_ppm`), aggregated per lang from the
+    * [[bpeEncode]] per-doc counts. Ratios are ppm floor divisions of
+    * exact BIGINT sums — engine-exact, no float drift. Scale shape: the
+    * encode pass is the already-fenced vocab-join pipeline (trained model
+    * memoized per corpus); this adds one doc_id-keyed join to a per-row
+    * char-count scan and a |langs|-bounded agg.
+    */
+  def tokenizerFertility(spark: SparkSession, sfDir: String): DataFrame = {
+    val enc = bpeEncode(spark, sfDir)
+      .select(col("doc_id"), col("n_words"), col("n_bpe_tokens"))
+    val d = Tables.documents(spark, sfDir).select(col("doc_id"), col("lang"),
+      length(concat_ws("", TextAnalysis.tokens(lower(col("text")))))
+        .cast("long").as("n_word_chars"))
+    d.join(enc, "doc_id")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("n_words"),
+        sum(col("n_bpe_tokens")).as("n_tokens"),
+        sum(col("n_word_chars")).as("n_chars"))
+      .select(col("lang"), col("n_docs"), col("n_words"), col("n_tokens"),
+        col("n_chars"),
+        expr("(n_tokens * 1000000) div n_words").as("tokens_per_word_ppm"),
+        expr("(n_chars * 1000000) div n_tokens").as("chars_per_token_ppm"))
+  }
+
+  /** Oracle: [[bpeEncodeSql]] composed verbatim (referenced once — linear)
+    * + the same integer ratio arithmetic over HUGEINT-cast sums.
+    */
+  lazy val tokenizerFertilitySql: String =
+    s"""WITH enc AS (
+       |  SELECT doc_id, n_words, n_bpe_tokens FROM ($bpeEncodeSql) eq
+       |), d AS (
+       |  SELECT doc_id, lang,
+       |         CAST(length(array_to_string(
+       |           regexp_extract_all(lower(text), '[A-Za-z0-9]+'), ''))
+       |           AS BIGINT) AS n_word_chars
+       |  FROM documents
+       |)
+       |SELECT lang, COUNT(*) AS n_docs,
+       |       CAST(SUM(n_words) AS BIGINT) AS n_words,
+       |       CAST(SUM(n_bpe_tokens) AS BIGINT) AS n_tokens,
+       |       CAST(SUM(n_word_chars) AS BIGINT) AS n_chars,
+       |       CAST((CAST(SUM(n_bpe_tokens) AS BIGINT) * 1000000)
+       |            // CAST(SUM(n_words) AS BIGINT) AS BIGINT)
+       |         AS tokens_per_word_ppm,
+       |       CAST((CAST(SUM(n_word_chars) AS BIGINT) * 1000000)
+       |            // CAST(SUM(n_bpe_tokens) AS BIGINT) AS BIGINT)
+       |         AS chars_per_token_ppm
+       |FROM d JOIN enc USING (doc_id)
+       |GROUP BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tokenizer_fertility" -> tokenizerFertility,
     "score_calibrate" -> scoreCalibrate,
     "cdc_chunks" -> cdcChunks,
     "tokenizer_compare" -> tokenizerCompare,
@@ -2458,6 +2512,7 @@ object TextJobs {
     "text_repetition" -> textRepetition)
 
   val oracles: Map[String, String] = Map(
+    "tokenizer_fertility" -> tokenizerFertilitySql,
     "tokenizer_compare" -> tokenizerCompareSql,
     "cdc_chunks" -> cdcChunksSql,
     "score_calibrate" -> scoreCalibrateSql,

@@ -332,4 +332,33 @@ class TextJobsExtraSpec extends SparkSpec {
         s"divergence on '$w'")
     }
   }
+
+  test("tokenizer_fertility: per-lang ratios re-derive from the encode pass") {
+    import graft.jobs.TextJobs
+    val sfd = sf("sf0.001")
+    val enc = TextJobs.bpeEncode(spark, sfd)
+      .select($"doc_id", $"n_words", $"n_bpe_tokens")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val docs = graft.io.Tables.documents(spark, sfd)
+      .select($"doc_id", $"lang", $"text").as[(Long, String, String)].collect()
+    val expected = docs.filter(d => enc.contains(d._1)).groupBy(_._2)
+      .map { case (lang, ds) =>
+        val words = ds.map(d => enc(d._1)._1).sum
+        val toks = ds.map(d => enc(d._1)._2).sum
+        val chars = ds.map(d =>
+          "[A-Za-z0-9]+".r.findAllIn(d._3.toLowerCase).mkString("").length.toLong).sum
+        lang -> (ds.size.toLong, words, toks, chars,
+          toks * 1000000L / words, chars * 1000000L / toks)
+      }
+    val got = TextJobs.tokenizerFertility(spark, sfd).collect()
+      .map(r => r.getAs[String]("lang") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_words"),
+          r.getAs[Long]("n_tokens"), r.getAs[Long]("n_chars"),
+          r.getAs[Long]("tokens_per_word_ppm"),
+          r.getAs[Long]("chars_per_token_ppm"))).toMap
+    assert(got == expected)
+    // fertility must be a real signal: ≥2 langs, every ratio ≥ 1 token/word
+    assert(got.size >= 2)
+    assert(got.values.forall(_._5 >= 1000000L))
+  }
 }
