@@ -1190,6 +1190,117 @@ object DedupJobs {
        |GROUP BY c.source, ins.docs_in, ins.tokens_in""".stripMargin
   }
 
+  /** Split-balance audit — the check a pipeline owes after assigning a
+    * hash split: does each split's length distribution match the corpus?
+    * Documents bucket by token-length decile (div 20, capped at 9); each
+    * (split, bucket) cell reports its within-split share vs the overall
+    * bucket share and the absolute drift, all ppm floor divisions of
+    * exact counts (an unbalanced hash split shows up as drift_ppm mass —
+    * no χ² float arithmetic to drift between engines). The grid is
+    * zero-filled (train/val/test × observed buckets) so empty cells are
+    * visible. Scale shape: one scan → three bounded aggregates + a
+    * |splits·buckets| grid; the 1-row corpus total rides a broadcast
+    * cross join (the mixture_plan pattern).
+    */
+  def splitBalance(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.ops.TextAnalysis
+    val d = Tables.documents(spark, sfDir)
+      .select(splitCol(spark).as("split"),
+        TextAnalysis.tokenCount(col("text")).as("n_tok"))
+      .select(col("split"), expr("least(n_tok div 20, 9L)").as("bucket"))
+    val obs = d.groupBy(col("split"), col("bucket"))
+      .agg(count(lit(1)).as("o"))
+    val st = d.groupBy(col("split")).agg(count(lit(1)).as("split_docs"))
+    val bt = d.groupBy(col("bucket")).agg(count(lit(1)).as("bucket_docs"))
+    val n = d.agg(count(lit(1)).as("n"))
+    Seq("train", "val", "test").toDF("split")
+      .crossJoin(bt)
+      .join(st, "split")
+      .join(obs, Seq("split", "bucket"), "left")
+      .crossJoin(broadcast(n))
+      .select(col("split"), col("bucket"),
+        coalesce(col("o"), lit(0L)).as("n_docs"),
+        col("split_docs"), col("bucket_docs"),
+        expr("(coalesce(o, 0L) * 1000000) div split_docs")
+          .as("share_in_split_ppm"),
+        expr("(bucket_docs * 1000000) div n").as("share_overall_ppm"),
+        expr("""abs((coalesce(o, 0L) * 1000000) div split_docs
+               |    - (bucket_docs * 1000000) div n)""".stripMargin)
+          .as("drift_ppm"))
+  }
+
+  val splitBalanceSql: String = {
+    val nTokSql =
+      "CAST(length(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT)"
+    s"""WITH d AS (
+       |  SELECT $splitSqlExpr AS split,
+       |         least($nTokSql // 20, 9) AS bucket
+       |  FROM documents
+       |), obs AS (SELECT split, bucket, COUNT(*) AS o FROM d GROUP BY 1, 2),
+       |st AS (SELECT split, COUNT(*) AS split_docs FROM d GROUP BY 1),
+       |bt AS (SELECT bucket, COUNT(*) AS bucket_docs FROM d GROUP BY 1),
+       |n AS (SELECT COUNT(*) AS n FROM d),
+       |grid AS (
+       |  SELECT s.split, b.bucket, b.bucket_docs
+       |  FROM (VALUES ('train'), ('val'), ('test')) s(split) CROSS JOIN bt b
+       |)
+       |SELECT g.split, g.bucket, COALESCE(o.o, 0) AS n_docs,
+       |       st.split_docs, g.bucket_docs,
+       |       CAST((COALESCE(o.o, 0) * 1000000) // st.split_docs AS BIGINT)
+       |         AS share_in_split_ppm,
+       |       CAST((g.bucket_docs * 1000000) // n.n AS BIGINT)
+       |         AS share_overall_ppm,
+       |       CAST(abs((COALESCE(o.o, 0) * 1000000) // st.split_docs
+       |                - (g.bucket_docs * 1000000) // n.n) AS BIGINT)
+       |         AS drift_ppm
+       |FROM grid g JOIN st ON st.split = g.split
+       |LEFT JOIN obs o ON o.split = g.split AND o.bucket = g.bucket
+       |CROSS JOIN n""".stripMargin
+  }
+
+  /** Quality-priority per-source caps — the FineWeb-style variant of
+    * [[sourceCaps]]: instead of a neutral hash sample, each (source, lang)
+    * cell keeps its `CAP_PER_CELL` HIGHEST-quality documents (the shared
+    * [[graft.ops.TextAnalysis.qualityScore]], ties to the smaller
+    * doc_id) — the selection a pipeline materializes when the cap must
+    * also curate. Output is the kept rows themselves. Same 100 TB shape
+    * as [[stratifiedSample]]: WindowGroupLimit keeps ≤ N rows per cell
+    * per task BEFORE the exchange, so the corpus text never shuffles.
+    */
+  def sourceCapsQuality(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.ops.TextAnalysis
+    val w = Window.partitionBy(col("source"), col("lang"))
+      .orderBy(col("quality").desc, col("doc_id").asc)
+    Tables.documents(spark, sfDir)
+      .select(col("source"), col("lang"), col("doc_id"),
+        TextAnalysis.qualityScore(TextAnalysis.tokenCount(col("text")),
+          TextAnalysis.stopwordCount(col("text"))).as("quality"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= CAP_PER_CELL)
+      .select(col("source"), col("lang"), col("doc_id"), col("quality"),
+        col("rn"))
+  }
+
+  val sourceCapsQualitySql: String = {
+    val nTokSql =
+      "CAST(length(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT)"
+    val nStopSql =
+      "CAST(length(regexp_extract_all(text, '\\b(the|a|of|and|to|in|is|on|for|with)\\b')) AS BIGINT)"
+    val qualitySql =
+      s"""ROUND(least(CAST($nTokSql AS DOUBLE) / 100.0, 1.0) * 0.6 +
+         |    (CAST($nStopSql AS DOUBLE) / CAST(greatest($nTokSql, 1) AS DOUBLE)) * 0.4
+         |    + 1e-9, 4)""".stripMargin
+    s"""SELECT source, lang, doc_id, quality, rn FROM (
+       |  SELECT source, lang, doc_id, quality, ROW_NUMBER() OVER (
+       |    PARTITION BY source, lang
+       |    ORDER BY quality DESC, doc_id ASC) AS rn
+       |  FROM (SELECT source, lang, doc_id, $qualitySql AS quality
+       |        FROM documents) q) r
+       |WHERE rn <= $CAP_PER_CELL""".stripMargin
+  }
+
   /** Deterministic global training order — the "global shuffle" step a
     * training-data pipeline runs last: every document gets a reproducible
     * position `seq` in the hash-shuffled interleave (order by md5
@@ -1530,6 +1641,8 @@ object DedupJobs {
     "doc_sample" -> docSample,
     "stratified_sample" -> stratifiedSample,
     "source_caps" -> sourceCaps,
+    "source_caps_quality" -> sourceCapsQuality,
+    "split_balance" -> splitBalance,
     "training_order" -> trainingOrder,
     "curation_screened" -> curationScreened,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
@@ -1560,6 +1673,8 @@ object DedupJobs {
     "doc_sample" -> docSampleSql,
     "stratified_sample" -> stratifiedSampleSql,
     "source_caps" -> sourceCapsSql,
+    "source_caps_quality" -> sourceCapsQualitySql,
+    "split_balance" -> splitBalanceSql,
     "training_order" -> trainingOrderSql,
     "curation_screened" -> curationScreenedSql,
     "dedup_minhash_lsh" -> dedupMinhashLshSql,

@@ -1083,10 +1083,22 @@ object SimilarityJobs {
     * itself is a (query, neighbor)-keyed left join + a query-keyed agg —
     * 20-row output, nothing new shuffles at corpus width.
     */
-  def annEval(spark: SparkSession, sfDir: String): DataFrame = {
-    val truth = annCosineTopK(spark, sfDir)
-      .select(col("query_id"), col("neighbor_id"))
-    val approx = annIvf(spark, sfDir)
+  def annEval(spark: SparkSession, sfDir: String): DataFrame =
+    annEvalAgainst(annCosineTopK(spark, sfDir), annIvf(spark, sfDir))
+
+  /** [[annEval]] pointed at the sign-LSH index — the same truth set and
+    * arithmetic, so the two indexes' recall/rank numbers are directly
+    * comparable when choosing which family to build at 10⁹ vectors.
+    * (annLsh ranks every vector as a query; the truth-side left join
+    * restricts the eval to the truth queries.)
+    */
+  def annEvalLsh(spark: SparkSession, sfDir: String): DataFrame =
+    annEvalAgainst(annCosineTopK(spark, sfDir), annLsh(spark, sfDir))
+
+  private def annEvalAgainst(
+      truthDf: DataFrame, approxDf: DataFrame): DataFrame = {
+    val truth = truthDf.select(col("query_id"), col("neighbor_id"))
+    val approx = approxDf
       .select(col("query_id"), col("neighbor_id"), col("rn").as("approx_rn"))
     truth.join(approx, Seq("query_id", "neighbor_id"), "left")
       .groupBy(col("query_id"))
@@ -1101,11 +1113,15 @@ object SimilarityJobs {
   /** Oracle: the two existing contracts composed verbatim (each referenced
     * once — linear, no MATERIALIZED needed) + the same integer arithmetic.
     */
-  val annEvalSql: String =
+  val annEvalSql: String = annEvalSqlOver(annIvfSql)
+
+  val annEvalLshSql: String = annEvalSqlOver(annLshSql)
+
+  private def annEvalSqlOver(approxSql: String): String =
     s"""WITH truth AS (
        |  SELECT query_id, neighbor_id FROM ($annCosineTopKSql) tq
        |), approx AS (
-       |  SELECT query_id, neighbor_id, rn AS approx_rn FROM ($annIvfSql) aq
+       |  SELECT query_id, neighbor_id, rn AS approx_rn FROM ($approxSql) aq
        |), j AS (
        |  SELECT t.query_id, a.approx_rn
        |  FROM truth t LEFT JOIN approx a
@@ -1189,6 +1205,7 @@ object SimilarityJobs {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_eval" -> annEval,
+    "ann_eval_lsh" -> annEvalLsh,
     "knn_classify" -> knnClassify,
     "rrf_fusion" -> rrfFusion,
     "embedding_pca" -> embeddingPca,
@@ -1213,6 +1230,7 @@ object SimilarityJobs {
 
   val oracles: Map[String, String] = Map(
     "ann_eval" -> annEvalSql,
+    "ann_eval_lsh" -> annEvalLshSql,
     "knn_classify" -> knnClassifySql,
     "rrf_fusion" -> rrfFusionSql,
     "embedding_pca" -> embeddingPcaSql,

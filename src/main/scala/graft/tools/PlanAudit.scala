@@ -44,6 +44,10 @@ object PlanAudit {
         "the eval itself adds only a (query, neighbor)-keyed left join + a query-keyed agg"),
       "knn_classify" -> ("CROSS is the bounded test-half broadcast into the brute-force scorer " +
         "(ann_cosine_topk's shape; the IVF/PQ artifact path is the documented scale swap-in feeding the same vote)"),
+      "ann_eval_lsh" -> ("CROSS is the truth side's bounded query-side broadcast (ann_cosine_topk's " +
+        "designed shape); the LSH side is bucket equi-joins and the eval adds only a keyed left join + agg"),
+      "split_balance" -> ("CROSSes are the 1-row corpus-total broadcast (the mixture_plan pattern) and the " +
+        "3-row split-literal x bucket-totals grid — both bounded model-sized frames, never corpus-sized"),
       "rrf_fusion" -> ("CROSS is the bounded query-side broadcast of the dense list's brute-force baseline " +
         "(ann_cosine_topk's shape; the artifact-served IVF path is the documented scale swap-in); " +
         "the sparse list is an inverted-index equi-join on int token hashes, and the fusion join runs on (queries x depth)-bounded frames"),

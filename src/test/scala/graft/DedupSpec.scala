@@ -478,6 +478,51 @@ class DedupSpec extends SparkSpec {
       .forall(_.getAs[Long]("kept") == 1L))
   }
 
+  test("source_caps_quality keeps the top-quality docs per cell") {
+    import graft.jobs.DedupJobs
+    import graft.ops.TextAnalysis
+    val sfd = sf("sf0.001")
+    val docs = graft.io.Tables.documents(spark, sfd)
+      .select($"source", $"lang", $"doc_id",
+        TextAnalysis.qualityScore(TextAnalysis.tokenCount($"text"),
+          TextAnalysis.stopwordCount($"text")).as("q"))
+      .as[(String, String, Long, Double)].collect()
+    val expected = docs.groupBy(d => (d._1, d._2)).toSeq.flatMap {
+      case (cell, ds) =>
+        ds.sortBy(d => (-d._4, d._3)).take(3).zipWithIndex
+          .map { case (d, i) => (cell._1, cell._2, d._3) -> (d._4, i + 1L) }
+    }.toMap
+    val got = DedupJobs.sourceCapsQuality(spark, sfd).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[String]("lang"),
+        r.getAs[Long]("doc_id")) ->
+        (r.getAs[Double]("quality"), r.getAs[Long]("rn"))).toMap
+    assert(got == expected)
+    // the cap must bind somewhere (a cell with > 3 docs exists)
+    assert(docs.groupBy(d => (d._1, d._2)).exists(_._2.length > 3))
+  }
+
+  test("split_balance: zero-filled grid, shares and drift re-derive") {
+    import graft.jobs.DedupJobs
+    val sfd = sf("sf0.001")
+    val out = DedupJobs.splitBalance(spark, sfd).collect()
+    val buckets = out.map(_.getAs[Long]("bucket")).distinct
+    assert(out.length == 3 * buckets.length, "train/val/test × buckets grid")
+    val n = graft.io.Tables.documents(spark, sfd).count()
+    out.foreach { r =>
+      val (o, ns, tb) = (r.getAs[Long]("n_docs"), r.getAs[Long]("split_docs"),
+        r.getAs[Long]("bucket_docs"))
+      val inS = o * 1000000L / ns
+      val ov = tb * 1000000L / n
+      assert(r.getAs[Long]("share_in_split_ppm") == inS)
+      assert(r.getAs[Long]("share_overall_ppm") == ov)
+      assert(r.getAs[Long]("drift_ppm") == math.abs(inS - ov))
+    }
+    // grid totals reconstruct the corpus exactly once per split set
+    assert(out.map(_.getAs[Long]("n_docs")).sum == n)
+    // a hash split on 500 docs is balanced but not perfect — some drift
+    assert(out.exists(_.getAs[Long]("drift_ppm") > 0))
+  }
+
   test("dedup_best_keeper: argmax-quality keeper per family, exact") {
     import graft.jobs.DedupJobs
     import graft.ops.TextAnalysis

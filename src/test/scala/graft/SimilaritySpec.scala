@@ -129,6 +129,27 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ann_eval_lsh restricts to the truth queries and re-derives exactly") {
+    val sfd = sf("sf0.001")
+    val truth = SimilarityJobs.annCosineTopK(spark, sfd)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = SimilarityJobs.annLsh(spark, sfd)
+      .select($"query_id", $"neighbor_id", $"rn")
+      .as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val got = SimilarityJobs.annEvalLsh(spark, sfd).collect()
+      .map(r => r.getAs[Long]("query_id") ->
+        (r.getAs[Long]("n_hit"), r.getAs[Long]("rr_sum_ppm"))).toMap
+    assert(got.keySet == truth.map(_._1),
+      "eval rows = truth queries only, though annLsh ranks every vector")
+    truth.groupBy(_._1).foreach { case (q, t) =>
+      val hits = t.filter(approx.contains)
+      assert(got(q) ==
+        ((hits.size.toLong, hits.toSeq.map(p => 1000000L / approx(p)).sum)),
+        s"query $q")
+    }
+  }
+
   test("knn_classify majority vote matches a brute-force re-derivation") {
     val sfd = sf("sf0.001")
     val out = SimilarityJobs.knnClassify(spark, sfd).collect()
