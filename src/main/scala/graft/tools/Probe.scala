@@ -427,6 +427,33 @@ object Probe {
       }
     }
 
+    /** §8h addendum: the co-occurrence CF stack under a replicated event
+      * log (fresh user namespaces, fixed item catalog — the production
+      * growth axis). The degree cap bounds each user's pair contribution
+      * at cap², so candidate mass grows ~copies× with the user count
+      * while the item-pair aggregate saturates toward |items|²·K; the
+      * claim under test is wall time ≤ copies× — the capped per-user
+      * pair join is the only corpus-proportional stage, and serving
+      * (item_recs) adds user-keyed joins that scale with the history,
+      * never quadratically.
+      */
+    def runCf(): Unit = {
+      val dir = s"/tmp/graft_probe_graph_${copies}x"
+      val base = graft.io.Tables.events(spark, sfDir)
+      (0 until copies).map(k =>
+          base.withColumn("user_id", col("user_id") + lit(k * 10000000L)))
+        .reduce(_ unionAll _)
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      println(s"== CF stack under replicated events (${copies}x, fresh users) ==")
+      for (q <- Seq("item_similarity", "item_recs")) {
+        val b = median((1 to 3).map(_ => timeQuery(q, sfDir)))
+        val p = median((1 to 3).map(_ => timeQuery(q, dir)))
+        println(f"$q%-22s $b%8.2f $p%8.2f  ${p / b}%.1fx")
+      }
+    }
+
+    if (mode == "cf")
+      runCf()
     if (mode == "clustered")
       runClustered()
     if (mode == "bands")
