@@ -1500,7 +1500,103 @@ object AnalyticsJobs {
       |       (c.n_trans * 1000000) // t.total AS p_ppm
       |FROM cnt c JOIN tot t ON t.from_type = c.from_type""".stripMargin
 
+  /** RFM segmentation — THE classic user-behavior deliverable: every user
+    * scored 1–5 on Recency (days since last event, corpus-relative "now"),
+    * Frequency (event count) and Monetary (purchase cents — integer, the
+    * money rule: round(value·100 + 1e-9) BEFORE the cast so both engines
+    * round the same integral double, then order-independent BIGINT sums),
+    * with `segment` = r·100 + f·10 + m. Quintiles are EXACT global ranks
+    * restated as score = ((rank−1)·5) div n + 1 — the same floor
+    * arithmetic in both engines (SQL NTILE's first-buckets-bigger
+    * remainder rule is deliberately NOT used).
+    *
+    * 100 TB shape: ranks are global, so each is assigned with the
+    * [[graft.jobs.DedupJobs.trainingOrder]] distributed prefix-sum
+    * pattern (range-partition CACHED, per-partition counts → tiny offsets
+    * frame → broadcast join + local rank) over the USER frame — already
+    * one aggregation smaller than the event corpus; the corpus-level
+    * max-day and user-count ride as 1-row broadcasts (the mixture_plan
+    * pattern). Reference anchor: the UBA segmentation read the
+    * reference's keyed aggregations feed (HotItem.java:60 keyed state,
+    * applied to user lifetime metrics).
+    */
+  def rfmSegments(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, sfDir)
+    val dayCol = expr("unix_micros(ts) div 86400000000")
+    val perUser = ev.groupBy(col("user_id")).agg(
+      max(dayCol).as("last_day"),
+      count(lit(1)).as("f"),
+      sum(when(col("event_type") === "purchase",
+        expr("cast(round(value * 100 + 1e-9) as bigint)"))
+        .otherwise(lit(0L))).as("m_cents"))
+    val maxDay = ev.agg(max(dayCol).as("max_day"))
+    val nUsers = perUser.agg(count(lit(1)).as("n_users"))
+    val base = perUser.crossJoin(broadcast(maxDay))
+      .select(col("user_id"), (col("max_day") - col("last_day")).as("r_days"),
+        col("f"), col("m_cents"))
+      .cache() // three rank passes + the final join read it
+    def rank(sortExpr: org.apache.spark.sql.Column, out: String): DataFrame = {
+      val b = base.select(col("user_id"), sortExpr.as("sk"))
+        .repartitionByRange(col("sk"), col("user_id"))
+        .withColumn("pid", spark_partition_id())
+        .cache() // the partitioner samples — pin one boundary cut
+      val offsets = b.groupBy(col("pid")).agg(count(lit(1)).as("part_n"))
+        .withColumn("part_offset", coalesce(sum(col("part_n")).over(
+          Window.orderBy(col("pid"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("pid"), col("part_offset"))
+      b.join(broadcast(offsets), "pid")
+        .withColumn(out, col("part_offset") +
+          row_number().over(Window.partitionBy(col("pid"))
+            .orderBy(col("sk").asc, col("user_id").asc)))
+        .select(col("user_id"), col(out))
+    }
+    base.join(rank(-col("r_days"), "r_rank"), "user_id")
+      .join(rank(col("f"), "f_rank"), "user_id")
+      .join(rank(col("m_cents"), "m_rank"), "user_id")
+      .crossJoin(broadcast(nUsers))
+      .select(col("user_id"), col("r_days"), col("f"), col("m_cents"),
+        expr("((r_rank - 1) * 5) div n_users + 1").as("r_score"),
+        expr("((f_rank - 1) * 5) div n_users + 1").as("f_score"),
+        expr("((m_rank - 1) * 5) div n_users + 1").as("m_score"),
+        expr("(((r_rank - 1) * 5) div n_users + 1) * 100" +
+          " + (((f_rank - 1) * 5) div n_users + 1) * 10" +
+          " + ((m_rank - 1) * 5) div n_users + 1").as("segment"))
+  }
+
+  val rfmSegmentsSql: String =
+    s"""WITH u AS (
+       |  SELECT user_id,
+       |         MAX(epoch_us(ts) // 86400000000) AS last_day,
+       |         COUNT(*) AS f,
+       |         CAST(SUM(CASE WHEN event_type = 'purchase'
+       |              THEN CAST(round(value * 100 + 1e-9) AS BIGINT)
+       |              ELSE 0 END) AS BIGINT) AS m_cents
+       |  FROM events GROUP BY user_id
+       |), m AS (SELECT MAX(epoch_us(ts) // 86400000000) AS max_day FROM events),
+       |n AS (SELECT COUNT(*) AS n_users FROM u),
+       |b AS (
+       |  SELECT user_id, (m.max_day - last_day) AS r_days, f, m_cents
+       |  FROM u CROSS JOIN m
+       |), r AS (
+       |  SELECT user_id, r_days, f, m_cents,
+       |    ROW_NUMBER() OVER (ORDER BY -r_days ASC, user_id ASC) AS r_rank,
+       |    ROW_NUMBER() OVER (ORDER BY f ASC, user_id ASC) AS f_rank,
+       |    ROW_NUMBER() OVER (ORDER BY m_cents ASC, user_id ASC) AS m_rank
+       |  FROM b
+       |)
+       |SELECT user_id, r_days, f, m_cents,
+       |  CAST(((r_rank - 1) * 5) // n_users + 1 AS BIGINT) AS r_score,
+       |  CAST(((f_rank - 1) * 5) // n_users + 1 AS BIGINT) AS f_score,
+       |  CAST(((m_rank - 1) * 5) // n_users + 1 AS BIGINT) AS m_score,
+       |  CAST((((r_rank - 1) * 5) // n_users + 1) * 100
+       |       + (((f_rank - 1) * 5) // n_users + 1) * 10
+       |       + ((m_rank - 1) * 5) // n_users + 1 AS BIGINT) AS segment
+       |FROM r CROSS JOIN n""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rfm_segments" -> rfmSegments,
     "item_triangles" -> itemTriangles,
     "item_kcore" -> itemKcore,
     "anomaly_days" -> anomalyDays,
@@ -1533,6 +1629,7 @@ object AnalyticsJobs {
     "value_histogram" -> valueHistogram)
 
   val oracles: Map[String, String] = Map(
+    "rfm_segments" -> rfmSegmentsSql,
     "item_triangles" -> itemTrianglesSql,
     "item_kcore" -> itemKcoreSql,
     "anomaly_days" -> anomalyDaysSql,

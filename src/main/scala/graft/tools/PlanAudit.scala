@@ -48,6 +48,9 @@ object PlanAudit {
         "designed shape); the LSH side is bucket equi-joins and the eval adds only a keyed left join + agg"),
       "split_balance" -> ("CROSSes are the 1-row corpus-total broadcast (the mixture_plan pattern) and the " +
         "3-row split-literal x bucket-totals grid — both bounded model-sized frames, never corpus-sized"),
+      "rfm_segments" -> ("CROSSes are the 1-row corpus-max-day and 1-row user-count broadcasts (the " +
+        "mixture_plan pattern), multiplied through the plan by the three prefix-sum rank joins — " +
+        "every build side is a 1-row aggregate, never corpus-sized"),
       "rrf_fusion" -> ("CROSS is the bounded query-side broadcast of the dense list's brute-force baseline " +
         "(ann_cosine_topk's shape; the artifact-served IVF path is the documented scale swap-in); " +
         "the sparse list is an inverted-index equi-join on int token hashes, and the fusion join runs on (queries x depth)-bounded frames"),

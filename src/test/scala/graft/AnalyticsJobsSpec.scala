@@ -381,4 +381,38 @@ class AnalyticsJobsSpec extends SparkSpec {
       assert(top == perType.minBy { case (t, d) => (-d, t) }._1)
     }
   }
+
+  test("rfm_segments: quintile scores re-derive from a sorted recompute") {
+    val sfd = sf("sf0.001")
+    val ev = graft.io.Tables.events(spark, sfd)
+      .selectExpr("user_id", "unix_micros(ts) div 86400000000 as day",
+        "event_type", "cast(round(value * 100 + 1e-9) as bigint) as cents")
+      .as[(Long, Long, String, Long)].collect()
+    val maxDay = ev.map(_._2).max
+    val users = ev.groupBy(_._1).map { case (u, rows) =>
+      (u, maxDay - rows.map(_._2).max, rows.size.toLong,
+        rows.filter(_._3 == "purchase").map(_._4).sum)
+    }.toSeq
+    val n = users.size.toLong
+    def scores(sorted: Seq[Long]): Map[Long, Long] =
+      sorted.zipWithIndex.map { case (u, i) => u -> (i.toLong * 5 / n + 1) }.toMap
+    val rs = scores(users.sortBy(t => (-t._2, t._1)).map(_._1))
+    val fs = scores(users.sortBy(t => (t._3, t._1)).map(_._1))
+    val ms = scores(users.sortBy(t => (t._4, t._1)).map(_._1))
+    val got = jobs.AnalyticsJobs.rfmSegments(spark, sfd).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("r_days"), r.getAs[Long]("f"), r.getAs[Long]("m_cents"),
+          r.getAs[Long]("r_score"), r.getAs[Long]("f_score"),
+          r.getAs[Long]("m_score"), r.getAs[Long]("segment"))).toMap
+    assert(got.keySet == users.map(_._1).toSet)
+    users.foreach { case (u, r, f, m) =>
+      assert(got(u) == ((r, f, m, rs(u), fs(u), ms(u),
+        rs(u) * 100 + fs(u) * 10 + ms(u))), s"user $u")
+    }
+    // every quintile is populated on a 100+-user fixture
+    (1L to 5L).foreach { s =>
+      assert(got.values.exists(_._4 == s) && got.values.exists(_._5 == s) &&
+        got.values.exists(_._6 == s), s"score $s unpopulated")
+    }
+  }
 }
