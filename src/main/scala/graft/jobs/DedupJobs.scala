@@ -1190,6 +1190,67 @@ object DedupJobs {
        |GROUP BY c.source, ins.docs_in, ins.tokens_in""".stripMargin
   }
 
+  /** One-row dataset card — the header of every corpus release: doc /
+    * char / token totals, lang & source counts, distinct-content count
+    * with the exact-dup ppm, and the mean quality in 1e-4 units (each
+    * doc's 4-dp quality ×10⁴ is an integral double; round-then-cast makes
+    * it the same BIGINT in both engines, and the mean is one floor
+    * division of order-independent sums). One corpus scan + a 1-row
+    * aggregate; the three countDistincts are |langs|/|sources|/
+    * fingerprint-width hash aggs.
+    */
+  def corpusSummary(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.ops.TextAnalysis
+    Tables.documents(spark, sfDir)
+      .select(col("n_chars"), col("lang"), col("source"),
+        TextAnalysis.tokenCount(col("text")).as("n_tok"),
+        TextAnalysis.fingerprint(col("text")).as("fp"),
+        TextAnalysis.qualityScore(TextAnalysis.tokenCount(col("text")),
+          TextAnalysis.stopwordCount(col("text"))).as("q"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("n_chars"),
+        sum(col("n_tok")).as("n_tokens"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("source")).as("n_sources"),
+        countDistinct(col("fp")).as("n_distinct_contents"),
+        sum(expr("cast(round(q * 10000) as bigint)")).as("q_sum"))
+      .select(col("n_docs"), col("n_chars"), col("n_tokens"), col("n_langs"),
+        col("n_sources"), col("n_distinct_contents"),
+        expr("((n_docs - n_distinct_contents) * 1000000) div n_docs")
+          .as("exact_dup_ppm"),
+        expr("q_sum div n_docs").as("mean_quality_e4"))
+  }
+
+  lazy val corpusSummarySql: String = {
+    val nTokSql =
+      "CAST(length(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT)"
+    val nStopSql =
+      "CAST(length(regexp_extract_all(text, '\\b(the|a|of|and|to|in|is|on|for|with)\\b')) AS BIGINT)"
+    val qualitySql =
+      s"""ROUND(least(CAST($nTokSql AS DOUBLE) / 100.0, 1.0) * 0.6 +
+         |    (CAST($nStopSql AS DOUBLE) / CAST(greatest($nTokSql, 1) AS DOUBLE)) * 0.4
+         |    + 1e-9, 4)""".stripMargin
+    s"""WITH a AS (
+       |  SELECT COUNT(*) AS n_docs,
+       |         CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+       |         CAST(SUM($nTokSql) AS BIGINT) AS n_tokens,
+       |         COUNT(DISTINCT lang) AS n_langs,
+       |         COUNT(DISTINCT source) AS n_sources,
+       |         COUNT(DISTINCT
+       |           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')))
+       |           AS n_distinct_contents,
+       |         CAST(SUM(CAST(round(($qualitySql) * 10000) AS BIGINT))
+       |              AS BIGINT) AS q_sum
+       |  FROM documents
+       |)
+       |SELECT n_docs, n_chars, n_tokens, n_langs, n_sources,
+       |       n_distinct_contents,
+       |       CAST(((n_docs - n_distinct_contents) * 1000000) // n_docs
+       |            AS BIGINT) AS exact_dup_ppm,
+       |       CAST(q_sum // n_docs AS BIGINT) AS mean_quality_e4
+       |FROM a""".stripMargin
+  }
+
   /** Split-balance audit — the check a pipeline owes after assigning a
     * hash split: does each split's length distribution match the corpus?
     * Documents bucket by token-length decile (div 20, capped at 9); each
@@ -1643,6 +1704,7 @@ object DedupJobs {
     "source_caps" -> sourceCaps,
     "source_caps_quality" -> sourceCapsQuality,
     "split_balance" -> splitBalance,
+    "corpus_summary" -> corpusSummary,
     "training_order" -> trainingOrder,
     "curation_screened" -> curationScreened,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
@@ -1675,6 +1737,7 @@ object DedupJobs {
     "source_caps" -> sourceCapsSql,
     "source_caps_quality" -> sourceCapsQualitySql,
     "split_balance" -> splitBalanceSql,
+    "corpus_summary" -> corpusSummarySql,
     "training_order" -> trainingOrderSql,
     "curation_screened" -> curationScreenedSql,
     "dedup_minhash_lsh" -> dedupMinhashLshSql,

@@ -126,11 +126,101 @@ object FunnelJobs {
        |FROM e JOIN f USING (user_id)
        |GROUP BY 1, 2""".stripMargin
 
+  /** Cohort LTV curves — the revenue companion of [[retentionCohorts]]:
+    * per (signup-week cohort, week age) the cell revenue, the cumulative
+    * revenue, and cumulative LTV per cohort user — the curve a growth
+    * team reads to price acquisition. Money is integer cents (round
+    * BEFORE cast — both engines round the same integral double — then
+    * order-independent BIGINT sums); LTV is one floor division. The
+    * cumulative window partitions by cohort over the (weeks × ages)
+    * AGGREGATE grid — a bounded frame (hundreds of rows after years of
+    * data), not the corpus, so the low-cardinality-cumsum rule doesn't
+    * bite. Cells with activity but no purchases are zero-filled from the
+    * retention grid; the corpus scans once (cached cohort-tagged frame).
+    */
+  def cohortLtv(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+    val e = Tables.events(spark, sfDir)
+      .select(col("user_id"), expr(s"unix_micros(ts) div $WEEK_US").as("week"),
+        col("event_type"),
+        expr("cast(round(value * 100 + 1e-9) as bigint)").as("cents"))
+      .withColumn("cohort_week", min(col("week")).over(w))
+      .withColumn("week_offset", col("week") - col("cohort_week"))
+      .cache()
+    val grid = e.select(col("user_id"), col("cohort_week"), col("week_offset"))
+      .distinct()
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(count(lit(1)).as("active_users"))
+    val rev = e.filter(col("event_type") === "purchase")
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(sum(col("cents")).as("revenue_cents"))
+    val size = e.select(col("user_id"), col("cohort_week")).distinct()
+      .groupBy(col("cohort_week")).agg(count(lit(1)).as("cohort_users"))
+    val wc = Window.partitionBy(col("cohort_week")).orderBy(col("week_offset"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    grid
+      .join(rev, Seq("cohort_week", "week_offset"), "left")
+      .withColumn("revenue_cents", coalesce(col("revenue_cents"), lit(0L)))
+      .join(size, "cohort_week")
+      .withColumn("cum_revenue_cents", sum(col("revenue_cents")).over(wc))
+      .select(col("cohort_week"), col("week_offset"), col("active_users"),
+        col("cohort_users"), col("revenue_cents"), col("cum_revenue_cents"),
+        expr("cum_revenue_cents div cohort_users").as("ltv_per_user_cents"))
+  }
+
+  /** Oracle: identical grid/cumsum; windowed SUM(BIGINT) is HUGEINT in
+    * DuckDB — CAST back before the division (the round-4 rule).
+    */
+  val cohortLtvSql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, epoch_us(ts) // $WEEK_US AS week, event_type,
+       |         CAST(round(value * 100 + 1e-9) AS BIGINT) AS cents
+       |  FROM events
+       |), f AS (
+       |  SELECT user_id, MIN(week) AS cohort_week FROM e GROUP BY user_id
+       |), t AS (
+       |  SELECT e.user_id, f.cohort_week, e.week - f.cohort_week AS week_offset,
+       |         e.event_type, e.cents
+       |  FROM e JOIN f USING (user_id)
+       |), grid AS (
+       |  SELECT cohort_week, week_offset, COUNT(*) AS active_users FROM (
+       |    SELECT DISTINCT user_id, cohort_week, week_offset FROM t) g
+       |  GROUP BY 1, 2
+       |), rev AS (
+       |  SELECT cohort_week, week_offset,
+       |         CAST(SUM(cents) AS BIGINT) AS revenue_cents
+       |  FROM t WHERE event_type = 'purchase' GROUP BY 1, 2
+       |), sz AS (
+       |  SELECT cohort_week, COUNT(*) AS cohort_users FROM (
+       |    SELECT DISTINCT user_id, cohort_week FROM t) s
+       |  GROUP BY 1
+       |), cells AS (
+       |  SELECT g.cohort_week, g.week_offset, g.active_users, sz.cohort_users,
+       |         COALESCE(rev.revenue_cents, 0) AS revenue_cents
+       |  FROM grid g
+       |  LEFT JOIN rev ON rev.cohort_week = g.cohort_week
+       |              AND rev.week_offset = g.week_offset
+       |  JOIN sz ON sz.cohort_week = g.cohort_week
+       |)
+       |SELECT cohort_week, week_offset, active_users, cohort_users,
+       |       revenue_cents,
+       |       CAST(SUM(revenue_cents) OVER (
+       |         PARTITION BY cohort_week ORDER BY week_offset
+       |         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_revenue_cents,
+       |       CAST(CAST(SUM(revenue_cents) OVER (
+       |         PARTITION BY cohort_week ORDER BY week_offset
+       |         ROWS UNBOUNDED PRECEDING) AS BIGINT) // cohort_users AS BIGINT)
+       |         AS ltv_per_user_cents
+       |FROM cells""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "funnel" -> funnel,
+    "cohort_ltv" -> cohortLtv,
     "retention_cohorts" -> retentionCohorts)
 
   val oracles: Map[String, String] = Map(
     "funnel" -> funnelSql,
+    "cohort_ltv" -> cohortLtvSql,
     "retention_cohorts" -> retentionCohortsSql)
 }

@@ -478,6 +478,33 @@ class DedupSpec extends SparkSpec {
       .forall(_.getAs[Long]("kept") == 1L))
   }
 
+  test("corpus_summary: one-row card re-derives from a full collect") {
+    import graft.jobs.DedupJobs
+    import graft.ops.TextAnalysis
+    val sfd = sf("sf0.001")
+    val rows = graft.io.Tables.documents(spark, sfd)
+      .select($"n_chars", $"lang", $"source",
+        TextAnalysis.tokenCount($"text").as("t"),
+        TextAnalysis.fingerprint($"text").as("fp"),
+        TextAnalysis.qualityScore(TextAnalysis.tokenCount($"text"),
+          TextAnalysis.stopwordCount($"text")).as("q"))
+      .as[(Long, String, String, Long, String, Double)].collect()
+    val n = rows.length.toLong
+    val distinct = rows.map(_._5).distinct.length.toLong
+    val qSum = rows.map(r => math.round(r._6 * 10000)).sum
+    val got = DedupJobs.corpusSummary(spark, sfd).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getAs[Long]("n_docs") == n)
+    assert(r.getAs[Long]("n_chars") == rows.map(_._1).sum)
+    assert(r.getAs[Long]("n_tokens") == rows.map(_._4).sum)
+    assert(r.getAs[Long]("n_langs") == rows.map(_._2).distinct.length.toLong)
+    assert(r.getAs[Long]("n_sources") == rows.map(_._3).distinct.length.toLong)
+    assert(r.getAs[Long]("n_distinct_contents") == distinct)
+    assert(r.getAs[Long]("exact_dup_ppm") == (n - distinct) * 1000000L / n)
+    assert(r.getAs[Long]("mean_quality_e4") == qSum / n)
+  }
+
   test("source_caps_quality keeps the top-quality docs per cell") {
     import graft.jobs.DedupJobs
     import graft.ops.TextAnalysis

@@ -152,4 +152,33 @@ class FunnelSpec extends SparkSpec {
       assert(got(2L) == ("timeout", 2))
     } finally q.stop()
   }
+
+  test("cohort_ltv: cumulative curves re-derive from a collected recompute") {
+    val sfd = sf("sf0.001")
+    val ev = graft.io.Tables.events(spark, sfd)
+      .selectExpr("user_id", s"unix_micros(ts) div ${7L * 86400 * 1000000} as week",
+        "event_type", "cast(round(value * 100 + 1e-9) as bigint) as cents")
+      .as[(Long, Long, String, Long)].collect()
+    val cohortOf = ev.groupBy(_._1).map { case (u, r) => u -> r.map(_._2).min }
+    val cells = ev.map(e => (cohortOf(e._1), e._2 - cohortOf(e._1), e._1, e._3, e._4))
+    val grid = cells.map(c => (c._1, c._2, c._3)).distinct
+      .groupBy(c => (c._1, c._2)).map { case (k, v) => k -> v.size.toLong }
+    val rev = cells.filter(_._4 == "purchase")
+      .groupBy(c => (c._1, c._2)).map { case (k, v) => k -> v.map(_._5).sum }
+    val sizes = cohortOf.toSeq.map(_.swap).groupBy(_._1)
+      .map { case (c, v) => c -> v.size.toLong }
+    val got = jobs.FunnelJobs.cohortLtv(spark, sfd).collect()
+      .map(r => (r.getAs[Long]("cohort_week"), r.getAs[Long]("week_offset")) ->
+        (r.getAs[Long]("active_users"), r.getAs[Long]("cohort_users"),
+          r.getAs[Long]("revenue_cents"), r.getAs[Long]("cum_revenue_cents"),
+          r.getAs[Long]("ltv_per_user_cents"))).toMap
+    assert(got.keySet == grid.keySet)
+    grid.keys.toSeq.sorted.foreach { case k @ (c, off) =>
+      val cum = (0L to off).map(o => rev.getOrElse((c, o), 0L)).sum
+      assert(got(k) == ((grid(k), sizes(c), rev.getOrElse(k, 0L), cum,
+        cum / sizes(c))), s"cell $k")
+    }
+    // curves must be non-trivial: a later-age cell accumulates revenue
+    assert(got.exists { case ((_, off), v) => off > 0 && v._4 > v._3 })
+  }
 }
