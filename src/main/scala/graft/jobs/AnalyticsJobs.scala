@@ -53,6 +53,91 @@ object AnalyticsJobs {
        |       ROUND(SUM(value) + 1e-9, 2) AS sum_value
        |FROM numbered GROUP BY user_id, session_id""".stripMargin
 
+  /** Entry/exit session analysis — the landing/bounce read on top of the
+    * [[sessionAgg]] gaps-and-islands sessionization: per (entry event
+    * type, exit event type) the session count, bounce count (single-event
+    * sessions), bounce ppm and average duration in whole seconds — all
+    * exact counts and floor divisions over the (ts, event_id)-ordered
+    * deterministic session walk (the markov_transitions order contract).
+    * Scale shape: user-keyed windows (high-cardinality partitions), one
+    * session-keyed aggregate, then a |types|²-bounded final aggregate.
+    */
+  def sessionEntries(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("tsu"), col("event_id"))
+    val marked = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("unix_micros(ts)").as("tsu"))
+      .withColumn("new_session",
+        when(lag(col("tsu"), 1).over(w).isNull ||
+          col("tsu") - lag(col("tsu"), 1).over(w) > GAP_SEC * 1000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("new_session"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    val ws = Window.partitionBy(col("user_id"), col("session_id"))
+    val sessions = marked
+      .withColumn("rn_a", row_number().over(
+        ws.orderBy(col("tsu").asc, col("event_id").asc)))
+      .withColumn("rn_d", row_number().over(
+        ws.orderBy(col("tsu").desc, col("event_id").desc)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(max(when(col("rn_a") === 1, col("event_type"))).as("entry"),
+        max(when(col("rn_d") === 1, col("event_type"))).as("exit"),
+        count(lit(1)).as("n_events"),
+        ((max(col("tsu")) - min(col("tsu"))) / lit(1000000L))
+          .cast("long").as("duration_s"))
+    sessions.groupBy(col("entry"), col("exit"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("n_events") === 1, 1L).otherwise(0L)).as("n_bounces"),
+        sum(col("duration_s")).as("sum_duration_s"))
+      .select(col("entry"), col("exit"), col("n_sessions"), col("n_bounces"),
+        expr("(n_bounces * 1000000) div n_sessions").as("bounce_ppm"),
+        expr("sum_duration_s div n_sessions").as("avg_duration_s"))
+  }
+
+  /** Oracle: the sessionAggSql gaps-and-islands chain + ROW_NUMBER
+    * first/last picks. Integer duration: µs difference // 10⁶ (both
+    * engines floor a nonneg integer division).
+    */
+  val sessionEntriesSql: String =
+    s"""WITH marked AS (
+       |  SELECT user_id, event_id, event_type, epoch_us(ts) AS tsu,
+       |    CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+       |         OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > ${GAP_SEC}000000
+       |         THEN 1 ELSE 0 END AS new_session
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+       |), numbered AS (
+       |  SELECT *, SUM(new_session) OVER (
+       |    PARTITION BY user_id ORDER BY tsu, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+       |  FROM marked
+       |), ranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (
+       |      PARTITION BY user_id, session_id ORDER BY tsu ASC, event_id ASC
+       |    ) AS rn_a,
+       |    ROW_NUMBER() OVER (
+       |      PARTITION BY user_id, session_id ORDER BY tsu DESC, event_id DESC
+       |    ) AS rn_d
+       |  FROM numbered
+       |), sessions AS (
+       |  SELECT user_id, session_id,
+       |         MAX(CASE WHEN rn_a = 1 THEN event_type END) AS entry,
+       |         MAX(CASE WHEN rn_d = 1 THEN event_type END) AS exit,
+       |         COUNT(*) AS n_events,
+       |         (MAX(tsu) - MIN(tsu)) // 1000000 AS duration_s
+       |  FROM ranked GROUP BY 1, 2
+       |)
+       |SELECT entry, exit, COUNT(*) AS n_sessions,
+       |       CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_bounces,
+       |       CAST((SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 1000000)
+       |            // COUNT(*) AS BIGINT) AS bounce_ppm,
+       |       CAST(CAST(SUM(duration_s) AS BIGINT) // COUNT(*) AS BIGINT)
+       |         AS avg_duration_s
+       |FROM sessions GROUP BY 1, 2""".stripMargin
+
   /** Grouping sets: CUBE over (returnflag, linestatus) with exact sums. */
   def cubeAgg(spark: SparkSession, sfDir: String): DataFrame =
     Tables.lineitem(spark, sfDir)
@@ -1597,6 +1682,7 @@ object AnalyticsJobs {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rfm_segments" -> rfmSegments,
+    "session_entries" -> sessionEntries,
     "item_triangles" -> itemTriangles,
     "item_kcore" -> itemKcore,
     "anomaly_days" -> anomalyDays,
@@ -1630,6 +1716,7 @@ object AnalyticsJobs {
 
   val oracles: Map[String, String] = Map(
     "rfm_segments" -> rfmSegmentsSql,
+    "session_entries" -> sessionEntriesSql,
     "item_triangles" -> itemTrianglesSql,
     "item_kcore" -> itemKcoreSql,
     "anomaly_days" -> anomalyDaysSql,

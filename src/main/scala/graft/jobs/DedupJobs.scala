@@ -1190,6 +1190,38 @@ object DedupJobs {
        |GROUP BY c.source, ins.docs_in, ins.tokens_in""".stripMargin
   }
 
+  /** Near-dup family-size histogram — the distribution a dedup run
+    * publishes to justify its thresholds: per family size, how many
+    * families, how many documents they hold, and the documents' corpus
+    * share ppm. Composes [[dedupClusters]] with two bounded aggregates
+    * (family-keyed count → size-keyed count) and a 1-row total broadcast.
+    */
+  def dedupClusterSizes(spark: SparkSession, sfDir: String): DataFrame = {
+    val sizes = dedupClusters(spark, sfDir)
+      .groupBy(col("cluster")).agg(count(lit(1)).as("csize"))
+    val total = sizes.agg(sum(col("csize")).as("n_total"))
+    sizes.groupBy(col("csize")).agg(count(lit(1)).as("n_families"))
+      .crossJoin(broadcast(total))
+      .select(col("csize"), col("n_families"),
+        (col("csize") * col("n_families")).as("n_docs"),
+        expr("(csize * n_families * 1000000) div n_total")
+          .as("docs_share_ppm"))
+  }
+
+  // lazy: composes dedupClustersSql, declared later in the file
+  lazy val dedupClusterSizesSql: String =
+    s"""WITH cl AS (
+       |  SELECT doc_id, cluster FROM ($dedupClustersSql) cq
+       |), sizes AS (
+       |  SELECT cluster, COUNT(*) AS csize FROM cl GROUP BY 1
+       |), t AS (SELECT CAST(SUM(csize) AS BIGINT) AS n_total FROM sizes)
+       |SELECT csize, COUNT(*) AS n_families,
+       |       CAST(csize * COUNT(*) AS BIGINT) AS n_docs,
+       |       CAST((csize * COUNT(*) * 1000000) // t.n_total AS BIGINT)
+       |         AS docs_share_ppm
+       |FROM sizes CROSS JOIN t
+       |GROUP BY csize, t.n_total""".stripMargin
+
   /** One-row dataset card — the header of every corpus release: doc /
     * char / token totals, lang & source counts, distinct-content count
     * with the exact-dup ppm, and the mean quality in 1e-4 units (each
@@ -1705,6 +1737,7 @@ object DedupJobs {
     "source_caps_quality" -> sourceCapsQuality,
     "split_balance" -> splitBalance,
     "corpus_summary" -> corpusSummary,
+    "dedup_cluster_sizes" -> dedupClusterSizes,
     "training_order" -> trainingOrder,
     "curation_screened" -> curationScreened,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
@@ -1738,6 +1771,7 @@ object DedupJobs {
     "source_caps_quality" -> sourceCapsQualitySql,
     "split_balance" -> splitBalanceSql,
     "corpus_summary" -> corpusSummarySql,
+    "dedup_cluster_sizes" -> dedupClusterSizesSql,
     "training_order" -> trainingOrderSql,
     "curation_screened" -> curationScreenedSql,
     "dedup_minhash_lsh" -> dedupMinhashLshSql,

@@ -51,6 +51,7 @@ object PlanAudit {
       "rfm_segments" -> ("CROSSes are the 1-row corpus-max-day and 1-row user-count broadcasts (the " +
         "mixture_plan pattern), multiplied through the plan by the three prefix-sum rank joins — " +
         "every build side is a 1-row aggregate, never corpus-sized"),
+      "dedup_cluster_sizes" -> "CROSS is the 1-row family-total aggregate broadcast (the mixture_plan pattern)",
       "rrf_fusion" -> ("CROSS is the bounded query-side broadcast of the dense list's brute-force baseline " +
         "(ann_cosine_topk's shape; the artifact-served IVF path is the documented scale swap-in); " +
         "the sparse list is an inverted-index equi-join on int token hashes, and the fusion join runs on (queries x depth)-bounded frames"),

@@ -382,6 +382,37 @@ class AnalyticsJobsSpec extends SparkSpec {
     }
   }
 
+  test("session_entries: entry/exit/bounce matrix re-derives from a walk") {
+    val sfd = sf("sf0.001")
+    val ev = graft.io.Tables.events(spark, sfd)
+      .selectExpr("user_id", "unix_micros(ts) as tsu", "event_id", "event_type")
+      .as[(Long, Long, Long, String)].collect()
+    val gap = 1800L * 1000000L
+    val sessions = ev.groupBy(_._1).values.flatMap { rows =>
+      val sorted = rows.sortBy(r => (r._2, r._3)).toList
+      val out = scala.collection.mutable.ListBuffer[List[(Long, Long, Long, String)]]()
+      sorted.foreach { r =>
+        if (out.isEmpty || r._2 - out.last.last._2 > gap) out += List(r)
+        else out(out.length - 1) = out.last :+ r
+      }
+      out.map { s =>
+        (s.head._4, s.last._4, s.length.toLong,
+          (s.last._2 - s.head._2) / 1000000L)
+      }
+    }.toSeq
+    val expected = sessions.groupBy(s => (s._1, s._2)).map { case (k, ss) =>
+      val n = ss.size.toLong
+      val b = ss.count(_._3 == 1L).toLong
+      k -> (n, b, b * 1000000L / n, ss.map(_._4).sum / n)
+    }
+    val got = jobs.AnalyticsJobs.sessionEntries(spark, sfd).collect()
+      .map(r => (r.getAs[String]("entry"), r.getAs[String]("exit")) ->
+        (r.getAs[Long]("n_sessions"), r.getAs[Long]("n_bounces"),
+          r.getAs[Long]("bounce_ppm"), r.getAs[Long]("avg_duration_s"))).toMap
+    assert(got == expected)
+    assert(got.values.map(_._1).sum == sessions.size.toLong)
+  }
+
   test("rfm_segments: quintile scores re-derive from a sorted recompute") {
     val sfd = sf("sf0.001")
     val ev = graft.io.Tables.events(spark, sfd)

@@ -478,6 +478,25 @@ class DedupSpec extends SparkSpec {
       .forall(_.getAs[Long]("kept") == 1L))
   }
 
+  test("dedup_cluster_sizes: histogram re-derives, covers the corpus once") {
+    import graft.jobs.DedupJobs
+    val sfd = sf("sf0.001")
+    val fam = DedupJobs.dedupClusters(spark, sfd)
+      .groupBy($"cluster").count().select($"count").as[Long].collect()
+    val expected = fam.groupBy(identity).map { case (s, o) =>
+      s -> (o.size.toLong, s * o.size,
+        s * o.size * 1000000L / fam.sum)
+    }
+    val got = DedupJobs.dedupClusterSizes(spark, sfd).collect()
+      .map(r => r.getAs[Long]("csize") ->
+        (r.getAs[Long]("n_families"), r.getAs[Long]("n_docs"),
+          r.getAs[Long]("docs_share_ppm"))).toMap
+    assert(got == expected)
+    assert(got.map(_._2._2).sum ==
+      graft.io.Tables.documents(spark, sfd).count())
+    assert(got.keySet.exists(_ > 1L), "a real family size in the histogram")
+  }
+
   test("corpus_summary: one-row card re-derives from a full collect") {
     import graft.jobs.DedupJobs
     import graft.ops.TextAnalysis
