@@ -53,6 +53,49 @@ object AnalyticsJobs {
        |       ROUND(SUM(value) + 1e-9, 2) AS sum_value
        |FROM numbered GROUP BY user_id, session_id""".stripMargin
 
+  /** Per-item view→purchase funnel — the merchandising read of the event
+    * log: per item, view count, purchase count, integer-cents revenue and
+    * the view-to-buy conversion ppm (floor division, greatest(views, 1)
+    * guards purchase-without-view items). One conditional aggregation
+    * over the item key — map-side combinable, catalog-sized output.
+    */
+  def itemConversion(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select((regexp_extract(col("props"), "\"k\"\\s*:\\s*(-?\\d+)", 1)
+          .cast("long")).as("item_id"),
+        col("event_type"),
+        expr("cast(round(value * 100 + 1e-9) as bigint)").as("cents"))
+      .filter(col("item_id").isNotNull)
+      .groupBy(col("item_id"))
+      .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L))
+          .as("views"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("purchases"),
+        sum(when(col("event_type") === "purchase", col("cents"))
+          .otherwise(0L)).as("revenue_cents"))
+      .select(col("item_id"), col("views"), col("purchases"),
+        col("revenue_cents"),
+        expr("(purchases * 1000000) div greatest(views, 1)")
+          .as("view_to_buy_ppm"))
+
+  val itemConversionSql: String =
+    s"""SELECT CAST(json_extract_string(props, '$$.k') AS BIGINT) AS item_id,
+       |       CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+       |            AS BIGINT) AS views,
+       |       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+       |            AS BIGINT) AS purchases,
+       |       CAST(SUM(CASE WHEN event_type = 'purchase'
+       |            THEN CAST(round(value * 100 + 1e-9) AS BIGINT)
+       |            ELSE 0 END) AS BIGINT) AS revenue_cents,
+       |       CAST((SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+       |             * 1000000)
+       |            // greatest(SUM(CASE WHEN event_type = 'view'
+       |                       THEN 1 ELSE 0 END), 1) AS BIGINT)
+       |         AS view_to_buy_ppm
+       |FROM events
+       |WHERE json_extract_string(props, '$$.k') IS NOT NULL
+       |GROUP BY 1""".stripMargin
+
   /** Entry/exit session analysis — the landing/bounce read on top of the
     * [[sessionAgg]] gaps-and-islands sessionization: per (entry event
     * type, exit event type) the session count, bounce count (single-event
@@ -1683,6 +1726,7 @@ object AnalyticsJobs {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rfm_segments" -> rfmSegments,
     "session_entries" -> sessionEntries,
+    "item_conversion" -> itemConversion,
     "item_triangles" -> itemTriangles,
     "item_kcore" -> itemKcore,
     "anomaly_days" -> anomalyDays,
@@ -1717,6 +1761,7 @@ object AnalyticsJobs {
   val oracles: Map[String, String] = Map(
     "rfm_segments" -> rfmSegmentsSql,
     "session_entries" -> sessionEntriesSql,
+    "item_conversion" -> itemConversionSql,
     "item_triangles" -> itemTrianglesSql,
     "item_kcore" -> itemKcoreSql,
     "anomaly_days" -> anomalyDaysSql,

@@ -2476,8 +2476,83 @@ object TextJobs {
        |FROM d JOIN enc USING (doc_id)
        |GROUP BY lang""".stripMargin
 
+  /** Decile lift table for the trained quality classifier — the gains
+    * chart every model eval publishes: documents ranked by trained score
+    * (desc, doc_id tie-break), cut into 10 exact floor-arithmetic deciles
+    * (the rfm_segments rule — NTILE's remainder is avoided), each decile
+    * reporting its positive-label rate against the base rate and the
+    * ppm-scaled lift (pos_ppm·10⁶ div base_ppm — both factors ≤ 10⁶, so
+    * the product stays far from BIGINT range at any corpus size). The
+    * global rank uses the trainingOrder distributed prefix-sum pattern;
+    * the trained model is the content-memoized Rocchio pass the other two
+    * classifier gates already share.
+    */
+  def classifierLift(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = qualityClassifierTrained(spark, sfDir)
+      .select(col("doc_id"), col("score_t"),
+        col("label_q").cast("long").as("pos"))
+    val b = scored.select(col("doc_id"), col("pos"), (-col("score_t")).as("sk"))
+      .repartitionByRange(col("sk"), col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+      .cache() // the partitioner samples — pin one boundary cut
+    val offsets = b.groupBy(col("pid")).agg(count(lit(1)).as("part_n"))
+      .withColumn("part_offset", coalesce(sum(col("part_n")).over(
+        Window.orderBy(col("pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("pid"), col("part_offset"))
+    val totals = scored.agg(count(lit(1)).as("n_total"),
+      sum(col("pos")).as("pos_total"))
+    b.join(broadcast(offsets), "pid")
+      .withColumn("rank", col("part_offset") + row_number().over(
+        Window.partitionBy(col("pid"))
+          .orderBy(col("sk").asc, col("doc_id").asc)))
+      .crossJoin(broadcast(totals))
+      .select(expr("((rank - 1) * 10) div n_total + 1").as("decile"),
+        col("pos"), col("n_total"), col("pos_total"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("pos")).as("n_pos"),
+        max(col("n_total")).as("n_total"), max(col("pos_total")).as("pos_total"))
+      .select(col("decile"), col("n_docs"), col("n_pos"),
+        expr("(n_pos * 1000000) div n_docs").as("pos_ppm"),
+        expr("(pos_total * 1000000) div n_total").as("base_ppm"),
+        expr("(((n_pos * 1000000) div n_docs) * 1000000)" +
+          " div greatest((pos_total * 1000000) div n_total, 1)")
+          .as("lift_ppm"))
+  }
+
+  /** Oracle: [[qualityClassifierTrainedSql]] composed verbatim + the same
+    * global rank and floor-decile arithmetic (HUGEINT sums cast back).
+    */
+  lazy val classifierLiftSql: String =
+    s"""WITH scored AS (
+       |  SELECT doc_id, score_t,
+       |         CAST(CASE WHEN label_q THEN 1 ELSE 0 END AS BIGINT) AS pos
+       |  FROM ($qualityClassifierTrainedSql) q
+       |), t AS (
+       |  SELECT COUNT(*) AS n_total, CAST(SUM(pos) AS BIGINT) AS pos_total
+       |  FROM scored
+       |), r AS (
+       |  SELECT pos, ROW_NUMBER() OVER (
+       |    ORDER BY -score_t ASC, doc_id ASC) AS rank
+       |  FROM scored
+       |), d AS (
+       |  SELECT ((rank - 1) * 10) // t.n_total + 1 AS decile, pos,
+       |         t.n_total, t.pos_total
+       |  FROM r CROSS JOIN t
+       |)
+       |SELECT decile, COUNT(*) AS n_docs, CAST(SUM(pos) AS BIGINT) AS n_pos,
+       |       CAST((SUM(pos) * 1000000) // COUNT(*) AS BIGINT) AS pos_ppm,
+       |       CAST((MAX(pos_total) * 1000000) // MAX(n_total) AS BIGINT)
+       |         AS base_ppm,
+       |       CAST((((SUM(pos) * 1000000) // COUNT(*)) * 1000000)
+       |            // greatest((MAX(pos_total) * 1000000) // MAX(n_total), 1)
+       |            AS BIGINT) AS lift_ppm
+       |FROM d GROUP BY decile""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tokenizer_fertility" -> tokenizerFertility,
+    "classifier_lift" -> classifierLift,
     "score_calibrate" -> scoreCalibrate,
     "cdc_chunks" -> cdcChunks,
     "tokenizer_compare" -> tokenizerCompare,
@@ -2513,6 +2588,7 @@ object TextJobs {
 
   val oracles: Map[String, String] = Map(
     "tokenizer_fertility" -> tokenizerFertilitySql,
+    "classifier_lift" -> classifierLiftSql,
     "tokenizer_compare" -> tokenizerCompareSql,
     "cdc_chunks" -> cdcChunksSql,
     "score_calibrate" -> scoreCalibrateSql,

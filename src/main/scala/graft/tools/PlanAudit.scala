@@ -52,6 +52,9 @@ object PlanAudit {
         "mixture_plan pattern), multiplied through the plan by the three prefix-sum rank joins — " +
         "every build side is a 1-row aggregate, never corpus-sized"),
       "dedup_cluster_sizes" -> "CROSS is the 1-row family-total aggregate broadcast (the mixture_plan pattern)",
+      "classifier_lift" -> ("CROSSes are 1-row model/total frames: the loaded Rocchio weights + midpoint " +
+        "theta (quality_from_artifact's documented shape) plus the 1-row n_total/pos_total aggregate " +
+        "broadcast into the decile arithmetic — never corpus-sized"),
       "rrf_fusion" -> ("CROSS is the bounded query-side broadcast of the dense list's brute-force baseline " +
         "(ann_cosine_topk's shape; the artifact-served IVF path is the documented scale swap-in); " +
         "the sparse list is an inverted-index equi-join on int token hashes, and the fusion join runs on (queries x depth)-bounded frames"),

@@ -382,6 +382,28 @@ class AnalyticsJobsSpec extends SparkSpec {
     }
   }
 
+  test("item_conversion: per-item funnel re-derives from a collect") {
+    val sfd = sf("sf0.001")
+    val ev = graft.io.Tables.events(spark, sfd)
+      .selectExpr("cast(regexp_extract(props, '\"k\"\\\\s*:\\\\s*(-?\\\\d+)', 1) as long) as item",
+        "event_type", "cast(round(value * 100 + 1e-9) as bigint) as cents")
+      .filter("item is not null")
+      .as[(Long, String, Long)].collect()
+    val expected = ev.groupBy(_._1).map { case (i, rows) =>
+      val v = rows.count(_._2 == "view").toLong
+      val p = rows.count(_._2 == "purchase").toLong
+      i -> (v, p, rows.filter(_._2 == "purchase").map(_._3).sum,
+        p * 1000000L / math.max(v, 1L))
+    }
+    val got = jobs.AnalyticsJobs.itemConversion(spark, sfd).collect()
+      .map(r => r.getAs[Long]("item_id") ->
+        (r.getAs[Long]("views"), r.getAs[Long]("purchases"),
+          r.getAs[Long]("revenue_cents"), r.getAs[Long]("view_to_buy_ppm")))
+      .toMap
+    assert(got == expected)
+    assert(got.values.exists(_._2 > 0), "fixture has purchases")
+  }
+
   test("session_entries: entry/exit/bounce matrix re-derives from a walk") {
     val sfd = sf("sf0.001")
     val ev = graft.io.Tables.events(spark, sfd)

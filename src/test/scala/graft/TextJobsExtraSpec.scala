@@ -333,6 +333,35 @@ class TextJobsExtraSpec extends SparkSpec {
     }
   }
 
+  test("classifier_lift: deciles re-derive, top decile beats the base rate") {
+    import graft.jobs.TextJobs
+    val sfd = sf("sf0.001")
+    val scored = TextJobs.qualityClassifierTrained(spark, sfd)
+      .selectExpr("doc_id", "score_t", "cast(label_q as long) as pos")
+      .as[(Long, Long, Long)].collect()
+    val n = scored.length.toLong
+    val posTotal = scored.map(_._3).sum
+    val ranked = scored.sortBy(r => (-r._2, r._1)).zipWithIndex
+    val expected = ranked.groupBy { case (_, i) => i.toLong * 10 / n + 1 }
+      .map { case (d, rows) =>
+        val nd = rows.length.toLong
+        val np = rows.map(_._1._3).sum
+        val posPpm = np * 1000000L / nd
+        val basePpm = posTotal * 1000000L / n
+        d -> (nd, np, posPpm, basePpm,
+          posPpm * 1000000L / math.max(basePpm, 1L))
+      }
+    val got = TextJobs.classifierLift(spark, sfd).collect()
+      .map(r => r.getAs[Long]("decile") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_pos"),
+          r.getAs[Long]("pos_ppm"), r.getAs[Long]("base_ppm"),
+          r.getAs[Long]("lift_ppm"))).toMap
+    assert(got == expected)
+    assert(got.keySet == (1L to 10L).toSet)
+    // the trained classifier must concentrate positives up top
+    assert(got(1L)._5 > 1000000L, s"top-decile lift ${got(1L)._5} <= 1x")
+  }
+
   test("tokenizer_fertility: per-lang ratios re-derive from the encode pass") {
     import graft.jobs.TextJobs
     val sfd = sf("sf0.001")
