@@ -53,6 +53,80 @@ object AnalyticsJobs {
        |       ROUND(SUM(value) + 1e-9, 2) AS sum_value
        |FROM numbered GROUP BY user_id, session_id""".stripMargin
 
+  private val BASKET_CAP = 50    // same power-user rationale as SIM_USER_CAP
+  private val BASKET_MIN_SUPPORT = 2L
+
+  /** Market-basket association rules over PURCHASES only — the directed
+    * "customers who bought A also bought B" read (vs [[itemSimilarity]]'s
+    * symmetric all-event Jaccard): per ordered item pair, support (users
+    * buying both), confidence_ppm = support·10⁶ div n_ante, and
+    * lift_ppm = (confidence_ppm · n_users) div n_cons — the declared
+    * two-step floor contract keeps every product ≤ 10⁶·|users|, far from
+    * BIGINT range at any scale (the single-expression
+    * support·users·10⁶ div (na·nc) form would overflow at 10⁹ users).
+    * Pairs below [[BASKET_MIN_SUPPORT]] are noise and dropped. Scale
+    * shape: the pair join runs per-user under [[BASKET_CAP]] (the
+    * quadratic fence), support sums are map-side combinable, and the
+    * user total rides as a 1-row broadcast.
+    */
+  def basketPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val up = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("u"),
+        (regexp_extract(col("props"), "\"k\"\\s*:\\s*(-?\\d+)", 1)
+          .cast("long")).as("i"))
+      .filter(col("i").isNotNull)
+      .distinct()
+    val kept = up.join(
+      up.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") <= BASKET_CAP).select(col("u")), "u")
+      .cache()
+    val nUsers = kept.select(col("u")).distinct()
+      .agg(count(lit(1)).as("n_users"))
+    val sizes = kept.groupBy(col("i")).agg(count(lit(1)).as("n"))
+    kept.alias("a").join(kept.alias("b"),
+        col("a.u") === col("b.u") && col("a.i") =!= col("b.i"))
+      .groupBy(col("a.i").as("ante"), col("b.i").as("cons"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= BASKET_MIN_SUPPORT)
+      .join(sizes.select(col("i").as("ante"), col("n").as("n_ante")), "ante")
+      .join(sizes.select(col("i").as("cons"), col("n").as("n_cons")), "cons")
+      .crossJoin(broadcast(nUsers))
+      .select(col("ante"), col("cons"), col("support"), col("n_ante"),
+        col("n_cons"),
+        expr("(support * 1000000) div n_ante").as("confidence_ppm"),
+        expr("(((support * 1000000) div n_ante) * n_users) div n_cons")
+          .as("lift_ppm"))
+  }
+
+  val basketPairsSql: String =
+    s"""WITH up AS (
+       |  SELECT DISTINCT user_id AS u,
+       |         CAST(json_extract_string(props, '$$.k') AS BIGINT) AS i
+       |  FROM events
+       |  WHERE event_type = 'purchase'
+       |    AND json_extract_string(props, '$$.k') IS NOT NULL
+       |), kept AS (
+       |  SELECT up.u, up.i FROM up JOIN (
+       |    SELECT u FROM up GROUP BY u HAVING COUNT(*) <= $BASKET_CAP) d
+       |  ON d.u = up.u
+       |), nu AS (SELECT COUNT(DISTINCT u) AS n_users FROM kept),
+       |sizes AS (SELECT i, COUNT(*) AS n FROM kept GROUP BY i),
+       |co AS (
+       |  SELECT a.i AS ante, b.i AS cons, COUNT(*) AS support
+       |  FROM kept a JOIN kept b ON a.u = b.u AND a.i <> b.i
+       |  GROUP BY 1, 2
+       |  HAVING COUNT(*) >= $BASKET_MIN_SUPPORT
+       |)
+       |SELECT co.ante, co.cons, co.support, sa.n AS n_ante, sc.n AS n_cons,
+       |       CAST((co.support * 1000000) // sa.n AS BIGINT)
+       |         AS confidence_ppm,
+       |       CAST((((co.support * 1000000) // sa.n) * nu.n_users) // sc.n
+       |            AS BIGINT) AS lift_ppm
+       |FROM co JOIN sizes sa ON sa.i = co.ante
+       |        JOIN sizes sc ON sc.i = co.cons
+       |        CROSS JOIN nu""".stripMargin
+
   /** Per-item view→purchase funnel — the merchandising read of the event
     * log: per item, view count, purchase count, integer-cents revenue and
     * the view-to-buy conversion ppm (floor division, greatest(views, 1)
@@ -1727,6 +1801,7 @@ object AnalyticsJobs {
     "rfm_segments" -> rfmSegments,
     "session_entries" -> sessionEntries,
     "item_conversion" -> itemConversion,
+    "basket_pairs" -> basketPairs,
     "item_triangles" -> itemTriangles,
     "item_kcore" -> itemKcore,
     "anomaly_days" -> anomalyDays,
@@ -1762,6 +1837,7 @@ object AnalyticsJobs {
     "rfm_segments" -> rfmSegmentsSql,
     "session_entries" -> sessionEntriesSql,
     "item_conversion" -> itemConversionSql,
+    "basket_pairs" -> basketPairsSql,
     "item_triangles" -> itemTrianglesSql,
     "item_kcore" -> itemKcoreSql,
     "anomaly_days" -> anomalyDaysSql,

@@ -214,13 +214,53 @@ object FunnelJobs {
        |         AS ltv_per_user_cents
        |FROM cells""".stripMargin
 
+  /** Per-cohort churn rates — the read retention dashboards alert on:
+    * a user is churned when their last activity predates the corpus's
+    * final week (the corpus-relative "now" of rfm_segments). Per
+    * signup-week cohort: users, churned count, churn ppm (floor division
+    * of exact counts). One user-keyed min/max aggregation + a
+    * cohort-keyed conditional agg; the corpus max-week rides as a 1-row
+    * broadcast.
+    */
+  def churnRates(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), expr(s"unix_micros(ts) div $WEEK_US").as("week"))
+    val users = ev.groupBy(col("user_id"))
+      .agg(min(col("week")).as("cohort_week"), max(col("week")).as("last_week"))
+    val maxWeek = ev.agg(max(col("week")).as("max_week"))
+    users.crossJoin(broadcast(maxWeek))
+      .groupBy(col("cohort_week"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(when(col("last_week") < col("max_week"), 1L).otherwise(0L))
+          .as("n_churned"))
+      .select(col("cohort_week"), col("n_users"), col("n_churned"),
+        expr("(n_churned * 1000000) div n_users").as("churn_ppm"))
+  }
+
+  val churnRatesSql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, epoch_us(ts) // $WEEK_US AS week FROM events
+       |), u AS (
+       |  SELECT user_id, MIN(week) AS cohort_week, MAX(week) AS last_week
+       |  FROM e GROUP BY user_id
+       |), m AS (SELECT MAX(week) AS max_week FROM e)
+       |SELECT cohort_week, COUNT(*) AS n_users,
+       |       CAST(SUM(CASE WHEN last_week < m.max_week THEN 1 ELSE 0 END)
+       |            AS BIGINT) AS n_churned,
+       |       CAST((SUM(CASE WHEN last_week < m.max_week THEN 1 ELSE 0 END)
+       |             * 1000000) // COUNT(*) AS BIGINT) AS churn_ppm
+       |FROM u CROSS JOIN m
+       |GROUP BY cohort_week, m.max_week""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "funnel" -> funnel,
     "cohort_ltv" -> cohortLtv,
+    "churn_rates" -> churnRates,
     "retention_cohorts" -> retentionCohorts)
 
   val oracles: Map[String, String] = Map(
     "funnel" -> funnelSql,
     "cohort_ltv" -> cohortLtvSql,
+    "churn_rates" -> churnRatesSql,
     "retention_cohorts" -> retentionCohortsSql)
 }

@@ -382,6 +382,35 @@ class AnalyticsJobsSpec extends SparkSpec {
     }
   }
 
+  test("basket_pairs: directed association rules re-derive exactly") {
+    val sfd = sf("sf0.001")
+    val up = graft.io.Tables.events(spark, sfd)
+      .filter($"event_type" === "purchase")
+      .selectExpr("user_id as u",
+        "cast(regexp_extract(props, '\"k\"\\\\s*:\\\\s*(-?\\\\d+)', 1) as long) as i")
+      .filter("i is not null").distinct()
+      .as[(Long, Long)].collect()
+    val kept = up.groupBy(_._1).filter(_._2.length <= 50).values.flatten.toSeq
+    val nUsers = kept.map(_._1).distinct.size.toLong
+    val sizes = kept.groupBy(_._2).map { case (i, o) => i -> o.size.toLong }
+    val co = kept.groupBy(_._1).values.toSeq.flatMap { items =>
+      val is = items.map(_._2)
+      for (a <- is; b <- is if a != b) yield (a, b)
+    }.groupBy(identity).map { case (k, o) => k -> o.size.toLong }
+      .filter(_._2 >= 2L)
+    val expected = co.map { case ((a, b), s) =>
+      val conf = s * 1000000L / sizes(a)
+      (a, b) -> (s, sizes(a), sizes(b), conf, conf * nUsers / sizes(b))
+    }
+    val got = jobs.AnalyticsJobs.basketPairs(spark, sfd).collect()
+      .map(r => (r.getAs[Long]("ante"), r.getAs[Long]("cons")) ->
+        (r.getAs[Long]("support"), r.getAs[Long]("n_ante"),
+          r.getAs[Long]("n_cons"), r.getAs[Long]("confidence_ppm"),
+          r.getAs[Long]("lift_ppm"))).toMap
+    assert(got == expected)
+    assert(got.nonEmpty, "fixture yields co-purchases at support >= 2")
+  }
+
   test("item_conversion: per-item funnel re-derives from a collect") {
     val sfd = sf("sf0.001")
     val ev = graft.io.Tables.events(spark, sfd)

@@ -153,6 +153,28 @@ class FunnelSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("churn_rates: per-cohort churn re-derives from user activity spans") {
+    val sfd = sf("sf0.001")
+    val ev = graft.io.Tables.events(spark, sfd)
+      .selectExpr("user_id", s"unix_micros(ts) div ${7L * 86400 * 1000000} as week")
+      .as[(Long, Long)].collect()
+    val maxWeek = ev.map(_._2).max
+    val users = ev.groupBy(_._1).map { case (u, r) =>
+      (u, r.map(_._2).min, r.map(_._2).max)
+    }.toSeq
+    val expected = users.groupBy(_._2).map { case (c, us) =>
+      val n = us.size.toLong
+      val ch = us.count(_._3 < maxWeek).toLong
+      c -> (n, ch, ch * 1000000L / n)
+    }
+    val got = jobs.FunnelJobs.churnRates(spark, sfd).collect()
+      .map(r => r.getAs[Long]("cohort_week") ->
+        (r.getAs[Long]("n_users"), r.getAs[Long]("n_churned"),
+          r.getAs[Long]("churn_ppm"))).toMap
+    assert(got == expected)
+    assert(got.values.map(_._1).sum == users.size.toLong)
+  }
+
   test("cohort_ltv: cumulative curves re-derive from a collected recompute") {
     val sfd = sf("sf0.001")
     val ev = graft.io.Tables.events(spark, sfd)
