@@ -170,6 +170,66 @@ object AnalyticsJobs {
        |WHERE json_extract_string(props, '$$.k') IS NOT NULL
        |GROUP BY 1""".stripMargin
 
+  /** Deterministic A/B experiment readout — assignment plus the per-arm
+    * scorecard in one pass: arm = md5(user_id) mod 2 (the [[DedupJobs]]
+    * trainSplit hash discipline — content-independent and
+    * engine-reproducible, so any engine, any run, any partitioning lands
+    * the identical assignment; swapping in a salted experiment key is a
+    * one-literal change), then per arm the exact user/event/purchaser/
+    * purchase counts, integer-cents revenue, and floor-division
+    * conversion + revenue-per-user rates. Intentionally NO z-score/
+    * p-value column: sqrt is the libm drift zone, and the exact counts
+    * emitted here are sufficient statistics for any driver-side test.
+    * Scale shape: one conditional aggregation; the distinct counts
+    * first aggregate the (arm, user) pairs — high-cardinality partial
+    * aggs, map-side combinable — before the 2-row arm rollup.
+    */
+  def abMetrics(spark: SparkSession, sfDir: String): DataFrame = {
+    val arm = when(
+      conv(substring(md5(col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 2 === 0, "A").otherwise("B")
+    Tables.events(spark, sfDir)
+      .select(arm.as("arm"), col("user_id"), col("event_type"),
+        expr("cast(round(value * 100 + 1e-9) as bigint)").as("cents"))
+      .groupBy(col("arm"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"),
+        countDistinct(when(col("event_type") === "purchase", col("user_id")))
+          .as("n_purchasers"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("n_purchases"),
+        sum(when(col("event_type") === "purchase", col("cents"))
+          .otherwise(0L)).as("revenue_cents"))
+      .select(col("arm"), col("n_users"), col("n_events"),
+        col("n_purchasers"), col("n_purchases"), col("revenue_cents"),
+        expr("(n_purchasers * 1000000) div n_users").as("conversion_ppm"),
+        expr("revenue_cents div n_users").as("rev_per_user_cents"))
+  }
+
+  val abMetricsSql: String =
+    s"""WITH e AS (
+       |  SELECT CASE WHEN ${OracleSql.hexIntSql("user_id::VARCHAR")} % 2 = 0
+       |              THEN 'A' ELSE 'B' END AS arm,
+       |         user_id, event_type,
+       |         CAST(round(value * 100 + 1e-9) AS BIGINT) AS cents
+       |  FROM events
+       |)
+       |SELECT arm, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events,
+       |       COUNT(DISTINCT CASE WHEN event_type = 'purchase'
+       |                      THEN user_id END) AS n_purchasers,
+       |       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+       |            AS BIGINT) AS n_purchases,
+       |       CAST(SUM(CASE WHEN event_type = 'purchase' THEN cents
+       |                ELSE 0 END) AS BIGINT) AS revenue_cents,
+       |       CAST((COUNT(DISTINCT CASE WHEN event_type = 'purchase'
+       |                             THEN user_id END) * 1000000)
+       |            // COUNT(DISTINCT user_id) AS BIGINT) AS conversion_ppm,
+       |       CAST(CAST(SUM(CASE WHEN event_type = 'purchase' THEN cents
+       |                     ELSE 0 END) AS BIGINT)
+       |            // COUNT(DISTINCT user_id) AS BIGINT)
+       |         AS rev_per_user_cents
+       |FROM e GROUP BY arm""".stripMargin
+
   /** Entry/exit session analysis — the landing/bounce read on top of the
     * [[sessionAgg]] gaps-and-islands sessionization: per (entry event
     * type, exit event type) the session count, bounce count (single-event
@@ -1802,6 +1862,7 @@ object AnalyticsJobs {
     "session_entries" -> sessionEntries,
     "item_conversion" -> itemConversion,
     "basket_pairs" -> basketPairs,
+    "ab_metrics" -> abMetrics,
     "item_triangles" -> itemTriangles,
     "item_kcore" -> itemKcore,
     "anomaly_days" -> anomalyDays,
@@ -1838,6 +1899,7 @@ object AnalyticsJobs {
     "session_entries" -> sessionEntriesSql,
     "item_conversion" -> itemConversionSql,
     "basket_pairs" -> basketPairsSql,
+    "ab_metrics" -> abMetricsSql,
     "item_triangles" -> itemTrianglesSql,
     "item_kcore" -> itemKcoreSql,
     "anomaly_days" -> anomalyDaysSql,

@@ -401,6 +401,64 @@ object SimilarityJobs {
        |       CAST(MAX(n) AS DOUBLE) / CAST(SUM(n) AS BIGINT) AS purity
        |FROM cl GROUP BY cell""".stripMargin
 
+  private val OUTLIER_K = 3
+
+  /** Per-cell outlier manifest: the [[OUTLIER_K]] members of each trained
+    * k-means cell with the LOWEST cosine to their own centroid — the
+    * curation review queue (mislabeled scrapes, decode garbage, off-topic
+    * strays) that complements [[embeddingClusters]]'s mean-cohesion
+    * report. Assignment is the same C-bounded broadcast argmax; the
+    * per-cell rank is computed in TWO phases because C is SMALL: a
+    * partition-local `sort_array(collect_list(...))[1:k]` combiner first
+    * reduces the window's input to ≤ cells × partitions × k rows (the
+    * session_paths ordered-truncation contract shape), so the final
+    * per-cell `row_number` never sees a corpus-sized partition — a naive
+    * window PARTITION BY cell would funnel n/C rows into C tasks at
+    * 100 TB. Ranking orders by the rounded 6-decimal cosine (engine-exact
+    * under the +1e-12 discipline), vec_id tie-break.
+    */
+  def embeddingOutliers(spark: SparkSession, sfDir: String): DataFrame = {
+    val v = vectors(spark, sfDir).cache()
+    val cents = trainedCents(v)
+    val scored = v.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cent_id"),
+        Similarity.cosine(col("v"), col("norm"), col("cv"), col("cnorm"))
+          .as("cscore"))
+    val assigned = graft.ops.TopN
+      .topNPer(scored, col("vec_id"), col("cscore"), col("cent_id"), 1)
+      .select(col("cent_id").as("cell"), col("vec_id"),
+        col("cscore").as("sim"))
+    val local = assigned
+      .groupBy(spark_partition_id().as("pid"), col("cell"))
+      .agg(slice(sort_array(collect_list(struct(col("sim"), col("vec_id")))),
+        1, OUTLIER_K).as("cand"))
+      .select(col("cell"), explode(col("cand")).as("c"))
+      .select(col("cell"), col("c.vec_id").as("vec_id"), col("c.sim").as("sim"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("cell"))
+      .orderBy(col("sim").asc, col("vec_id").asc)
+    local.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= OUTLIER_K)
+      .select(col("cell"), col("vec_id"), col("sim"), col("rn"))
+  }
+
+  val embeddingOutliersSql: String =
+    s"""WITH $kmeansPrefixSql, asg AS (
+       |  SELECT vec_id, cent_id AS cell, sim FROM (
+       |    SELECT e.vec_id, c.cent_id,
+       |      ROUND(list_cosine_similarity(e.v, c.cv) + 1e-12, 6) AS sim,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+       |        ROUND(list_cosine_similarity(e.v, c.cv) + 1e-12, 6) DESC,
+       |        c.cent_id ASC) AS rn
+       |    FROM e CROSS JOIN cent$KM_ITERS c) r
+       |  WHERE rn = 1
+       |)
+       |SELECT cell, vec_id, sim, rn FROM (
+       |  SELECT cell, vec_id, sim, ROW_NUMBER() OVER (
+       |    PARTITION BY cell ORDER BY sim ASC, vec_id ASC) AS rn
+       |  FROM asg) r
+       |WHERE rn <= $OUTLIER_K""".stripMargin
+
   /** Int8 quantization manifest — the storage/serving compression step of
     * an embedding pipeline (scale = max|v|/127 per vector, q_i = round(
     * v_i/scale)). Sketchy floats are kept OUT of the output: the manifest
@@ -1226,6 +1284,7 @@ object SimilarityJobs {
     "ann_ivf_trained" -> annIvfTrained,
     "embedding_clusters" -> embeddingClusters,
     "cluster_purity" -> clusterPurity,
+    "embedding_outliers" -> embeddingOutliers,
     "semantic_dedup" -> semanticDedup)
 
   val oracles: Map[String, String] = Map(
@@ -1251,5 +1310,6 @@ object SimilarityJobs {
     "ann_ivf_trained" -> annIvfTrainedSql,
     "embedding_clusters" -> embeddingClustersSql,
     "cluster_purity" -> clusterPuritySql,
+    "embedding_outliers" -> embeddingOutliersSql,
     "semantic_dedup" -> semanticDedupSql)
 }

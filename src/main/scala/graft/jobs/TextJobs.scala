@@ -1516,6 +1516,171 @@ object TextJobs {
        |  FROM scored) r
        |WHERE rn <= $TFIDF_K""".stripMargin
 
+  private val ASSOC_VOCAB = 50
+  private val ASSOC_MIN_CO = 5
+
+  /** Term-association (collocation) mining — which frequent terms
+    * co-occur in documents beyond chance: over the [[ASSOC_VOCAB]] most
+    * document-frequent tokens, every ordered pair with co-occurrence ≥
+    * [[ASSOC_MIN_CO]] docs, plus lift_ppm under the same two-step floor
+    * contract as basket_pairs ((co·10⁶ div na)·N div nb — every product
+    * ≤ 10⁶·N, BIGINT-safe at any corpus size). The vocabulary fence is
+    * what makes the quadratic zone finite: the pair join runs on the
+    * doc-keyed incidence frame restricted to vocab terms, ≤ V²/2 pairs
+    * per doc, and pairs ride INT vocab ranks (vid), not token strings —
+    * the round-2 join-key rule; tokens re-attach from the V-row
+    * broadcast after the agg. The vid rank itself is a window over the
+    * 50-row TakeOrdered result (bounded, like q3_shipping's rank
+    * attach), and doc count N is a 1-row broadcast.
+    */
+  def termAssociations(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val tf = docs.select(col("doc_id"),
+        explode(TextAnalysis.tokens(lower(col("text")))).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("df").desc, col("token").asc)
+    val vocab = dfreq.orderBy(col("df").desc, col("token").asc)
+      .limit(ASSOC_VOCAB)
+      .withColumn("vid", row_number().over(w).cast("long"))
+      .cache()
+    val inc = tf.join(broadcast(vocab.select(col("token"), col("vid"))),
+        "token")
+      .select(col("doc_id"), col("vid"))
+      .cache()
+    inc.alias("a").join(inc.alias("b"),
+        col("a.doc_id") === col("b.doc_id") && col("a.vid") < col("b.vid"))
+      .groupBy(col("a.vid").as("va"), col("b.vid").as("vb"))
+      .agg(count(lit(1)).as("co"))
+      .filter(col("co") >= ASSOC_MIN_CO)
+      .join(broadcast(vocab.select(col("vid").as("va"),
+        col("token").as("term_a"), col("df").as("na"))), "va")
+      .join(broadcast(vocab.select(col("vid").as("vb"),
+        col("token").as("term_b"), col("df").as("nb"))), "vb")
+      .crossJoin(broadcast(n))
+      .select(col("term_a"), col("term_b"), col("co"), col("na"), col("nb"),
+        expr("(((co * 1000000) div na) * n_docs) div nb").as("lift_ppm"))
+  }
+
+  val termAssociationsSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[A-Za-z0-9]+')) AS token
+       |  FROM documents
+       |), tf AS (
+       |  SELECT doc_id, token, COUNT(*) AS tf FROM t GROUP BY 1, 2
+       |), dfreq AS (
+       |  SELECT token, COUNT(*) AS df FROM tf GROUP BY 1
+       |), vocab AS (
+       |  SELECT token, df, rn AS vid FROM (
+       |    SELECT token, df, ROW_NUMBER() OVER (
+       |      ORDER BY df DESC, token ASC) AS rn FROM dfreq) r
+       |  WHERE rn <= $ASSOC_VOCAB
+       |), inc AS (
+       |  SELECT tf.doc_id, v.vid FROM tf JOIN vocab v USING (token)
+       |), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+       |pairs AS (
+       |  SELECT a.vid AS va, b.vid AS vb, COUNT(*) AS co
+       |  FROM inc a JOIN inc b ON a.doc_id = b.doc_id AND a.vid < b.vid
+       |  GROUP BY 1, 2
+       |  HAVING COUNT(*) >= $ASSOC_MIN_CO
+       |)
+       |SELECT wa.token AS term_a, wb.token AS term_b, p.co,
+       |       wa.df AS na, wb.df AS nb,
+       |       CAST((((p.co * 1000000) // wa.df) * n.n_docs) // wb.df
+       |            AS BIGINT) AS lift_ppm
+       |FROM pairs p JOIN vocab wa ON wa.vid = p.va
+       |             JOIN vocab wb ON wb.vid = p.vb
+       |             CROSS JOIN n""".stripMargin
+
+  /** The fixed conjunctive query set for [[keywordSearch]] — ONE Scala
+    * constant emitted into both the plan (literal frame) and the oracle
+    * SQL (VALUES list), the shared-constants discipline of planeWeight.
+    */
+  private[graft] val SEARCH_QUERIES: Seq[(Long, Seq[String])] = Seq(
+    1L -> Seq("hash", "join"),
+    2L -> Seq("window", "sort", "order"),
+    3L -> Seq("merge", "scan"))
+  private val SEARCH_K = 5
+
+  /** Conjunctive keyword retrieval over the inverted index — the boolean
+    * search primitive (docs containing ALL terms of a query, ranked by
+    * summed term frequency, top-[[SEARCH_K]] per query, doc_id
+    * tie-break). The postings list is the same (doc, token, tf) frame
+    * TF-IDF builds; the query set is a broadcast literal frame, so
+    * retrieval is one broadcast hash join (a map-side filter of the
+    * postings scan — O(Σ matched postings), never a corpus scan per
+    * query) + a (query, doc)-keyed count/sum agg. The AND semantics
+    * fall out of `n_hit = n_terms` (postings are per-(doc, token)
+    * distinct, so the count IS the matched-term count). Per-query top-k
+    * is two-phase like [[SimilarityJobs.embeddingOutliers]]: the query
+    * set is tiny, so a naive PARTITION BY query_id window would funnel
+    * every matching doc into |queries| tasks — a partition-local
+    * `sort_array(collect_list)[1:k]` combiner bounds the final window's
+    * input by queries × partitions × k.
+    */
+  def keywordSearch(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val terms = SEARCH_QUERIES
+      .flatMap { case (q, ts) => ts.map(t => (q, t)) }
+      .toDF("query_id", "term")
+    val nTerms = SEARCH_QUERIES.map { case (q, ts) => (q, ts.size.toLong) }
+      .toDF("query_id", "n_terms")
+    val tf = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        explode(TextAnalysis.tokens(lower(col("text")))).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val hits = tf.join(broadcast(terms), col("token") === col("term"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_hit"), sum(col("tf")).as("score"))
+      .join(broadcast(nTerms), "query_id")
+      .filter(col("n_hit") === col("n_terms"))
+    val local = hits
+      .groupBy(spark_partition_id().as("pid"), col("query_id"))
+      .agg(slice(sort_array(collect_list(struct(
+        (-col("score")).as("neg"), col("doc_id"), col("score")))),
+        1, SEARCH_K).as("cand"))
+      .select(col("query_id"), explode(col("cand")).as("c"))
+      .select(col("query_id"), col("c.doc_id").as("doc_id"),
+        col("c.score").as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    local.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= SEARCH_K)
+      .select(col("query_id"), col("doc_id"), col("score"), col("rn"))
+  }
+
+  val keywordSearchSql: String = {
+    val vals = SEARCH_QUERIES
+      .flatMap { case (q, ts) => ts.map(t => s"($q, '$t')") }
+      .mkString(", ")
+    s"""WITH q AS (
+       |  SELECT CAST(query_id AS BIGINT) AS query_id, term
+       |  FROM (VALUES $vals) v(query_id, term)
+       |), t AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[A-Za-z0-9]+')) AS token
+       |  FROM documents
+       |), tf AS (
+       |  SELECT doc_id, token, COUNT(*) AS tf FROM t GROUP BY 1, 2
+       |), nq AS (SELECT query_id, COUNT(*) AS n_terms FROM q GROUP BY 1),
+       |hits AS (
+       |  SELECT q.query_id, tf.doc_id, COUNT(*) AS n_hit,
+       |         CAST(SUM(tf.tf) AS BIGINT) AS score
+       |  FROM q JOIN tf ON tf.token = q.term
+       |  GROUP BY 1, 2
+       |)
+       |SELECT query_id, doc_id, score, rn FROM (
+       |  SELECT h.query_id, h.doc_id, h.score, ROW_NUMBER() OVER (
+       |    PARTITION BY h.query_id ORDER BY h.score DESC, h.doc_id ASC) AS rn
+       |  FROM hits h JOIN nq USING (query_id)
+       |  WHERE h.n_hit = nq.n_terms) r
+       |WHERE rn <= $SEARCH_K""".stripMargin
+  }
+
   /** Gopher/C4-style within-document repetition signals — the quality
     * filters every LLM-corpus pipeline applies before training: duplicate
     * word fraction, most-frequent-bigram mass, and duplicate-bigram mass,
@@ -2553,6 +2718,8 @@ object TextJobs {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tokenizer_fertility" -> tokenizerFertility,
     "classifier_lift" -> classifierLift,
+    "keyword_search" -> keywordSearch,
+    "term_associations" -> termAssociations,
     "score_calibrate" -> scoreCalibrate,
     "cdc_chunks" -> cdcChunks,
     "tokenizer_compare" -> tokenizerCompare,
@@ -2589,6 +2756,8 @@ object TextJobs {
   val oracles: Map[String, String] = Map(
     "tokenizer_fertility" -> tokenizerFertilitySql,
     "classifier_lift" -> classifierLiftSql,
+    "keyword_search" -> keywordSearchSql,
+    "term_associations" -> termAssociationsSql,
     "tokenizer_compare" -> tokenizerCompareSql,
     "cdc_chunks" -> cdcChunksSql,
     "score_calibrate" -> scoreCalibrateSql,

@@ -83,6 +83,10 @@ object PlanAudit {
         "(the serve-time cell assignment against the persisted k-means artifact, same shape as semantic_dedup's in-line trained cells); " +
         "the pair stage stays the within-cell int-keyed equi-join on distinct vectors"),
       "mixture_plan" -> "CROSS is the 1-row total-weight aggregate broadcast",
+      "basket_pairs" -> "CROSS is the 1-row kept-user-count aggregate broadcast (the mixture_plan pattern)",
+      "term_associations" -> "CROSS is the 1-row doc-count aggregate broadcast (the mixture_plan pattern); the pair join itself is vocab-fenced and int-keyed",
+      "churn_rates" -> "CROSS is the 1-row corpus-max-week aggregate broadcast (the mixture_plan pattern)",
+      "embedding_outliers" -> centroidCross,
       "dedup_eval" -> ("CROSSes are the 1-row count-aggregate broadcasts (n_cand, tp) joined onto n_truth " +
         "for the single metrics row; the pair inputs are the two already-fenced dedup contracts"),
       "coreset_kcenter" -> ("CROSS is the k-row (k=8) chosen-center frame broadcast into the assignment scan " +

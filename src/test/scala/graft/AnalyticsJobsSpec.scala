@@ -411,6 +411,38 @@ class AnalyticsJobsSpec extends SparkSpec {
     assert(got.nonEmpty, "fixture yields co-purchases at support >= 2")
   }
 
+  test("ab_metrics: per-arm scorecard re-derives from a collected md5 split") {
+    val sfd = sf("sf0.001")
+    val ev = graft.io.Tables.events(spark, sfd)
+      .selectExpr("user_id", "event_type",
+        "cast(round(value * 100 + 1e-9) as bigint) as cents")
+      .as[(Long, String, Long)].collect()
+    def armOf(u: Long): String = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(u.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      if (java.lang.Long.parseLong(hex, 16) % 2 == 0) "A" else "B"
+    }
+    val expected = ev.groupBy(e => armOf(e._1)).map { case (arm, rows) =>
+      val users = rows.map(_._1).distinct.size.toLong
+      val purch = rows.filter(_._2 == "purchase")
+      val purchasers = purch.map(_._1).distinct.size.toLong
+      val rev = purch.map(_._3).sum
+      arm -> (users, rows.size.toLong, purchasers, purch.size.toLong, rev,
+        purchasers * 1000000L / users, rev / users)
+    }
+    val got = jobs.AnalyticsJobs.abMetrics(spark, sfd).collect()
+      .map(r => r.getAs[String]("arm") ->
+        (r.getAs[Long]("n_users"), r.getAs[Long]("n_events"),
+          r.getAs[Long]("n_purchasers"), r.getAs[Long]("n_purchases"),
+          r.getAs[Long]("revenue_cents"), r.getAs[Long]("conversion_ppm"),
+          r.getAs[Long]("rev_per_user_cents"))).toMap
+    assert(got == expected)
+    // the hash split must genuinely populate both arms
+    assert(got.keySet == Set("A", "B"))
+    assert(got.values.forall(_._1 > 0))
+  }
+
   test("item_conversion: per-item funnel re-derives from a collect") {
     val sfd = sf("sf0.001")
     val ev = graft.io.Tables.events(spark, sfd)

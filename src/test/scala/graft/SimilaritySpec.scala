@@ -403,4 +403,28 @@ class SimilaritySpec extends SparkSpec {
       got.exists(r => r._4 > 0 && r._5 > 0))
     assert(got.exists(r => r._5 > 0))
   }
+
+  test("embedding_outliers: per-cell farthest members match a re-derivation") {
+    import graft.io.Tables
+    val sfd = sf("sf0.001")
+    val vr = Similarity.withNorm(Tables.embeddings(spark, sfd),
+      $"vec_id", $"embedding").cache()
+    val cents = Similarity.kmeansCentroids(vr, 16, 2)
+    val scored = vr.crossJoin(broadcast(cents))
+      .select($"vec_id", $"cent_id",
+        Similarity.cosine($"v", $"norm", $"cv", $"cnorm").as("cscore"))
+    val assigned = graft.ops.TopN
+      .topNPer(scored, $"vec_id", $"cscore", $"cent_id", 1)
+      .select($"cent_id", $"vec_id", $"cscore")
+      .as[(Long, Long, Double)].collect()
+    val expected = assigned.groupBy(_._1).toSeq.flatMap { case (cell, rows) =>
+      rows.toSeq.sortBy(r => (r._3, r._2)).take(3).zipWithIndex
+        .map { case ((_, v, s), i) => (cell, v, s, (i + 1).toLong) }
+    }.toSet
+    val got = SimilarityJobs.embeddingOutliers(spark, sfd)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(got == expected)
+    // outliers are genuinely far: every flagged sim is below the corpus max
+    assert(got.nonEmpty && got.forall(_._3 < 1.0))
+  }
 }

@@ -80,4 +80,44 @@ class StreamingTextSpec extends SparkSpec {
     assert(want.exists(_(2).asInstanceOf[Long] > 0L),
       "corpus must contain intra-doc repeats at w=3")
   }
+
+  test("standing-query matches equal the batch pipeline's pre-rank hits") {
+    implicit val sqlCtx = spark.sqlContext
+    val sfd = sf("sf0.001")
+    val docs = graft.io.Tables.documents(spark, sfd)
+      .select($"doc_id", $"text")
+    val rows = docs.as[(Long, String)].collect().map {
+      case (id, t) => (id, t, ts(id)) }
+
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val q = graft.streaming.SearchStream
+      .search(in.toDF().toDF("doc_id", "text", "ts"), "ts", "0 seconds")
+      .writeStream.format("memory").queryName("stream_search")
+      .outputMode("append").start()
+    val got = try {
+      in.addData(rows.toSeq: _*)
+      q.processAllAvailable()
+      spark.table("stream_search").collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id"),
+          r.getAs[Long]("score"))).toSet
+    } finally q.stop()
+
+    // batch truth: the conjunctive hits frame BEFORE the top-k rank
+    import org.apache.spark.sql.functions.{explode, lower}
+    val toks = docs
+      .select($"doc_id",
+        explode(graft.ops.TextAnalysis.tokens(lower($"text"))).as("t"))
+      .as[(Long, String)].collect()
+    val tf = toks.groupBy(identity).map { case ((d, t), o) =>
+      (d, t) -> o.size.toLong }
+    val byDoc = toks.map(_._1).distinct
+    val want = graft.jobs.TextJobs.SEARCH_QUERIES.flatMap {
+      case (qid, terms) =>
+        byDoc.filter(d => terms.forall(t => tf.contains((d, t))))
+          .map(d => (qid, d, terms.map(t => tf((d, t))).sum))
+    }.toSet
+    assert(got == want)
+    // matches outnumber the batch top-5 pages: the stream alerts on ALL
+    assert(got.size > 15)
+  }
 }

@@ -390,4 +390,57 @@ class TextJobsExtraSpec extends SparkSpec {
     assert(got.size >= 2)
     assert(got.values.forall(_._5 >= 1000000L))
   }
+
+  test("keyword_search: conjunctive retrieval re-derives from a collect") {
+    val sfd = sf("sf0.001")
+    val toks = graft.io.Tables.documents(spark, sfd)
+      .select($"doc_id", explode(TextAnalysis.tokens(lower($"text"))).as("t"))
+      .as[(Long, String)].collect()
+    val tf = toks.groupBy(identity).map { case ((d, t), o) =>
+      (d, t) -> o.size.toLong
+    }
+    val byDoc = toks.map(_._1).distinct
+    val expected = TextJobs.SEARCH_QUERIES.flatMap { case (qid, terms) =>
+      byDoc.filter(d => terms.forall(t => tf.contains((d, t))))
+        .map(d => (d, terms.map(t => tf((d, t))).sum))
+        .sortBy { case (d, s) => (-s, d) }.take(5).zipWithIndex
+        .map { case ((d, s), i) => (qid, d, s, (i + 1).toLong) }
+    }.toSet
+    val got = TextJobs.keywordSearch(spark, sfd)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == expected)
+    // every query must actually retrieve a full page of results
+    assert(TextJobs.SEARCH_QUERIES.forall { case (qid, _) =>
+      got.count(_._1 == qid) == 5
+    })
+  }
+
+  test("term_associations: vocab-fenced collocations re-derive from a collect") {
+    val sfd = sf("sf0.001")
+    val toks = graft.io.Tables.documents(spark, sfd)
+      .select($"doc_id", explode(TextAnalysis.tokens(lower($"text"))).as("t"))
+      .as[(Long, String)].collect()
+    val docSets = toks.groupBy(_._1).map { case (d, o) =>
+      d -> o.map(_._2).toSet }
+    val df = toks.distinct.groupBy(_._2).map { case (t, o) => t -> o.size.toLong }
+    val vocab = df.toSeq.sortBy { case (t, n) => (-n, t) }.take(50)
+      .zipWithIndex.map { case ((t, n), i) => t -> (i + 1L, n) }.toMap
+    val nDocs = graft.io.Tables.documents(spark, sfd).count()
+    val expected = (for {
+      (_, ts) <- docSets.toSeq
+      a <- ts.toSeq.filter(vocab.contains)
+      b <- ts.toSeq.filter(vocab.contains)
+      if vocab(a)._1 < vocab(b)._1
+    } yield (a, b)).groupBy(identity).map { case ((a, b), o) =>
+      (a, b) -> o.size.toLong
+    }.filter(_._2 >= 5L).map { case ((a, b), co) =>
+      val (na, nb) = (vocab(a)._2, vocab(b)._2)
+      (a, b, co, na, nb, ((co * 1000000L / na) * nDocs) / nb)
+    }.toSet
+    val got = TextJobs.termAssociations(spark, sfd)
+      .as[(String, String, Long, Long, Long, Long)].collect().toSet
+    assert(got == expected)
+    // the lift column is a real signal: both >1x and <1x pairs exist
+    assert(got.exists(_._6 > 1000000L) && got.exists(_._6 < 1000000L))
+  }
 }
