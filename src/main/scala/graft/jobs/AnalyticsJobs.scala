@@ -1857,7 +1857,129 @@ object AnalyticsJobs {
        |       + ((m_rank - 1) * 5) // n_users + 1 AS BIGINT) AS segment
        |FROM r CROSS JOIN n""".stripMargin
 
+  /** Changelog compaction to latest state — the CDC primitive every
+    * event-sourced store runs (Flink's keyed ValueState upsert, Kafka's
+    * compacted topic, a lakehouse MERGE): per (user, event_type), the
+    * last event's id/value plus first-seen and event count, i.e. the
+    * user-profile snapshot the raw log materializes to. The "last" row
+    * is the (ts, event_id)-argmax — event_id is unique, so the tie-break
+    * is total and the row deterministic; first/count are order-
+    * insensitive, so the streaming twin ([[graft.streaming.ProfileStream]])
+    * needs no watermark buffering to agree bit-for-bit.
+    *
+    * 100 TB shape: ONE user-keyed exchange; the rank filter is
+    * WindowGroupLimit (each task keeps ≤ 1 row per key BEFORE the
+    * shuffle, so late-arriving reprocessing never re-shuffles the full
+    * log), and the two window aggregates ride the same sort. Timestamps
+    * emit as epoch micros (exact integers in both engines).
+    */
+  def latestState(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+    val wOrd = w.orderBy(col("us").desc, col("event_id").desc)
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("event_id"), col("value"))
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("n_events", count(lit(1)).over(w))
+      .withColumn("first_us", min(col("us")).over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), col("first_us"),
+        col("us").as("last_us"), col("event_id").as("last_event_id"),
+        col("value").as("last_value"), col("n_events"))
+  }
+
+  val latestStateSql: String =
+    """SELECT user_id, event_type, first_us, us AS last_us,
+      |       event_id AS last_event_id, value AS last_value,
+      |       CAST(n_events AS BIGINT) AS n_events
+      |FROM (
+      |  SELECT user_id, event_type, epoch_us(ts) AS us, event_id, value,
+      |         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+      |           ORDER BY ts DESC, event_id DESC) AS rn,
+      |         COUNT(*) OVER (PARTITION BY user_id, event_type) AS n_events,
+      |         MIN(epoch_us(ts)) OVER (PARTITION BY user_id, event_type)
+      |           AS first_us
+      |  FROM events) w
+      |WHERE rn = 1""".stripMargin
+
+  private[jobs] val REACH_HOPS = 4
+
+  /** Seed-cohort sparsity for [[graphReach]]: a 1/29 hash-designated user
+    * subset. In production the seed list is external (labeled accounts,
+    * a fraud list, a marketing cohort); the hash stand-in keeps it
+    * deterministic and scale-free — probed NON-degenerate (multi-level
+    * BFS) at every fixture SF, where "all purchasers" saturated at hop 1.
+    */
+  private val REACH_SEED_MOD = 29L
+
+  /** Multi-source BFS reach from a designated seed cohort — "how far
+    * does the cohort's influence propagate through the interaction
+    * graph": every node within 4 hops of a seed user gets its exact hop
+    * distance ([[graft.ops.Graph.hopDistances]]: min-propagation,
+    * integer-exact, regime-selected like the PageRank family). Hop 1 =
+    * items the cohort touches, 2 = their co-users, 3/4 = the discovery
+    * frontier — the cohort-expansion / blast-radius primitive beside
+    * [[itemPpr]]'s weighted proximity.
+    */
+  def graphReach(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select((col("user_id") * 2).as("u"),
+        (regexp_extract(col("props"), "\"k\"\\s*:\\s*(-?\\d+)", 1)
+          .cast("long") * 2 + 1).as("it"))
+      .filter(col("it").isNotNull)
+    val edges = ev.select(col("u").as("src"), col("it").as("dst"))
+      .unionAll(ev.select(col("it").as("src"), col("u").as("dst")))
+    val seeds = Tables.events(spark, sfDir)
+      .filter(graft.ops.Dedup.md5Long(col("user_id").cast("string"))
+        % REACH_SEED_MOD === 0)
+      .select((col("user_id") * 2).as("seed"))
+    graft.ops.Graph.hopDistances(edges, seeds, maxHops = REACH_HOPS)
+      .select(
+        when(col("node") % 2 === 0, "user").otherwise("item").as("node_kind"),
+        expr("node div 2").as("node_id"),
+        col("dist"))
+  }
+
+  /** Oracle: the BFS levels unrolled — per hop, frontier⨝edges minus the
+    * settled set. Settled sets are diamond-referenced (next frontier's
+    * NOT IN + the union chain), so they MATERIALIZE per the round-11
+    * rule; frontiers are referenced once each.
+    */
+  val graphReachSql: String = {
+    val rounds = (1 to REACH_HOPS).map { i =>
+      s"""n$i AS (
+         |  SELECT DISTINCT e.dst AS node
+         |  FROM edges e JOIN n${i - 1} f ON f.node = e.src
+         |  WHERE e.dst NOT IN (SELECT node FROM d${i - 1})
+         |), d$i AS MATERIALIZED (
+         |  SELECT node, d FROM d${i - 1}
+         |  UNION ALL SELECT node, $i AS d FROM n$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ev AS (
+       |  SELECT user_id * 2 AS u,
+       |         CAST(json_extract_string(props, '$$.k') AS BIGINT) * 2 + 1 AS it
+       |  FROM events
+       |  WHERE json_extract_string(props, '$$.k') IS NOT NULL
+       |), e0 AS (SELECT DISTINCT u, it FROM ev),
+       |edges AS MATERIALIZED (SELECT u AS src, it AS dst FROM e0
+       |          UNION ALL SELECT it, u FROM e0),
+       |nodes AS (SELECT DISTINCT src AS node FROM edges),
+       |seeds AS (SELECT DISTINCT user_id * 2 AS node FROM events
+       |          WHERE ${OracleSql.hexIntSql("user_id::VARCHAR")}
+       |                % $REACH_SEED_MOD = 0),
+       |d0 AS MATERIALIZED (
+       |  SELECT n.node, 0 AS d FROM nodes n JOIN seeds s ON s.node = n.node),
+       |n0 AS (SELECT node FROM d0),
+       |$rounds
+       |SELECT CASE WHEN node % 2 = 0 THEN 'user' ELSE 'item' END AS node_kind,
+       |       node // 2 AS node_id, CAST(d AS BIGINT) AS dist
+       |FROM d$REACH_HOPS""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "latest_state" -> latestState,
+    "graph_reach" -> graphReach,
     "rfm_segments" -> rfmSegments,
     "session_entries" -> sessionEntries,
     "item_conversion" -> itemConversion,
@@ -1895,6 +2017,8 @@ object AnalyticsJobs {
     "value_histogram" -> valueHistogram)
 
   val oracles: Map[String, String] = Map(
+    "latest_state" -> latestStateSql,
+    "graph_reach" -> graphReachSql,
     "rfm_segments" -> rfmSegmentsSql,
     "session_entries" -> sessionEntriesSql,
     "item_conversion" -> itemConversionSql,

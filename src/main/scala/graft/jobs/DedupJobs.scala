@@ -1394,6 +1394,66 @@ object DedupJobs {
        |WHERE rn <= $CAP_PER_CELL""".stripMargin
   }
 
+  /** Keep-probability numerator/denominator for [[importanceResample]]:
+    * p = min(1, 3/2 · quality) — mild upweighting that saturates for the
+    * best documents and thins the tail proportionally.
+    */
+  private val RESAMPLE_NUM = 3L
+  private val RESAMPLE_DEN = 2L
+
+  /** Quality-weighted importance resampling (the CCNet/Dolma move): keep
+    * each document with probability proportional to its quality score
+    * instead of the all-or-nothing threshold a classifier gate applies —
+    * the tail thins smoothly, nothing is categorically censored, and the
+    * kept set is exactly reproducible. Deterministic Bernoulli: the
+    * "coin" is a salted md5 of the doc id mapped to ppm, the keep
+    * probability is an integer-ppm function of the shared
+    * [[graft.ops.TextAnalysis.qualityScore]], and a document is kept iff
+    * u_ppm < p_ppm — pure integer comparison, any engine identical.
+    *
+    * 100 TB shape: stateless row-local filter over one scan — no
+    * shuffle, no sample-size coordination (the binomial concentration at
+    * corpus scale makes a count-targeted pass unnecessary), pushdown
+    * reaches parquet for the projected columns.
+    */
+  def importanceResample(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.ops.TextAnalysis
+    val q = TextAnalysis.qualityScore(TextAnalysis.tokenCount(col("text")),
+      TextAnalysis.stopwordCount(col("text")))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), q.as("quality"))
+      // quality is 4-decimal-rounded, so q·10⁶ is an exact multiple of
+      // 100 — the round() never sits on a .5 boundary in either engine
+      .withColumn("q_ppm", expr("cast(round(quality * 1000000) as bigint)"))
+      .withColumn("p_ppm", least(lit(1000000L),
+        expr(s"(q_ppm * $RESAMPLE_NUM) div $RESAMPLE_DEN")))
+      .withColumn("u_ppm",
+        Dedup.md5Long(concat(lit("rs|"), col("doc_id").cast("string")))
+          % 1000000L)
+      .filter(col("u_ppm") < col("p_ppm"))
+      .select(col("doc_id"), col("source"), col("quality"), col("p_ppm"),
+        col("u_ppm"))
+  }
+
+  val importanceResampleSql: String = {
+    val nTokSql =
+      "CAST(length(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT)"
+    val nStopSql =
+      "CAST(length(regexp_extract_all(text, '\\b(the|a|of|and|to|in|is|on|for|with)\\b')) AS BIGINT)"
+    val qualitySql =
+      s"""ROUND(least(CAST($nTokSql AS DOUBLE) / 100.0, 1.0) * 0.6 +
+         |    (CAST($nStopSql AS DOUBLE) / CAST(greatest($nTokSql, 1) AS DOUBLE)) * 0.4
+         |    + 1e-9, 4)""".stripMargin
+    s"""SELECT doc_id, source, quality, p_ppm, u_ppm FROM (
+       |  SELECT doc_id, source, quality,
+       |         least(1000000, (CAST(ROUND(quality * 1000000, 0) AS BIGINT)
+       |           * $RESAMPLE_NUM) // $RESAMPLE_DEN) AS p_ppm,
+       |         ${hexIntSql("'rs|' || doc_id::VARCHAR")} % 1000000 AS u_ppm
+       |  FROM (SELECT doc_id, source, $qualitySql AS quality
+       |        FROM documents) q) r
+       |WHERE u_ppm < p_ppm""".stripMargin
+  }
+
   /** Deterministic global training order — the "global shuffle" step a
     * training-data pipeline runs last: every document gets a reproducible
     * position `seq` in the hash-shuffled interleave (order by md5
@@ -1733,6 +1793,7 @@ object DedupJobs {
     "curation_pipeline" -> curationPipeline,
     "doc_sample" -> docSample,
     "stratified_sample" -> stratifiedSample,
+    "importance_resample" -> importanceResample,
     "source_caps" -> sourceCaps,
     "source_caps_quality" -> sourceCapsQuality,
     "split_balance" -> splitBalance,
@@ -1767,6 +1828,7 @@ object DedupJobs {
     "curation_pipeline" -> curationPipelineSql,
     "doc_sample" -> docSampleSql,
     "stratified_sample" -> stratifiedSampleSql,
+    "importance_resample" -> importanceResampleSql,
     "source_caps" -> sourceCapsSql,
     "source_caps_quality" -> sourceCapsQualitySql,
     "split_balance" -> splitBalanceSql,

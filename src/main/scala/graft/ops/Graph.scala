@@ -607,6 +607,124 @@ object Graph {
           .otherwise(expr("(2 * tri * 1000000) div (deg * (deg - 1))")))
   }
 
+  /** Multi-source BFS hop distances over a directed edge list (`src`,
+    * `dst` LONG) from a seed frame (`seed` LONG): every node reachable
+    * within `maxHops` hops gets its exact shortest hop count — the
+    * reachability/"influence radius" primitive beside [[pageRank]]'s
+    * stationary mass (crawl frontiers, blast-radius analysis, cohort
+    * expansion). Seeds not present in the graph are ignored (distances
+    * are defined on the node set); unreachable nodes are absent from the
+    * output, not NULL rows.
+    *
+    * Exactness: hop counts are integers and min-propagation is
+    * order-independent, so any partitioning, any engine lands the
+    * identical frame and `maxHops` rounds restate as unrolled SQL CTEs
+    * (frontier join → anti-join against the settled set). BFS levels are
+    * monotone: a node is settled the first round it is reached, so early
+    * exit on an empty frontier is semantically invisible.
+    *
+    * Regimes ([[pageRank]] scaladoc; SCALE.md §8f/§8g): at or below
+    * `singleTaskEdgeLimit` the whole BFS runs in ONE task over interned
+    * primitive arrays (the seed set ships as an |S|-sized driver copy,
+    * the documented bounded-collect contract); above it, per-round
+    * frontier⨝edges equi-join + LONG-keyed anti-join against the settled
+    * frame, `localCheckpoint` every `checkpointEvery` rounds. Each round
+    * shuffles only the FRONTIER (≤ nodes), never the event log the edges
+    * were aggregated from. Output: (node, dist).
+    */
+  def hopDistances(edges: DataFrame, seeds: DataFrame, maxHops: Int,
+      checkpointEvery: Int = 5,
+      singleTaskEdgeLimit: Long = 4000000L): DataFrame =
+    hopDistancesInstrumented(edges, seeds, maxHops, checkpointEvery,
+      singleTaskEdgeLimit)._1
+
+  private[graft] def hopDistancesInstrumented(
+      edges: DataFrame, seeds: DataFrame, maxHops: Int,
+      checkpointEvery: Int = 5,
+      singleTaskEdgeLimit: Long = 4000000L): (DataFrame, Boolean) = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    require(maxHops >= 0, s"hopDistances: maxHops must be >= 0, got $maxHops")
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .distinct().cache()
+    val nEdges = e.count() // materializes the cache; picks the regime
+    val s = seeds.select(col("seed").cast("long")).distinct()
+
+    if (nEdges <= singleTaskEdgeLimit) {
+      // |S|-sized driver copy (bounded-collect contract, as in [[core]])
+      val seedSet = s.as[Long].collect().toSet
+      val out = e.as[(Long, Long)].coalesce(1).mapPartitions { it =>
+        val pairs = it.toArray
+        val idx = scala.collection.mutable.LongMap.empty[Int]
+        val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+        def intern(x: Long): Int =
+          idx.getOrElseUpdate(x, { ids += x; ids.length - 1 })
+        val srcI = new Array[Int](pairs.length)
+        val dstI = new Array[Int](pairs.length)
+        var i = 0
+        while (i < pairs.length) {
+          srcI(i) = intern(pairs(i)._1); dstI(i) = intern(pairs(i)._2)
+          i += 1
+        }
+        val n = ids.length
+        val dist = Array.fill(n)(Int.MaxValue)
+        var j = 0
+        while (j < n) { if (seedSet.contains(ids(j))) dist(j) = 0; j += 1 }
+        // level-synchronous relaxation: O(E) per hop, monotone levels
+        var h = 1
+        var changed = true
+        while (h <= maxHops && changed) {
+          changed = false
+          i = 0
+          while (i < pairs.length) {
+            if (dist(srcI(i)) == h - 1 && dist(dstI(i)) > h) {
+              dist(dstI(i)) = h; changed = true
+            }
+            i += 1
+          }
+          h += 1
+        }
+        ids.indices.iterator.filter(j => dist(j) != Int.MaxValue)
+          .map(j => (ids(j), dist(j).toLong))
+      }.toDF("node", "dist").localCheckpoint()
+      e.unpersist()
+      return (out, true)
+    }
+
+    // Distributed frontier loop: settled = everything reached so far,
+    // frontier = nodes settled exactly last round.
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    var settled = nodes
+      .join(broadcast(s.withColumnRenamed("seed", "node")), Seq("node"))
+      .select(col("node"), lit(0L).as("dist")).cache()
+    var frontier = settled
+    var frontierN = frontier.count() // materializes the seed frame
+    var prevSettled = settled
+    var prevFrontier = frontier
+    var h = 1
+    while (h <= maxHops && frontierN > 0) {
+      val news = e
+        .join(frontier.select(col("node").as("src")), "src")
+        .select(col("dst").as("node")).distinct()
+        .join(settled, Seq("node"), "left_anti")
+        .select(col("node"), lit(h.toLong).as("dist")).cache()
+      frontierN = news.count()
+      val next0 = settled.unionAll(news)
+      val next = if (h % checkpointEvery == 0) next0.localCheckpoint()
+                 else { val c = next0.cache(); c.count(); c }
+      if (prevFrontier ne prevSettled) prevFrontier.unpersist()
+      prevSettled.unpersist()
+      settled = next
+      prevSettled = next
+      frontier = news
+      prevFrontier = news
+      h += 1
+    }
+    e.unpersist()
+    (settled, false)
+  }
+
   /** The shared fixpoint. `seeds = None` is the uniform variant — restart
     * mass at every node, which needs no membership structures at all.
     */

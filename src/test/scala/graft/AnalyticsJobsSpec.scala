@@ -382,6 +382,69 @@ class AnalyticsJobsSpec extends SparkSpec {
     }
   }
 
+  test("latest_state: per-key argmax, first-seen, and count re-derive") {
+    val sfd = sf("sf0.001")
+    val ev = graft.io.Tables.events(spark, sfd)
+      .selectExpr("user_id", "event_type", "unix_micros(ts) as us",
+        "event_id", "value")
+      .as[(Long, String, Long, Long, Double)].collect()
+    val expected = ev.groupBy(e => (e._1, e._2)).map { case (k, rows) =>
+      val last = rows.maxBy(r => (r._3, r._4))
+      k -> (rows.map(_._3).min, last._3, last._4, last._5, rows.length.toLong)
+    }
+    val got = AnalyticsJobs.latestState(spark, sfd).collect().map { r =>
+      (r.getAs[Long]("user_id"), r.getAs[String]("event_type")) ->
+        (r.getAs[Long]("first_us"), r.getAs[Long]("last_us"),
+          r.getAs[Long]("last_event_id"), r.getAs[Double]("last_value"),
+          r.getAs[Long]("n_events"))
+    }.toMap
+    assert(got == expected)
+    // compaction must bind: some key holds more than one event
+    assert(got.values.exists(_._5 > 1L))
+  }
+
+  test("graph_reach: hop levels re-derive from a reference BFS; multi-level") {
+    val sfd = sf("sf0.001")
+    val up = graft.io.Tables.events(spark, sfd)
+      .selectExpr("user_id as u",
+        "cast(regexp_extract(props, '\"k\"\\\\s*:\\\\s*(-?\\\\d+)', 1) as long) as i")
+      .filter("i is not null").distinct()
+      .as[(Long, Long)].collect()
+    def md5Head(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16)
+    }
+    val edges = up.flatMap { case (u, i) =>
+      Seq((u * 2, i * 2 + 1), (i * 2 + 1, u * 2))
+    }.distinct.toSeq
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).toSet
+    val adj = edges.groupBy(_._1).map { case (s, g) => s -> g.map(_._2) }
+    val seeds = up.map(_._1 * 2).distinct
+      .filter(n => md5Head((n / 2).toString) % 29L == 0L)
+      .filter(nodes.contains).toSeq
+    var dist = seeds.map(_ -> 0L).toMap
+    var frontier = dist.keySet
+    var h = 1L
+    while (h <= 4 && frontier.nonEmpty) {
+      val nxt = frontier.flatMap(n => adj.getOrElse(n, Nil)).diff(dist.keySet)
+      dist = dist ++ nxt.map(_ -> h)
+      frontier = nxt
+      h += 1
+    }
+    val expected = dist.map { case (n, d) =>
+      (if (n % 2 == 0) "user" else "item", n / 2) -> d
+    }
+    val got = AnalyticsJobs.graphReach(spark, sfd).collect().map { r =>
+      (r.getAs[String]("node_kind"), r.getAs[Long]("node_id")) ->
+        r.getAs[Long]("dist")
+    }.toMap
+    assert(got == expected)
+    // the fixture must exercise multi-hop propagation, not a 1-hop flood
+    assert(got.values.toSet.size >= 3,
+      s"degenerate fixture: levels ${got.values.toSet}")
+  }
+
   test("basket_pairs: directed association rules re-derive exactly") {
     val sfd = sf("sf0.001")
     val up = graft.io.Tables.events(spark, sfd)

@@ -547,6 +547,39 @@ class DedupSpec extends SparkSpec {
     assert(docs.groupBy(d => (d._1, d._2)).exists(_._2.length > 3))
   }
 
+  test("importance_resample: integer Bernoulli keep set re-derives exactly") {
+    import graft.jobs.DedupJobs
+    import graft.ops.TextAnalysis
+    val sfd = sf("sf0.001")
+    val docs = graft.io.Tables.documents(spark, sfd)
+      .select($"doc_id", $"source",
+        TextAnalysis.qualityScore(TextAnalysis.tokenCount($"text"),
+          TextAnalysis.stopwordCount($"text")).as("q"))
+      .as[(Long, String, Double)].collect()
+    def md5Head(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16)
+    }
+    val expected = docs.flatMap { case (id, src, q) =>
+      val qPpm = math.round(q * 1000000.0)
+      val pPpm = math.min(1000000L, qPpm * 3L / 2L)
+      val uPpm = md5Head(s"rs|$id") % 1000000L
+      if (uPpm < pPpm) Some(id -> (src, q, pPpm, uPpm)) else None
+    }.toMap
+    val got = DedupJobs.importanceResample(spark, sfd).collect().map { r =>
+      r.getAs[Long]("doc_id") -> (r.getAs[String]("source"),
+        r.getAs[Double]("quality"), r.getAs[Long]("p_ppm"),
+        r.getAs[Long]("u_ppm"))
+    }.toMap
+    assert(got == expected)
+    // the filter must bind BOTH ways: some docs dropped, some kept, and
+    // some kept docs must owe their survival to p < 1 (u_ppm below a
+    // non-saturated p_ppm) — otherwise the weighting is vacuous
+    assert(got.nonEmpty && got.size < docs.length)
+    assert(got.values.exists(v => v._3 < 1000000L))
+  }
+
   test("split_balance: zero-filled grid, shares and drift re-derive") {
     import graft.jobs.DedupJobs
     val sfd = sf("sf0.001")

@@ -307,6 +307,68 @@ class GraphSpec extends SparkSpec {
     assert(got == got.keys.map(n => n -> ref(n)).toMap)
   }
 
+  test("hopDistances: BFS levels on a hand graph; regimes agree; ghosts ignored") {
+    // path 0-1-2-3-4-5 (symmetric) plus a disconnected edge 10-11; seed 99
+    // is not a graph node and must be silently ignored
+    val chain = (0L to 4L).flatMap(i => Seq((i, i + 1), (i + 1, i))) ++
+      Seq((10L, 11L), (11L, 10L))
+    val edges = chain.toDF("src", "dst")
+    val seeds = Seq(0L, 99L).toDF("seed")
+    val (one, p1) = Graph.hopDistancesInstrumented(edges, seeds, maxHops = 3)
+    val (dist, p2) = Graph.hopDistancesInstrumented(
+      edges, seeds, maxHops = 3, singleTaskEdgeLimit = 0L)
+    assert(p1 && !p2)
+    val a = one.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = dist.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+    // 4,5 are beyond maxHops; 10,11 unreachable — absent, never NULL rows
+    assert(a == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L))
+    // maxHops past the eccentricity: early exit must equal the exact run
+    val full = Graph.hopDistances(edges, Seq(0L).toDF("seed"), maxHops = 50)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(full == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L,
+      5L -> 5L))
+    val full2 = Graph.hopDistances(edges, Seq(0L).toDF("seed"), maxHops = 50,
+      singleTaskEdgeLimit = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(full2 == full)
+  }
+
+  test("hopDistances: random graph matches a reference BFS, both regimes") {
+    val rnd = new scala.util.Random(31)
+    val es = Seq.fill(150) {
+      (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong)
+    }.filter(e => e._1 != e._2).distinct
+    val seeds = Seq(1L, 4L, 7L)
+    def refBfs(maxHops: Int): Map[Long, Long] = {
+      val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct.toSet
+      val adj = es.groupBy(_._1).map { case (s, g) => s -> g.map(_._2) }
+      var dist = seeds.filter(nodes.contains).map(_ -> 0L).toMap
+      var frontier = dist.keySet
+      var h = 1L
+      while (h <= maxHops && frontier.nonEmpty) {
+        val nxt = frontier.flatMap(n => adj.getOrElse(n, Nil))
+          .diff(dist.keySet)
+        dist = dist ++ nxt.map(_ -> h)
+        frontier = nxt
+        h += 1
+      }
+      dist
+    }
+    for (hops <- Seq(0, 2, 5)) {
+      val (one, p1) = Graph.hopDistancesInstrumented(
+        es.toDF("src", "dst"), seeds.toDF("seed"), maxHops = hops)
+      val (dist, p2) = Graph.hopDistancesInstrumented(
+        es.toDF("src", "dst"), seeds.toDF("seed"), maxHops = hops,
+        singleTaskEdgeLimit = 0L)
+      assert(p1 && !p2)
+      val a = one.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val b = dist.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(a == b, s"regimes diverge at maxHops=$hops")
+      assert(a == refBfs(hops), s"BFS reference mismatch at maxHops=$hops")
+    }
+  }
+
   test("mass accounting: total rank stays within floor-loss of N*scale") {
     // each round redistributes total mass N·S: base injects 0.15·N·S and
     // damping passes ≤ 0.85·N·S; floor division only ever LOSES mass, at
