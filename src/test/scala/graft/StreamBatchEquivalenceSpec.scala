@@ -51,6 +51,43 @@ class StreamBatchEquivalenceSpec extends SparkSpec {
     }
   }
 
+  test("streaming profile compaction equals the batch argmax in any order") {
+    (1 to 5).foreach { seed =>
+      implicit val sqlCtx = spark.sqlContext
+      val rnd = new scala.util.Random(seed)
+      val data = rnd.shuffle(randomEvents(seed + 100, 200))
+      val in = MemoryStream[Event]
+      val name = s"eq_profiles_$seed"
+      val q = graft.streaming.ProfileStream
+        .profiles(in.toDF(), "ts", "0 seconds")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("update").start()
+      try {
+        // three shuffled chunks across micro-batches: arrival order and
+        // batching must be invisible (every profile field order-insensitive)
+        data.grouped(70).foreach { chunk =>
+          in.addData(chunk)
+          q.processAllAvailable()
+        }
+        // n_events strictly increases per re-emission, so the max-n_events
+        // row per key is the final state
+        val streaming = spark.table(name)
+          .as[(Long, String, Long, Long, Long, Double, Long)].collect()
+          .groupBy(r => (r._1, r._2))
+          .map { case (k, rows) => k -> rows.maxBy(_._7) }
+        val batch = data.groupBy(e => (e.user_id, e.event_type)).map {
+          case ((u, t), rows) =>
+            val last = rows.maxBy(e => (e.ts.getTime, e.event_id))
+            (u, t) -> ((u, t, rows.map(_.ts.getTime).min * 1000L,
+              last.ts.getTime * 1000L, last.event_id, last.value,
+              rows.length.toLong))
+        }
+        assert(streaming == batch, s"seed=$seed diverged")
+        assert(streaming.values.exists(_._7 > 1L)) // compaction binds
+      } finally q.stop()
+    }
+  }
+
   test("streaming MapState top-N equals batch rank once windows close") {
     (1 to 5).foreach { seed =>
       implicit val sqlCtx = spark.sqlContext
