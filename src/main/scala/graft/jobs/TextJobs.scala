@@ -2715,7 +2715,138 @@ object TextJobs {
        |            AS BIGINT) AS lift_ppm
        |FROM d GROUP BY decile""".stripMargin
 
+  /** Inter-classifier agreement (Cohen's kappa) between the declared
+    * hashed-linear gate ([[qualityClassifier]]) and the trained Rocchio
+    * gate ([[qualityClassifierTrained]]) — the eval a pipeline runs
+    * before swapping one quality filter for another: how much of the
+    * corpus would flip, and is the agreement better than chance. One
+    * confusion row of exact counts plus integer-ppm observed/expected
+    * agreement and kappa.
+    *
+    * Arithmetic contract: pe_ppm uses the basket_pairs two-step floor
+    * discipline (each product ≤ 10⁶·n, BIGINT-safe at any corpus size);
+    * kappa's numerator can be negative, and Spark `div` truncates toward
+    * zero where DuckDB `//` floors — so the sign is split out and every
+    * division runs on non-negative operands (both engines identical).
+    * Composed-eval rule: both inputs are registered pipelines; this
+    * layer adds one doc-keyed join + ONE 1-row conditional aggregate.
+    */
+  def classifierAgreement(spark: SparkSession, sfDir: String): DataFrame = {
+    val h = qualityClassifier(spark, sfDir).select(col("doc_id"), col("keep"))
+    val t = qualityClassifierTrained(spark, sfDir)
+      .select(col("doc_id"), col("keep_trained"))
+    h.join(t, "doc_id")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("keep") && col("keep_trained"), 1L).otherwise(0L))
+          .as("n11"),
+        sum(when(col("keep") && !col("keep_trained"), 1L).otherwise(0L))
+          .as("n10"),
+        sum(when(!col("keep") && col("keep_trained"), 1L).otherwise(0L))
+          .as("n01"),
+        sum(when(!col("keep") && !col("keep_trained"), 1L).otherwise(0L))
+          .as("n00"))
+      .select(col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
+        expr("((n11 + n00) * 1000000) div n").as("po_ppm"),
+        expr("(((n11 + n10) * 1000000) div n * (n11 + n01)) div n + " +
+          "(((n01 + n00) * 1000000) div n * (n10 + n00)) div n").as("pe_ppm"))
+      .withColumn("kappa_ppm",
+        expr("""CASE WHEN po_ppm >= pe_ppm
+               |  THEN ((po_ppm - pe_ppm) * 1000000)
+               |       div greatest(1000000 - pe_ppm, 1)
+               |  ELSE -(((pe_ppm - po_ppm) * 1000000)
+               |         div greatest(1000000 - pe_ppm, 1)) END""".stripMargin))
+  }
+
+  /** Oracle: the two classifier SQLs composed verbatim (single-reference
+    * CTEs, so no MATERIALIZED needed) + identical confusion/ppm/kappa
+    * arithmetic. lazy — composes vals declared later in object init.
+    */
+  lazy val classifierAgreementSql: String =
+    s"""WITH h AS (SELECT doc_id, keep FROM ($qualityClassifierSql) x),
+       |t AS (SELECT doc_id, keep_trained
+       |      FROM ($qualityClassifierTrainedSql) y),
+       |c AS (
+       |  SELECT COUNT(*) AS n,
+       |    CAST(SUM(CASE WHEN keep AND keep_trained THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n11,
+       |    CAST(SUM(CASE WHEN keep AND NOT keep_trained THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n10,
+       |    CAST(SUM(CASE WHEN NOT keep AND keep_trained THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n01,
+       |    CAST(SUM(CASE WHEN NOT keep AND NOT keep_trained THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n00
+       |  FROM h JOIN t USING (doc_id)
+       |), p AS (
+       |  SELECT *,
+       |    ((n11 + n00) * 1000000) // n AS po_ppm,
+       |    (((n11 + n10) * 1000000) // n * (n11 + n01)) // n
+       |      + (((n01 + n00) * 1000000) // n * (n10 + n00)) // n AS pe_ppm
+       |  FROM c
+       |)
+       |SELECT n, n11, n10, n01, n00,
+       |       CAST(po_ppm AS BIGINT) AS po_ppm,
+       |       CAST(pe_ppm AS BIGINT) AS pe_ppm,
+       |       CAST(CASE WHEN po_ppm >= pe_ppm
+       |         THEN ((po_ppm - pe_ppm) * 1000000)
+       |              // greatest(1000000 - pe_ppm, 1)
+       |         ELSE -(((pe_ppm - po_ppm) * 1000000)
+       |                // greatest(1000000 - pe_ppm, 1)) END AS BIGINT)
+       |         AS kappa_ppm
+       |FROM p""".stripMargin
+
+  private val TYPEAHEAD_K = 3
+  private val TYPEAHEAD_MAXLEN = 4
+
+  /** Search-suggest (typeahead) index: for every token prefix of length
+    * 1–4, the top-3 corpus completions by term frequency — the serving
+    * table an autocomplete box reads, built beside [[keywordSearch]]'s
+    * inverted index. Deterministic rank: (tf DESC, token ASC).
+    *
+    * 100 TB shape: the corpus collapses to the vocab in ONE token-keyed
+    * two-phase aggregate (map-side combinable); the ≤ 4× prefix
+    * expansion and the rank run on the vocab-sized frame, and the rank
+    * filter is WindowGroupLimit (≤ K rows per prefix per task before
+    * the exchange) — the corpus text never shuffles.
+    */
+  def searchTypeahead(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = Tables.documents(spark, sfDir)
+      .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("tf"))
+    val prefixes = (1 to TYPEAHEAD_MAXLEN).map { l =>
+      tf.filter(length(col("token")) >= l)
+        .select(substring(col("token"), 1, l).as("prefix"), col("token"),
+          col("tf"))
+    }.reduce(_ unionAll _)
+    val w = Window.partitionBy(col("prefix"))
+      .orderBy(col("tf").desc, col("token").asc)
+    prefixes.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= TYPEAHEAD_K)
+  }
+
+  val searchTypeaheadSql: String = {
+    val pre = (1 to TYPEAHEAD_MAXLEN).map { l =>
+      s"""SELECT substr(token, 1, $l) AS prefix, token, tf
+         |  FROM tf WHERE length(token) >= $l""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH toks AS (
+       |  SELECT unnest(regexp_extract_all(text, '[A-Za-z0-9]+')) AS token
+       |  FROM documents
+       |), tf AS (
+       |  SELECT token, COUNT(*) AS tf FROM toks GROUP BY 1
+       |), pre AS (
+       |  $pre
+       |)
+       |SELECT prefix, token, tf, rn FROM (
+       |  SELECT prefix, token, tf, ROW_NUMBER() OVER (
+       |    PARTITION BY prefix ORDER BY tf DESC, token ASC) AS rn
+       |  FROM pre) r
+       |WHERE rn <= $TYPEAHEAD_K""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "classifier_agreement" -> classifierAgreement,
+    "search_typeahead" -> searchTypeahead,
     "tokenizer_fertility" -> tokenizerFertility,
     "classifier_lift" -> classifierLift,
     "keyword_search" -> keywordSearch,
@@ -2754,6 +2885,8 @@ object TextJobs {
     "text_repetition" -> textRepetition)
 
   val oracles: Map[String, String] = Map(
+    "classifier_agreement" -> classifierAgreementSql,
+    "search_typeahead" -> searchTypeaheadSql,
     "tokenizer_fertility" -> tokenizerFertilitySql,
     "classifier_lift" -> classifierLiftSql,
     "keyword_search" -> keywordSearchSql,

@@ -102,7 +102,10 @@ object PlanAudit {
         "assignment scan (the serve-time twin of coreset_kcenter's assignment; no greedy rounds in this plan at all)"),
       "engagement_decay" -> "CROSS is the 1-row max-timestamp anchor broadcast into the scoring scan",
       "q3_shipping" -> "LeftOuter BNLJ builds on the bounded top-N candidate frame to attach global ranks without a single-partition window",
-      "quality_classifier_trained" -> "CROSSes are 1-row model frames (class centroids + midpoint threshold) broadcast into the scoring scan")
+      "quality_classifier_trained" -> "CROSSes are 1-row model frames (class centroids + midpoint threshold) broadcast into the scoring scan",
+      "classifier_agreement" -> ("CROSS is the trained side's 1-row midpoint-theta frame " +
+        "(quality_classifier_trained's documented shape); the agreement layer itself adds only " +
+        "a doc-keyed join + one 1-row conditional aggregate"))
 
     emit("# Plan audit -- every registered query")
     emit()

@@ -443,4 +443,53 @@ class TextJobsExtraSpec extends SparkSpec {
     // the lift column is a real signal: both >1x and <1x pairs exist
     assert(got.exists(_._6 > 1000000L) && got.exists(_._6 < 1000000L))
   }
+
+  test("classifier_agreement: kappa re-derives from the two gates' outputs") {
+    val sfd = sf("sf0.001")
+    val h = TextJobs.qualityClassifier(spark, sfd)
+      .select($"doc_id", $"keep").as[(Long, Boolean)].collect().toMap
+    val t = TextJobs.qualityClassifierTrained(spark, sfd)
+      .select($"doc_id", $"keep_trained").as[(Long, Boolean)].collect().toMap
+    val n = h.size.toLong
+    assert(t.keySet == h.keySet)
+    def cnt(a: Boolean, b: Boolean): Long =
+      h.count { case (id, ha) => ha == a && t(id) == b }.toLong
+    val (n11, n10, n01, n00) =
+      (cnt(true, true), cnt(true, false), cnt(false, true), cnt(false, false))
+    val po = (n11 + n00) * 1000000L / n
+    val pe = ((n11 + n10) * 1000000L / n * (n11 + n01)) / n +
+      ((n01 + n00) * 1000000L / n * (n10 + n00)) / n
+    val kappa =
+      if (po >= pe) (po - pe) * 1000000L / math.max(1000000L - pe, 1L)
+      else -((pe - po) * 1000000L / math.max(1000000L - pe, 1L))
+    val r = TextJobs.classifierAgreement(spark, sfd).collect().head
+    assert((r.getAs[Long]("n"), r.getAs[Long]("n11"), r.getAs[Long]("n10"),
+      r.getAs[Long]("n01"), r.getAs[Long]("n00")) == ((n, n11, n10, n01, n00)))
+    assert(r.getAs[Long]("po_ppm") == po && r.getAs[Long]("pe_ppm") == pe)
+    assert(r.getAs[Long]("kappa_ppm") == kappa)
+    // the comparison is non-degenerate: disagreement exists in both
+    // directions and agreement differs from chance
+    assert(n10 > 0 && n01 > 0 && kappa != 0L)
+  }
+
+  test("search_typeahead: per-prefix top-3 re-derives from token counts") {
+    val sfd = sf("sf0.001")
+    val tf = graft.io.Tables.documents(spark, sfd)
+      .select(explode(TextAnalysis.tokens($"text")).as("t"))
+      .as[String].collect()
+      .groupBy(identity).map { case (t, o) => t -> o.length.toLong }
+    val expected = (1 to 4).flatMap { l =>
+      tf.filter(_._1.length >= l).toSeq
+        .groupBy { case (t, _) => t.substring(0, l) }
+        .flatMap { case (p, ts) =>
+          ts.sortBy { case (t, c) => (-c, t) }.take(3).zipWithIndex
+            .map { case ((t, c), i) => (p, t, c, i + 1L) }
+        }
+    }.toSet
+    val got = TextJobs.searchTypeahead(spark, sfd)
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(got == expected)
+    // rank depth binds somewhere (a prefix with > 3 completions exists)
+    assert(got.groupBy(_._1).exists(_._2.size == 3))
+  }
 }
