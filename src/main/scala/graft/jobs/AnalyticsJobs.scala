@@ -1977,7 +1977,81 @@ object AnalyticsJobs {
        |FROM d$REACH_HOPS""".stripMargin
   }
 
+  private[jobs] val CHEAP_ROUNDS = 6
+
+  /** Weighted cheapest connection cost from the [[graphReach]] seed
+    * cohort — the cost-aware sibling of the hop BFS: edge cost
+    * 10⁶ div cnt falls with interaction count, so a strong two-hop
+    * connection can beat a weak direct one, which is exactly what hop
+    * counting cannot express ([[graft.ops.Graph.minPlusDistances]]:
+    * integer min-plus relaxation, ≤ 6-edge paths, engine-exact,
+    * regime-selected). The edge aggregation collapses the event log to
+    * distinct weighted pairs in one shuffle before any round runs.
+    */
+  def cheapestPath(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = Tables.events(spark, sfDir)
+      .select((col("user_id") * 2).as("u"),
+        (regexp_extract(col("props"), "\"k\"\\s*:\\s*(-?\\d+)", 1)
+          .cast("long") * 2 + 1).as("it"))
+      .filter(col("it").isNotNull)
+      .groupBy(col("u"), col("it")).agg(count(lit(1)).as("cnt"))
+      .withColumn("w", expr("1000000 div cnt"))
+    val edges = pairs.select(col("u").as("src"), col("it").as("dst"), col("w"))
+      .unionAll(pairs.select(col("it").as("src"), col("u").as("dst"),
+        col("w")))
+    val seeds = Tables.events(spark, sfDir)
+      .filter(graft.ops.Dedup.md5Long(col("user_id").cast("string"))
+        % REACH_SEED_MOD === 0)
+      .select((col("user_id") * 2).as("seed"))
+    graft.ops.Graph.minPlusDistances(edges, seeds, rounds = CHEAP_ROUNDS)
+      .select(
+        when(col("node") % 2 === 0, "user").otherwise("item").as("node_kind"),
+        expr("node div 2").as("node_id"),
+        col("cost"))
+  }
+
+  /** Oracle: the min-plus rounds unrolled — per round a dst-keyed MIN
+    * over relaxed costs, merged by FULL OUTER + LEAST. Settled frames
+    * are diamond-referenced → MATERIALIZED (round-11 rule).
+    */
+  val cheapestPathSql: String = {
+    val INF = Long.MaxValue
+    val rounds = (1 to CHEAP_ROUNDS).map { i =>
+      s"""c$i AS (
+         |  SELECT e.dst AS node, MIN(d.c + e.w) AS cand
+         |  FROM edges e JOIN d${i - 1} d ON d.node = e.src
+         |  GROUP BY 1
+         |), d$i AS MATERIALIZED (
+         |  SELECT COALESCE(d.node, c.node) AS node,
+         |         LEAST(COALESCE(d.c, ${INF}::BIGINT),
+         |               COALESCE(c.cand, ${INF}::BIGINT)) AS c
+         |  FROM d${i - 1} d FULL OUTER JOIN c$i c ON c.node = d.node)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH ev AS (
+       |  SELECT user_id * 2 AS u,
+       |         CAST(json_extract_string(props, '$$.k') AS BIGINT) * 2 + 1 AS it
+       |  FROM events
+       |  WHERE json_extract_string(props, '$$.k') IS NOT NULL
+       |), pc AS (SELECT u, it, COUNT(*) AS cnt FROM ev GROUP BY 1, 2),
+       |pw AS (SELECT u, it, CAST(1000000 // cnt AS BIGINT) AS w FROM pc),
+       |edges AS MATERIALIZED (SELECT u AS src, it AS dst, w FROM pw
+       |          UNION ALL SELECT it, u, w FROM pw),
+       |nodes AS (SELECT DISTINCT src AS node FROM edges),
+       |seeds AS (SELECT DISTINCT user_id * 2 AS node FROM events
+       |          WHERE ${OracleSql.hexIntSql("user_id::VARCHAR")}
+       |                % $REACH_SEED_MOD = 0),
+       |d0 AS MATERIALIZED (
+       |  SELECT n.node, 0::BIGINT AS c FROM nodes n
+       |  JOIN seeds s ON s.node = n.node),
+       |$rounds
+       |SELECT CASE WHEN node % 2 = 0 THEN 'user' ELSE 'item' END AS node_kind,
+       |       node // 2 AS node_id, CAST(c AS BIGINT) AS cost
+       |FROM d$CHEAP_ROUNDS""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cheapest_path" -> cheapestPath,
     "latest_state" -> latestState,
     "graph_reach" -> graphReach,
     "rfm_segments" -> rfmSegments,
@@ -2017,6 +2091,7 @@ object AnalyticsJobs {
     "value_histogram" -> valueHistogram)
 
   val oracles: Map[String, String] = Map(
+    "cheapest_path" -> cheapestPathSql,
     "latest_state" -> latestStateSql,
     "graph_reach" -> graphReachSql,
     "rfm_segments" -> rfmSegmentsSql,

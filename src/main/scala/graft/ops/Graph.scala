@@ -725,6 +725,143 @@ object Graph {
     (settled, false)
   }
 
+  /** Multi-source WEIGHTED shortest paths (min-plus / Bellman-Ford) over
+    * a directed edge list (`src`, `dst`, `w` LONG, non-negative) from a
+    * seed frame (`seed` LONG) — the cost-aware companion of
+    * [[hopDistances]] (strongest-connection routing, weighted blast
+    * radius). `rounds` synchronous relaxations bound path LENGTH: the
+    * output is the exact cheapest cost among paths of ≤ `rounds` edges,
+    * which IS the shortest-path cost once `rounds` ≥ the graph's longest
+    * shortest path (early exit detects convergence and is semantically
+    * invisible — a converged round is a no-op in both regimes).
+    *
+    * Exactness: integer costs, and min over (sums of integers) is
+    * order-independent — any engine, any partitioning lands the
+    * identical frame; `rounds` relaxations restate as unrolled SQL CTEs.
+    * Overflow guard: maxW·rounds must fit a Long (checked against the
+    * edge frame's actual max weight — one agg on the frame the loop
+    * reads anyway, the [[checkRankCeiling]] discipline).
+    *
+    * Regimes ([[pageRank]] scaladoc): single task over interned arrays
+    * at or below `singleTaskEdgeLimit` edges; above it, per-round
+    * edges⨝dist equi-join + dst-keyed MIN aggregate + an in-row
+    * changed bit on the merge (the connectedComponents rule — no
+    * separate next⨝prev convergence join), `localCheckpoint` every
+    * `checkpointEvery` rounds. Output: (node, cost).
+    */
+  def minPlusDistances(edges: DataFrame, seeds: DataFrame, rounds: Int,
+      checkpointEvery: Int = 5,
+      singleTaskEdgeLimit: Long = 4000000L): DataFrame =
+    minPlusDistancesInstrumented(edges, seeds, rounds, checkpointEvery,
+      singleTaskEdgeLimit)._1
+
+  private[graft] def minPlusDistancesInstrumented(
+      edges: DataFrame, seeds: DataFrame, rounds: Int,
+      checkpointEvery: Int = 5,
+      singleTaskEdgeLimit: Long = 4000000L): (DataFrame, Boolean) = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    require(rounds >= 0, s"minPlusDistances: rounds must be >= 0, got $rounds")
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"),
+      col("w").cast("long")).distinct().cache()
+    // one pass picks the regime AND carries the overflow/negativity guard
+    val stats = e.agg(count(lit(1)), min(col("w")), max(col("w"))).first()
+    val nEdges = stats.getLong(0)
+    if (nEdges > 0) {
+      require(stats.getLong(1) >= 0,
+        s"minPlusDistances: negative weight ${stats.getLong(1)} — min-plus " +
+          "relaxation requires non-negative costs")
+      require(rounds == 0 || stats.getLong(2) <= Long.MaxValue / rounds,
+        s"minPlusDistances: max weight ${stats.getLong(2)} over $rounds " +
+          "rounds can overflow a Long path cost — rescale the weights")
+    }
+    val s = seeds.select(col("seed").cast("long")).distinct()
+
+    if (nEdges <= singleTaskEdgeLimit) {
+      val seedSet = s.as[Long].collect().toSet // bounded-collect contract
+      val out = e.as[(Long, Long, Long)].coalesce(1).mapPartitions { it =>
+        val triples = it.toArray
+        val idx = scala.collection.mutable.LongMap.empty[Int]
+        val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+        def intern(x: Long): Int =
+          idx.getOrElseUpdate(x, { ids += x; ids.length - 1 })
+        val srcI = new Array[Int](triples.length)
+        val dstI = new Array[Int](triples.length)
+        val ws = new Array[Long](triples.length)
+        var i = 0
+        while (i < triples.length) {
+          srcI(i) = intern(triples(i)._1); dstI(i) = intern(triples(i)._2)
+          ws(i) = triples(i)._3
+          i += 1
+        }
+        val n = ids.length
+        val inf = Long.MaxValue
+        var dist = Array.fill(n)(inf)
+        var j = 0
+        while (j < n) { if (seedSet.contains(ids(j))) dist(j) = 0L; j += 1 }
+        var r = 0
+        var changed = true
+        // SYNCHRONOUS (Jacobi) rounds — read prev, write next — so a fixed
+        // round count means the same thing here as in the distributed loop
+        // and the unrolled oracle (in-place relaxation would leak multi-hop
+        // propagation into one round when the edge order cooperates)
+        while (r < rounds && changed) {
+          changed = false
+          val next = dist.clone()
+          i = 0
+          while (i < triples.length) {
+            val ds = dist(srcI(i))
+            if (ds != inf && ds + ws(i) < next(dstI(i))) {
+              next(dstI(i)) = ds + ws(i); changed = true
+            }
+            i += 1
+          }
+          dist = next
+          r += 1
+        }
+        ids.indices.iterator.filter(j => dist(j) != inf)
+          .map(j => (ids(j), dist(j)))
+      }.toDF("node", "cost").localCheckpoint()
+      e.unpersist()
+      return (out, true)
+    }
+
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    var dist = nodes
+      .join(broadcast(s.withColumnRenamed("seed", "node")), Seq("node"))
+      .select(col("node"), lit(0L).as("cost")).cache()
+    dist.count()
+    var prev = dist
+    var r = 0
+    var changed = 1L
+    while (r < rounds && changed > 0) {
+      val cand = e
+        .join(dist.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(min(col("cost") + col("w")).as("cand"))
+      // full outer merge; the changed bit is computed IN-ROW here
+      val merged0 = dist.join(cand, Seq("node"), "full_outer")
+        .select(col("node"),
+          least(coalesce(col("cost"), lit(Long.MaxValue)),
+            coalesce(col("cand"), lit(Long.MaxValue))).as("cost"),
+          (col("cost").isNull ||
+            (col("cand").isNotNull && col("cand") < col("cost")))
+            .cast("long").as("chg"))
+      val merged = if ((r + 1) % checkpointEvery == 0) merged0.localCheckpoint()
+                   else { val c = merged0.cache(); c }
+      // ONE materialization pass doubles as the convergence count
+      changed = merged.agg(sum(col("chg"))).first().getLong(0)
+      val next = merged.select(col("node"), col("cost"))
+      prev.unpersist()
+      prev = merged
+      dist = next
+      r += 1
+    }
+    e.unpersist()
+    (dist, false)
+  }
+
   /** The shared fixpoint. `seeds = None` is the uniform variant — restart
     * mass at every node, which needs no membership structures at all.
     */

@@ -445,6 +445,48 @@ class AnalyticsJobsSpec extends SparkSpec {
       s"degenerate fixture: levels ${got.values.toSet}")
   }
 
+  test("cheapest_path: weighted costs re-derive; weights change the order") {
+    val sfd = sf("sf0.001")
+    val pairs = graft.io.Tables.events(spark, sfd)
+      .selectExpr("user_id as u",
+        "cast(regexp_extract(props, '\"k\"\\\\s*:\\\\s*(-?\\\\d+)', 1) as long) as i")
+      .filter("i is not null")
+      .as[(Long, Long)].collect()
+      .groupBy(identity).map { case ((u, i), o) =>
+        (u * 2, i * 2 + 1, 1000000L / o.length) }.toSeq
+    val edges = pairs.flatMap { case (a, b, w) => Seq((a, b, w), (b, a, w)) }
+    def md5Head(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16)
+    }
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).toSet
+    val seeds = pairs.map(_._1).distinct
+      .filter(n => md5Head((n / 2).toString) % 29L == 0L)
+      .filter(nodes.contains)
+    var d = seeds.map(_ -> 0L).toMap
+    for (_ <- 1 to 6) {
+      val relax = edges.flatMap { case (s, t, w) =>
+        d.get(s).map(c => t -> (c + w))
+      }.groupBy(_._1).map { case (t, cs) => t -> cs.map(_._2).min }
+      d = (d.keySet ++ relax.keySet).map { n =>
+        n -> math.min(d.getOrElse(n, Long.MaxValue),
+          relax.getOrElse(n, Long.MaxValue))
+      }.toMap
+    }
+    val expected = d.map { case (n, c) =>
+      (if (n % 2 == 0) "user" else "item", n / 2) -> c
+    }
+    val got = AnalyticsJobs.cheapestPath(spark, sfd).collect().map { r =>
+      (r.getAs[String]("node_kind"), r.getAs[Long]("node_id")) ->
+        r.getAs[Long]("cost")
+    }.toMap
+    assert(got == expected)
+    // weights are a real signal: costs at equal hop distance must differ
+    // (otherwise this is just the BFS restated)
+    assert(got.values.toSet.size > 4, s"degenerate costs: ${got.values.toSet}")
+  }
+
   test("basket_pairs: directed association rules re-derive exactly") {
     val sfd = sf("sf0.001")
     val up = graft.io.Tables.events(spark, sfd)

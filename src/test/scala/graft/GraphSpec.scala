@@ -369,6 +369,59 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("minPlusDistances: Bellman-Ford reference, regimes agree, guards fire") {
+    val rnd = new scala.util.Random(41)
+    val es = Seq.fill(150) {
+      (rnd.nextInt(25).toLong, rnd.nextInt(25).toLong,
+        (1 + rnd.nextInt(9)).toLong)
+    }.filter(e => e._1 != e._2)
+      .groupBy(e => (e._1, e._2)).map(_._2.head).toSeq // one weight per edge
+    val seeds = Seq(0L, 3L)
+    def refBf(rounds: Int): Map[Long, Long] = {
+      val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct.toSet
+      var d = seeds.filter(nodes.contains).map(_ -> 0L).toMap
+      for (_ <- 1 to rounds) {
+        val relax = es.flatMap { case (s, t, w) =>
+          d.get(s).map(c => t -> (c + w))
+        }.groupBy(_._1).map { case (t, cs) => t -> cs.map(_._2).min }
+        d = (d.keySet ++ relax.keySet).map { n =>
+          n -> math.min(d.getOrElse(n, Long.MaxValue),
+            relax.getOrElse(n, Long.MaxValue))
+        }.toMap
+      }
+      d
+    }
+    for (rounds <- Seq(0, 1, 3, 8)) {
+      val (one, p1) = Graph.minPlusDistancesInstrumented(
+        es.toDF("src", "dst", "w"), seeds.toDF("seed"), rounds)
+      val (dist, p2) = Graph.minPlusDistancesInstrumented(
+        es.toDF("src", "dst", "w"), seeds.toDF("seed"), rounds,
+        singleTaskEdgeLimit = 0L)
+      assert(p1 && !p2)
+      val a = one.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val b = dist.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(a == b, s"regimes diverge at rounds=$rounds")
+      assert(a == refBf(rounds), s"Bellman-Ford mismatch at rounds=$rounds")
+    }
+    // a weighted detour must beat a heavy direct edge somewhere in the
+    // fixture family: cheap 2-edge path 0->9->8 (1+1) under direct 0->8 (9)
+    val hand = Seq((0L, 8L, 9L), (0L, 9L, 1L), (9L, 8L, 1L))
+    val got = Graph.minPlusDistances(
+        hand.toDF("src", "dst", "w"), Seq(0L).toDF("seed"), rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 0L, 8L -> 2L, 9L -> 1L))
+    // guards: negative weights and overflow-capable weights are rejected
+    intercept[IllegalArgumentException] {
+      Graph.minPlusDistances(Seq((0L, 1L, -1L)).toDF("src", "dst", "w"),
+        Seq(0L).toDF("seed"), rounds = 2)
+    }
+    intercept[IllegalArgumentException] {
+      Graph.minPlusDistances(
+        Seq((0L, 1L, Long.MaxValue / 2)).toDF("src", "dst", "w"),
+        Seq(0L).toDF("seed"), rounds = 3)
+    }
+  }
+
   test("mass accounting: total rank stays within floor-loss of N*scale") {
     // each round redistributes total mass N·S: base injects 0.15·N·S and
     // damping passes ≤ 0.85·N·S; floor division only ever LOSES mass, at
