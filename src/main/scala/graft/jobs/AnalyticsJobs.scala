@@ -1977,6 +1977,70 @@ object AnalyticsJobs {
        |FROM d$REACH_HOPS""".stripMargin
   }
 
+  /** SCD Type-2 state history — the temporal-table sibling of
+    * [[latestState]]: per user, consecutive runs of the same event type
+    * compact into versioned validity intervals (valid_from/valid_to,
+    * open interval NULL-terminated) — the "what was the user's state at
+    * time T" table a warehouse MERGEs; here derived exactly from the log
+    * in one pass. Gaps-and-islands: a change bit (lag ≠ current) cumsums
+    * into a run id under the deterministic (us, event_id) order;
+    * versions are per-user run ordinals. Probed non-degenerate: ~20% of
+    * fixture events are consecutive repeats, so compaction binds.
+    *
+    * 100 TB shape: ONE user-keyed exchange; both windows and the run
+    * aggregation ride the same partitioning (user → (user, run) is a
+    * prefix refinement), and the valid_to lead runs on the run-sized
+    * frame, not the event log.
+    */
+  def stateHistory(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wOrd = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val runs = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("event_id"))
+      .withColumn("chg",
+        when(lag(col("event_type"), 1).over(wOrd).isNull ||
+          lag(col("event_type"), 1).over(wOrd) =!= col("event_type"), 1L)
+          .otherwise(0L))
+      .withColumn("run", sum(col("chg")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val hist = runs.groupBy(col("user_id"), col("run"))
+      .agg(max(col("event_type")).as("state"), // constant within a run
+        min(col("us")).as("valid_from_us"),
+        count(lit(1)).as("n_events"))
+    hist
+      .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(
+        Window.partitionBy(col("user_id")).orderBy(col("run"))))
+      .select(col("user_id"), col("run").as("version"), col("state"),
+        col("valid_from_us"), col("valid_to_us"), col("n_events"))
+  }
+
+  val stateHistorySql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+      |  FROM events
+      |), c AS (
+      |  SELECT *,
+      |    CASE WHEN LAG(event_type) OVER w IS NULL
+      |           OR LAG(event_type) OVER w <> event_type
+      |         THEN 1 ELSE 0 END AS chg
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+      |), r AS (
+      |  SELECT *, CAST(SUM(chg) OVER (PARTITION BY user_id
+      |    ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run
+      |  FROM c
+      |), h AS (
+      |  SELECT user_id, run, MAX(event_type) AS state,
+      |         MIN(us) AS valid_from_us, COUNT(*) AS n_events
+      |  FROM r GROUP BY 1, 2
+      |)
+      |SELECT user_id, run AS version, state, valid_from_us,
+      |       LEAD(valid_from_us) OVER (
+      |         PARTITION BY user_id ORDER BY run) AS valid_to_us,
+      |       CAST(n_events AS BIGINT) AS n_events
+      |FROM h""".stripMargin
+
   private[jobs] val CHEAP_ROUNDS = 6
 
   /** Weighted cheapest connection cost from the [[graphReach]] seed
@@ -2052,6 +2116,7 @@ object AnalyticsJobs {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cheapest_path" -> cheapestPath,
+    "state_history" -> stateHistory,
     "latest_state" -> latestState,
     "graph_reach" -> graphReach,
     "rfm_segments" -> rfmSegments,
@@ -2092,6 +2157,7 @@ object AnalyticsJobs {
 
   val oracles: Map[String, String] = Map(
     "cheapest_path" -> cheapestPathSql,
+    "state_history" -> stateHistorySql,
     "latest_state" -> latestStateSql,
     "graph_reach" -> graphReachSql,
     "rfm_segments" -> rfmSegmentsSql,

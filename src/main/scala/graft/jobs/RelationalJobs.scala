@@ -212,7 +212,123 @@ object RelationalJobs {
       |       COUNT(*) AS n_rows
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
+  /** Data-quality expectations audit — the Great-Expectations-style gate
+    * a pipeline runs at ingest: one row per declared check with exact
+    * checked/failed counts and a pass verdict. Domain checks (value
+    * range, type vocabulary, parsable props, sane timestamps), content
+    * contracts (documents.n_chars = length(text), embedding
+    * dimensionality), and referential integrity (orders→customer,
+    * lineitem→orders). All-pass on the driver corpus BY DESIGN — the
+    * audit's job is the counts; the spec proves fail-detection on a
+    * crafted corpus with violations.
+    *
+    * 100 TB shape: the four event checks share ONE scan (one conditional
+    * aggregate exploded into rows); documents and embeddings one scan
+    * each; the two FK checks are fact-side LEFT JOINs against broadcast
+    * dimension key sets — the fact tables never shuffle.
+    */
+  def dataExpectations(spark: SparkSession, sfDir: String): DataFrame = {
+    val evAgg = Tables.events(spark, sfDir)
+      .select(col("value"), col("event_type"), col("props"),
+        unix_micros(col("ts")).as("us"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(!(col("value") >= 0.0 && col("value") < 1000.0), 1L)
+          .otherwise(0L)).as("f_range"),
+        sum(when(!col("event_type").isin(
+          "click", "view", "purchase", "signup", "error"), 1L)
+          .otherwise(0L)).as("f_domain"),
+        sum(when(regexp_extract(col("props"), "\"k\"\\s*:\\s*(-?\\d+)", 1)
+          === "", 1L).otherwise(0L)).as("f_props"),
+        sum(when(!(col("us") >= 0L && col("us") < 2000000000000000L), 1L)
+          .otherwise(0L)).as("f_ts"))
+    val evChecks = evAgg.select(explode(array(
+      struct(lit("events_value_range").as("check"), col("n"),
+        col("f_range").as("n_failed")),
+      struct(lit("events_type_domain").as("check"), col("n"),
+        col("f_domain").as("n_failed")),
+      struct(lit("events_props_k").as("check"), col("n"),
+        col("f_props").as("n_failed")),
+      struct(lit("events_ts_sane").as("check"), col("n"),
+        col("f_ts").as("n_failed")))).as("c"))
+      .select(col("c.check"), col("c.n"), col("c.n_failed"))
+    val docChecks = Tables.documents(spark, sfDir)
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("n_chars") =!= length(col("text")), 1L).otherwise(0L))
+          .as("n_failed"))
+      .select(lit("documents_n_chars").as("check"), col("n"), col("n_failed"))
+    val embChecks = Tables.embeddings(spark, sfDir)
+      .agg(count(lit(1)).as("n"),
+        sum(when(size(col("embedding")) =!= 64, 1L).otherwise(0L))
+          .as("n_failed"))
+      .select(lit("embeddings_dims").as("check"), col("n"), col("n_failed"))
+    def fk(fact: DataFrame, factKey: String, dim: DataFrame, dimKey: String,
+        name: String): DataFrame =
+      fact.select(col(factKey))
+        .join(broadcast(dim.select(col(dimKey)).distinct()
+          .withColumn("hit", lit(true))),
+          col(factKey) === col(dimKey), "left")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("hit").isNull, 1L).otherwise(0L)).as("n_failed"))
+        .select(lit(name).as("check"), col("n"), col("n_failed"))
+    val fkOrders = fk(Tables.orders(spark, sfDir), "o_custkey",
+      Tables.customer(spark, sfDir), "c_custkey", "orders_custkey_fk")
+    val fkLineitem = fk(Tables.lineitem(spark, sfDir), "l_orderkey",
+      Tables.orders(spark, sfDir), "o_orderkey", "lineitem_orderkey_fk")
+    Seq(evChecks, docChecks, embChecks, fkOrders, fkLineitem)
+      .reduce(_ unionAll _)
+      .select(col("check"), col("n").as("n_checked"), col("n_failed"),
+        (col("n_failed") === 0L).as("pass"))
+  }
+
+  val dataExpectationsSql: String =
+    """WITH ev AS (
+      |  SELECT COUNT(*) AS n,
+      |    CAST(SUM(CASE WHEN NOT (value >= 0.0 AND value < 1000.0)
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS f_range,
+      |    CAST(SUM(CASE WHEN event_type NOT IN
+      |      ('click', 'view', 'purchase', 'signup', 'error')
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS f_domain,
+      |    CAST(SUM(CASE WHEN json_extract_string(props, '$.k') IS NULL
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS f_props,
+      |    CAST(SUM(CASE WHEN NOT (epoch_us(ts) >= 0
+      |      AND epoch_us(ts) < 2000000000000000) THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS f_ts
+      |  FROM events
+      |), checks AS (
+      |  SELECT 'events_value_range' AS check, n, f_range AS n_failed FROM ev
+      |  UNION ALL
+      |  SELECT 'events_type_domain', n, f_domain FROM ev
+      |  UNION ALL
+      |  SELECT 'events_props_k', n, f_props FROM ev
+      |  UNION ALL
+      |  SELECT 'events_ts_sane', n, f_ts FROM ev
+      |  UNION ALL
+      |  SELECT 'documents_n_chars', COUNT(*),
+      |         CAST(SUM(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END)
+      |           AS BIGINT)
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT 'embeddings_dims', COUNT(*),
+      |         CAST(SUM(CASE WHEN length(embedding) <> 64 THEN 1 ELSE 0 END)
+      |           AS BIGINT)
+      |  FROM embeddings
+      |  UNION ALL
+      |  SELECT 'orders_custkey_fk', COUNT(*),
+      |         CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+      |           AS BIGINT)
+      |  FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+      |  UNION ALL
+      |  SELECT 'lineitem_orderkey_fk', COUNT(*),
+      |         CAST(SUM(CASE WHEN oo.o_orderkey IS NULL THEN 1 ELSE 0 END)
+      |           AS BIGINT)
+      |  FROM lineitem l LEFT JOIN orders oo ON oo.o_orderkey = l.l_orderkey
+      |)
+      |SELECT "check", CAST(n AS BIGINT) AS n_checked, n_failed,
+      |       n_failed = 0 AS pass
+      |FROM checks""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "data_expectations" -> dataExpectations,
     "q1_pricing" -> q1Pricing,
     "q3_shipping" -> q3Shipping,
     "q5_local_supplier" -> q5LocalSupplier,
@@ -220,6 +336,7 @@ object RelationalJobs {
     "distinct_agg" -> distinctAgg)
 
   val oracles: Map[String, String] = Map(
+    "data_expectations" -> dataExpectationsSql,
     "q1_pricing" -> q1PricingSql,
     "q3_shipping" -> q3ShippingSql,
     "q5_local_supplier" -> q5LocalSupplierSql,

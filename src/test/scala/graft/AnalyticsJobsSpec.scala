@@ -487,6 +487,85 @@ class AnalyticsJobsSpec extends SparkSpec {
     assert(got.values.toSet.size > 4, s"degenerate costs: ${got.values.toSet}")
   }
 
+  test("state_history: SCD2 intervals re-derive; compaction binds; chains") {
+    val sfd = sf("sf0.001")
+    val ev = graft.io.Tables.events(spark, sfd)
+      .selectExpr("user_id", "event_type", "unix_micros(ts) as us", "event_id")
+      .as[(Long, String, Long, Long)].collect()
+    val expected = ev.groupBy(_._1).toSeq.flatMap { case (u, rows) =>
+      val ordered = rows.sortBy(r => (r._3, r._4))
+      // run-length compact consecutive equal types
+      val runs = ordered.foldLeft(Vector.empty[(String, Long, Long)]) {
+        case (acc, (_, t, us, _)) =>
+          if (acc.nonEmpty && acc.last._1 == t)
+            acc.init :+ ((t, acc.last._2, acc.last._3 + 1))
+          else acc :+ ((t, us, 1L))
+      }
+      runs.zipWithIndex.map { case ((t, from, n), i) =>
+        val to = if (i + 1 < runs.length) Some(runs(i + 1)._2) else None
+        (u, i + 1L) -> ((t, from, to, n))
+      }
+    }.toMap
+    val got = AnalyticsJobs.stateHistory(spark, sfd).collect().map { r =>
+      (r.getAs[Long]("user_id"), r.getAs[Long]("version")) ->
+        ((r.getAs[String]("state"), r.getAs[Long]("valid_from_us"),
+          Option(r.getAs[java.lang.Long]("valid_to_us")).map(_.longValue),
+          r.getAs[Long]("n_events")))
+    }.toMap
+    assert(got == expected)
+    // compaction binds (a multi-event run exists) and intervals chain
+    assert(got.values.exists(_._4 > 1L))
+  }
+
+  test("data_expectations: all-pass on the fixture; violations are counted") {
+    val sfd = sf("sf0.001")
+    val out = graft.jobs.RelationalJobs.dataExpectations(spark, sfd)
+      .collect().map(r => r.getAs[String]("check") ->
+        ((r.getAs[Long]("n_checked"), r.getAs[Long]("n_failed"),
+          r.getAs[Boolean]("pass")))).toMap
+    assert(out.size == 8)
+    assert(out.values.forall(v => v._2 == 0L && v._3))
+    assert(out("events_value_range")._1 ==
+      graft.io.Tables.events(spark, sfd).count())
+    assert(out("lineitem_orderkey_fk")._1 ==
+      graft.io.Tables.lineitem(spark, sfd).count())
+
+    // crafted corpus: one violation per category must be counted, not masked
+    val dir = java.nio.file.Files.createTempDirectory("expect_bad").toString
+    import java.sql.Timestamp
+    Seq(
+      graft.model.Event(1L, new Timestamp(1000L), 1L, "view", -5.0, "{\"k\": 1}"),
+      graft.model.Event(2L, new Timestamp(2000L), 1L, "bogus", 1.0, "{\"k\": 2}"),
+      graft.model.Event(3L, new Timestamp(3000L), 2L, "click", 2.0, "{}"),
+      graft.model.Event(4L, Timestamp.valueOf("2205-01-01 00:00:00"), 2L,
+        "view", 3.0, "{\"k\": 4}"))
+      .toDF().write.mode("overwrite").parquet(s"$dir/events.parquet")
+    Seq((1L, "abc", "en", "s", 3L), (2L, "abcd", "en", "s", 99L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    Seq((1L, Array(0.1f, 0.2f)), (2L, Array.fill(64)(0.0f)))
+      .toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    Seq((10L, 100L), (11L, 999L)).toDF("o_orderkey", "o_custkey")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq(Tuple1(100L)).toDF("c_custkey")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    Seq(Tuple1(10L), Tuple1(77L)).toDF("l_orderkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val bad = graft.jobs.RelationalJobs.dataExpectations(spark, dir)
+      .collect().map(r => r.getAs[String]("check") ->
+        ((r.getAs[Long]("n_checked"), r.getAs[Long]("n_failed"),
+          r.getAs[Boolean]("pass")))).toMap
+    assert(bad("events_value_range") == ((4L, 1L, false)))
+    assert(bad("events_type_domain") == ((4L, 1L, false)))
+    assert(bad("events_props_k") == ((4L, 1L, false)))
+    assert(bad("events_ts_sane") == ((4L, 1L, false)))
+    assert(bad("documents_n_chars") == ((2L, 1L, false)))
+    assert(bad("embeddings_dims") == ((2L, 1L, false)))
+    assert(bad("orders_custkey_fk") == ((2L, 1L, false)))
+    assert(bad("lineitem_orderkey_fk") == ((2L, 1L, false)))
+  }
+
   test("basket_pairs: directed association rules re-derive exactly") {
     val sfd = sf("sf0.001")
     val up = graft.io.Tables.events(spark, sfd)
