@@ -1175,22 +1175,37 @@ object AnalyticsJobs {
     * partitions by item (catalog-sized key space, never a global funnel).
     */
   def itemSimilarity(spark: SparkSession, sfDir: String): DataFrame =
-    itemSimilarityCore(Tables.events(spark, sfDir)
+    itemSimilarityCore(interactionsOf(spark, sfDir))
+
+  /** The full distinct (u, i) interaction frame — the CF stack's input,
+    * shared by the similarity/recs/eval queries.
+    */
+  private[jobs] def interactionsOf(spark: SparkSession,
+      sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
       .select(col("user_id").as("u"),
         (regexp_extract(col("props"), "\"k\"\\s*:\\s*(-?\\d+)", 1)
           .cast("long")).as("i"))
       .filter(col("i").isNotNull)
-      .distinct())
+      .distinct()
 
   /** The CF core over an already-distinct (u, i) interaction frame —
     * exposed so [[ArtifactJobs.itemSimilarityIncremental]] can feed it
     * the artifact-maintained interaction set.
     */
-  private[jobs] def itemSimilarityCore(ui: DataFrame): DataFrame = {
-    val kept = ui.join(
+  private[jobs] def itemSimilarityCore(ui: DataFrame): DataFrame =
+    itemSimilarityOverKept(keptOf(ui))
+
+  /** The degree-capped interaction frame (cached — read by sizes, both
+    * sides of the pair join, and [[itemRecsCore]]'s history/anti-join).
+    */
+  private def keptOf(ui: DataFrame): DataFrame =
+    ui.join(
       ui.groupBy(col("u")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") <= SIM_USER_CAP).select(col("u")), "u")
       .cache()
+
+  private def itemSimilarityOverKept(kept: DataFrame): DataFrame = {
     val sizes = kept.groupBy(col("i")).agg(count(lit(1)).as("n"))
     val inter = kept.alias("a").join(kept.alias("b"),
         col("a.u") === col("b.u") && col("a.i") < col("b.i"))
@@ -1212,12 +1227,22 @@ object AnalyticsJobs {
       .select(col("item_id"), col("rank"), col("partner"), col("jacc_ppm"))
   }
 
-  val itemSimilaritySql: String =
+  /** Default (full-log) interaction CTE body shared by the CF oracles. */
+  private val uiSqlDefault: String =
+    """SELECT DISTINCT user_id AS u,
+      |         CAST(json_extract_string(props, '$.k') AS BIGINT) AS i
+      |  FROM events
+      |  WHERE json_extract_string(props, '$.k') IS NOT NULL""".stripMargin
+
+  val itemSimilaritySql: String = itemSimilaritySqlOver(uiSqlDefault)
+
+  /** [[itemSimilaritySql]] over a caller-supplied interaction SELECT —
+    * so the temporal-split eval trains the identical oracle pipeline on
+    * a prefix of the log.
+    */
+  private[jobs] def itemSimilaritySqlOver(uiSql: String): String =
     s"""WITH ui AS (
-       |  SELECT DISTINCT user_id AS u,
-       |         CAST(json_extract_string(props, '$$.k') AS BIGINT) AS i
-       |  FROM events
-       |  WHERE json_extract_string(props, '$$.k') IS NOT NULL
+       |  $uiSql
        |), kept AS (
        |  SELECT ui.u, ui.i FROM ui JOIN (
        |    SELECT u FROM ui GROUP BY u HAVING COUNT(*) <= $SIM_USER_CAP) d
@@ -1270,18 +1295,18 @@ object AnalyticsJobs {
     * serving read (TopNHotItems.java:60 keyed-state sort) applied to CF
     * scores.
     */
-  def itemRecs(spark: SparkSession, sfDir: String): DataFrame = {
-    val ui = Tables.events(spark, sfDir)
-      .select(col("user_id").as("u"),
-        (regexp_extract(col("props"), "\"k\"\\s*:\\s*(-?\\d+)", 1)
-          .cast("long")).as("i"))
-      .filter(col("i").isNotNull)
-      .distinct()
-    val hist = ui.join(
-      ui.groupBy(col("u")).agg(count(lit(1)).as("deg"))
-        .filter(col("deg") <= SIM_USER_CAP).select(col("u")), "u")
-      .cache()
-    val sims = itemSimilarity(spark, sfDir)
+  def itemRecs(spark: SparkSession, sfDir: String): DataFrame =
+    itemRecsCore(interactionsOf(spark, sfDir))
+
+  /** The serving core over an already-distinct (u, i) frame — exposed so
+    * the temporal-split eval ([[recEval]]) can train on a log prefix.
+    */
+  private[jobs] def itemRecsCore(ui: DataFrame): DataFrame = {
+    // ONE capped frame serves the similarity build, the history join,
+    // and the already-seen anti-join (it was computed twice before —
+    // two ui shuffles + two degree aggs for the same rows)
+    val hist = keptOf(ui)
+    val sims = itemSimilarityOverKept(hist)
       .select(col("item_id").as("i"), col("partner").as("rec_item"),
         col("jacc_ppm"))
     val scored = hist.join(sims, "i")
@@ -1305,15 +1330,17 @@ object AnalyticsJobs {
     * anti-join / exact sum / rank. SUM(BIGINT) is HUGEINT in DuckDB —
     * CAST back before it ever reaches the output or the ORDER BY.
     */
-  val itemRecsSql: String =
+  val itemRecsSql: String = itemRecsSqlOver(uiSqlDefault)
+
+  /** [[itemRecsSql]] over a caller-supplied interaction SELECT (the
+    * [[itemSimilaritySqlOver]] companion).
+    */
+  private[jobs] def itemRecsSqlOver(uiSql: String): String =
     s"""WITH simtop AS MATERIALIZED (
        |  SELECT item_id AS i, partner AS rec_item, jacc_ppm
-       |  FROM ($itemSimilaritySql) sq
+       |  FROM (${itemSimilaritySqlOver(uiSql)}) sq
        |), ui AS (
-       |  SELECT DISTINCT user_id AS u,
-       |         CAST(json_extract_string(props, '$$.k') AS BIGINT) AS i
-       |  FROM events
-       |  WHERE json_extract_string(props, '$$.k') IS NOT NULL
+       |  $uiSql
        |), hist AS MATERIALIZED (
        |  SELECT ui.u, ui.i FROM ui JOIN (
        |    SELECT u FROM ui GROUP BY u HAVING COUNT(*) <= $SIM_USER_CAP) d
@@ -1334,6 +1361,118 @@ object AnalyticsJobs {
        |    ORDER BY score_ppm DESC, n_hits DESC, rec_item ASC) AS rank
        |  FROM scored) r
        |WHERE rank <= $REC_TOP_K""".stripMargin
+
+  /** Temporal-split recommender eval — the CF stack's scorecard (the
+    * dedup_eval/ann_eval discipline applied to [[itemRecs]]): train the
+    * similarity lists on every day but the LAST, recommend, and score
+    * against the held-out final day's NEW interactions (items the user
+    * had never touched — the only honest truth set; re-interactions are
+    * trivially predictable and excluded). Emits exact counts plus
+    * integer-ppm hit rate and MRR over the users that have BOTH a truth
+    * item and a recommendation (cold-start users are a coverage question,
+    * not an accuracy one). The gate checks the MECHANISM — split, join,
+    * rank arithmetic — not an accuracy floor (the fixture's interactions
+    * are synthetic; chance-level hit rates are expected and fine).
+    *
+    * Scale shape: the split bound is a 1-row max-day broadcast (the
+    * mixture_plan pattern); prefix/holdout are filters of one cached
+    * (u, i, day) frame; the recs side is the registered pipeline over
+    * the prefix; the eval layer adds only keyed joins + two bounded
+    * aggregates (composed-eval rule).
+    */
+  def recEval(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id").as("u"),
+        (regexp_extract(col("props"), "\"k\"\\s*:\\s*(-?\\d+)", 1)
+          .cast("long")).as("i"),
+        expr("datediff(cast(ts as date), date'1970-01-01')").as("day"))
+      .filter(col("i").isNotNull)
+      .cache() // read by the max-day agg, the prefix, and the holdout
+    val maxDay = broadcast(ev.agg(max(col("day")).as("max_day")))
+    val prefix = ev.crossJoin(maxDay).filter(col("day") < col("max_day"))
+      .select(col("u"), col("i")).distinct().cache()
+    val holdout = ev.crossJoin(maxDay).filter(col("day") === col("max_day"))
+      .select(col("u"), col("i")).distinct()
+    val truth = holdout.join(prefix, Seq("u", "i"), "left_anti").cache()
+    val recs = itemRecsCore(prefix)
+    val perUser = recs
+      .join(truth.select(col("u").as("user_id")).distinct(), "user_id")
+      .join(truth.select(col("u").as("user_id"), col("i").as("rec_item"))
+          .withColumn("hit", lit(1L)),
+        Seq("user_id", "rec_item"), "left")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_recs"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"),
+        min(when(col("hit").isNotNull, col("rank"))).as("first_hit"))
+    perUser.agg(
+        count(lit(1)).as("n_users"),
+        sum(when(col("n_hit") > 0, 1L).otherwise(0L)).as("users_hit"),
+        sum(col("n_hit")).as("hits_total"),
+        sum(when(col("first_hit").isNotNull, expr("1000000 div first_hit"))
+          .otherwise(0L)).as("mrr_sum_ppm"))
+      .select(col("n_users"), col("users_hit"), col("hits_total"),
+        expr("(users_hit * 1000000) div greatest(n_users, 1)")
+          .as("hit_rate_ppm"),
+        expr("mrr_sum_ppm div greatest(n_users, 1)").as("mrr_ppm"))
+  }
+
+  /** The prefix interaction SELECT (self-contained — the max-day bound is
+    * a scalar subquery, so it composes into [[itemRecsSqlOver]]).
+    */
+  private lazy val prefixUiSql: String =
+    """SELECT DISTINCT user_id AS u,
+      |         CAST(json_extract_string(props, '$.k') AS BIGINT) AS i
+      |  FROM events
+      |  WHERE json_extract_string(props, '$.k') IS NOT NULL
+      |    AND (ts::DATE - DATE '1970-01-01') <
+      |        (SELECT MAX(ts::DATE - DATE '1970-01-01') FROM events
+      |         WHERE json_extract_string(props, '$.k') IS NOT NULL)"""
+      .stripMargin
+
+  /** Oracle: the recs pipeline composed over the prefix SELECT + the
+    * identical truth anti-join and ppm arithmetic. lazy — composes vals
+    * whose declarations precede this one only textually.
+    */
+  lazy val recEvalSql: String =
+    s"""WITH recs AS MATERIALIZED (
+       |  SELECT user_id, rank, rec_item
+       |  FROM (${itemRecsSqlOver(prefixUiSql)}) rq
+       |), evd AS (
+       |  SELECT user_id AS u,
+       |         CAST(json_extract_string(props, '$$.k') AS BIGINT) AS i,
+       |         (ts::DATE - DATE '1970-01-01') AS day
+       |  FROM events WHERE json_extract_string(props, '$$.k') IS NOT NULL
+       |), md AS (SELECT MAX(day) AS m FROM evd),
+       |prefix AS MATERIALIZED (
+       |  SELECT DISTINCT u, i FROM evd, md WHERE day < m),
+       |holdout AS (SELECT DISTINCT u, i FROM evd, md WHERE day = m),
+       |truth AS MATERIALIZED (
+       |  SELECT h.u, h.i FROM holdout h
+       |  LEFT JOIN prefix p ON p.u = h.u AND p.i = h.i
+       |  WHERE p.u IS NULL
+       |), pu AS (
+       |  SELECT r.user_id, COUNT(*) AS n_recs,
+       |         CAST(SUM(CASE WHEN t.i IS NOT NULL THEN 1 ELSE 0 END)
+       |           AS BIGINT) AS n_hit,
+       |         MIN(CASE WHEN t.i IS NOT NULL THEN r.rank END) AS first_hit
+       |  FROM recs r
+       |  JOIN (SELECT DISTINCT u FROM truth) tu ON tu.u = r.user_id
+       |  LEFT JOIN truth t ON t.u = r.user_id AND t.i = r.rec_item
+       |  GROUP BY 1
+       |), g AS (
+       |  SELECT COUNT(*) AS n_users,
+       |    CAST(SUM(CASE WHEN n_hit > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS users_hit,
+       |    CAST(SUM(n_hit) AS BIGINT) AS hits_total,
+       |    CAST(SUM(CASE WHEN first_hit IS NOT NULL
+       |      THEN 1000000 // first_hit ELSE 0 END) AS BIGINT) AS mrr_sum_ppm
+       |  FROM pu
+       |)
+       |SELECT n_users, users_hit, hits_total,
+       |       CAST((users_hit * 1000000) // greatest(n_users, 1) AS BIGINT)
+       |         AS hit_rate_ppm,
+       |       CAST(mrr_sum_ppm // greatest(n_users, 1) AS BIGINT) AS mrr_ppm
+       |FROM g""".stripMargin
 
   /** The sketch-merge form of [[rollingUniques]] — its OWN scaladoc's
     * 100 TB path made a checked gate: per-day DataSketches HLL sketches
@@ -2117,6 +2256,7 @@ object AnalyticsJobs {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cheapest_path" -> cheapestPath,
     "state_history" -> stateHistory,
+    "rec_eval" -> recEval,
     "latest_state" -> latestState,
     "graph_reach" -> graphReach,
     "rfm_segments" -> rfmSegments,
@@ -2158,6 +2298,7 @@ object AnalyticsJobs {
   val oracles: Map[String, String] = Map(
     "cheapest_path" -> cheapestPathSql,
     "state_history" -> stateHistorySql,
+    "rec_eval" -> recEvalSql,
     "latest_state" -> latestStateSql,
     "graph_reach" -> graphReachSql,
     "rfm_segments" -> rfmSegmentsSql,

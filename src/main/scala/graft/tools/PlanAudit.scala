@@ -105,7 +105,11 @@ object PlanAudit {
       "quality_classifier_trained" -> "CROSSes are 1-row model frames (class centroids + midpoint threshold) broadcast into the scoring scan",
       "classifier_agreement" -> ("CROSS is the trained side's 1-row midpoint-theta frame " +
         "(quality_classifier_trained's documented shape); the agreement layer itself adds only " +
-        "a doc-keyed join + one 1-row conditional aggregate"))
+        "a doc-keyed join + one 1-row conditional aggregate"),
+      "rec_eval" -> ("every CROSS is the ONE-ROW max-day split bound broadcast (mixture_plan " +
+        "pattern) — the count is plan-string amplification: the cached (u,i,day) and prefix " +
+        "frames embed it once per reference, and the composed recs pipeline references them " +
+        "many times; at runtime each is one InMemoryTableScan, never corpus x corpus"))
 
     emit("# Plan audit -- every registered query")
     emit()

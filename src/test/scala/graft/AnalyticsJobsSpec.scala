@@ -335,6 +335,60 @@ class AnalyticsJobsSpec extends SparkSpec {
     assert(got.forall { case (u, _, rec, _, _) => !byUser(u)(rec) })
   }
 
+  test("rec_eval: temporal-split CF scorecard re-derives end-to-end") {
+    val dir = sf("sf0.001")
+    val evd = graft.io.Tables.events(spark, dir)
+      .selectExpr("user_id as u",
+        "cast(regexp_extract(props, '\"k\"\\\\s*:\\\\s*(-?\\\\d+)', 1) as long) as i",
+        "datediff(cast(ts as date), date'1970-01-01') as day")
+      .filter($"i".isNotNull).as[(Long, Long, Int)].collect()
+    val maxDay = evd.map(_._3).max
+    val prefix = evd.filter(_._3 < maxDay).map(e => (e._1, e._2)).toSet
+    val holdout = evd.filter(_._3 == maxDay).map(e => (e._1, e._2)).toSet
+    val truth = holdout -- prefix
+    // the CF stack recomputed over the prefix (the item_recs spec logic)
+    val degOk = prefix.groupBy(_._1).filter(_._2.size <= 50).keySet
+    val kept = prefix.filter(p => degOk(p._1))
+    val items = kept.groupBy(_._2).map { case (i, g) => i -> g.map(_._1) }
+    val jacc = for {
+      (a, ua) <- items.toSeq; (b, ub) <- items.toSeq if a < b
+      inter = (ua & ub).size if inter > 0
+    } yield (a, b, inter.toLong * 1000000L / (ua.size + ub.size - inter))
+    val sims = jacc.flatMap { case (a, b, j) => Seq((a, b, j), (b, a, j)) }
+      .groupBy(_._1).toSeq.flatMap { case (item, g) =>
+        g.sortBy(p => (-p._3, p._2)).take(5).map(p => (item, p._2, p._3))
+      }
+    val byUser = kept.groupBy(_._1).map { case (u, g) => u -> g.map(_._2) }
+    val recs = byUser.toSeq.flatMap { case (u, hist) =>
+      sims.filter(s => hist(s._1)).filterNot(s => hist(s._2))
+        .groupBy(_._2).toSeq
+        .map { case (rec, g) => (rec, g.map(_._3).sum, g.size.toLong) }
+        .sortBy { case (rec, score, hits) => (-score, -hits, rec) }
+        .take(3).zipWithIndex
+        .map { case ((rec, _, _), idx) => (u, idx + 1L, rec) }
+    }
+    val truthByUser = truth.groupBy(_._1).map { case (u, g) => u -> g.map(_._2) }
+    val evalUsers = recs.map(_._1).toSet.intersect(truthByUser.keySet)
+    val perUser = evalUsers.toSeq.map { u =>
+      val hits = recs.filter(r => r._1 == u && truthByUser(u)(r._3))
+      (hits.size.toLong, hits.map(_._2).minOption)
+    }
+    val nUsers = perUser.size.toLong
+    val usersHit = perUser.count(_._1 > 0).toLong
+    val hitsTotal = perUser.map(_._1).sum
+    val mrrSum = perUser.flatMap(_._2).map(1000000L / _).sum
+    val r = AnalyticsJobs.recEval(spark, dir).collect().head
+    assert(r.getAs[Long]("n_users") == nUsers)
+    assert(r.getAs[Long]("users_hit") == usersHit)
+    assert(r.getAs[Long]("hits_total") == hitsTotal)
+    assert(r.getAs[Long]("hit_rate_ppm") ==
+      usersHit * 1000000L / math.max(nUsers, 1L))
+    assert(r.getAs[Long]("mrr_ppm") == mrrSum / math.max(nUsers, 1L))
+    // the split is real: evaluable users exist and truth excludes re-buys
+    assert(nUsers > 0 && truth.nonEmpty)
+    assert(truth.forall(t => !prefix.contains(t)))
+  }
+
   test("rolling_uniques: dau/wau7 equal a brute-force window recompute") {
     val dir = sf("sf0.001")
     val out = AnalyticsJobs.rollingUniques(spark, dir)
