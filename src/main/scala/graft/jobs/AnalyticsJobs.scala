@@ -1996,6 +1996,78 @@ object AnalyticsJobs {
        |       + ((m_rank - 1) * 5) // n_users + 1 AS BIGINT) AS segment
        |FROM r CROSS JOIN n""".stripMargin
 
+  /** Next-event prediction eval — the [[markovTransitions]] model's
+    * scorecard under the same leave-last-out temporal split as
+    * [[recEval]]: the transition matrix trains on every consecutive
+    * pair EXCEPT each user's final one, predicts the held-out last event
+    * from its predecessor by argmax (count DESC, type ASC — the LPA
+    * tie-break), and the output is the exact confusion table
+    * (from, predicted, actual, n, correct). A from-state unseen in
+    * training predicts NULL — counted, never dropped (coverage is part
+    * of the eval). Mechanism gate, not an accuracy floor.
+    *
+    * Scale shape: one user-keyed window pass (cached — the train agg
+    * and the holdout filter both read it), then |types|²-bounded
+    * aggregates and a |types|-row broadcast-size prediction join.
+    */
+  def markovEval(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wAsc = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("event_id"))
+      .withColumn("k", row_number().over(wAsc).cast("long"))
+      .withColumn("n_u",
+        count(lit(1)).over(Window.partitionBy(col("user_id"))))
+      .withColumn("to_type", lead(col("event_type"), 1).over(wAsc))
+      .cache()
+    val trained = ev
+      .filter(col("to_type").isNotNull && col("k") < col("n_u") - 1)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("c"))
+    val pred = trained.withColumn("rn", row_number().over(
+        Window.partitionBy(col("from_type"))
+          .orderBy(col("c").desc, col("to_type").asc)))
+      .filter(col("rn") === 1)
+      .select(col("from_type"), col("to_type").as("predicted"))
+    val holdout = ev
+      .filter(col("to_type").isNotNull && col("k") === col("n_u") - 1)
+      .select(col("event_type").as("from_type"), col("to_type").as("actual"))
+    holdout.join(broadcast(pred), Seq("from_type"), "left")
+      .groupBy(col("from_type"), col("predicted"), col("actual"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("correct",
+        coalesce(col("predicted") === col("actual"), lit(false)))
+  }
+
+  val markovEvalSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type,
+      |         ROW_NUMBER() OVER w AS k,
+      |         COUNT(*) OVER (PARTITION BY user_id) AS n_u,
+      |         LEAD(event_type) OVER w AS to_type
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+      |), tr AS (
+      |  SELECT event_type AS from_type, to_type, COUNT(*) AS c
+      |  FROM e WHERE to_type IS NOT NULL AND k < n_u - 1
+      |  GROUP BY 1, 2
+      |), pr AS (
+      |  SELECT from_type, to_type AS predicted FROM (
+      |    SELECT *, ROW_NUMBER() OVER (
+      |      PARTITION BY from_type ORDER BY c DESC, to_type ASC) AS rn
+      |    FROM tr) r
+      |  WHERE rn = 1
+      |), ho AS (
+      |  SELECT event_type AS from_type, to_type AS actual
+      |  FROM e WHERE to_type IS NOT NULL AND k = n_u - 1
+      |)
+      |SELECT h.from_type, p.predicted, h.actual, COUNT(*) AS n,
+      |       COALESCE(p.predicted = h.actual, FALSE) AS correct
+      |FROM ho h LEFT JOIN pr p ON p.from_type = h.from_type
+      |GROUP BY 1, 2, 3""".stripMargin
+
   /** Changelog compaction to latest state — the CDC primitive every
     * event-sourced store runs (Flink's keyed ValueState upsert, Kafka's
     * compacted topic, a lakehouse MERGE): per (user, event_type), the
@@ -2257,6 +2329,7 @@ object AnalyticsJobs {
     "cheapest_path" -> cheapestPath,
     "state_history" -> stateHistory,
     "rec_eval" -> recEval,
+    "markov_eval" -> markovEval,
     "latest_state" -> latestState,
     "graph_reach" -> graphReach,
     "rfm_segments" -> rfmSegments,
@@ -2299,6 +2372,7 @@ object AnalyticsJobs {
     "cheapest_path" -> cheapestPathSql,
     "state_history" -> stateHistorySql,
     "rec_eval" -> recEvalSql,
+    "markov_eval" -> markovEvalSql,
     "latest_state" -> latestStateSql,
     "graph_reach" -> graphReachSql,
     "rfm_segments" -> rfmSegmentsSql,

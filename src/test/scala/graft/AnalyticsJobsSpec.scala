@@ -389,6 +389,59 @@ class AnalyticsJobsSpec extends SparkSpec {
     assert(truth.forall(t => !prefix.contains(t)))
   }
 
+  test("markov_eval: leave-last-out confusion table re-derives; NULL covered") {
+    val dir = sf("sf0.001")
+    val ev = graft.io.Tables.events(spark, dir)
+      .selectExpr("user_id", "event_type", "unix_micros(ts) as us", "event_id")
+      .as[(Long, String, Long, Long)].collect()
+    val byUser = ev.groupBy(_._1).view.mapValues(
+      _.sortBy(r => (r._3, r._4)).map(_._2).toSeq).toMap
+    val train = byUser.values.toSeq.flatMap { seq =>
+      seq.zip(seq.tail).dropRight(1) // all consecutive pairs but the last
+    }.groupBy(identity).map { case (p, o) => p -> o.size.toLong }
+    val pred = train.keys.map(_._1).toSeq.distinct.map { f =>
+      f -> train.filter(_._1._1 == f).toSeq
+        .map { case ((_, t), c) => (t, c) }
+        .minBy { case (t, c) => (-c, t) }._1
+    }.toMap
+    val holdout = byUser.values.filter(_.length >= 2)
+      .map(seq => (seq(seq.length - 2), seq.last)).toSeq
+    val expected = holdout.groupBy { case (f, a) => (f, pred.get(f), a) }
+      .map { case (k, o) => k -> o.size.toLong }
+    val got = AnalyticsJobs.markovEval(spark, dir).collect().map { r =>
+      (r.getAs[String]("from_type"), Option(r.getAs[String]("predicted")),
+        r.getAs[String]("actual")) ->
+        r.getAs[Long]("n")
+    }.toMap
+    assert(got == expected)
+    val rows = AnalyticsJobs.markovEval(spark, dir).collect()
+    assert(rows.forall { r =>
+      r.getAs[Boolean]("correct") ==
+        (Option(r.getAs[String]("predicted")).contains(r.getAs[String]("actual")))
+    })
+    assert(rows.exists(_.getAs[Boolean]("correct")) &&
+      rows.exists(!_.getAs[Boolean]("correct")))
+
+    // crafted corpus: a from-state that appears ONLY in the held-out pair
+    // must predict NULL and be counted, not dropped
+    val tmp = java.nio.file.Files.createTempDirectory("mk_null").toString
+    import java.sql.Timestamp
+    Seq(
+      graft.model.Event(1L, new Timestamp(1000L), 1L, "a", 0.0, "{}"),
+      graft.model.Event(2L, new Timestamp(2000L), 1L, "b", 0.0, "{}"),
+      graft.model.Event(3L, new Timestamp(3000L), 1L, "z", 0.0, "{}"),
+      graft.model.Event(4L, new Timestamp(4000L), 1L, "a", 0.0, "{}"))
+      .toDF().write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    // training pairs: (a,b), (b,z); holdout: (z, a) — 'z' untrained
+    val crafted = AnalyticsJobs.markovEval(spark, tmp).collect()
+    assert(crafted.length == 1)
+    val c = crafted.head
+    assert(c.getAs[String]("from_type") == "z" &&
+      c.getAs[String]("predicted") == null &&
+      c.getAs[String]("actual") == "a" && c.getAs[Long]("n") == 1L &&
+      !c.getAs[Boolean]("correct"))
+  }
+
   test("rolling_uniques: dau/wau7 equal a brute-force window recompute") {
     val dir = sf("sf0.001")
     val out = AnalyticsJobs.rollingUniques(spark, dir)
