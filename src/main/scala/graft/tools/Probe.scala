@@ -452,6 +452,58 @@ object Probe {
       }
     }
 
+    /** §8h-iii: the path family. (a) graph_reach/cheapest_path under a
+      * replicated event log with fresh user namespaces — the claim is
+      * the §8g one: only the edge aggregation is corpus-proportional,
+      * the BFS/min-plus rounds run over the edge frame. (b) The regime
+      * crossover for [[graft.ops.Graph.hopDistances]] and
+      * [[graft.ops.Graph.minPlusDistances]] on the §8g synthetic
+      * bipartite shape, bracketing the 4M default limit.
+      */
+    def runPaths(): Unit = {
+      import graft.ops.Graph
+      val dir = s"/tmp/graft_probe_graph_${copies}x"
+      val base = graft.io.Tables.events(spark, sfDir)
+      (0 until copies).map(k =>
+          base.withColumn("user_id", col("user_id") + lit(k * 10000000L)))
+        .reduce(_ unionAll _)
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      println(s"== path family under replicated events (${copies}x) ==")
+      for (q <- Seq("graph_reach", "cheapest_path")) {
+        val b = median((1 to 3).map(_ => timeQuery(q, sfDir)))
+        val p = median((1 to 3).map(_ => timeQuery(q, dir)))
+        println(f"$q%-22s $b%8.2f $p%8.2f  ${p / b}%.1fx")
+      }
+      println("== hop/min-plus regime crossover (synthetic bipartite) ==")
+      println(f"${"edges"}%10s ${"bfs-1task"}%10s ${"bfs-dist"}%9s " +
+        f"${"mp-1task"}%9s ${"mp-dist"}%8s")
+      val sizes = sys.env.getOrElse("SPARK_GRAFT_PROBE_PR_SIZES",
+        "1000000,4000000,16000000").split(",").map(_.trim.toLong).toSeq
+      for (m <- sizes) {
+        val nu = m / 4
+        val e0 = spark.range(m).select(
+          (pmod(hash((col("id") * 2654435761L).cast("long")), lit(nu))
+            .cast("long") * 2).as("src"),
+          (pmod(hash((col("id") * 40503L + 7L).cast("long")), lit(1000))
+            .cast("long") * 2 + 1).as("dst"))
+        val sym = e0.unionAll(
+          e0.select(col("dst").as("src"), col("src").as("dst")))
+        val seeds = spark.range(100).select((col("id") * 2).as("seed"))
+        val wsym = sym.withColumn("w", lit(3L))
+        val b1 = median((1 to 3).map(_ => time(Graph.hopDistances(
+          sym, seeds, 4, singleTaskEdgeLimit = Long.MaxValue).count())))
+        val bd = median((1 to 3).map(_ => time(Graph.hopDistances(
+          sym, seeds, 4, singleTaskEdgeLimit = 0L).count())))
+        val m1 = median((1 to 3).map(_ => time(Graph.minPlusDistances(
+          wsym, seeds, 4, singleTaskEdgeLimit = Long.MaxValue).count())))
+        val md = median((1 to 3).map(_ => time(Graph.minPlusDistances(
+          wsym, seeds, 4, singleTaskEdgeLimit = 0L).count())))
+        println(f"$m%10d $b1%10.2f $bd%9.2f $m1%9.2f $md%8.2f")
+      }
+    }
+
+    if (mode == "paths")
+      runPaths()
     if (mode == "cf")
       runCf()
     if (mode == "clustered")
