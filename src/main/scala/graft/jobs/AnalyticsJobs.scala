@@ -1474,6 +1474,53 @@ object AnalyticsJobs {
        |       CAST(mrr_sum_ppm // greatest(n_users, 1) AS BIGINT) AS mrr_ppm
        |FROM g""".stripMargin
 
+  /** Catalog coverage + concentration of the recommender — the health
+    * metrics served beside [[recEval]]'s accuracy: how much of the item
+    * catalog the top-K lists ever surface (low coverage = popularity
+    * collapse) and how concentrated the recommendations are on the
+    * single hottest item. Exact counts + two ppm floor divisions.
+    * Scale shape: the recs frame is user×K-bounded; everything here is
+    * one per-item aggregate plus three 1-row frames cross-joined.
+    */
+  def recCoverage(spark: SparkSession, sfDir: String): DataFrame = {
+    val recs = itemRecsCore(interactionsOf(spark, sfDir)).cache()
+    val catalog = broadcast(interactionsOf(spark, sfDir)
+      .agg(countDistinct(col("i")).as("n_catalog")))
+    val perItem = recs.groupBy(col("rec_item")).agg(count(lit(1)).as("cnt"))
+    val shape = perItem.agg(max(col("cnt")).as("top_cnt"),
+      count(lit(1)).as("n_items_rec"), sum(col("cnt")).as("n_rec_rows"))
+    val users = broadcast(recs.agg(countDistinct(col("user_id"))
+      .as("n_users")))
+    shape.crossJoin(catalog).crossJoin(users)
+      .select(col("n_users"), col("n_rec_rows"), col("n_items_rec"),
+        col("n_catalog"),
+        expr("(n_items_rec * 1000000) div n_catalog").as("coverage_ppm"),
+        expr("(top_cnt * 1000000) div greatest(n_rec_rows, 1)")
+          .as("top_item_ppm"))
+  }
+
+  /** Oracle: [[itemRecsSql]] composed + identical aggregates. lazy (the
+    * composed vals are declared later in object-init order).
+    */
+  lazy val recCoverageSql: String =
+    s"""WITH recs AS MATERIALIZED (
+       |  SELECT user_id, rec_item FROM ($itemRecsSql) rq
+       |), ui AS (
+       |  $uiSqlDefault
+       |), cat AS (SELECT COUNT(DISTINCT i) AS n_catalog FROM ui),
+       |pi AS (SELECT rec_item, COUNT(*) AS cnt FROM recs GROUP BY 1),
+       |sh AS (
+       |  SELECT MAX(cnt) AS top_cnt, COUNT(*) AS n_items_rec,
+       |         CAST(SUM(cnt) AS BIGINT) AS n_rec_rows
+       |  FROM pi
+       |), gu AS (SELECT COUNT(DISTINCT user_id) AS n_users FROM recs)
+       |SELECT n_users, n_rec_rows, n_items_rec, n_catalog,
+       |       CAST((n_items_rec * 1000000) // n_catalog AS BIGINT)
+       |         AS coverage_ppm,
+       |       CAST((top_cnt * 1000000) // greatest(n_rec_rows, 1) AS BIGINT)
+       |         AS top_item_ppm
+       |FROM sh CROSS JOIN cat CROSS JOIN gu""".stripMargin
+
   /** The sketch-merge form of [[rollingUniques]] — its OWN scaladoc's
     * 100 TB path made a checked gate: per-day DataSketches HLL sketches
     * (`hll_sketch_agg`) union across the 7-day window (`hll_union_agg`),
@@ -2022,15 +2069,9 @@ object AnalyticsJobs {
         count(lit(1)).over(Window.partitionBy(col("user_id"))))
       .withColumn("to_type", lead(col("event_type"), 1).over(wAsc))
       .cache()
-    val trained = ev
+    val pred = markovArgmax(ev
       .filter(col("to_type").isNotNull && col("k") < col("n_u") - 1)
-      .groupBy(col("event_type").as("from_type"), col("to_type"))
-      .agg(count(lit(1)).as("c"))
-    val pred = trained.withColumn("rn", row_number().over(
-        Window.partitionBy(col("from_type"))
-          .orderBy(col("c").desc, col("to_type").asc)))
-      .filter(col("rn") === 1)
-      .select(col("from_type"), col("to_type").as("predicted"))
+      .select(col("event_type").as("from_type"), col("to_type")))
     val holdout = ev
       .filter(col("to_type").isNotNull && col("k") === col("n_u") - 1)
       .select(col("event_type").as("from_type"), col("to_type").as("actual"))
@@ -2039,6 +2080,40 @@ object AnalyticsJobs {
       .agg(count(lit(1)).as("n"))
       .withColumn("correct",
         coalesce(col("predicted") === col("actual"), lit(false)))
+  }
+
+  /** Argmax next-type predictor from a (from_type, to_type) transition
+    * frame — count DESC, type ASC (the LPA tie-break). Shared by
+    * [[markovEval]] and the online serving twin
+    * ([[graft.streaming.NextEventStream]]); |types|-row output, the
+    * model is broadcast-sized by construction.
+    */
+  def markovArgmax(transitions: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    transitions
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("from_type"))
+          .orderBy(col("c").desc, col("to_type").asc)))
+      .filter(col("rn") === 1)
+      .select(col("from_type"), col("to_type").as("predicted"))
+  }
+
+  /** The full-log trained predictor (every consecutive pair) — what the
+    * online twin serves; [[markovEval]] trains on the leave-last-out
+    * subset instead, so its scorecard never scores on trained pairs.
+    */
+  def markovPredictor(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wAsc = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    markovArgmax(Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("event_id"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(wAsc))
+      .filter(col("to_type").isNotNull)
+      .select(col("event_type").as("from_type"), col("to_type")))
   }
 
   val markovEvalSql: String =
@@ -2330,6 +2405,7 @@ object AnalyticsJobs {
     "state_history" -> stateHistory,
     "rec_eval" -> recEval,
     "markov_eval" -> markovEval,
+    "rec_coverage" -> recCoverage,
     "latest_state" -> latestState,
     "graph_reach" -> graphReach,
     "rfm_segments" -> rfmSegments,
@@ -2373,6 +2449,7 @@ object AnalyticsJobs {
     "state_history" -> stateHistorySql,
     "rec_eval" -> recEvalSql,
     "markov_eval" -> markovEvalSql,
+    "rec_coverage" -> recCoverageSql,
     "latest_state" -> latestStateSql,
     "graph_reach" -> graphReachSql,
     "rfm_segments" -> rfmSegmentsSql,

@@ -109,7 +109,10 @@ object PlanAudit {
       "rec_eval" -> ("every CROSS is the ONE-ROW max-day split bound broadcast (mixture_plan " +
         "pattern) — the count is plan-string amplification: the cached (u,i,day) and prefix " +
         "frames embed it once per reference, and the composed recs pipeline references them " +
-        "many times; at runtime each is one InMemoryTableScan, never corpus x corpus"))
+        "many times; at runtime each is one InMemoryTableScan, never corpus x corpus"),
+      "rec_coverage" -> ("the two CROSSes join three 1-ROW aggregate frames (shape x catalog " +
+        "count x user count) into the single output row — never corpus-sized; the exchange " +
+        "count is the cached recs frame's plan string re-printed per reference"))
 
     emit("# Plan audit -- every registered query")
     emit()

@@ -442,6 +442,29 @@ class AnalyticsJobsSpec extends SparkSpec {
       !c.getAs[Boolean]("correct"))
   }
 
+  test("rec_coverage: catalog coverage re-derives from the recs frame") {
+    val dir = sf("sf0.001")
+    val recs = AnalyticsJobs.itemRecs(spark, dir)
+      .select($"user_id", $"rec_item").as[(Long, Long)].collect()
+    val catalog = graft.io.Tables.events(spark, dir)
+      .selectExpr(
+        "cast(regexp_extract(props, '\"k\"\\\\s*:\\\\s*(-?\\\\d+)', 1) as long) as i")
+      .filter($"i".isNotNull).distinct().count()
+    val perItem = recs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val r = AnalyticsJobs.recCoverage(spark, dir).collect().head
+    assert(r.getAs[Long]("n_users") == recs.map(_._1).distinct.length.toLong)
+    assert(r.getAs[Long]("n_rec_rows") == recs.length.toLong)
+    assert(r.getAs[Long]("n_items_rec") == perItem.size.toLong)
+    assert(r.getAs[Long]("n_catalog") == catalog)
+    assert(r.getAs[Long]("coverage_ppm") ==
+      perItem.size.toLong * 1000000L / catalog)
+    assert(r.getAs[Long]("top_item_ppm") ==
+      perItem.values.max * 1000000L / recs.length.toLong)
+    // the metric is informative on the fixture: partial coverage
+    assert(r.getAs[Long]("coverage_ppm") > 0 &&
+      r.getAs[Long]("coverage_ppm") < 1000000L)
+  }
+
   test("rolling_uniques: dau/wau7 equal a brute-force window recompute") {
     val dir = sf("sf0.001")
     val out = AnalyticsJobs.rollingUniques(spark, dir)

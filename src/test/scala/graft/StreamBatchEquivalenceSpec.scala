@@ -88,6 +88,36 @@ class StreamBatchEquivalenceSpec extends SparkSpec {
     }
   }
 
+  test("streaming next-event prediction serves the batch argmax per arrival") {
+    implicit val sqlCtx = spark.sqlContext
+    val sfd = "/root/testdata/sf0.001"
+    val pred = graft.jobs.AnalyticsJobs.markovPredictor(spark, sfd)
+    val predMap = pred.as[(String, String)].collect().toMap
+    // arrivals: a sample of real events plus one UNSEEN state ('zzz') —
+    // the lookup must be total (NULL, never a throw)
+    val data = graft.io.Tables.events(spark, sfd)
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value", "props")
+      .as[Event].take(50).toSeq :+
+      Event(999999L, ts(999), 7L, "zzz", 0.0, "{}")
+    val in = MemoryStream[Event]
+    val q = graft.streaming.NextEventStream
+      .predictNext(in.toDF(), "ts", "0 seconds", pred)
+      .writeStream.format("memory").queryName("eq_nextev")
+      .outputMode("append").start()
+    try {
+      in.addData(data)
+      q.processAllAvailable()
+      val out = spark.table("eq_nextev")
+        .select($"user_id", $"event_type", $"predicted")
+        .as[(Long, String, String)].collect()
+      assert(out.length == data.length)
+      out.foreach { case (_, t, p) =>
+        assert(Option(p) == predMap.get(t), s"state $t served $p")
+      }
+      assert(out.exists(_._3 != null) && out.exists(_._3 == null))
+    } finally q.stop()
+  }
+
   test("streaming MapState top-N equals batch rank once windows close") {
     (1 to 5).foreach { seed =>
       implicit val sqlCtx = spark.sqlContext
