@@ -28,3 +28,29 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+
+// Bench-tail re-emission (driver contract): the bench driver keeps the
+// last ~2000 chars of stdout and JSON-parses the LAST line, but sbt
+// prints "[success] Total time: …" AFTER the forked runMain's output, so
+// nothing graft.Bench prints can ever be that last line. This hook runs
+// in the SBT JVM at exit — after every sbt log line — and re-prints the
+// compact ≤1800-char summary graft.Bench wrote THIS session (mtime-gated
+// so compile/test/Verify invocations stay silent; property-gated so a
+// build reload doesn't stack duplicate hooks).
+val benchTailHook: Unit =
+  if (System.getProperty("graft.benchTailHook") == null) {
+    System.setProperty("graft.benchTailHook", "1")
+    val sbtStart = System.currentTimeMillis()
+    java.lang.Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      try {
+        val p = java.nio.file.Paths.get("/tmp/bench_tail.json")
+        if (java.nio.file.Files.exists(p) &&
+            java.nio.file.Files.getLastModifiedTime(p).toMillis >= sbtStart) {
+          System.out.println(new String(
+            java.nio.file.Files.readAllBytes(p),
+            java.nio.charset.StandardCharsets.UTF_8).trim)
+          System.out.flush()
+        }
+      } catch { case _: Throwable => () }
+    }))
+  }

@@ -113,7 +113,14 @@ object Bench {
       if (v.isNaN) "null"
       else String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
     val flaggedSlots = Seq( // open BENCHGAP flags awaiting canary adjudication
-      "value_histogram", "corpus_curation", "quality_from_artifact")
+      // r11 adjudications: value_histogram/corpus_curation fell below the
+      // 3x threshold (0.33/1.31 s driver); quality_from_artifact's slot
+      // canary read 0.45 s vs 0.107 med — env proven. r12 slots = the
+      // top BENCH_r11 flags (worst ratio x absolute cost first) plus
+      // rec_coverage to witness the CF-memo fix landing.
+      "ngram_jaccard_prefix", "rec_coverage", "cohort_ltv",
+      "curation_screened", "churn_rates", "attribution", "keyword_search",
+      "coreset_kcenter")
     val byCost = results.toSeq.sortBy { case (_, v) =>
       if (v.isNaN) Double.MaxValue else v } // cheap first; NaN (errored) last
     val chunk = new StringBuilder
@@ -145,7 +152,18 @@ object Bench {
         if (budget - (p.length + 1) >= 0) { fillPairs += p; budget -= p.length + 1 }
       }
     }
-    println(head + (fillPairs ++ tailPairs).mkString(",") + close)
+    val tailLine = head + (fillPairs ++ tailPairs).mkString(",") + close
+    println(tailLine)
+    // The driver parses the LAST stdout line as JSON, but sbt prints
+    // "[success] Total time: …" after this forked JVM's output — so no
+    // line printed HERE can ever be last ("parsed": null, 11 rounds
+    // running). Persist the compact line for build.sbt's sbt-JVM
+    // shutdown hook, which re-prints it after sbt's own trailer.
+    try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("/tmp/bench_tail.json"),
+        tailLine.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case _: java.io.IOException => () }
     // Persist BOTH maps in one full object so every registered query's
     // median and canary survives the round regardless of any log-tail
     // truncation (see CLAUDE.md; BenchGap reads flat pairs from either).

@@ -12,9 +12,12 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // SCALE §8f: cap plan-string length so AQE listener events never
-      // stringify a multi-GB iterative-lineage plan (log text only).
-      .config("spark.sql.maxPlanStringLength", "16384")
+      // 1 MB like the test sessions (r11 rule): big enough that no real
+      // plan truncates (the largest registry plan is ~56 KB, so 16 KB
+      // spammed truncation warnings), small enough that the SCALE §8f
+      // AQE listener pathology (multi-GB strings from un-checkpointed
+      // iterative lineages) still can't OOM the driver.
+      .config("spark.sql.maxPlanStringLength", (1 << 20).toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -1175,7 +1175,63 @@ object AnalyticsJobs {
     * partitions by item (catalog-sized key space, never a global funnel).
     */
   def itemSimilarity(spark: SparkSession, sfDir: String): DataFrame =
-    itemSimilarityCore(interactionsOf(spark, sfDir))
+    simLists(spark, sfDir)
+
+  /** Content-memoized full-log similarity lists — the CF model.
+    *
+    * Four registry queries (`item_similarity`, `item_recs`, `rec_eval`'s
+    * full-log siblings, `rec_coverage`) train the identical catalog×K
+    * lists from the identical events log, and the bench runs them as
+    * independent queries — without a memo the registry pays the quadratic
+    * pair join four times (the `rocchioModel` contract, CLAUDE.md r8).
+    * The model is the catalog×[[SIM_TOP_K]] list frame — the exact rows
+    * the scoring side already broadcasts — so one driver copy per corpus
+    * is the same memory contract; the memo key fingerprints the events
+    * parquet (path, size, mtime, tail CRC) so a changed corpus retrains.
+    *
+    * 100 TB fence: a 10⁸-item catalog's lists do NOT belong in driver
+    * memory (they belong in storage — the [[ArtifactJobs]] parquet
+    * contract); above [[SimMemoMaxRows]] the memo declines (null mapping
+    * → recompute distributed every call) instead of OOMing the driver.
+    * The count that decides rides the cached build it would collect.
+    */
+  private val simListsMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]()
+
+  private[jobs] val SimMemoMaxRows = 1000000L
+
+  private[jobs] def simLists(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    def rebuild(flat: Array[Long]): DataFrame =
+      flat.grouped(4).map(g => (g(0), g(1), g(2), g(3))).toSeq
+        .toDF("item_id", "rank", "partner", "jacc_ppm")
+    val key = graft.io.Fingerprint.of(sfDir, "events")
+    val hit = simListsMemo.get(key)
+    if (hit != null) {
+      if (hit.length == 0) itemSimilarityCore(interactionsOf(spark, sfDir))
+      else rebuild(hit)
+    } else {
+      val built = itemSimilarityCore(interactionsOf(spark, sfDir)).cache()
+      if (built.count() > SimMemoMaxRows) {
+        // declined: record a zero-length sentinel so later calls skip the
+        // count probe too, and serve THIS call the frame already built
+        simListsMemo.putIfAbsent(key, Array.emptyLongArray)
+        built
+      } else {
+        val rows = built.collect()
+        built.unpersist()
+        val a = new Array[Long](rows.length * 4)
+        var j = 0
+        rows.foreach { r =>
+          a(j) = r.getLong(0); a(j + 1) = r.getLong(1)
+          a(j + 2) = r.getLong(2); a(j + 3) = r.getLong(3)
+          j += 4
+        }
+        simListsMemo.putIfAbsent(key, a)
+        rebuild(a)
+      }
+    }
+  }
 
   /** The full distinct (u, i) interaction frame — the CF stack's input,
     * shared by the similarity/recs/eval queries.
@@ -1296,17 +1352,27 @@ object AnalyticsJobs {
     * scores.
     */
   def itemRecs(spark: SparkSession, sfDir: String): DataFrame =
-    itemRecsCore(interactionsOf(spark, sfDir))
+    itemRecsServe(keptOf(interactionsOf(spark, sfDir)),
+      simLists(spark, sfDir))
 
   /** The serving core over an already-distinct (u, i) frame — exposed so
-    * the temporal-split eval ([[recEval]]) can train on a log prefix.
+    * the temporal-split eval ([[recEval]]) can train on a log prefix and
+    * [[ArtifactJobs]] on a maintained interaction set (neither shares the
+    * full-log [[simLists]] memo — different training inputs).
     */
   private[jobs] def itemRecsCore(ui: DataFrame): DataFrame = {
     // ONE capped frame serves the similarity build, the history join,
     // and the already-seen anti-join (it was computed twice before —
     // two ui shuffles + two degree aggs for the same rows)
     val hist = keptOf(ui)
-    val sims = itemSimilarityOverKept(hist)
+    itemRecsServe(hist, itemSimilarityOverKept(hist))
+  }
+
+  /** The serving half alone: score a history frame against an
+    * already-built similarity-list frame (memoized or freshly trained).
+    */
+  private def itemRecsServe(hist: DataFrame, lists: DataFrame): DataFrame = {
+    val sims = lists
       .select(col("item_id").as("i"), col("partner").as("rec_item"),
         col("jacc_ppm"))
     val scored = hist.join(sims, "i")
@@ -1483,7 +1549,7 @@ object AnalyticsJobs {
     * one per-item aggregate plus three 1-row frames cross-joined.
     */
   def recCoverage(spark: SparkSession, sfDir: String): DataFrame = {
-    val recs = itemRecsCore(interactionsOf(spark, sfDir)).cache()
+    val recs = itemRecs(spark, sfDir).cache()
     val catalog = broadcast(interactionsOf(spark, sfDir)
       .agg(countDistinct(col("i")).as("n_catalog")))
     val perItem = recs.groupBy(col("rec_item")).agg(count(lit(1)).as("cnt"))
@@ -1868,7 +1934,24 @@ object AnalyticsJobs {
         coalesce(col("c"), lit(0L)).as("c"))
     val stats = filled.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("c")).as("s"),
-        sum(col("c") * col("c")).as("q"))
+        sum(col("c") * col("c")).as("q"), max(col("c")).as("mx"))
+    // Overflow envelope, asserted on the ACTUAL data (the checkRankCeiling
+    // discipline — a static worst-case bound would outlaw volumes the math
+    // still handles). Every BIGINT product is safe iff, per type:
+    //   n·mx ≤ ⌊√(2^63)⌋            (covers q = Σc² ≤ n·mx², s² and n·q
+    //                                ≤ (n·mx)²)
+    //   max(n·mx−s, s) ≤ ⌊√(2^63/10⁶)⌋  (covers (n·c−s)²·10⁶ since
+    //                                c ∈ [0, mx] bounds |n·c−s|)
+    // One agg over the cached |days|×|types| grid → a 1-row driver check.
+    val env = stats
+      .agg(max(col("n") * col("mx")).as("nmx"),
+        max(greatest(col("n") * col("mx") - col("s"), col("s"))).as("dev"))
+      .first()
+    require(env.isNullAt(0) ||
+      (env.getLong(0) <= 3037000499L && env.getLong(1) <= 3037000L),
+      s"anomalyDays: per-type volume exceeds the z²·10⁶ BIGINT envelope " +
+        s"(max n·mx=${env.get(0)}, max dev bound=${env.get(1)}); drop the " +
+        "10⁶ ppm scale a decade per decade of per-type events")
     filled.join(stats, "event_type")
       .withColumn("z2_ppm",
         when(expr("n*q - s*s") <= 0, lit(0L))

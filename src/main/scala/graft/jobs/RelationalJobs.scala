@@ -288,8 +288,8 @@ object RelationalJobs {
       |    CAST(SUM(CASE WHEN event_type NOT IN
       |      ('click', 'view', 'purchase', 'signup', 'error')
       |      THEN 1 ELSE 0 END) AS BIGINT) AS f_domain,
-      |    CAST(SUM(CASE WHEN json_extract_string(props, '$.k') IS NULL
-      |      THEN 1 ELSE 0 END) AS BIGINT) AS f_props,
+      |    CAST(SUM(CASE WHEN regexp_extract(props, '"k"\s*:\s*(-?\d+)', 1)
+      |      = '' THEN 1 ELSE 0 END) AS BIGINT) AS f_props,
       |    CAST(SUM(CASE WHEN NOT (epoch_us(ts) >= 0
       |      AND epoch_us(ts) < 2000000000000000) THEN 1 ELSE 0 END)
       |      AS BIGINT) AS f_ts

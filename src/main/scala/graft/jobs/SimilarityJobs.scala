@@ -881,6 +881,10 @@ object SimilarityJobs {
     * (the k-means unroll pattern). Quantized coords make every squared
     * distance an integer-valued double < 2^53, so MIN/argmax/assignment
     * agree bit-for-bit regardless of each engine's summation order.
+    * `n` is MATERIALIZED: it is diamond-referenced twice per round plus
+    * in the final assign, and DuckDB re-opens embeddings.parquet per
+    * inlined reference — at `ulimit -n 512/1024` the un-materialized
+    * form dies with "Too many open files" (the `item_hits` lesson).
     */
   val coresetKcenterSql: String = {
     val quant = "CAST(CAST(ROUND(x * 1000000.0 + 1e-9) AS BIGINT) AS DOUBLE)"
@@ -899,7 +903,7 @@ object SimilarityJobs {
        |  SELECT vec_id,
        |         list_transform(embedding::DOUBLE[], x -> $quant) AS qv
        |  FROM embeddings
-       |), n AS (
+       |), n AS MATERIALIZED (
        |  SELECT vec_id, qv, list_dot_product(qv, qv) AS n2 FROM q
        |), c0 AS (SELECT MIN(vec_id) AS cid FROM n),
        |$rounds,

@@ -1,6 +1,6 @@
 package graft.jobs
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.io.Tables
 import graft.ops.TextAnalysis
@@ -229,8 +229,10 @@ object TextJobs {
   /** The distributed corpus stage both BPE queries share: one tokenize +
     * two-phase word count.
     */
-  private def wordCounts(spark: SparkSession, sfDir: String): DataFrame =
+  private def wordCounts(spark: SparkSession, sfDir: String,
+      docFilter: Column = lit(true)): DataFrame =
     Tables.documents(spark, sfDir)
+      .where(docFilter)
       .select(explode(TextAnalysis.tokens(lower(col("text")))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
 
@@ -246,12 +248,17 @@ object TextJobs {
   private val bpeMemo = new java.util.concurrent.ConcurrentHashMap[
     String, (Seq[(Long, String, String, Long)], Seq[(String, Long)])]()
 
-  private[jobs] def bpeModel(spark: SparkSession, sfDir: String)
+  /** `tag`/`docFilter` select a sub-corpus training run (the
+    * [[tokenizerEval]] train split) under its own memo key; the defaults
+    * are the full-corpus model every existing consumer shares.
+    */
+  private[jobs] def bpeModel(spark: SparkSession, sfDir: String,
+      tag: String = "", docFilter: Column = lit(true))
       : (Seq[(Long, String, String, Long)], Seq[(String, Long)]) =
-    bpeMemo.computeIfAbsent(docsFingerprint(sfDir), _ => {
+    bpeMemo.computeIfAbsent(docsFingerprint(sfDir) + tag, _ => {
       import spark.implicits._
       // one wire row for both outputs: kind 0 = merge, kind 1 = encoder
-      val rows = wordCounts(spark, sfDir).as[(String, Long)]
+      val rows = wordCounts(spark, sfDir, docFilter).as[(String, Long)]
         .coalesce(1).mapPartitions { it =>
           val vocab0 = it.map { case (w, c) =>
             (w, w.toCharArray.map(_.toString): Array[String], c)
@@ -383,7 +390,7 @@ object TextJobs {
     * `replace` semantics, carrying the original word through for the
     * encoder's lookup. Shared by the merges and encode oracles.
     */
-  private val bpeVocabCtes: String = {
+  private def bpeVocabCtesFor(docWhere: String): String = {
     val roundCtes = (1 to BPE_ROUNDS).map { r =>
       s"""p$r AS (
          |  SELECT s[i] AS left_sym, s[i + 1] AS right_sym,
@@ -408,7 +415,7 @@ object TextJobs {
     s"""wc AS (
        |  SELECT w, COUNT(*) AS cnt FROM (
        |    SELECT unnest(regexp_extract_all(lower(text), '[A-Za-z0-9]+')) AS w
-       |    FROM documents)
+       |    FROM documents $docWhere)
        |  GROUP BY w
        |), v0 AS (
        |  SELECT w, substr('|' || regexp_replace(w, '(.)', '\\1||', 'g'),
@@ -416,6 +423,8 @@ object TextJobs {
        |  FROM wc
        |), $roundCtes""".stripMargin
   }
+
+  private val bpeVocabCtes: String = bpeVocabCtesFor("")
 
   val bpeMergesSql: String = {
     val out = (1 to BPE_ROUNDS).map { r =>
@@ -573,11 +582,12 @@ object TextJobs {
   private val wpMemo = new java.util.concurrent.ConcurrentHashMap[
     String, (Seq[(Long, String, String, Long, Long)], Seq[(String, Long)])]()
 
-  private[jobs] def wordpieceModel(spark: SparkSession, sfDir: String)
+  private[jobs] def wordpieceModel(spark: SparkSession, sfDir: String,
+      tag: String = "", docFilter: Column = lit(true))
       : (Seq[(Long, String, String, Long, Long)], Seq[(String, Long)]) =
-    wpMemo.computeIfAbsent(docsFingerprint(sfDir), _ => {
+    wpMemo.computeIfAbsent(docsFingerprint(sfDir) + tag, _ => {
       import spark.implicits._
-      val rows = wordCounts(spark, sfDir).as[(String, Long)]
+      val rows = wordCounts(spark, sfDir, docFilter).as[(String, Long)]
         .coalesce(1).mapPartitions { it =>
           val vocab0 = it.map { case (w, c) => (w, wpInitSyms(w), c) }.toArray
           val (merges, vocab) = trainWordPieceRounds(vocab0, WP_ROUNDS)
@@ -708,7 +718,7 @@ object TextJobs {
     * symbol strips the right side's `##` so the prefix survives iff the
     * left was itself a continuation.
     */
-  private val wpVocabCtes: String = {
+  private def wpVocabCtesFor(docWhere: String): String = {
     val roundCtes = (1 to WP_ROUNDS).map { r =>
       s"""s$r AS MATERIALIZED (
          |  SELECT sym, CAST(SUM(cnt) AS BIGINT) AS n FROM (
@@ -745,7 +755,7 @@ object TextJobs {
     s"""wc AS (
        |  SELECT w, COUNT(*) AS cnt FROM (
        |    SELECT unnest(regexp_extract_all(lower(text), '[A-Za-z0-9]+')) AS w
-       |    FROM documents)
+       |    FROM documents $docWhere)
        |  GROUP BY w
        |), wv0 AS MATERIALIZED (
        |  SELECT w, '|' || substr(w, 1, 1) || '|' ||
@@ -756,6 +766,8 @@ object TextJobs {
        |  FROM wc
        |), $roundCtes""".stripMargin
   }
+
+  private val wpVocabCtes: String = wpVocabCtesFor("")
 
   val wordpieceMergesSql: String = {
     val out = (1 to WP_ROUNDS).map { r =>
@@ -939,13 +951,19 @@ object TextJobs {
     * and the artifact twin.
     */
   private val uniMemo = new java.util.concurrent.ConcurrentHashMap[
-    String, (Seq[(String, Long)], Seq[(String, Long)])]()
+    String, (Seq[(String, Long)], Seq[(String, Long)], Seq[(String, Long)])]()
 
-  private[jobs] def unigramModel(spark: SparkSession, sfDir: String)
-      : (Seq[(String, Long)], Seq[(String, Long)]) =
-    uniMemo.computeIfAbsent(docsFingerprint(sfDir), _ => {
+  /** (top-V vocab, encoder table, FULL final scores). The third element
+    * is the complete `v2` piece-score map — what [[viterbi]] actually
+    * segments under; [[tokenizerEval]] serves HELD-OUT words, which
+    * the (train-word → count) encoder table cannot answer.
+    */
+  private[jobs] def unigramModel(spark: SparkSession, sfDir: String,
+      tag: String = "", docFilter: Column = lit(true))
+      : (Seq[(String, Long)], Seq[(String, Long)], Seq[(String, Long)]) =
+    uniMemo.computeIfAbsent(docsFingerprint(sfDir) + tag, _ => {
       import spark.implicits._
-      val rows = wordCounts(spark, sfDir).as[(String, Long)]
+      val rows = wordCounts(spark, sfDir, docFilter).as[(String, Long)]
         .coalesce(1).mapPartitions { it =>
           val words = uniWords(it.toArray)
           val scores = trainUnigramScores(words)
@@ -954,10 +972,12 @@ object TextJobs {
           topV.iterator.map { case (p, u) => (0, p, u) } ++
             words.iterator.map { case (w, _) =>
               (1, w, viterbi(w, scores).length.toLong)
-            }
+            } ++
+            scores.iterator.map { case (p, s) => (2, p, s) }
         }.collect()
       (rows.toSeq.collect { case (0, p, u) => (p, u) },
-        rows.toSeq.collect { case (1, w, n) => (w, n) })
+        rows.toSeq.collect { case (1, w, n) => (w, n) },
+        rows.toSeq.collect { case (2, p, s) => (p, s) })
     })
 
   def unigramVocab(spark: SparkSession, sfDir: String): DataFrame = {
@@ -1052,11 +1072,12 @@ object TextJobs {
     * segmentation) total order as the Scala DP, then usage counts.
     * `best$r` also carries the piece count `np` for the encoder oracle.
     */
-  private def uniReachCte(r: Int, v: String): String =
+  private def uniReachCte(r: Int, v: String,
+      src: String = "uwords"): String =
     s"""reach$r AS (
        |  SELECT w, cnt, 0 AS pos, 0 AS k, CAST(0 AS BIGINT) AS s,
        |         '' AS seg
-       |  FROM uwords
+       |  FROM $src
        |  UNION ALL
        |  SELECT r.w, r.cnt, r.pos + length(v.piece), r.k + 1,
        |         r.s + v.score, r.seg || '|' || v.piece
@@ -1082,11 +1103,11 @@ object TextJobs {
     * All-ASCII pieces make string comparison collation-identical across
     * engines.
     */
-  private val unigramVocabCtes: String =
+  private def unigramVocabCtesFor(docWhere: String): String =
     s"""wc AS (
        |  SELECT w, COUNT(*) AS cnt FROM (
        |    SELECT unnest(regexp_extract_all(lower(text), '[A-Za-z0-9]+')) AS w
-       |    FROM documents)
+       |    FROM documents $docWhere)
        |  GROUP BY w
        |), uwords AS (
        |  SELECT w, cnt FROM wc WHERE length(w) BETWEEN 1 AND $UNI_MAX_WORD
@@ -1120,6 +1141,8 @@ object TextJobs {
        |  SELECT v.piece, u.score FROM v1 v JOIN use2 u USING (piece)
        |  WHERE length(v.piece) > 1
        |)""".stripMargin
+
+  private val unigramVocabCtes: String = unigramVocabCtesFor("")
 
   val unigramVocabSql: String =
     s"""WITH RECURSIVE $unigramVocabCtes
@@ -2403,6 +2426,272 @@ object TextJobs {
        |       ROUND(CAST(SUM(n_chars) AS DOUBLE) / CAST(SUM(n_wp_tokens) AS DOUBLE) + 1e-9, 4) AS chars_per_wp
        |FROM j GROUP BY source""".stripMargin
 
+  /** [[tokenizerEval]] split: doc_id % 5 == 0 (20%) is HELD OUT; the
+    * other 80% trains. Probed non-degenerate at every fixture SF
+    * (held-out docs 100/100/1000; vocabulary is CLOSED — all 31 held-out
+    * words also occur in train and chars are fully covered, so the OOV
+    * fallback columns are asserted-zero contracts, not live branches).
+    */
+  private val EVAL_HOLD_MOD = 5
+
+  /** Held-out tokenizer evaluation — the number that PICKS a vocab size:
+    * train all three tokenizers on the 80% split, serve the 20% the
+    * trainers never saw through each one's true INFERENCE path (BPE
+    * rank-order merge apply, WordPiece greedy longest-match, unigram
+    * Viterbi under the full final scores), and report per-tokenizer
+    * held-out compression (chars/token, tokens/word). Unlike
+    * [[tokenizerCompare]] — which scores the TRAINING corpus — this is
+    * the generalization metric: a tokenizer that memorizes its corpus
+    * reads artificially well there and pays on fresh text.
+    *
+    * OOV accounting follows the registered conventions: WordPiece words
+    * without full symbol coverage count 1 ([UNK]); unigram words with an
+    * uncovered char take the byte fallback (length(w) pieces, the
+    * `unigram_encode_fallback` rule); BPE has no OOV concept (char
+    * symbols always apply). Coverage is the explicit char-level
+    * predicate on BOTH engines, under which greedy/Viterbi always
+    * complete and the documented greedy = lexicographic-argmax
+    * equivalences hold.
+    *
+    * Scale shape: three vocab-sized half-corpus trainings (each one
+    * distributed word count + a single-task recurrence, content-memoized
+    * per split under the [[bpeModel]] contract), inference as a
+    * distributed map over DISTINCT held-out words with the vocab-sized
+    * models in the closure, then int-keyed per-doc joins and a 3-row
+    * aggregate. The corpus is scanned twice (train count, held-out
+    * accounting); nothing quadratic, no string join wider than the
+    * word column the accounting already carries.
+    */
+  def tokenizerEval(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val trainF = col("doc_id") % EVAL_HOLD_MOD =!= 0
+    val merges = bpeModel(spark, sfDir, ":ev", trainF)._1
+      .map { case (_, l, r, _) => (l, r) }
+    val (wpMerges, wpEnc) = wordpieceModel(spark, sfDir, ":ev", trainF)
+    val wpVocab: Set[String] =
+      wpEnc.iterator.flatMap { case (w, _) => wpInitSyms(w) }.toSet ++
+        wpMerges.iterator.map { case (_, l, r, _, _) =>
+          l + r.stripPrefix("##")
+        }
+    val uniScores: Map[String, Long] =
+      unigramModel(spark, sfDir, ":ev", trainF)._3.toMap
+    val uniChars: Set[Char] =
+      uniScores.keysIterator.filter(_.length == 1).map(_.head).toSet
+    val hold = Tables.documents(spark, sfDir)
+      .where(col("doc_id") % EVAL_HOLD_MOD === 0)
+    val dw = hold
+      .select(col("doc_id"),
+        explode(TextAnalysis.tokens(lower(col("text")))).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("k"))
+    val tok = dw.select(col("w")).distinct().as[String]
+      .map { w =>
+        val tb = bpeApplyMerges(w, merges).length.toLong
+        val wpCov = wpVocab.contains(w.substring(0, 1)) &&
+          w.drop(1).forall(c => wpVocab.contains("##" + c))
+        val tw = if (wpCov) wpGreedySegment(w, wpVocab).length.toLong else 1L
+        val uCov = w.forall(uniChars.contains)
+        val tu =
+          if (uCov) viterbi(w, uniScores).length.toLong else w.length.toLong
+        (w, tb, tw, if (wpCov) 0L else 1L, tu, if (uCov) 0L else 1L)
+      }.toDF("w", "t_bpe", "t_wp", "o_wp", "t_uni", "o_uni")
+    val perDoc = dw.join(tok, "w")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("k")).as("n_words"),
+        sum(col("k") * col("t_bpe")).as("bpe_t"),
+        sum(col("k") * col("t_wp")).as("wp_t"),
+        sum(col("k") * col("o_wp")).as("wp_oov"),
+        sum(col("k") * col("t_uni")).as("uni_t"),
+        sum(col("k") * col("o_uni")).as("uni_oov"))
+    hold.select(col("doc_id"), col("n_chars")).join(perDoc, "doc_id")
+      .select(explode(array(
+        struct(lit("bpe").as("tokenizer"), col("n_chars"), col("n_words"),
+          col("bpe_t").as("tokens"), lit(0L).as("oov")),
+        struct(lit("unigram").as("tokenizer"), col("n_chars"),
+          col("n_words"), col("uni_t").as("tokens"),
+          col("uni_oov").as("oov")),
+        struct(lit("wordpiece").as("tokenizer"), col("n_chars"),
+          col("n_words"), col("wp_t").as("tokens"),
+          col("wp_oov").as("oov")))).as("r"))
+      .select(col("r.*"))
+      .groupBy(col("tokenizer"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("words"),
+        sum(col("n_chars")).as("chars"),
+        sum(col("tokens")).as("tokens"),
+        sum(col("oov")).as("oov_words"),
+        round(sum(col("n_chars")).cast("double") /
+          sum(col("tokens")).cast("double") + lit(1e-9), 4)
+          .as("chars_per_token"),
+        round(sum(col("tokens")).cast("double") /
+          sum(col("n_words")).cast("double") + lit(1e-9), 4)
+          .as("tokens_per_word"))
+  }
+
+  private lazy val evalTrainWhere = s"WHERE doc_id % $EVAL_HOLD_MOD != 0"
+  private lazy val evalHoldWhere = s"WHERE doc_id % $EVAL_HOLD_MOD = 0"
+
+  /** Per-doc BPE accounting on the held-out split under the half-trained
+    * merge tables: the [[bpeGreedySql]] apply-loop restatement over the
+    * held-out word set.
+    */
+  private lazy val bpeHoldSql: String = {
+    val applyCtes = (1 to BPE_ROUNDS).map { r =>
+      s"""g$r AS (
+         |  SELECT w, COALESCE(replace(repr,
+         |           '|' || m.left_sym || '||' || m.right_sym || '|',
+         |           '|' || m.left_sym || m.right_sym || '|'), repr) AS repr
+         |  FROM g${r - 1} LEFT JOIN m$r m ON TRUE
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH ${bpeVocabCtesFor(evalTrainWhere)}, hw AS (
+       |  SELECT DISTINCT w FROM (
+       |    SELECT unnest(regexp_extract_all(lower(text), '[A-Za-z0-9]+')) AS w
+       |    FROM documents $evalHoldWhere)
+       |), g0 AS (
+       |  SELECT w, substr('|' || regexp_replace(w, '(.)', '\\1||', 'g'),
+       |           1, 3 * length(w)) AS repr
+       |  FROM hw
+       |), $applyCtes, enc AS (
+       |  SELECT w, CAST(len(string_split(substr(repr, 2, length(repr) - 2),
+       |           '||')) AS BIGINT) AS n_tok
+       |  FROM g$BPE_ROUNDS
+       |), dw AS (
+       |  SELECT doc_id, w, COUNT(*) AS k FROM (
+       |    SELECT doc_id, unnest(regexp_extract_all(lower(text), '[A-Za-z0-9]+')) AS w
+       |    FROM documents $evalHoldWhere)
+       |  GROUP BY 1, 2
+       |)
+       |SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_words,
+       |       CAST(SUM(k * n_tok) AS BIGINT) AS t_bpe
+       |FROM dw JOIN enc USING (w)
+       |GROUP BY doc_id""".stripMargin
+  }
+
+  /** Per-doc WordPiece accounting on the held-out split: the
+    * [[wordpieceGreedySql]] all-segmentations argmax over held-out words
+    * whose symbols the half-trained vocabulary fully covers (the same
+    * char-coverage predicate the Spark side applies — under coverage
+    * greedy is the lexicographic-max lenseq); uncovered words count 1
+    * ([UNK]) via the LEFT-join fallback.
+    */
+  private lazy val wpHoldSql: String = {
+    val mergedUnion = (1 to WP_ROUNDS)
+      .map(r => s"SELECT merged AS piece FROM m$r").mkString(" UNION ")
+    s"""WITH RECURSIVE ${wpVocabCtesFor(evalTrainWhere)}, vocab AS MATERIALIZED (
+       |  SELECT DISTINCT sym AS piece FROM (
+       |    SELECT unnest(string_split(substr(repr, 2, length(repr) - 2),
+       |             '||')) AS sym
+       |    FROM wv0)
+       |  UNION $mergedUnion
+       |), hw AS (
+       |  SELECT DISTINCT w FROM (
+       |    SELECT unnest(regexp_extract_all(lower(text), '[A-Za-z0-9]+')) AS w
+       |    FROM documents $evalHoldWhere)
+       |), wsym AS (
+       |  SELECT w, CASE WHEN i = 1 THEN substr(w, 1, 1)
+       |              ELSE '##' || substr(w, i, 1) END AS sym
+       |  FROM (SELECT w, unnest(range(1, length(w) + 1)) AS i FROM hw)
+       |), cov AS MATERIALIZED (
+       |  SELECT s.w FROM wsym s LEFT JOIN vocab v ON v.piece = s.sym
+       |  GROUP BY s.w HAVING COUNT(*) = COUNT(v.piece)
+       |), reach AS (
+       |  SELECT w, 0 AS pos, '' AS lenseq FROM cov
+       |  UNION ALL
+       |  SELECT r.w,
+       |         r.pos + length(v.piece) - CASE WHEN r.pos = 0 THEN 0 ELSE 2 END,
+       |         r.lenseq || lpad(CAST(length(v.piece)
+       |           - CASE WHEN r.pos = 0 THEN 0 ELSE 2 END AS VARCHAR), 2, '0')
+       |  FROM reach r JOIN vocab v ON
+       |    CASE WHEN r.pos = 0
+       |      THEN v.piece NOT LIKE '##%'
+       |       AND substr(r.w, 1, length(v.piece)) = v.piece
+       |      ELSE v.piece LIKE '##%'
+       |       AND substr(r.w, r.pos + 1, length(v.piece) - 2) = substr(v.piece, 3)
+       |    END
+       |  WHERE r.pos < length(r.w)
+       |), best AS (
+       |  SELECT w, CAST(length(lenseq) // 2 AS BIGINT) AS n_pieces FROM (
+       |    SELECT w, lenseq, ROW_NUMBER() OVER (PARTITION BY w
+       |      ORDER BY lenseq DESC) AS rn
+       |    FROM reach WHERE pos = length(w)) b
+       |  WHERE rn = 1
+       |), dw AS (
+       |  SELECT doc_id, w, COUNT(*) AS k FROM (
+       |    SELECT doc_id, unnest(regexp_extract_all(lower(text), '[A-Za-z0-9]+')) AS w
+       |    FROM documents $evalHoldWhere)
+       |  GROUP BY 1, 2
+       |)
+       |SELECT doc_id,
+       |       CAST(SUM(k * COALESCE(n_pieces, 1)) AS BIGINT) AS t_wp,
+       |       CAST(SUM(CASE WHEN n_pieces IS NULL THEN k ELSE 0 END)
+       |            AS BIGINT) AS o_wp
+       |FROM dw LEFT JOIN best USING (w)
+       |GROUP BY doc_id""".stripMargin
+  }
+
+  /** Per-doc unigram accounting on the held-out split: a Viterbi pass
+    * (the [[uniReachCte]] machinery) against the half-trained full
+    * scores `v2`, serving the held-out words whose chars `v2` covers;
+    * uncovered words take the byte fallback (length(w) pieces — the
+    * `unigram_encode_fallback` convention).
+    */
+  private lazy val uniHoldSql: String =
+    s"""WITH RECURSIVE ${unigramVocabCtesFor(evalTrainWhere)}, hw AS (
+       |  SELECT DISTINCT w FROM (
+       |    SELECT unnest(regexp_extract_all(lower(text), '[A-Za-z0-9]+')) AS w
+       |    FROM documents $evalHoldWhere)
+       |), hsym AS (
+       |  SELECT w, substr(w, i, 1) AS sym
+       |  FROM (SELECT w, unnest(range(1, length(w) + 1)) AS i FROM hw)
+       |), hcov AS MATERIALIZED (
+       |  SELECT s.w, CAST(1 AS BIGINT) AS cnt
+       |  FROM hsym s LEFT JOIN
+       |    (SELECT piece FROM v2 WHERE length(piece) = 1) c
+       |    ON c.piece = s.sym
+       |  GROUP BY s.w HAVING COUNT(*) = COUNT(c.piece)
+       |), ${uniReachCte(3, "v2", "hcov")}, dw AS (
+       |  SELECT doc_id, w, COUNT(*) AS k FROM (
+       |    SELECT doc_id, unnest(regexp_extract_all(lower(text), '[A-Za-z0-9]+')) AS w
+       |    FROM documents $evalHoldWhere)
+       |  GROUP BY 1, 2
+       |)
+       |SELECT doc_id,
+       |       CAST(SUM(k * COALESCE(np, length(w))) AS BIGINT) AS t_uni,
+       |       CAST(SUM(CASE WHEN np IS NULL THEN k ELSE 0 END) AS BIGINT)
+       |         AS o_uni
+       |FROM dw LEFT JOIN (SELECT w, np FROM best3) e USING (w)
+       |GROUP BY doc_id""".stripMargin
+
+  /** Oracle: the three held-out accounting sub-oracles composed as
+    * nested-WITH CTEs (the [[tokenizerCompareSql]] pattern — each is
+    * self-contained, so composition is purely syntactic), joined per doc
+    * and exploded to one row per tokenizer. `j` is diamond-referenced
+    * (3x) — MATERIALIZED per the r11 rule.
+    */
+  lazy val tokenizerEvalSql: String =
+    s"""WITH b AS ($bpeHoldSql),
+       |u AS ($uniHoldSql),
+       |wp AS ($wpHoldSql),
+       |j AS MATERIALIZED (
+       |  SELECT d.doc_id, d.n_chars, b.n_words, b.t_bpe, u.t_uni, u.o_uni,
+       |         wp.t_wp, wp.o_wp
+       |  FROM (SELECT doc_id, n_chars FROM documents $evalHoldWhere) d
+       |  JOIN b USING (doc_id) JOIN u USING (doc_id) JOIN wp USING (doc_id)
+       |), x AS (
+       |  SELECT 'bpe' AS tokenizer, n_chars, n_words, t_bpe AS tokens,
+       |         CAST(0 AS BIGINT) AS oov FROM j
+       |  UNION ALL SELECT 'unigram', n_chars, n_words, t_uni, o_uni FROM j
+       |  UNION ALL SELECT 'wordpiece', n_chars, n_words, t_wp, o_wp FROM j
+       |)
+       |SELECT tokenizer, COUNT(*) AS n_docs,
+       |       CAST(SUM(n_words) AS BIGINT) AS words,
+       |       CAST(SUM(n_chars) AS BIGINT) AS chars,
+       |       CAST(SUM(tokens) AS BIGINT) AS tokens,
+       |       CAST(SUM(oov) AS BIGINT) AS oov_words,
+       |       ROUND(CAST(SUM(n_chars) AS DOUBLE) / CAST(SUM(tokens) AS DOUBLE) + 1e-9, 4) AS chars_per_token,
+       |       ROUND(CAST(SUM(tokens) AS DOUBLE) / CAST(SUM(n_words) AS DOUBLE) + 1e-9, 4) AS tokens_per_word
+       |FROM x GROUP BY tokenizer""".stripMargin
+
   private val CDC_W = 8   // rolling-window width (chars)
   private val CDC_D = 32  // boundary divisor → expected chunk ≈ 32 chars
 
@@ -2854,6 +3143,7 @@ object TextJobs {
     "score_calibrate" -> scoreCalibrate,
     "cdc_chunks" -> cdcChunks,
     "tokenizer_compare" -> tokenizerCompare,
+    "tokenizer_eval" -> tokenizerEval,
     "quality_classifier" -> qualityClassifier,
     "quality_classifier_trained" -> qualityClassifierTrained,
     "c4_filters" -> c4Filters,
@@ -2892,6 +3182,7 @@ object TextJobs {
     "keyword_search" -> keywordSearchSql,
     "term_associations" -> termAssociationsSql,
     "tokenizer_compare" -> tokenizerCompareSql,
+    "tokenizer_eval" -> tokenizerEvalSql,
     "cdc_chunks" -> cdcChunksSql,
     "score_calibrate" -> scoreCalibrateSql,
     "quality_classifier" -> qualityClassifierSql,

@@ -679,6 +679,12 @@ object Dedup {
     */
   def hammingPairsAuto(fp: DataFrame, maxHamming: Int,
       scope: CacheScope = CacheScope.unmanaged, bits: Int = 63): DataFrame = {
+    // Hoisted from bandPlanMeasured: the small-corpus short-circuit below
+    // skips that call, and bits <= maxHamming would silently degrade its
+    // disjoint plan to zero-width bands (an all-pairs join) instead of
+    // failing fast.
+    require(maxHamming >= 0 && bits >= maxHamming + 1,
+      s"need bits=$bits >= maxHamming=$maxHamming + 1 for a pigeonhole plan")
     val fpc = scope.cache(fp.select(col("doc_id"), col("fp")))
     val disjoint = bandBlocks(maxHamming + 1, bits).map(Seq(_))
     if (fpc.count() <= AutoShortCircuitRows)

@@ -57,7 +57,10 @@ object ClassifyStream {
     val topLabels = s"transform(slice(array_sort($scored), 1, $k), x -> x.label)"
     val votes = s"transform(array_distinct($topLabels), l -> named_struct(" +
       s"'negc', -size(filter($topLabels, x -> x = l)), 'label', l))"
-    val pred = s"element_at(array_sort($votes), 1).label"
+    // get(), not element_at(): an empty labeled frame makes votes empty and
+    // element_at(_, 1) throws INVALID_ARRAY_INDEX under ANSI; get() emits a
+    // NULL prediction instead (the NextEventStream precedent).
+    val pred = s"get(array_sort($votes), 0).label"
     stream.withWatermark(tsCol, delay)
       .withColumn("v", col("embedding").cast("array<double>"))
       .withColumn("norm", graft.functions.VectorFunctions.l2_norm(col("v")))

@@ -492,4 +492,48 @@ class TextJobsExtraSpec extends SparkSpec {
     // rank depth binds somewhere (a prefix with > 3 completions exists)
     assert(got.groupBy(_._1).exists(_._2.size == 3))
   }
+
+  test("tokenizer_eval: held-out OOV fallbacks on a crafted split") {
+    val dir = java.nio.file.Files.createTempDirectory("tok_eval").toString
+    // train = ids 1-4 (vocabulary {"ab"}), held out = id 5 ("ab zzz"):
+    // "ab" collapses to one token under all three half-trained models;
+    // "zzz" has an unseen char and exercises each OOV path for real
+    Seq(
+      (1L, "ab ab ab ab", "en", "s", 11L),
+      (2L, "ab ab ab ab", "en", "s", 11L),
+      (3L, "ab ab ab ab", "en", "s", 11L),
+      (4L, "ab ab ab ab", "en", "s", 11L),
+      (5L, "ab zzz", "en", "s", 6L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = TextJobs.tokenizerEval(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet == Set("bpe", "unigram", "wordpiece"))
+    def l(r: org.apache.spark.sql.Row, c: String) = r.getLong(r.fieldIndex(c))
+    rows.values.foreach { r =>
+      assert(l(r, "n_docs") == 1L && l(r, "words") == 2L &&
+        l(r, "chars") == 6L)
+    }
+    // BPE: char symbols always apply — "zzz" costs 3, never OOV.
+    assert(l(rows("bpe"), "tokens") == 4L &&
+      l(rows("bpe"), "oov_words") == 0L)
+    // unigram: byte fallback length(w) = 3, counted OOV.
+    assert(l(rows("unigram"), "tokens") == 4L &&
+      l(rows("unigram"), "oov_words") == 1L)
+    // WordPiece: whole word [UNK] = 1, counted OOV.
+    assert(l(rows("wordpiece"), "tokens") == 2L &&
+      l(rows("wordpiece"), "oov_words") == 1L)
+  }
+
+  test("tokenizer_eval: closed-vocab fixture has zero OOV and sane ratios") {
+    val out = TextJobs.tokenizerEval(spark, sf("sf0.001")).collect()
+    assert(out.length == 3)
+    out.foreach { r =>
+      def l(c: String) = r.getLong(r.fieldIndex(c))
+      assert(l("oov_words") == 0L) // probed: held-out vocab ⊆ train vocab
+      assert(l("tokens") >= l("words")) // every word costs ≥ 1 token
+      assert(l("n_docs") > 0 && l("chars") > 0)
+      assert(r.getDouble(r.fieldIndex("chars_per_token")) > 0.0)
+    }
+  }
 }
