@@ -303,9 +303,9 @@ object DedupJobs {
   private val PREFIX_TAU_NUM = 4
   private val PREFIX_TAU_DEN = 5
 
-  /** The composed-fence form of [[ngramJaccard]] — identity compression
-    * AND df-ordered prefix filtering, the plan a Zipf-vocabulary (real
-    * crawl) corpus needs at 100 TB. Both fences are lossless, so the
+  /** The prefix-fence form of [[ngramJaccard]] — df-ordered prefix
+    * filtering (PPJoin), the candidate fence a Zipf-vocabulary (real
+    * crawl) corpus needs at 100 TB. The fence is lossless, so the
     * uncompressed oracle semantics (at the gate's τ) hash-check it:
     * registering it as its own gate query keeps the scale-safe plan
     * driver-verified instead of dormant in the library (the synthetic
@@ -314,17 +314,23 @@ object DedupJobs {
     * SCALE.md §8).
     */
   /** The gate runs the fence on the deterministic doc_id-even half of the
-    * corpus: every machinery stage (compression, df ranking, prefix
-    * extraction, candidate join, full-set verify, pair expansion) still
-    * executes and hash-checks, but the bench stops paying the dense-vocab
-    * worst case twice over — the subset halves every linear stage and
-    * quarters the candidate mass on top of the τ fence.
+    * corpus: every machinery stage (df ranking, prefix extraction,
+    * candidate join, full-set verify) still executes and hash-checks, but
+    * the bench stops paying the dense-vocab worst case twice over — the
+    * subset halves every linear stage and quarters the candidate mass on
+    * top of the τ fence. The gate uses [[Dedup.jaccardPairsPrefix]], NOT
+    * the identity-compressed [[Dedup.jaccardPairsComposed]]: this fixture
+    * has ZERO exact duplicates (probed r11 — 500/500 distinct contents at
+    * every SF), so the compression wrapper compresses nothing and its ~5
+    * extra joins are pure bench overhead; compression itself is already
+    * gate-verified by `ngram_jaccard` and the composed stack by
+    * DedupSpec's dup-heavy equality fixtures + the Probe crossover.
     */
   def ngramJaccardPrefix(spark: SparkSession, sfDir: String): DataFrame = {
     val d = Tables.documents(spark, sfDir)
       .where(col("doc_id") % 2 === 0)
       .select(col("doc_id"), col("text"), col("lang").as("block"))
-    Dedup.jaccardPairsComposed(d, JACCARD_N, PREFIX_TAU_NUM, PREFIX_TAU_DEN)
+    Dedup.jaccardPairsPrefix(d, JACCARD_N, PREFIX_TAU_NUM, PREFIX_TAU_DEN)
       .select(col("doc_a"), col("doc_b"), col("inter"), col("jaccard"))
   }
 
@@ -1761,6 +1767,95 @@ object DedupJobs {
           .as("precision_ppm"))
   }
 
+  /** SimHash operating-point audit — the [[dedupEval]] sibling for the
+    * OTHER near-dup family: pair documents whose 60-bit SimHash
+    * fingerprints ([[Dedup.simhashWide]] — the hash60 word-hash
+    * convention) sit within Hamming [[SIMHASH_EVAL_H]] (banded-LSH fence,
+    * [[Dedup.hammingPairsAuto]] — never all-pairs), score them against
+    * the exact bigram-Jaccard truth the MinHash eval uses, and report the
+    * same recall/precision scorecard. This is the number that picks
+    * BETWEEN the families: MinHash approximates Jaccard directly (set
+    * resemblance), SimHash approximates cosine over word frequency signs
+    * — on a corpus where they diverge, this row pair (dedup_eval vs
+    * simhash_eval) is the decision.
+    *
+    * The registered `dedup_simhash` gate stays at 16 bits (fingerprint
+    * contract); the eval runs the width a real pipeline needs — probed
+    * this round: 16 bits saturates at 5k docs (1413 distinct
+    * fingerprints, 2.0M pairs at H≤2 = 16% of all-pairs), 60 bits
+    * discriminates (4970/5000 distinct, 352 pairs at H≤3, recall
+    * 56/79 vs truth at sf0.1) — exactly the saturation story a width
+    * audit exists to catch.
+    *
+    * Scale shape: one corpus word scan + 60 sign sums (one agg), banded
+    * pairing on int band keys over distinct fingerprints, and the truth
+    * side is the already-fenced [[ngramJaccard]]; the scorecard is three
+    * 1-row aggregates. Nothing all-pairs, nothing string-keyed.
+    */
+  def simhashEval(spark: SparkSession, sfDir: String): DataFrame = {
+    val fp = Dedup.simhashWide(Tables.documents(spark, sfDir),
+        col("doc_id"), col("text"), SIMHASH_EVAL_BITS)
+      .select(col("doc_id"), col("simhash").as("fp"))
+    val cand = Dedup.hammingPairsAuto(fp, SIMHASH_EVAL_H,
+        bits = SIMHASH_EVAL_BITS)
+      .select(col("doc_a"), col("doc_b")).cache()
+    val truth = ngramJaccard(spark, sfDir).select(col("doc_a"), col("doc_b"))
+      .cache()
+    val t = truth.agg(count(lit(1)).as("n_truth"))
+    val c = cand.agg(count(lit(1)).as("n_cand"))
+    val tp = truth.join(cand, Seq("doc_a", "doc_b"))
+      .agg(count(lit(1)).as("tp"))
+    t.crossJoin(broadcast(c)).crossJoin(broadcast(tp))
+      .select(col("n_truth"), col("n_cand"), col("tp"),
+        expr("case when n_truth = 0 then 0 else (tp * 1000000) div n_truth end")
+          .as("recall_ppm"),
+        expr("case when n_cand = 0 then 0 else (tp * 1000000) div n_cand end")
+          .as("precision_ppm"))
+  }
+
+  private val SIMHASH_EVAL_BITS = 60
+  private val SIMHASH_EVAL_H = 3
+
+  /** Oracle: the 60-bit fingerprint re-derived with hex60 word hashes,
+    * brute-force pairs within the Hamming radius (hash-equality against
+    * the banded plan proves the fence lossless at this radius — the
+    * image_neardup discipline), the truth side composed verbatim, and
+    * the [[dedupEvalSql]] integer scorecard. `cand`/`truth` are each
+    * diamond-referenced (count + tp join) — MATERIALIZED per the r11
+    * rule.
+    */
+  val simhashEvalSql: String = {
+    val sums = (0 until SIMHASH_EVAL_BITS)
+      .map(b => s"SUM(2*((wh >> $b) & 1) - 1) AS s$b").mkString(",\n    ")
+    val fp = (0 until SIMHASH_EVAL_BITS)
+      .map(b => s"(CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH $wordsCte, wh AS (
+       |  SELECT doc_id, ${OracleSql.hex60Sql("w")} AS wh FROM words
+       |), sums AS (
+       |  SELECT doc_id, $sums FROM wh GROUP BY doc_id
+       |), fp AS (
+       |  SELECT doc_id, CAST($fp AS BIGINT) AS f FROM sums
+       |), cand AS MATERIALIZED (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.f, b.f)) <= $SIMHASH_EVAL_H
+       |), truth AS MATERIALIZED (
+       |  SELECT doc_a, doc_b FROM ($ngramJaccardSql) tq
+       |), t AS (SELECT COUNT(*) AS n_truth FROM truth),
+       |c AS (SELECT COUNT(*) AS n_cand FROM cand),
+       |p AS (
+       |  SELECT COUNT(*) AS tp
+       |  FROM truth JOIN cand USING (doc_a, doc_b)
+       |)
+       |SELECT n_truth, n_cand, tp,
+       |       CAST(CASE WHEN n_truth = 0 THEN 0
+       |            ELSE (tp * 1000000) // n_truth END AS BIGINT) AS recall_ppm,
+       |       CAST(CASE WHEN n_cand = 0 THEN 0
+       |            ELSE (tp * 1000000) // n_cand END AS BIGINT) AS precision_ppm
+       |FROM t CROSS JOIN c CROSS JOIN p""".stripMargin
+  }
+
   /** Oracle: the two existing pair contracts composed verbatim as nested
     * WITH CTEs (the tokenizer_compare pattern) + the same integer
     * arithmetic.
@@ -1785,6 +1880,7 @@ object DedupJobs {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_eval" -> dedupEval,
+    "simhash_eval" -> simhashEval,
     "dedup_exact" -> dedupExact,
     "soft_dedup" -> softDedup,
     "dedup_best_keeper" -> dedupBestKeeper,
@@ -1820,6 +1916,7 @@ object DedupJobs {
 
   val oracles: Map[String, String] = Map(
     "dedup_eval" -> dedupEvalSql,
+    "simhash_eval" -> simhashEvalSql,
     "dedup_exact" -> dedupExactSql,
     "soft_dedup" -> softDedupSql,
     "dedup_best_keeper" -> dedupBestKeeperSql,

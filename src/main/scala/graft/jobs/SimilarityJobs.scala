@@ -920,6 +920,87 @@ object SimilarityJobs {
        |SELECT vec_id, center_id, dist2 FROM assign WHERE rn = 1""".stripMargin
   }
 
+  /** Coreset coverage evaluation — the eval-layer sibling for the coreset
+    * family (the dedup_eval → ann_eval → rec_eval discipline): coverage
+    * radius (max point-to-nearest-center distance) and total/mean
+    * assignment cost of the greedy k-center coreset, against a
+    * deterministic hash-ranked sample of the SAME size k — the baseline a
+    * labeling/eval-panel budget would otherwise spend. Greedy k-center
+    * carries the classic 2·OPT radius guarantee; a random sample carries
+    * none — this query prices that difference on the actual corpus (the
+    * number that justifies k scans over a free sample).
+    *
+    * Integer-exact: distances are the same quantized-integer dist² the
+    * coreset gate emits, so MAX/SUM are engine-equal under any order;
+    * mean is a floor division of exact BIGINTs.
+    *
+    * Scale shape: the k-center half is the already-priced coreset pass
+    * (k corpus scans, driver-held centers); the sample half adds ONE
+    * TakeOrderedAndProject over (hash, vec_id) + one broadcast
+    * assignment scan; the scorecard is two 1-row aggregates unioned.
+    */
+  def coresetEval(spark: SparkSession, sfDir: String): DataFrame = {
+    val q = Similarity.kCenterQuantized(vectors(spark, sfDir)).cache()
+    val kcAssign = Similarity.assignToCenters(
+      q, Similarity.kCenterCenters(q, KCENTER_K))
+    val sampIds = q.select(col("vec_id"))
+      .orderBy(graft.ops.Dedup.md5Long(col("vec_id").cast("string")).asc,
+        col("vec_id").asc)
+      .limit(KCENTER_K)
+    val sCenters = q.join(sampIds, "vec_id")
+      .select(col("vec_id").as("center_id"), col("qv").as("cqv"),
+        col("n2").as("cn2"))
+    val sAssign = Similarity.assignToCenters(q, sCenters)
+    def card(method: String, a: DataFrame): DataFrame = a
+      .agg(count(lit(1)).as("n_points"), max(col("dist2")).as("max_d2"),
+        sum(col("dist2")).as("sum_d2"))
+      .select(lit(method).as("method"), col("n_points"), col("max_d2"),
+        col("sum_d2"), expr("sum_d2 div n_points").as("mean_d2"))
+    card("kcenter", kcAssign).unionAll(card("hash_sample", sAssign))
+  }
+
+  /** Oracle: the coreset assignment composed verbatim (single reference —
+    * plain CTE per the r11 rule; its own inner CTEs carry the
+    * MATERIALIZED fd discipline) + the hash-ranked sample re-derived with
+    * the portable md5-prefix hash and the same argmin assignment; `nn` is
+    * diamond-referenced (both assignment sides + the sample join) —
+    * MATERIALIZED.
+    */
+  val coresetEvalSql: String = {
+    val quant = "CAST(CAST(ROUND(x * 1000000.0 + 1e-9) AS BIGINT) AS DOUBLE)"
+    s"""WITH kc AS ($coresetKcenterSql),
+       |qq AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding::DOUBLE[], x -> $quant) AS qv
+       |  FROM embeddings
+       |), nn AS MATERIALIZED (
+       |  SELECT vec_id, qv, list_dot_product(qv, qv) AS n2 FROM qq
+       |), sampids AS (
+       |  SELECT vec_id FROM nn
+       |  ORDER BY ${OracleSql.hexIntSql("vec_id::VARCHAR")} ASC, vec_id ASC
+       |  LIMIT $KCENTER_K
+       |), sa AS (
+       |  SELECT p.vec_id,
+       |         CAST(p.n2 + c.n2 - 2 * list_dot_product(p.qv, c.qv) AS BIGINT)
+       |           AS dist2,
+       |         ROW_NUMBER() OVER (PARTITION BY p.vec_id ORDER BY
+       |           p.n2 + c.n2 - 2 * list_dot_product(p.qv, c.qv) ASC,
+       |           c.vec_id ASC) AS rn
+       |  FROM nn p CROSS JOIN
+       |       (SELECT nn.* FROM nn JOIN sampids USING (vec_id)) c
+       |), srow AS (SELECT vec_id, dist2 FROM sa WHERE rn = 1)
+       |SELECT 'kcenter' AS method, CAST(COUNT(*) AS BIGINT) AS n_points,
+       |       CAST(MAX(dist2) AS BIGINT) AS max_d2,
+       |       CAST(SUM(dist2) AS BIGINT) AS sum_d2,
+       |       CAST(SUM(dist2) AS BIGINT) // COUNT(*) AS mean_d2
+       |FROM kc
+       |UNION ALL
+       |SELECT 'hash_sample', CAST(COUNT(*) AS BIGINT),
+       |       CAST(MAX(dist2) AS BIGINT), CAST(SUM(dist2) AS BIGINT),
+       |       CAST(SUM(dist2) AS BIGINT) // COUNT(*)
+       |FROM srow""".stripMargin
+  }
+
   private[jobs] val MMR_K = 16
 
   /** MMR diversity selection of 16 vectors — centrality-vs-redundancy
@@ -1273,6 +1354,7 @@ object SimilarityJobs {
     "embedding_pca" -> embeddingPca,
     "diversity_sample" -> diversitySample,
     "coreset_kcenter" -> coresetKcenter,
+    "coreset_eval" -> coresetEval,
     "pq_codes" -> pqCodes,
     "pq_codes_trained" -> pqCodesTrained,
     "pq_adc_topk" -> pqAdcTopK,
@@ -1299,6 +1381,7 @@ object SimilarityJobs {
     "embedding_pca" -> embeddingPcaSql,
     "diversity_sample" -> diversitySampleSql,
     "coreset_kcenter" -> coresetKcenterSql,
+    "coreset_eval" -> coresetEvalSql,
     "pq_codes" -> pqCodesSql,
     "pq_codes_trained" -> pqCodesTrainedSql,
     "pq_adc_topk" -> pqAdcTopKSql,

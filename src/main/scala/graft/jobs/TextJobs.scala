@@ -1704,6 +1704,138 @@ object TextJobs {
        |WHERE rn <= $SEARCH_K""".stripMargin
   }
 
+  /** Disjunctive BM25-ranked retrieval over the same inverted index —
+    * the GRADED ranking primitive beside [[keywordSearch]]'s boolean AND
+    * (Robertson-Spärck Jones / Okapi family, k1 = 6/5, b = 3/4): docs
+    * matching ANY query term, scored by Σ idf(t) · sat(tf, dl) and
+    * top-[[SEARCH_K]]'d per query. Both factors are INTEGER-EXACT so the
+    * ranking never touches libm (the no-ln oracle discipline):
+    *
+    *  - idf as the RSJ odds ratio without the log —
+    *    `idf_ppm = ((2(N−df)+1)·10⁶) div (2df+1)`, the exact rational
+    *    form of (N−df+0.5)/(df+0.5). Positive and strictly monotone in
+    *    the true log idf, so per-term weighting order is preserved; the
+    *    log's additive-smoothing of the SUM is the one divergence, and
+    *    it is the documented contract here.
+    *  - tf saturation with the length prior in integer form: with
+    *    adl = L div N (integer average doc length),
+    *    `sat_x1000 = (22000·tf·adl) div (10·tf·adl + 3·adl + 9·dl)` —
+    *    exactly tf·(k1+1)/(tf + k1·(1−b+b·dl/adl)) scaled ×1000,
+    *    bounded ≤ 2200 independent of corpus size.
+    *
+    * Scale shape: identical to [[keywordSearch]] — one postings build,
+    * a broadcast-literal terms join (map-side filter), df/dl aggs on the
+    * reduced matched frame, a 1-row broadcast stats frame, and the
+    * two-phase per-query top-k. The overflow envelope is asserted at
+    * runtime on the actual corpus (the anomalyDays discipline):
+    * sat needs max(tf)·adl < 2⁶³/22000 and the score product needs
+    * (2N+1)·10⁶·2200·|terms| < 2⁶³ (N ≲ 6·10⁸ at this ppm scale — drop
+    * the scale a decade per decade of corpus beyond that).
+    */
+  def bm25Search(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val terms = SEARCH_QUERIES
+      .flatMap { case (q, ts) => ts.map(t => (q, t)) }
+      .toDF("query_id", "term")
+    val docs = Tables.documents(spark, sfDir)
+    val tf = docs
+      .select(col("doc_id"),
+        explode(TextAnalysis.tokens(lower(col("text")))).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("dl"), max(col("tf")).as("max_tf"))
+      .cache()
+    val statsRow = docs.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(dl.agg(sum(col("dl")).as("l_tot"),
+        max(col("max_tf")).as("mx_tf")))
+      .withColumn("adl", expr("l_tot div n_docs"))
+      .first()
+    val (nDocs, adl) = (statsRow.getLong(0), statsRow.getLong(3))
+    val mxTf = statsRow.getLong(2)
+    require(mxTf * adl < Long.MaxValue / 22000,
+      s"bm25: max_tf=$mxTf x adl=$adl exceeds the sat_x1000 envelope")
+    require(nDocs < Long.MaxValue / (2200L * 1000000L *
+        SEARCH_QUERIES.map(_._2.size).max * 2),
+      s"bm25: n_docs=$nDocs exceeds the idf_ppm score envelope; " +
+        "drop the ppm scale a decade per decade of corpus")
+    val matched = tf.join(broadcast(terms), col("token") === col("term"))
+    val dfx = matched.select(col("term"), col("doc_id")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = matched
+      .join(dl.select(col("doc_id"), col("dl")), "doc_id")
+      .join(broadcast(dfx), "term")
+      .withColumn("idf_ppm",
+        expr(s"((2*($nDocs - df) + 1) * 1000000) div (2*df + 1)"))
+      .withColumn("sat_x1000",
+        expr(s"(22000 * tf * $adl) div (10*tf*$adl + 3*$adl + 9*dl)"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("idf_ppm") * col("sat_x1000")).as("score"))
+    val local = scored
+      .groupBy(spark_partition_id().as("pid"), col("query_id"))
+      .agg(slice(sort_array(collect_list(struct(
+        (-col("score")).as("neg"), col("doc_id"), col("score")))),
+        1, SEARCH_K).as("cand"))
+      .select(col("query_id"), explode(col("cand")).as("c"))
+      .select(col("query_id"), col("c.doc_id").as("doc_id"),
+        col("c.score").as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    local.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= SEARCH_K)
+      .select(col("query_id"), col("doc_id"), col("score"), col("rn"))
+  }
+
+  /** Oracle: the identical integer pipeline — every division is `//` on
+    * positive operands, every stage the same quantized expression, so
+    * scores are engine-equal, not just close. `n_docs`/`adl` are scalar
+    * subqueries instead of Scala-side constants, computing the same
+    * integers.
+    */
+  val bm25SearchSql: String = {
+    val vals = SEARCH_QUERIES
+      .flatMap { case (q, ts) => ts.map(t => s"($q, '$t')") }
+      .mkString(", ")
+    s"""WITH q AS (
+       |  SELECT CAST(query_id AS BIGINT) AS query_id, term
+       |  FROM (VALUES $vals) v(query_id, term)
+       |), t AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[A-Za-z0-9]+')) AS token
+       |  FROM documents
+       |), tf AS MATERIALIZED (
+       |  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf FROM t GROUP BY 1, 2
+       |), dl AS MATERIALIZED (
+       |  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1
+       |), st AS (
+       |  SELECT n_docs, l_tot, l_tot // n_docs AS adl FROM (
+       |    SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+       |           (SELECT CAST(SUM(dl) AS BIGINT) FROM dl) AS l_tot)
+       |), m AS MATERIALIZED (
+       |  SELECT q.query_id, q.term, tf.doc_id, tf.tf
+       |  FROM q JOIN tf ON tf.token = q.term
+       |), dfx AS (
+       |  SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+       |  FROM (SELECT DISTINCT term, doc_id FROM m) GROUP BY 1
+       |), sc AS (
+       |  SELECT m.query_id, m.doc_id,
+       |         CAST(SUM(
+       |           (((2*(s.n_docs - dfx.df) + 1) * 1000000) // (2*dfx.df + 1))
+       |           * ((22000 * m.tf * s.adl)
+       |              // (10*m.tf*s.adl + 3*s.adl + 9*d.dl))
+       |         ) AS BIGINT) AS score
+       |  FROM m JOIN dfx USING (term)
+       |         JOIN dl d ON d.doc_id = m.doc_id
+       |         CROSS JOIN st s
+       |  GROUP BY 1, 2
+       |)
+       |SELECT query_id, doc_id, score, rn FROM (
+       |  SELECT query_id, doc_id, score, CAST(ROW_NUMBER() OVER (
+       |    PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rn
+       |  FROM sc) r
+       |WHERE rn <= $SEARCH_K""".stripMargin
+  }
+
   /** Gopher/C4-style within-document repetition signals — the quality
     * filters every LLM-corpus pipeline applies before training: duplicate
     * word fraction, most-frequent-bigram mass, and duplicate-bigram mass,
@@ -3139,6 +3271,7 @@ object TextJobs {
     "tokenizer_fertility" -> tokenizerFertility,
     "classifier_lift" -> classifierLift,
     "keyword_search" -> keywordSearch,
+    "bm25_search" -> bm25Search,
     "term_associations" -> termAssociations,
     "score_calibrate" -> scoreCalibrate,
     "cdc_chunks" -> cdcChunks,
@@ -3180,6 +3313,7 @@ object TextJobs {
     "tokenizer_fertility" -> tokenizerFertilitySql,
     "classifier_lift" -> classifierLiftSql,
     "keyword_search" -> keywordSearchSql,
+    "bm25_search" -> bm25SearchSql,
     "term_associations" -> termAssociationsSql,
     "tokenizer_compare" -> tokenizerCompareSql,
     "tokenizer_eval" -> tokenizerEvalSql,

@@ -240,9 +240,27 @@ object Dedup {
     * 32-bit md5Long). One row per doc: (doc_id, simhash).
     */
   def simhash(df: DataFrame, id: Column, text: Column, bits: Int): DataFrame = {
+    require(bits <= 32, s"simhash word hash is 32-bit; use simhashWide for $bits bits")
+    simhashHashed(df, id, text, bits, md5Long)
+  }
+
+  /** [[simhash]] with a 60-bit word hash (15 md5 hex chars — the hash60
+    * convention shared with the oracle's `hex60Sql`). A 32-bit word hash
+    * leaves bits 32+ of a wider fingerprint structurally zero — every
+    * sign sum there is −|words| — so any simhash wider than 32 bits MUST
+    * hash words at ≥ fingerprint width.
+    */
+  def simhashWide(df: DataFrame, id: Column, text: Column, bits: Int): DataFrame = {
+    require(bits <= 60, s"wide simhash word hash is 60-bit; got bits=$bits")
+    simhashHashed(df, id, text, bits,
+      c => conv(substring(md5(c), 1, 15), 16, 10).cast("long"))
+  }
+
+  private def simhashHashed(df: DataFrame, id: Column, text: Column,
+      bits: Int, wordHash: Column => Column): DataFrame = {
     val words = df
       .select(id.as("doc_id"), explode(wordSet(text)).as("w"))
-      .withColumn("wh", md5Long(col("w")))
+      .withColumn("wh", wordHash(col("w")))
     val sums = (0 until bits).map { b =>
       sum(shiftright(col("wh"), b).bitwiseAND(1) * 2 - 1).as(s"s$b")
     }

@@ -89,8 +89,13 @@ object PlanAudit {
       "embedding_outliers" -> centroidCross,
       "dedup_eval" -> ("CROSSes are the 1-row count-aggregate broadcasts (n_cand, tp) joined onto n_truth " +
         "for the single metrics row; the pair inputs are the two already-fenced dedup contracts"),
+      "simhash_eval" -> ("CROSSes are the same 1-row count-aggregate broadcasts as dedup_eval's scorecard; " +
+        "the candidate side is the banded Hamming fence over distinct 60-bit fingerprints, never all-pairs"),
       "coreset_kcenter" -> ("CROSS is the k-row (k=8) chosen-center frame broadcast into the assignment scan " +
         "-- the greedy rounds themselves are TakeOrderedAndProject scans with driver-held centers, never a pair join"),
+      "coreset_eval" -> ("CROSSes are the two k-row (k=8) center-frame broadcasts (greedy + hash-sample) into " +
+        "their assignment scans -- the coreset_kcenter pattern twice; the sample side adds only a " +
+        "TakeOrderedAndProject over (hash, vec_id)"),
       "event_drift" -> ("CROSS is the days x types grid densification -- two DISTINCT aggregates of the " +
         "(day, type) count frame (both bounded by the observed-day count and the type alphabet, never the corpus)"),
       "anomaly_days" -> ("CROSSes are the days x types grid densification over the CACHED (day, type) count frame " +

@@ -449,6 +449,46 @@ class DedupSpec extends SparkSpec {
     assert(got.head._5 >= 0 && got.head._5 <= 1000000L)
   }
 
+  test("simhash_eval: scorecard matches a brute-force re-derivation; 60 bits discriminate") {
+    import graft.jobs.DedupJobs
+    val sfd = sf("sf0.001")
+    val fps = Dedup.simhashWide(graft.io.Tables.documents(spark, sfd),
+        $"doc_id", $"text", 60)
+      .as[(Long, Long)].collect()
+    // brute-force pairs within Hamming 3 (the eval's operating point)
+    val brute = (for {
+      (a, fa) <- fps; (b, fb) <- fps if a < b
+      if java.lang.Long.bitCount(fa ^ fb) <= 3
+    } yield (a, b)).toSet
+    val truth = DedupJobs.ngramJaccard(spark, sfd)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    val tp = (truth & brute).size.toLong
+    val expected = (truth.size.toLong, brute.size.toLong, tp,
+      if (truth.isEmpty) 0L else tp * 1000000L / truth.size,
+      if (brute.isEmpty) 0L else tp * 1000000L / brute.size)
+    val got = DedupJobs.simhashEval(spark, sfd)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(expected)) // banded fence == brute force (lossless)
+    assert(truth.nonEmpty && brute.nonEmpty && tp > 0,
+      "fixture must exercise both confusion-matrix sides")
+    // the width-audit story: 60-bit fps discriminate where 16 bits
+    // saturate (probed r12: 496/500 vs 269/500 distinct at sf0.001)
+    val distinct60 = fps.map(_._2).distinct.length
+    val distinct16 = Dedup.simhash(graft.io.Tables.documents(spark, sfd),
+        $"doc_id", $"text", 16)
+      .select($"simhash").as[Long].collect().distinct.length
+    assert(distinct60 > distinct16 * 3 / 2)
+  }
+
+  test("simhash rejects widths beyond its 32-bit word hash") {
+    intercept[IllegalArgumentException] {
+      Dedup.simhash(docs, $"doc_id", $"text", 60)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.simhashWide(docs, $"doc_id", $"text", 61)
+    }
+  }
+
   test("soft_dedup: weights invert near-dup family sizes, sampling hash-exact") {
     import graft.jobs.DedupJobs
     val sfd = sf("sf0.001")

@@ -73,6 +73,43 @@ class KCenterSpec extends SparkSpec {
     assert(out == assign, s"centers chosen: $centers")
   }
 
+  test("coreset_eval scorecard matches an in-memory replay of both methods") {
+    import graft.jobs.SimilarityJobs
+    val sfd = sf("sf0.001")
+    val pts = graft.io.Tables.embeddings(spark, sfd)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().toMap
+    val q = pts.map { case (id, v) => id -> quant(v) }
+    val k = 8
+    // kcenter half: the reference greedy replay
+    val (_, kcAssign) = refKCenter(pts, k)
+    // hash-sample half: md5-prefix rank (the portable md5Long), then argmin
+    def md5long(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.take(4).map(b => f"$b%02x").mkString, 16)
+    }
+    val sampIds = pts.keys.toSeq.sortBy(id => (md5long(id.toString), id)).take(k)
+    val sAssign = q.map { case (id, v) =>
+      val dd = sampIds.map(c => d2(v, q(c))).min
+      id -> dd.toLong
+    }
+    def cardOf(a: Iterable[Long]): (Long, Long, Long, Long) =
+      (a.size.toLong, a.max, a.sum, a.sum / a.size)
+    val expKc = cardOf(kcAssign.values.map(_._2))
+    val expSa = cardOf(sAssign.values)
+    val got = SimilarityJobs.coresetEval(spark, sfd)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got("kcenter") == expKc)
+    assert(got("hash_sample") == expSa)
+    // the 2-approx guarantee at work on this fixture: the greedy radius
+    // must not exceed the blind sample's (probed — a geometry property
+    // of the fixture, not a theorem about all inputs)
+    assert(got("kcenter")._2 <= got("hash_sample")._2)
+  }
+
   private def refMmr(pts: Map[Long, Seq[Double]], k: Int): Seq[(Long, Long, Long)] = {
     // the mmrSelect recurrence replayed exactly: 1e3 quantization,
     // score = dot(d, Σ) − n·maxSim, ties to the smaller id

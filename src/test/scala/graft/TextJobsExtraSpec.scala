@@ -493,6 +493,61 @@ class TextJobsExtraSpec extends SparkSpec {
     assert(got.groupBy(_._1).exists(_._2.size == 3))
   }
 
+  test("bm25_search: integer scores match a hand re-derivation on a crafted corpus") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25").toString
+    // 4 docs; query 1 = {hash, join}: doc 1 has both (hash x2),
+    // doc 2 has hash only (long doc — length prior penalizes),
+    // doc 3 has neither, doc 4 has join.
+    Seq(
+      (1L, "hash join hash", "en", "s", 14L),
+      (2L, "hash scan scan scan scan scan", "en", "s", 29L),
+      (3L, "window sort order", "en", "s", 17L),
+      (4L, "join merge", "en", "s", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextJobs.bm25Search(spark, dir)
+      .as[(Long, Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._4)).toMap
+    // N=4, L=3+6+3+2=14, adl=14 div 4=3
+    val N = 4L; val adl = 3L
+    def idf(df: Long) = ((2 * (N - df) + 1) * 1000000L) / (2 * df + 1)
+    def sat(tf: Long, dl: Long) =
+      (22000L * tf * adl) / (10 * tf * adl + 3 * adl + 9 * dl)
+    // df(hash)=2, df(join)=2, df(scan)=1, df(window/sort/order/merge)=1
+    val s1d1 = idf(2) * sat(2, 3) + idf(2) * sat(1, 3)
+    val s1d2 = idf(2) * sat(1, 6)
+    val s1d4 = idf(2) * sat(1, 2)
+    val q1 = out(1L).map(r => (r._2, r._3))
+    assert(q1.map(_._1).toSet == Set(1L, 2L, 4L))
+    val by = q1.toMap
+    assert(by(1L) == s1d1 && by(2L) == s1d2 && by(4L) == s1d4)
+    // ranking: doc 1 (two terms, one twice) must outscore both singles,
+    // and the short doc 4 outscores the long doc 2 on the same tf
+    assert(s1d1 > s1d4 && s1d4 > s1d2)
+    assert(out(1L).head._2 == 1L) // rn=1 is doc 1
+    // disjunctive: query 2 = {window, sort, order} matches doc 3 alone
+    assert(out(2L).map(_._2).toSet == Set(3L))
+  }
+
+  test("bm25_search: fixture top-k is bounded, positive, and rank-consistent") {
+    val out = TextJobs.bm25Search(spark, sf("sf0.001")).collect()
+    val byQ = out.groupBy(_.getLong(0))
+    assert(byQ.nonEmpty)
+    byQ.values.foreach { rows =>
+      assert(rows.length <= 5)
+      val sorted = rows.sortBy(_.getLong(3))
+      assert(sorted.map(_.getLong(3)).toSeq == (1L to rows.length).toSeq)
+      // scores non-increasing in rank, ties broken by doc_id
+      sorted.sliding(2).foreach {
+        case Array(hi, lo) =>
+          assert(hi.getLong(2) > lo.getLong(2) ||
+            (hi.getLong(2) == lo.getLong(2) && hi.getLong(1) < lo.getLong(1)))
+        case _ =>
+      }
+      assert(rows.forall(_.getLong(2) > 0))
+    }
+  }
+
   test("tokenizer_eval: held-out OOV fallbacks on a crafted split") {
     val dir = java.nio.file.Files.createTempDirectory("tok_eval").toString
     // train = ids 1-4 (vocabulary {"ab"}), held out = id 5 ("ab zzz"):
