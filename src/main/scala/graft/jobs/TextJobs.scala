@@ -1738,27 +1738,9 @@ object TextJobs {
       .flatMap { case (q, ts) => ts.map(t => (q, t)) }
       .toDF("query_id", "term")
     val docs = Tables.documents(spark, sfDir)
-    val tf = docs
-      .select(col("doc_id"),
-        explode(TextAnalysis.tokens(lower(col("text")))).as("token"))
-      .groupBy(col("doc_id"), col("token"))
-      .agg(count(lit(1)).as("tf"))
-    val dl = tf.groupBy(col("doc_id"))
-      .agg(sum(col("tf")).as("dl"), max(col("tf")).as("max_tf"))
-      .cache()
-    val statsRow = docs.agg(count(lit(1)).as("n_docs"))
-      .crossJoin(dl.agg(sum(col("dl")).as("l_tot"),
-        max(col("max_tf")).as("mx_tf")))
-      .withColumn("adl", expr("l_tot div n_docs"))
-      .first()
-    val (nDocs, adl) = (statsRow.getLong(0), statsRow.getLong(3))
-    val mxTf = statsRow.getLong(2)
-    require(mxTf * adl < Long.MaxValue / 22000,
-      s"bm25: max_tf=$mxTf x adl=$adl exceeds the sat_x1000 envelope")
-    require(nDocs < Long.MaxValue / (2200L * 1000000L *
-        SEARCH_QUERIES.map(_._2.size).max * 2),
-      s"bm25: n_docs=$nDocs exceeds the idf_ppm score envelope; " +
-        "drop the ppm scale a decade per decade of corpus")
+    val tf = bm25Tf(docs)
+    val dl = bm25Dl(tf).cache()
+    val (nDocs, adl) = bm25CorpusStats(docs, dl)
     val matched = tf.join(broadcast(terms), col("token") === col("term"))
     val dfx = matched.select(col("term"), col("doc_id")).distinct()
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
@@ -1785,6 +1767,60 @@ object TextJobs {
     local.withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= SEARCH_K)
       .select(col("query_id"), col("doc_id"), col("score"), col("rn"))
+  }
+
+  /** The (doc_id, token, tf) postings frame BM25 builds on. */
+  private def bm25Tf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        explode(TextAnalysis.tokens(lower(col("text")))).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** Per-doc length frame (doc_id, dl, max_tf) — cached by the caller so
+    * the scoring join and the 1-row stats collect share one agg.
+    */
+  private def bm25Dl(tf: DataFrame): DataFrame =
+    tf.groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("dl"), max(col("tf")).as("max_tf"))
+
+  /** (N, adl) with the runtime overflow envelope asserted on the actual
+    * corpus stats (the anomalyDays discipline).
+    */
+  private def bm25CorpusStats(docs: DataFrame, dl: DataFrame): (Long, Long) = {
+    val statsRow = docs.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(dl.agg(sum(col("dl")).as("l_tot"),
+        max(col("max_tf")).as("mx_tf")))
+      .withColumn("adl", expr("l_tot div n_docs"))
+      .first()
+    val (nDocs, adl) = (statsRow.getLong(0), statsRow.getLong(3))
+    val mxTf = statsRow.getLong(2)
+    require(mxTf * adl < Long.MaxValue / 22000,
+      s"bm25: max_tf=$mxTf x adl=$adl exceeds the sat_x1000 envelope")
+    require(nDocs < Long.MaxValue / (2200L * 1000000L *
+        SEARCH_QUERIES.map(_._2.size).max * 2),
+      s"bm25: n_docs=$nDocs exceeds the idf_ppm score envelope; " +
+        "drop the ppm scale a decade per decade of corpus")
+    (nDocs, adl)
+  }
+
+  /** The frozen BM25 serving model for the streaming twin
+    * ([[graft.streaming.Bm25Stream]]): corpus stats + per-standing-term
+    * document frequency, collected once — |distinct terms| + 2 values,
+    * the broadcast-constants/model-size contract (rocchioModel class).
+    * Arriving documents score under THESE stats; a production pipeline
+    * refreshes the model on its batch cadence, exactly like the served
+    * CF lists and quality classifier.
+    */
+  def bm25Model(spark: SparkSession, sfDir: String): (Long, Long, Map[String, Long]) = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val tf = bm25Tf(docs)
+    val (nDocs, adl) = bm25CorpusStats(docs, bm25Dl(tf))
+    val termSet = SEARCH_QUERIES.flatMap(_._2).distinct.toDF("term")
+    val df = tf.join(broadcast(termSet), col("token") === col("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .as[(String, Long)].collect().toMap
+    (nDocs, adl, df)
   }
 
   /** Oracle: the identical integer pipeline — every division is `//` on

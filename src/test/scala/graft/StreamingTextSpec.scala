@@ -120,4 +120,58 @@ class StreamingTextSpec extends SparkSpec {
     // matches outnumber the batch top-5 pages: the stream alerts on ALL
     assert(got.size > 15)
   }
+
+  test("bm25 stream scores equal an integer re-derivation of the batch math") {
+    implicit val sqlCtx = spark.sqlContext
+    val sfd = sf("sf0.001")
+    val docs = graft.io.Tables.documents(spark, sfd)
+      .select($"doc_id", $"text")
+    val rows = docs.as[(Long, String)].collect().map {
+      case (id, t) => (id, t, ts(id)) }
+
+    val model = graft.jobs.TextJobs.bm25Model(spark, sfd)
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val q = graft.streaming.Bm25Stream
+      .score(in.toDF().toDF("doc_id", "text", "ts"), "ts", "0 seconds", model)
+      .writeStream.format("memory").queryName("stream_bm25")
+      .outputMode("append").start()
+    val got = try {
+      in.addData(rows.toSeq: _*)
+      q.processAllAvailable()
+      spark.table("stream_bm25").collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id"),
+          r.getAs[Long]("score"))).toSet
+    } finally q.stop()
+
+    // independent truth: the batch integer math replayed in Scala
+    val tokRe = "[A-Za-z0-9]+".r
+    val toksByDoc = rows.map { case (id, t, _) =>
+      id -> tokRe.findAllIn(t.toLowerCase).toSeq }.toMap
+    val nDocs = rows.length.toLong
+    val lTot = toksByDoc.values.map(_.size.toLong).sum
+    val adl = lTot / nDocs
+    assert(model._1 == nDocs && model._2 == adl)
+    val want = graft.jobs.TextJobs.SEARCH_QUERIES.flatMap {
+      case (qid, terms) =>
+        toksByDoc.toSeq.flatMap { case (d, toks) =>
+          val dl = toks.size.toLong
+          val tfs = terms.map(t => t -> toks.count(_ == t).toLong)
+          if (tfs.forall(_._2 == 0)) None
+          else {
+            val score = tfs.map { case (t, tf) =>
+              if (tf == 0) 0L
+              else {
+                val df = model._3(t)
+                val idf = ((2 * (nDocs - df) + 1) * 1000000L) / (2 * df + 1)
+                idf * ((22000L * tf * adl) /
+                  (10L * tf * adl + 3 * adl + 9 * dl))
+              }
+            }.sum
+            Some((qid, d, score))
+          }
+        }
+    }.toSet
+    assert(got == want)
+    assert(got.nonEmpty && got.exists(_._3 > 0))
+  }
 }
