@@ -195,6 +195,117 @@ object RelationalJobs {
        |       big.sum_qty
        |FROM orders o JOIN big ON o.o_orderkey = big.l_orderkey""".stripMargin
 
+  // ---- q7 shape: volume shipping between a nation pair ----
+
+  private val Q7_NATION_A = "NATION_11"
+  private val Q7_NATION_B = "NATION_12"
+
+  /** TPC-H q7 shape: bilateral shipping volume between two nations per
+    * ship year — the two-role dimension join (supplier nation vs
+    * customer nation on the SAME dimension table). Spark-first: both
+    * nation-filtered dimension legs broadcast, so the only wide join is
+    * lineitem⨝orders on the order key; the nation predicate prunes the
+    * fact flow at the supplier/customer broadcasts, not in a post-join
+    * filter. The fixture pair is probed non-degenerate at EVERY SF
+    * (19/47/536 bilateral rows — the graph_reach seed-probing rule); revenue in exact
+    * integer cents×(100−disc) before ONE final double division (the q5
+    * money discipline).
+    */
+  def q7VolumeShipping(spark: SparkSession, sfDir: String): DataFrame = {
+    val nation = Tables.nation(spark, sfDir)
+      .filter(col("n_name").isin(Q7_NATION_A, Q7_NATION_B))
+    val supp = Tables.supplier(spark, sfDir)
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = Tables.customer(spark, sfDir)
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    val li = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+    val ord = Tables.orders(spark, sfDir)
+    li.join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg((sum(cents(col("l_extendedprice"))
+        * (lit(100) - cents(col("l_discount")))) / 1e4).as("revenue"))
+  }
+
+  val q7VolumeShippingSql: String =
+    s"""SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       |       CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+       |       SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+       |           * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))) / 1e4
+       |         AS revenue
+       |FROM lineitem l
+       |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       |JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+       |JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |JOIN customer c ON o.o_custkey = c.c_custkey
+       |JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+       |WHERE sn.n_name IN ('$Q7_NATION_A', '$Q7_NATION_B')
+       |  AND cn.n_name IN ('$Q7_NATION_A', '$Q7_NATION_B')
+       |  AND sn.n_name <> cn.n_name
+       |  AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+       |  AND l.l_shipdate < TIMESTAMP '1998-01-01'
+       |GROUP BY 1, 2, 3""".stripMargin
+
+  // ---- q10 shape: returned-item reporting (top-20 customers) ----
+
+  /** TPC-H q10 shape: customers ranked by revenue lost to returns in one
+    * quarter. The return-flag filter prunes lineitem at the scan
+    * (PushedFilters), the quarter prunes orders; customer/nation are
+    * broadcast; the global top-20 is `orderBy().limit()` —
+    * TakeOrderedAndProject, never a windowed rank (the global-top-N
+    * rule). Ranking runs on the EXACT integer revenue
+    * (cents×(100−disc)) with a custkey tie-break, so the cut is
+    * deterministic in both engines; the emitted revenue divides once.
+    */
+  def q10ReturnedItems(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .filter(col("l_returnflag") === "R")
+    val ord = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-07-01").cast("timestamp"))
+    val cust = Tables.customer(spark, sfDir)
+    val nation = Tables.nation(spark, sfDir)
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"),
+        col("n_name"))
+      .agg(sum(cents(col("l_extendedprice"))
+        * (lit(100) - cents(col("l_discount")))).as("rev_i"))
+      .orderBy(col("rev_i").desc, col("c_custkey").asc)
+      .limit(20)
+      .select(col("c_custkey"), col("c_name"),
+        (col("rev_i") / 1e4).as("revenue"), col("c_acctbal"), col("n_name"))
+  }
+
+  val q10ReturnedItemsSql: String =
+    """SELECT c_custkey, c_name, revenue, c_acctbal, n_name FROM (
+      |  SELECT c.c_custkey, c.c_name,
+      |         SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+      |             * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT)))
+      |           AS rev_i,
+      |         CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+      |             * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT)))
+      |           AS BIGINT) / 1e4 AS revenue,
+      |         c.c_acctbal, n.n_name
+      |  FROM lineitem l
+      |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |  WHERE l.l_returnflag = 'R'
+      |    AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      |    AND o.o_orderdate < TIMESTAMP '1996-07-01'
+      |  GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+      |  ORDER BY rev_i DESC, c.c_custkey ASC
+      |  LIMIT 20) t""".stripMargin
+
   // ---- distinct aggregation (capability headroom: countDistinct) ----
 
   def distinctAgg(spark: SparkSession, sfDir: String): DataFrame =
@@ -332,6 +443,8 @@ object RelationalJobs {
     "q1_pricing" -> q1Pricing,
     "q3_shipping" -> q3Shipping,
     "q5_local_supplier" -> q5LocalSupplier,
+    "q7_volume_shipping" -> q7VolumeShipping,
+    "q10_returned_items" -> q10ReturnedItems,
     "q18_large_orders" -> q18LargeOrders,
     "distinct_agg" -> distinctAgg)
 
@@ -340,6 +453,8 @@ object RelationalJobs {
     "q1_pricing" -> q1PricingSql,
     "q3_shipping" -> q3ShippingSql,
     "q5_local_supplier" -> q5LocalSupplierSql,
+    "q7_volume_shipping" -> q7VolumeShippingSql,
+    "q10_returned_items" -> q10ReturnedItemsSql,
     "q18_large_orders" -> q18LargeOrdersSql,
     "distinct_agg" -> distinctAggSql)
 }

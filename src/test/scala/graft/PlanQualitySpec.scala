@@ -28,6 +28,23 @@ class PlanQualitySpec extends SparkSpec {
     assert(p5.contains("BroadcastHashJoin"), "q5 lost its broadcast joins")
   }
 
+  test("q7: nation-filtered dimension legs broadcast; filters reach the scans") {
+    val p = plan(RelationalJobs.q7VolumeShipping(spark, sf("sf0.001")))
+    assert(p.contains("BroadcastHashJoin"), s"q7 lost its broadcast joins:\n$p")
+    assert(p.contains("PushedFilters") && p.contains("l_shipdate"),
+      s"q7 shipdate filter not pushed to the lineitem scan:\n$p")
+  }
+
+  test("q10: global top-20 via TakeOrderedAndProject; return flag pushed down") {
+    val p = plan(RelationalJobs.q10ReturnedItems(spark, sf("sf0.001")))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"q10 lost its per-partition top-k merge:\n$p")
+    assert(!p.contains("Window"),
+      s"q10 regressed to a global-window rank:\n$p")
+    assert(p.contains("EqualTo(l_returnflag,R"),
+      s"q10 return-flag filter not pushed to the lineitem scan:\n$p")
+  }
+
   test("q3: global top-10 via TakeOrderedAndProject, no single-partition Window") {
     val p = plan(RelationalJobs.q3Shipping(spark, sf("sf0.001")))
     assert(p.contains("TakeOrderedAndProject"),
