@@ -1238,6 +1238,18 @@ object SimilarityJobs {
   def annEvalLsh(spark: SparkSession, sfDir: String): DataFrame =
     annEvalAgainst(annCosineTopK(spark, sfDir), annLsh(spark, sfDir))
 
+  /** [[annEval]] pointed at the full compressed-index serving stack
+    * (IVF probe → ADC shortlist → exact re-rank, [[annIvfPqRerank]]) —
+    * the third index family under the shared scorecard, completing the
+    * comparison a 10⁹-vector build actually faces: plain IVF vs sign-LSH
+    * vs IVF×PQ+rerank. Rerank recall ≥ raw-ADC recall by construction
+    * (the exact re-rank can only fix ADC rank errors inside the
+    * shortlist), and this query prices the shortlist depth the same way
+    * ann_eval prices nprobe.
+    */
+  def annEvalPq(spark: SparkSession, sfDir: String): DataFrame =
+    annEvalAgainst(annCosineTopK(spark, sfDir), annIvfPqRerank(spark, sfDir))
+
   private def annEvalAgainst(
       truthDf: DataFrame, approxDf: DataFrame): DataFrame = {
     val truth = truthDf.select(col("query_id"), col("neighbor_id"))
@@ -1259,6 +1271,8 @@ object SimilarityJobs {
   val annEvalSql: String = annEvalSqlOver(annIvfSql)
 
   val annEvalLshSql: String = annEvalSqlOver(annLshSql)
+
+  lazy val annEvalPqSql: String = annEvalSqlOver(annIvfPqRerankSql)
 
   private def annEvalSqlOver(approxSql: String): String =
     s"""WITH truth AS (
@@ -1349,6 +1363,7 @@ object SimilarityJobs {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_eval" -> annEval,
     "ann_eval_lsh" -> annEvalLsh,
+    "ann_eval_pq" -> annEvalPq,
     "knn_classify" -> knnClassify,
     "rrf_fusion" -> rrfFusion,
     "embedding_pca" -> embeddingPca,
@@ -1376,6 +1391,7 @@ object SimilarityJobs {
   val oracles: Map[String, String] = Map(
     "ann_eval" -> annEvalSql,
     "ann_eval_lsh" -> annEvalLshSql,
+    "ann_eval_pq" -> annEvalPqSql,
     "knn_classify" -> knnClassifySql,
     "rrf_fusion" -> rrfFusionSql,
     "embedding_pca" -> embeddingPcaSql,

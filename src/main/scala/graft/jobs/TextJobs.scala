@@ -2195,6 +2195,61 @@ object TextJobs {
        |    - GREATEST(s, bin * $PACK_W) + 1 AS n_toks
        |FROM spans""".stripMargin
 
+  /** Packing-efficiency audit — the scorecard for [[docPacking]]'s output
+    * (the eval-layer sibling the packing step was missing): per lang,
+    * bin count, token mass, utilization ppm (tokens over bins×PACK_W —
+    * only the final partial bin dilutes concat-packing), the
+    * boundary-crossing document count (each split doc is a truncated or
+    * cross-contaminated training sequence — the number that decides
+    * whether to pack with document-boundary resets), and mean docs per
+    * bin ×1000 (attention-fragmentation proxy). All integer floor
+    * divisions of exact counts.
+    *
+    * Scale shape: two aggs over the packing frame (lang-keyed and
+    * (lang, doc)-keyed, both riding the explode's partitioning) + a
+    * |langs|-row join — adds nothing corpus-quadratic to the
+    * already-fenced prefix-sum pipeline it reads.
+    */
+  def packingEval(spark: SparkSession, sfDir: String): DataFrame = {
+    val dp = docPacking(spark, sfDir).cache()
+    val splits = dp.groupBy(col("lang"), col("doc_id"))
+      .agg(count(lit(1)).as("nb"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("nb") > 1, 1L).otherwise(0L)).as("n_split_docs"))
+    dp.groupBy(col("lang"))
+      .agg(countDistinct(col("bin")).as("n_bins"),
+        sum(col("n_toks")).as("n_tokens"), count(lit(1)).as("n_rows"))
+      .join(splits, "lang")
+      .select(col("lang"), col("n_bins"), col("n_tokens"), col("n_docs"),
+        col("n_split_docs"),
+        expr(s"(n_tokens * 1000000) div (n_bins * $PACK_W)").as("util_ppm"),
+        expr("(n_rows * 1000) div n_bins").as("docs_per_bin_x1000"))
+  }
+
+  /** Oracle: the packing contract composed verbatim (diamond-referenced
+    * by the two aggs — MATERIALIZED) + identical integer scorecard.
+    */
+  lazy val packingEvalSql: String =
+    s"""WITH dp AS MATERIALIZED ($docPackingSql),
+       |pd AS (
+       |  SELECT lang, doc_id, COUNT(*) AS nb FROM dp GROUP BY 1, 2
+       |), sp AS (
+       |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |         CAST(SUM(CASE WHEN nb > 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |           AS n_split_docs
+       |  FROM pd GROUP BY 1
+       |), ag AS (
+       |  SELECT lang, CAST(COUNT(DISTINCT bin) AS BIGINT) AS n_bins,
+       |         CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+       |         CAST(COUNT(*) AS BIGINT) AS n_rows
+       |  FROM dp GROUP BY 1
+       |)
+       |SELECT ag.lang, n_bins, n_tokens, n_docs, n_split_docs,
+       |       (n_tokens * 1000000) // (n_bins * $PACK_W) AS util_ppm,
+       |       (n_rows * 1000) // n_bins AS docs_per_bin_x1000
+       |FROM ag JOIN sp ON sp.lang = ag.lang""".stripMargin
+
   /** C4/Gopher-style format screening as per-document rule booleans: ends
     * in terminal punctuation (C4 keeps only such lines), no curly braces
     * (code pages), no "lorem ipsum" (placeholder pages), ≥ 5 tokens, and
@@ -3319,6 +3374,7 @@ object TextJobs {
     "mixture_plan" -> mixturePlan,
     "text_redact" -> textRedact,
     "doc_packing" -> docPacking,
+    "packing_eval" -> packingEval,
     "doc_chunks" -> docChunks,
     "wordpiece_merges" -> wordpieceMerges,
     "wordpiece_encode" -> wordpieceEncode,
@@ -3361,6 +3417,7 @@ object TextJobs {
     "mixture_plan" -> mixturePlanSql,
     "text_redact" -> textRedactSql,
     "doc_packing" -> docPackingSql,
+    "packing_eval" -> packingEvalSql,
     "doc_chunks" -> docChunksSql,
     "wordpiece_merges" -> wordpieceMergesSql,
     "wordpiece_encode" -> wordpieceEncodeSql,

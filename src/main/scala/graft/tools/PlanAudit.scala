@@ -42,6 +42,9 @@ object PlanAudit {
       "ann_eval" -> ("CROSSes are its two composed inputs' designed shapes: the truth side is ann_cosine_topk's " +
         "bounded query-side broadcast, the approx side ann_ivf's C-bounded centroid broadcasts; " +
         "the eval itself adds only a (query, neighbor)-keyed left join + a query-keyed agg"),
+      "ann_eval_pq" -> ("CROSSes are the composed inputs' designed shapes (ann_eval's annotation): the truth " +
+        "side's bounded query broadcast plus ann_ivf_pq_rerank's centroid/codebook broadcasts; the eval layer " +
+        "itself is the same keyed left join + query-keyed agg"),
       "knn_classify" -> ("CROSS is the bounded test-half broadcast into the brute-force scorer " +
         "(ann_cosine_topk's shape; the IVF/PQ artifact path is the documented scale swap-in feeding the same vote)"),
       "ann_eval_lsh" -> ("CROSS is the truth side's bounded query-side broadcast (ann_cosine_topk's " +

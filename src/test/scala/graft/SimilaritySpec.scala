@@ -129,6 +129,36 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ann_eval_pq re-derives exactly; rerank recall >= raw-ADC recall") {
+    val sfd = sf("sf0.001")
+    val truth = SimilarityJobs.annCosineTopK(spark, sfd)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = SimilarityJobs.annIvfPqRerank(spark, sfd)
+      .select($"query_id", $"neighbor_id", $"rn")
+      .as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val got = SimilarityJobs.annEvalPq(spark, sfd).collect()
+      .map(r => r.getAs[Long]("query_id") ->
+        (r.getAs[Long]("n_truth"), r.getAs[Long]("n_hit"),
+          r.getAs[Long]("recall_ppm"), r.getAs[Long]("rr_sum_ppm"))).toMap
+    assert(got.keySet == truth.map(_._1))
+    truth.groupBy(_._1).foreach { case (q, t) =>
+      val hits = t.filter(approx.contains)
+      val rr = hits.toSeq.map(p => 1000000L / approx(p)).sum
+      assert(got(q) == ((t.size.toLong, hits.size.toLong,
+        hits.size.toLong * 1000000L / t.size, rr)), s"query $q")
+    }
+    // the exact re-rank can only fix ADC rank errors inside the
+    // shortlist: total rerank hits must be >= the raw ADC index's hits
+    // against the same truth (both probe the same IVF cells)
+    val adc = SimilarityJobs.annIvfPq(spark, sfd)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val rerankHits = truth.count(approx.contains)
+    val adcHits = truth.count(adc.contains)
+    assert(rerankHits >= adcHits,
+      s"rerank recall ($rerankHits) fell below raw ADC ($adcHits)")
+  }
+
   test("ann_eval_lsh restricts to the truth queries and re-derives exactly") {
     val sfd = sf("sf0.001")
     val truth = SimilarityJobs.annCosineTopK(spark, sfd)

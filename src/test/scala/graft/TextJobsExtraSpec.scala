@@ -548,6 +548,33 @@ class TextJobsExtraSpec extends SparkSpec {
     }
   }
 
+  test("packing_eval re-derives from the packing frame; only last bins are partial") {
+    val sfd = sf("sf0.001")
+    val dp = TextJobs.queries("doc_packing")(spark, sfd)
+      .as[(String, Long, Long, Long, Long)].collect() // lang, doc, bin, off, n
+    val got = TextJobs.packingEval(spark, sfd).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val byLang = dp.groupBy(_._1)
+    assert(got.keySet == byLang.keySet)
+    byLang.foreach { case (lang, rows) =>
+      val r = got(lang)
+      def l(c: String) = r.getLong(r.fieldIndex(c))
+      val nBins = rows.map(_._3).distinct.size.toLong
+      val nTokens = rows.map(_._5).sum
+      val nDocs = rows.map(_._2).distinct.size.toLong
+      val nSplit = rows.groupBy(_._2).count(_._2.size > 1).toLong
+      assert(l("n_bins") == nBins && l("n_tokens") == nTokens &&
+        l("n_docs") == nDocs && l("n_split_docs") == nSplit)
+      assert(l("util_ppm") == nTokens * 1000000L / (nBins * 2048L))
+      assert(l("docs_per_bin_x1000") == rows.length * 1000L / nBins)
+      // concat packing fills every bin except possibly the last
+      assert(nTokens > (nBins - 1) * 2048L)
+      assert(l("util_ppm") > 500000L && l("util_ppm") <= 1000000L)
+    }
+    // the audit's reason to exist: boundary-crossing docs occur
+    assert(got.values.map(r => r.getLong(r.fieldIndex("n_split_docs"))).sum > 0)
+  }
+
   test("tokenizer_eval: held-out OOV fallbacks on a crafted split") {
     val dir = java.nio.file.Files.createTempDirectory("tok_eval").toString
     // train = ids 1-4 (vocabulary {"ab"}), held out = id 5 ("ab zzz"):
