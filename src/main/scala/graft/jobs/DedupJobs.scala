@@ -1750,9 +1750,54 @@ object DedupJobs {
     * joins. Recall here is the number that decides banding (k, bands);
     * precision prices the verify pass that follows candidates.
     */
+  /** The exact-Jaccard truth pair set BOTH eval queries score against,
+    * content-memoized per corpus (the simLists/rocchioModel contract):
+    * `dedup_eval` and `simhash_eval` each need the identical
+    * [[ngramJaccard]] output, and without a memo the registry pays the
+    * pair join twice per bench pass (~2.5-3 s each at sf0.1, the evals'
+    * dominant cost — BenchOne r12). The memo holds (doc_a, doc_b) only —
+    * output-sized, the near-dup pair mass, NOT corpus-sized — and
+    * declines above [[TruthMemoMaxPairs]] (a dup-heavy 100 TB corpus's
+    * pair set belongs in storage, not driver memory), serving the built
+    * frame uncached instead. The `ngram_jaccard` gate itself stays
+    * UNmemoized: its bench median is how the pair-join machinery's cost
+    * is tracked.
+    */
+  private val truthMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]()
+
+  private[jobs] val TruthMemoMaxPairs = 1000000L
+
+  private def jaccardTruthPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    def rebuild(flat: Array[Long]): DataFrame =
+      flat.grouped(2).map(g => (g(0), g(1))).toSeq.toDF("doc_a", "doc_b")
+    val key = graft.io.Fingerprint.of(sfDir, "documents")
+    val hit = truthMemo.get(key)
+    if (hit != null) {
+      if (hit.length == 0)
+        ngramJaccard(spark, sfDir).select(col("doc_a"), col("doc_b"))
+      else rebuild(hit)
+    } else {
+      val built = ngramJaccard(spark, sfDir)
+        .select(col("doc_a"), col("doc_b")).cache()
+      if (built.count() > TruthMemoMaxPairs) {
+        truthMemo.putIfAbsent(key, Array.emptyLongArray)
+        built
+      } else {
+        val rows = built.collect()
+        built.unpersist()
+        val a = new Array[Long](rows.length * 2)
+        var j = 0
+        rows.foreach { r => a(j) = r.getLong(0); a(j + 1) = r.getLong(1); j += 2 }
+        truthMemo.putIfAbsent(key, a)
+        rebuild(a)
+      }
+    }
+  }
+
   def dedupEval(spark: SparkSession, sfDir: String): DataFrame = {
-    val truth = ngramJaccard(spark, sfDir).select(col("doc_a"), col("doc_b"))
-      .cache()
+    val truth = jaccardTruthPairs(spark, sfDir)
     val cand = dedupMinhashLsh(spark, sfDir).select(col("doc_a"), col("doc_b"))
       .cache()
     val t = truth.agg(count(lit(1)).as("n_truth"))
@@ -1799,8 +1844,7 @@ object DedupJobs {
     val cand = Dedup.hammingPairsAuto(fp, SIMHASH_EVAL_H,
         bits = SIMHASH_EVAL_BITS)
       .select(col("doc_a"), col("doc_b")).cache()
-    val truth = ngramJaccard(spark, sfDir).select(col("doc_a"), col("doc_b"))
-      .cache()
+    val truth = jaccardTruthPairs(spark, sfDir)
     val t = truth.agg(count(lit(1)).as("n_truth"))
     val c = cand.agg(count(lit(1)).as("n_cand"))
     val tp = truth.join(cand, Seq("doc_a", "doc_b"))

@@ -1790,7 +1790,13 @@ object TextJobs {
     val statsRow = docs.agg(count(lit(1)).as("n_docs"))
       .crossJoin(dl.agg(sum(col("dl")).as("l_tot"),
         max(col("max_tf")).as("mx_tf")))
-      .withColumn("adl", expr("l_tot div n_docs"))
+      // empty/token-less corpus: null sums → 0 (the zero-row totality
+      // discipline; adl = 0 makes every saturation term 0 div 9·dl = 0,
+      // never a division by zero — matched rows imply dl ≥ tf ≥ 1)
+      .withColumn("adl", coalesce(
+        expr("case when n_docs = 0 then 0L else l_tot div n_docs end"),
+        lit(0L)))
+      .withColumn("mx_tf", coalesce(col("mx_tf"), lit(0L)))
       .first()
     val (nDocs, adl) = (statsRow.getLong(0), statsRow.getLong(3))
     val mxTf = statsRow.getLong(2)

