@@ -147,7 +147,12 @@ object BenchGap {
     "tokenizer_fertility" -> ("r11 3.01 s vs 0.85 local; serves the " +
       "memoized tokenizer models (r8 contract) — the remaining cost is " +
       "the corpus encode scan; r11/r10 driver ratio tracks the global " +
-      "1.47x inflation"))
+      "1.47x inflation"),
+    "diversity_sample" -> ("r11 3.92 s vs 1.21 local (3.2x, barely over " +
+      "threshold); BenchOne r12 descent 7.6 -> 2.2 -> 2.2 -> 1.8 s — the " +
+      "16 MMR greedy rounds compile heavy codegen first run (the " +
+      "rrf_fusion class); plan is driver-held-selection scans, nothing " +
+      "to restructure"))
 
   // the driver wrapper stores our stdout line INSIDE a JSON string, so
   // its quotes arrive backslash-escaped — accept both forms
