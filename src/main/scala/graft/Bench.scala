@@ -118,9 +118,12 @@ object Bench {
       // canary read 0.45 s vs 0.107 med — env proven. r12 slots = the
       // top BENCH_r11 flags (worst ratio x absolute cost first) plus
       // rec_coverage to witness the CF-memo fix landing.
+      // plus the four late-r12 memo/adjudication fixes whose driver-side
+      // landing the r13 canaries should witness.
       "ngram_jaccard_prefix", "rec_coverage", "cohort_ltv",
       "curation_screened", "churn_rates", "attribution", "keyword_search",
-      "coreset_kcenter")
+      "coreset_kcenter", "rec_eval", "dedup_eval", "item_similarity",
+      "diversity_sample")
     val byCost = results.toSeq.sortBy { case (_, v) =>
       if (v.isNaN) Double.MaxValue else v } // cheap first; NaN (errored) last
     val chunk = new StringBuilder
