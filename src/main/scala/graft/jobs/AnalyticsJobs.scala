@@ -1198,6 +1198,14 @@ object AnalyticsJobs {
   private val simListsMemo =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]()
 
+  // Hit/miss telemetry for the CF list memos, surfaced in graft.Bench's
+  // tail line as driver-side proof that timed runs serve from the memo
+  // (BENCHGAP r12: rec_eval read 4.5x local with a quiet canary — the
+  // open question was whether the driver's runs 2-3 actually hit).
+  private val simMemoHit = new java.util.concurrent.atomic.AtomicLong
+  private val simMemoMiss = new java.util.concurrent.atomic.AtomicLong
+  def simMemoStats: String = s"${simMemoHit.get}/${simMemoMiss.get}"
+
   private[jobs] val SimMemoMaxRows = 1000000L
 
   private[jobs] def simLists(spark: SparkSession, sfDir: String): DataFrame =
@@ -1218,9 +1226,11 @@ object AnalyticsJobs {
         .toDF("item_id", "rank", "partner", "jacc_ppm")
     val hit = simListsMemo.get(key)
     if (hit != null) {
+      simMemoHit.incrementAndGet()
       if (hit.length == 0) build
       else rebuild(hit)
     } else {
+      simMemoMiss.incrementAndGet()
       val built = build.cache()
       if (built.count() > SimMemoMaxRows) {
         // declined: record a zero-length sentinel so later calls skip the

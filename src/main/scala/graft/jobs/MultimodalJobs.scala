@@ -453,6 +453,191 @@ object MultimodalJobs {
        |JOIN dim d ON d.doc_id = c.doc_id
        |JOIN sizes s ON s.cluster = c.cluster""".stripMargin
 
+  /** Frame-aligned video near-dup pairs — the video sibling of
+    * [[imageNeardup]]/[[audioNeardup]] over the planted RAWV clips
+    * ([[graft.ops.Multimodal.videoPixel]]): per-frame dHash63 on the
+    * byte-level-parsed frames, frame-0-anchored banded candidate
+    * generation, full frame-sequence Hamming verification (every aligned
+    * frame within the radius, equal frame counts). Output
+    * (doc_a, doc_b, hamming) with `hamming` the total across frames.
+    */
+  def videoNeardup(spark: SparkSession, sfDir: String): DataFrame =
+    videoPipeline(spark, sfDir).pairs
+
+  /** The shared parse→per-frame-fingerprint pass the video gate queries
+    * build on ([[graft.ops.VideoPipeline]]).
+    */
+  def videoPipeline(spark: SparkSession, sfDir: String): graft.ops.VideoPipeline =
+    graft.ops.VideoPipeline(spark, Tables.documents(spark, sfDir),
+      NEARDUP_MAX_HAMMING)
+
+  /** The per-frame video fingerprint restated for the oracles: the
+    * [[audioFpCtes]]/[[imageFpCtes]] avalanche chain extended with the
+    * frame term (f·69491 in the mix, f·11 in the perturbation window) and
+    * the per-base frame count — (doc_id, f, fp) rows in `vfp`, dims in
+    * `vdim`. Frame indices come from a SELECT-level `unnest(range(...))`
+    * (DuckDB can't take lateral column parameters in FROM — CLAUDE.md r9).
+    */
+  private val videoFpCtes: String =
+    s"""grid AS (
+       |  SELECT gr, gc FROM (SELECT unnest(range(0, 8)) AS gr),
+       |                     (SELECT unnest(range(0, 8)) AS gc)
+       |  WHERE NOT (gr = 7 AND gc = 7)
+       |), vdim AS (
+       |  SELECT doc_id, doc_id // ${Multimodal.NeardupGroup} AS base,
+       |         16 + (doc_id // ${Multimodal.NeardupGroup}) % 5 AS w,
+       |         12 + (doc_id // ${Multimodal.NeardupGroup}) % 4 AS h,
+       |         4 + (doc_id // ${Multimodal.NeardupGroup}) % 4 AS nf
+       |  FROM documents
+       |), vframes AS (
+       |  SELECT doc_id, base, w, h, nf, unnest(range(0, nf)) AS f FROM vdim
+       |), vsamples AS (
+       |  SELECT doc_id, base, f, gr, gc, pos,
+       |         CASE WHEN pos = 0 THEN gc * w // 9
+       |              ELSE (gc + 1) * w // 9 END AS x,
+       |         gr * h // 8 AS y
+       |  FROM vframes CROSS JOIN grid CROSS JOIN (SELECT unnest([0, 1]) AS pos)
+       |), vm0 AS (
+       |  SELECT *, (base * 2654435761 + f * 69491 + x * 40503 + y * 104729)
+       |            % 2147483647 AS h0 FROM vsamples
+       |), vm1 AS (SELECT *, xor(h0, h0 >> 15) AS h1 FROM vm0
+       |), vm2 AS (SELECT *, (h1 * 48271) % 2147483647 AS h2 FROM vm1
+       |), vm3 AS (SELECT *, xor(h2, h2 >> 13) AS h3 FROM vm2
+       |), vpv AS (
+       |  SELECT doc_id, f, gr, gc, pos,
+       |         (((h3 * 16807) % 2147483647) % 256
+       |          + CASE WHEN (x * 7 + y + f * 11) % 37
+       |                      < doc_id % ${Multimodal.NeardupGroup}
+       |                 THEN 1 ELSE 0 END) % 256 AS p
+       |  FROM vm3
+       |), vcmp AS (
+       |  SELECT doc_id, f, gr, gc,
+       |         MAX(CASE WHEN pos = 0 THEN p END) AS pl,
+       |         MAX(CASE WHEN pos = 1 THEN p END) AS pr
+       |  FROM vpv GROUP BY 1, 2, 3, 4
+       |), vfp AS (
+       |  SELECT doc_id, f,
+       |         CAST(SUM(CASE WHEN pr > pl THEN 1::BIGINT << (gr * 8 + gc)
+       |                       ELSE 0 END) AS BIGINT) AS fp
+       |  FROM vcmp GROUP BY doc_id, f
+       |), vpairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |         CAST(SUM(bit_count(xor(a.fp, b.fp))) AS BIGINT) AS hamming,
+       |         MAX(bit_count(xor(a.fp, b.fp))) AS maxh,
+       |         COUNT(*) AS n_aligned, da.nf AS nf
+       |  FROM vfp a JOIN vfp b ON a.f = b.f AND a.doc_id < b.doc_id
+       |  JOIN vdim da ON da.doc_id = a.doc_id
+       |  JOIN vdim db ON db.doc_id = b.doc_id AND db.nf = da.nf
+       |  GROUP BY a.doc_id, b.doc_id, da.nf
+       |)""".stripMargin
+
+  /** Brute-force frame-aligned pairs: equal frame counts, every aligned
+    * frame within the radius.
+    */
+  val videoNeardupSql: String =
+    s"""WITH $videoFpCtes
+       |SELECT doc_a, doc_b, hamming FROM vpairs
+       |WHERE maxh <= $NEARDUP_MAX_HAMMING AND n_aligned = nf""".stripMargin
+
+  /** Video cluster resolution — component minimum over the near-dup pair
+    * graph, exactly as [[imageClusters]]/[[audioClusters]].
+    */
+  def videoClusters(spark: SparkSession, sfDir: String): DataFrame =
+    videoPipeline(spark, sfDir).clusters
+
+  val videoClustersSql: String =
+    s"""WITH RECURSIVE $videoFpCtes, pairs AS (
+       |  SELECT doc_a, doc_b FROM vpairs
+       |  WHERE maxh <= $NEARDUP_MAX_HAMMING AND n_aligned = nf
+       |), edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION
+       |  SELECT doc_b, doc_a FROM pairs
+       |), reach AS (
+       |  SELECT doc_id, doc_id AS reached FROM documents
+       |  UNION
+       |  SELECT r.doc_id, e.dst FROM reach r JOIN edges e ON e.src = r.reached
+       |)
+       |SELECT doc_id, MIN(reached) AS cluster FROM reach GROUP BY doc_id""".stripMargin
+
+  /** Composed video-curation pass off the one parse scan: parsed frame
+    * count (container round-trip stays in the loop), cluster label,
+    * keeper rule, dup mass — (asset_id, n_frames, cluster, is_keeper,
+    * cluster_size).
+    */
+  def videoCuration(spark: SparkSession, sfDir: String): DataFrame =
+    videoPipeline(spark, sfDir).curation
+
+  val videoCurationSql: String =
+    s"""WITH RECURSIVE $videoFpCtes, pairs AS (
+       |  SELECT doc_a, doc_b FROM vpairs
+       |  WHERE maxh <= $NEARDUP_MAX_HAMMING AND n_aligned = nf
+       |), edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION
+       |  SELECT doc_b, doc_a FROM pairs
+       |), reach AS (
+       |  SELECT doc_id, doc_id AS reached FROM documents
+       |  UNION
+       |  SELECT r.doc_id, e.dst FROM reach r JOIN edges e ON e.src = r.reached
+       |), clusters AS (
+       |  SELECT doc_id, MIN(reached) AS cluster FROM reach GROUP BY doc_id
+       |), sizes AS (
+       |  SELECT cluster, COUNT(*) AS cluster_size FROM clusters GROUP BY 1
+       |)
+       |SELECT c.doc_id AS asset_id, CAST(d.nf AS BIGINT) AS n_frames,
+       |       c.cluster, c.doc_id = c.cluster AS is_keeper,
+       |       CAST(s.cluster_size AS BIGINT) AS cluster_size
+       |FROM clusters c
+       |JOIN vdim d ON d.doc_id = c.doc_id
+       |JOIN sizes s ON s.cluster = c.cluster""".stripMargin
+
+  /** Cross-modal thumbnail-to-video linking: every (image, video) pair
+    * whose image dHash is within the Hamming radius of the video's ANCHOR
+    * (frame 0) fingerprint — the retrieval join that attaches stills to
+    * the clips they were cut from. Both sides run their REAL decode
+    * (PNG via `javax.imageio`, RAWV byte-level parse); the planted
+    * fixture shares the base pattern at f = 0, so every id links to its
+    * own clip at Hamming 0 plus its near-dup family (the spec pins this).
+    *
+    * Scale shape: a BIPARTITE banded Hamming join, expressed through the
+    * same [[graft.ops.Dedup.hammingPairsAuto]] machinery by tagging the
+    * two sides with id parity (image 2i, video 2j+1) and keeping only
+    * cross-parity pairs — every (i, j) combination surfaces exactly once
+    * (as the unordered union-id pair {2i, 2j+1}), identity compression
+    * and the measured band plan carry over unchanged, and no new join
+    * core is needed. Output (image_id, video_id, hamming), both
+    * directions, self-matches included.
+    */
+  def thumbnailMatch(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val img = Multimodal.imageFingerprints(spark, docs)
+      .select((col("doc_id") * 2).as("doc_id"), col("fp"))
+    val vid = Multimodal.videoScan(spark, docs)
+      .filter(col("frame_idx") === 0)
+      .select((col("doc_id") * 2 + 1).as("doc_id"), col("fp"))
+    graft.ops.Dedup.hammingPairsAuto(img.unionByName(vid),
+        NEARDUP_MAX_HAMMING)
+      .filter(col("doc_a") % 2 =!= col("doc_b") % 2)
+      .select(
+        expr("if(doc_a % 2 = 0, doc_a, doc_b) div 2").as("image_id"),
+        expr("if(doc_a % 2 = 0, doc_b, doc_a) div 2").as("video_id"),
+        col("hamming"))
+  }
+
+  /** Oracle: the image fingerprint at f = 0 of the shared arithmetic
+    * pattern (the image pixel formula IS the video formula at f = 0 —
+    * both engines recompute it) crossed against every video anchor
+    * within the radius.
+    */
+  val thumbnailMatchSql: String =
+    s"""WITH $videoFpCtes
+       |SELECT i.doc_id AS image_id, v.doc_id AS video_id,
+       |       CAST(bit_count(xor(i.fp, v.fp)) AS BIGINT) AS hamming
+       |FROM (SELECT doc_id, fp FROM vfp WHERE f = 0) i
+       |JOIN (SELECT doc_id, fp FROM vfp WHERE f = 0) v ON TRUE
+       |WHERE bit_count(xor(i.fp, v.fp)) <= $NEARDUP_MAX_HAMMING""".stripMargin
+
   private val PAIR_MIN_QT = 4000L // heuristic quality ≥ 0.4, 10⁴-scaled
 
   /** CLIP-style (image, caption) training-pair manifest — the cross-modal
@@ -511,7 +696,11 @@ object MultimodalJobs {
     "image_curation" -> imageCuration,
     "audio_neardup" -> audioNeardup,
     "audio_clusters" -> audioClusters,
-    "audio_curation" -> audioCuration)
+    "audio_curation" -> audioCuration,
+    "video_neardup" -> videoNeardup,
+    "video_clusters" -> videoClusters,
+    "video_curation" -> videoCuration,
+    "thumbnail_match" -> thumbnailMatch)
 
   val oracles: Map[String, String] = Map(
     "multimodal_pairs" -> multimodalPairsSql,
@@ -523,5 +712,9 @@ object MultimodalJobs {
     "image_curation" -> imageCurationSql,
     "audio_neardup" -> audioNeardupSql,
     "audio_clusters" -> audioClustersSql,
-    "audio_curation" -> audioCurationSql)
+    "audio_curation" -> audioCurationSql,
+    "video_neardup" -> videoNeardupSql,
+    "video_clusters" -> videoClustersSql,
+    "video_curation" -> videoCurationSql,
+    "thumbnail_match" -> thumbnailMatchSql)
 }

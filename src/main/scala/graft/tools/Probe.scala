@@ -198,7 +198,9 @@ object Probe {
       */
     val ImageQueries = Seq(
       "image_neardup", "image_clusters", "image_curation",
-      "audio_neardup", "audio_clusters", "audio_curation")
+      "audio_neardup", "audio_clusters", "audio_curation",
+      "video_neardup", "video_clusters", "video_curation",
+      "thumbnail_match")
 
     /** Regime-crossover probe for [[graft.ops.Dedup.connectedComponents]]:
       * time the single-task union-find path (singleTaskEdgeLimit=MaxValue)
