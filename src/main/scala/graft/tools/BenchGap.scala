@@ -93,6 +93,12 @@ object BenchGap {
       "descent 5.4 -> 1.2 s steady"),
     "item_communities" -> ("fixed round 13 (warm pass): BenchOne " +
       "descent 6.0 -> 0.8 s steady (runs 3-4)"),
+    "q5_local_supplier" -> ("fixed round 13 (warm pass): flagged only " +
+      "after the warm-semantics localbench refresh dropped its local " +
+      "median to 0.71 s (r12 driver 2.26 s = 3.2x); BenchOne descent " +
+      "4.2 -> 1.5 -> 1.2 -> 1.1 s — the same cold-codegen class as the " +
+      "other 12 (5-way broadcast-dim join compiles a wide stage first " +
+      "run)"),
     "ngram_jaccard_prefix" -> ("fixed round 13 (warm pass) on top of the " +
       "r12 fence re-point: BenchOne steady 3.0-4.1 s is the genuine " +
       "dense-fixture candidate mass (SCALE.md S8b measured trade) — the " +
