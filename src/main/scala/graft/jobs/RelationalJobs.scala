@@ -438,6 +438,129 @@ object RelationalJobs {
       |       n_failed = 0 AS pass
       |FROM checks""".stripMargin
 
+  // ---- q6: forecasting revenue change (pure filter + global agg) ----
+
+  /** The predicate-pushdown showcase: three conjunctive filters and ONE
+    * global sum — the whole query is a parquet scan whose row-group
+    * pruning (shipdate min/max stats) plus pushed filters do the work,
+    * then a partial+final agg of a single exact BIGINT (cents × basis
+    * points). At 100 TB nothing but the scan exists to optimize; the
+    * date window prunes most row groups before any CPU runs. Constants
+    * probed non-degenerate at every SF (103 / 1,193 / 12,170 rows).
+    * Discounts are exact integer cents so BETWEEN 5 AND 7 is the exact
+    * [0.05, 0.07] band — no float-boundary ambiguity.
+    */
+  def q6ForecastRevenue(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1998-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1999-01-01").cast("timestamp") &&
+        cents(col("l_discount")).between(5, 7) &&
+        col("l_quantity") < 24)
+      .agg(
+        (sum(cents(col("l_extendedprice")) * cents(col("l_discount"))) / 1e4)
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  val q6ForecastRevenueSql: String =
+    """SELECT
+      |  SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+      |      * CAST(ROUND(l_discount * 100) AS BIGINT)) / 1e4 AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+      |  AND l_shipdate < TIMESTAMP '1999-01-01'
+      |  AND CAST(ROUND(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+      |  AND l_quantity < 24""".stripMargin
+
+  // ---- q14: promotion effect (fact ⨝ broadcast dim + conditional agg) ----
+
+  /** Promo revenue share over one quarter: lineitem joins the part
+    * dimension (broadcast — the fact table never shuffles) and splits
+    * discounted revenue by p_type = 'PROMO'. Both sums are exact BIGINTs
+    * (cents × (100−discount)); the share is emitted as an exact ppm
+    * integer (single BIGINT division) alongside the two sums, so no
+    * cross-engine float ratio exists anywhere. Probed at every SF:
+    * 56/219, 355/2209, 3577/21462 promo/total quarter rows.
+    */
+  def q14PromoEffect(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1998-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-04-01").cast("timestamp"))
+    val rev = cents(col("l_extendedprice")) *
+      (lit(100) - cents(col("l_discount")))
+    li.join(broadcast(Tables.part(spark, sfDir)
+        .select(col("p_partkey"), col("p_type"))),
+        col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", rev).otherwise(0L))
+          .as("promo_rev_c4"),
+        sum(rev).as("total_rev_c4"))
+      .select(col("promo_rev_c4"), col("total_rev_c4"),
+        expr("(promo_rev_c4 * 1000000) div total_rev_c4").as("promo_ppm"))
+  }
+
+  val q14PromoEffectSql: String =
+    """WITH j AS (
+      |  SELECT CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+      |         * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT)) AS rev,
+      |         p.p_type
+      |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      |  WHERE l.l_shipdate >= TIMESTAMP '1998-01-01'
+      |    AND l.l_shipdate < TIMESTAMP '1998-04-01'
+      |)
+      |SELECT
+      |  SUM(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END) AS promo_rev_c4,
+      |  SUM(rev) AS total_rev_c4,
+      |  (SUM(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END) * 1000000)
+      |    // SUM(rev) AS promo_ppm
+      |FROM j""".stripMargin
+
+  // ---- q19: discounted revenue (disjunctive multi-predicate dim join) ----
+
+  /** Three brand/quantity/size disjuncts over the same join — the
+    * OR-of-conjunctions shape that tests disjunctive predicate handling:
+    * the part side filters to the union of the three brand/size branches
+    * BEFORE broadcasting (each branch's part predicate is
+    * part-table-only), and the residual per-branch quantity conjunction
+    * evaluates post-join as one codegen'd boolean. Branch row counts
+    * probed non-degenerate at every SF (13/4/27 at sf0.001).
+    */
+  def q19DiscountedRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val b1 = col("p_brand") === "Brand#13" &&
+      col("l_quantity").between(1, 11) && col("p_size").between(1, 10)
+    val b2 = col("p_brand") === "Brand#11" &&
+      col("l_quantity").between(10, 20) && col("p_size").between(1, 10)
+    val b3 = col("p_brand") === "Brand#22" &&
+      col("l_quantity").between(20, 30) && col("p_size").between(1, 15)
+    val partSide = Tables.part(spark, sfDir)
+      .filter(
+        (col("p_brand") === "Brand#13" && col("p_size").between(1, 10)) ||
+        (col("p_brand") === "Brand#11" && col("p_size").between(1, 10)) ||
+        (col("p_brand") === "Brand#22" && col("p_size").between(1, 15)))
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+    Tables.lineitem(spark, sfDir)
+      .join(broadcast(partSide), col("l_partkey") === col("p_partkey"))
+      .filter(b1 || b2 || b3)
+      .agg(
+        (sum(cents(col("l_extendedprice"))
+          * (lit(100) - cents(col("l_discount")))) / 1e4).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  val q19DiscountedRevenueSql: String =
+    """SELECT
+      |  SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+      |      * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))) / 1e4
+      |    AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      |WHERE (p.p_brand = 'Brand#13' AND l.l_quantity BETWEEN 1 AND 11
+      |       AND p.p_size BETWEEN 1 AND 10)
+      |   OR (p.p_brand = 'Brand#11' AND l.l_quantity BETWEEN 10 AND 20
+      |       AND p.p_size BETWEEN 1 AND 10)
+      |   OR (p.p_brand = 'Brand#22' AND l.l_quantity BETWEEN 20 AND 30
+      |       AND p.p_size BETWEEN 1 AND 15)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "data_expectations" -> dataExpectations,
     "q1_pricing" -> q1Pricing,
@@ -446,6 +569,9 @@ object RelationalJobs {
     "q7_volume_shipping" -> q7VolumeShipping,
     "q10_returned_items" -> q10ReturnedItems,
     "q18_large_orders" -> q18LargeOrders,
+    "q6_forecast_revenue" -> q6ForecastRevenue,
+    "q14_promo_effect" -> q14PromoEffect,
+    "q19_discounted_revenue" -> q19DiscountedRevenue,
     "distinct_agg" -> distinctAgg)
 
   val oracles: Map[String, String] = Map(
@@ -456,5 +582,8 @@ object RelationalJobs {
     "q7_volume_shipping" -> q7VolumeShippingSql,
     "q10_returned_items" -> q10ReturnedItemsSql,
     "q18_large_orders" -> q18LargeOrdersSql,
+    "q6_forecast_revenue" -> q6ForecastRevenueSql,
+    "q14_promo_effect" -> q14PromoEffectSql,
+    "q19_discounted_revenue" -> q19DiscountedRevenueSql,
     "distinct_agg" -> distinctAggSql)
 }

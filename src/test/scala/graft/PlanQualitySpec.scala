@@ -45,6 +45,35 @@ class PlanQualitySpec extends SparkSpec {
       s"q10 return-flag filter not pushed to the lineitem scan:\n$p")
   }
 
+  test("q6: all three filters pushed to the parquet scan, no join, no shuffle of rows") {
+    val p = plan(RelationalJobs.q6ForecastRevenue(spark, sf("sf0.001")))
+    // the plan string abbreviates long PushedFilters lists ("L..."), so
+    // pin the date pushdown (visible) + the quantity filter's presence in
+    // the scan's data-filter list rather than the truncated literal
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)") &&
+      p.contains("GreaterThanOrEqual(l_shipdate,1998-01-01"),
+      s"q6 filters not pushed to the scan:\n$p")
+    assert(p.contains("DataFilters: [isnotnull(l_shipdate"),
+      s"q6 scan lost its data filters:\n$p")
+    assert(!p.contains("Join"), s"q6 grew a join:\n$p")
+    // only the 4 consumed columns reach the scan
+    assert(p.contains("ReadSchema") && !p.contains("l_orderkey"),
+      "q6 scan reads unneeded columns")
+  }
+
+  test("q14/q19: part dimension broadcast; fact-side filters pushed") {
+    val p14 = plan(RelationalJobs.q14PromoEffect(spark, sf("sf0.001")))
+    assert(p14.contains("BroadcastHashJoin"), s"q14 lost its broadcast:\n$p14")
+    assert(p14.contains("PushedFilters") && p14.contains("l_shipdate"),
+      s"q14 shipdate filter not pushed:\n$p14")
+    val p19 = plan(RelationalJobs.q19DiscountedRevenue(spark, sf("sf0.001")))
+    assert(p19.contains("BroadcastHashJoin"), s"q19 lost its broadcast:\n$p19")
+    // the disjunctive part-side prefilter reaches the part scan (the OR
+    // of brand/size branches is part-table-only by construction)
+    assert(p19.contains("Brand#13"),
+      s"q19 part-side disjunction not at the part scan:\n$p19")
+  }
+
   test("q3: global top-10 via TakeOrderedAndProject, no single-partition Window") {
     val p = plan(RelationalJobs.q3Shipping(spark, sf("sf0.001")))
     assert(p.contains("TakeOrderedAndProject"),
