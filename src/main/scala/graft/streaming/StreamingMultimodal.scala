@@ -123,4 +123,86 @@ object StreamingMultimodal {
           .as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** The static side of the VIDEO screen: per-clip frame-fingerprint
+    * sequences rolled up from a [[Multimodal.videoScan]]-shaped table —
+    * (corpus_id, corpus_nf, corpus_fps ordered by frame, corpus_fp =
+    * anchor). In production this is yesterday's landed per-frame
+    * fingerprint index.
+    */
+  def videoCorpusSeqs(scan: DataFrame): DataFrame =
+    scan.groupBy(col("doc_id").as("corpus_id"))
+      .agg(first(col("n_frames")).as("corpus_nf"),
+        sort_array(collect_list(struct(col("frame_idx"), col("fp"))))
+          .as("ordered"))
+      .select(col("corpus_id"), col("corpus_nf"),
+        transform(col("ordered"), s => s("fp")).as("corpus_fps"),
+        element_at(transform(col("ordered"), s => s("fp")), 1)
+          .as("corpus_fp"))
+
+  /** The VIDEO sibling of [[screenImages]]: each arriving RAWV clip is
+    * byte-level parsed and per-frame dHashed in-flight, its ANCHOR
+    * (frame 0) fingerprint Hamming-banded against the persisted corpus
+    * anchors, and candidates verified frame-aligned in-row (equal frame
+    * counts + every aligned frame within `maxPerFrame`) — the streaming
+    * twin of [[graft.ops.VideoPipeline.pairs]]'s contract against a
+    * static corpus. Emits (asset_id, ts, corpus_id, hamming) with
+    * `hamming` the total across frames.
+    *
+    * The per-candidate verify uses `zip_with`/`aggregate` over the two
+    * ≤O(10)-element fingerprint arrays: this is the CANDIDATE-bounded
+    * stage, not a per-pair corpus hot path (the r2 higher-order-lambda
+    * rule targets corpus-quadratic lineages), and the in-row form keeps
+    * the whole query a stateless append-mode stream-static join — the
+    * batch side's (doc, frame) verify join would force a post-join
+    * streaming aggregation here.
+    */
+  def screenVideo(
+      stream: DataFrame, tsCol: String, delay: String,
+      corpusSeqs: DataFrame, bands: Seq[(Int, Int)],
+      maxPerFrame: Int): DataFrame = {
+    require(bands.size > maxPerFrame,
+      s"pigeonhole needs more bands (${bands.size}) than maxPerFrame=$maxPerFrame")
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val fps = stream
+      .withWatermark(tsCol, delay)
+      .select(col("asset_id"), col("content"), col(tsCol).as("ts"))
+      .as[(Long, Array[Byte], java.sql.Timestamp)]
+      .mapPartitions { it =>
+        it.map { case (id, rawv, ts) =>
+          val (w, h, nf, px) = Multimodal.decodeRawv(rawv)
+          val seq = Array.tabulate(nf) { f =>
+            Multimodal.dHash63(
+              java.util.Arrays.copyOfRange(px, f * w * h, (f + 1) * w * h),
+              w, h)
+          }
+          (id, nf.toLong, seq, ts)
+        }
+      }.toDF("asset_id", "nf", "fps", "ts")
+      .withColumn("fp", element_at(col("fps"), 1))
+    val arrBands = fps.select(col("asset_id"), col("nf"), col("fps"),
+      col("fp"), col("ts"),
+      posexplode(array(bands.map(b => Dedup.bandVal(col("fp"), b)): _*))
+        .as(Seq("b", "bv")))
+    val corpusB = corpusSeqs.select(col("corpus_id"), col("corpus_nf"),
+      col("corpus_fps"), col("corpus_fp"),
+      posexplode(array(bands.map(b => Dedup.bandVal(col("corpus_fp"), b)): _*))
+        .as(Seq("b", "bv")))
+    val earlierBandsDiffer = bands.zipWithIndex.map { case (bd, j) =>
+      (lit(j) >= col("b")) ||
+        (Dedup.bandVal(col("fp"), bd) =!= Dedup.bandVal(col("corpus_fp"), bd))
+    }.reduce(_ && _)
+    val perFrame = zip_with(col("fps"), col("corpus_fps"),
+      (a, c) => bit_count(a.bitwiseXOR(c)).cast("long"))
+    arrBands.join(corpusB, Seq("b", "bv"))
+      .filter(col("asset_id") =!= col("corpus_id"))
+      .filter(earlierBandsDiffer)
+      .filter(col("nf") === col("corpus_nf"))
+      .withColumn("ham_seq", perFrame)
+      .filter(array_max(col("ham_seq")) <= maxPerFrame)
+      .select(col("asset_id"), col("ts"), col("corpus_id"),
+        aggregate(col("ham_seq"), lit(0L), (acc, x) => acc + x)
+          .as("hamming"))
+  }
 }

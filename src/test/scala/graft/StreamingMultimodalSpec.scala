@@ -116,4 +116,60 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(expected.nonEmpty, "fixture must produce corpus hits")
     assert(expected.exists(_._3 > 0), "must include true near dups, not just exact")
   }
+
+  test("stream video screen equals brute force over full frame sequences") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.io.Tables.documents(spark, sf("sf0.001"))
+    val corpusDocs = docs.filter($"doc_id" < 200)
+    // persisted per-frame index, rolled up to sequences (the serving path
+    // reads the landed table, not the builder lineage)
+    val dir = java.nio.file.Files.createTempDirectory("vidfp").toString
+    Multimodal.videoScan(spark, corpusDocs).write.mode("overwrite").parquet(dir)
+    val corpusSeqs = StreamingMultimodal.videoCorpusSeqs(
+      spark.read.parquet(dir))
+
+    val arrivals = Multimodal
+      .neardupVideoAssets(spark,
+        docs.filter($"doc_id" >= 60 && $"doc_id" < 100))
+      .collect()
+      .map(a => (a.asset_id, a.content, ts(a.asset_id)))
+
+    val in = MemoryStream[(Long, Array[Byte], Timestamp)]
+    val q = StreamingMultimodal.screenVideo(
+        in.toDF().toDF("asset_id", "content", "ts"),
+        "ts", "0 seconds", corpusSeqs, Dedup.Bands63, maxPerFrame = 3)
+      .writeStream.format("memory").queryName("stream_vid_screen")
+      .outputMode("append").start()
+    val got = try {
+      in.addData(arrivals.toSeq: _*)
+      q.processAllAvailable()
+      spark.table("stream_vid_screen")
+        .select($"asset_id", $"corpus_id", $"hamming")
+        .as[(Long, Long, Long)].collect().toSet
+    } finally q.stop()
+
+    // batch truth: brute force over full frame sequences (equal frame
+    // counts, every aligned frame within the radius)
+    def seqsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "frame_idx", "fp").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .groupBy(_._1)
+        .map { case (id, rs) => id -> rs.sortBy(_._2).map(_._3).toIndexedSeq }
+    val corpus = seqsOf(Multimodal.videoScan(spark, corpusDocs))
+    val arr = seqsOf(Multimodal.videoScan(spark,
+      docs.filter($"doc_id" >= 60 && $"doc_id" < 100)))
+    val expected = (for {
+      (aid, af) <- arr.toSeq
+      (cid, cf) <- corpus.toSeq
+      if cid != aid && af.length == cf.length
+      perFrame = af.zip(cf).map { case (x, y) => java.lang.Long.bitCount(x ^ y) }
+      if perFrame.max <= 3
+    } yield (aid, cid, perFrame.map(_.toLong).sum)).toSet
+
+    assert(got == expected,
+      s"only-stream=${(got -- expected).take(3)} " +
+        s"only-batch=${(expected -- got).take(3)}")
+    assert(expected.nonEmpty, "fixture must produce corpus hits")
+    assert(expected.exists(_._3 > 0), "must include true near dups, not just exact")
+  }
 }
