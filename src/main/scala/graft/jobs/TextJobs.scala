@@ -2343,6 +2343,71 @@ object TextJobs {
        |FROM w, t""".stripMargin
   }
 
+  /** Mixture EXECUTION — the admission pass after [[mixturePlan]]: each
+    * document is admitted iff its md5 coin lands under its source's exact
+    * ppm allocation rate (alloc_tokens·10⁶ div n_tokens, capped at 10⁶).
+    * The coin is md5("mix#" + doc_id) — deterministic across runs and
+    * engines, and INDEPENDENT of the rate: when a re-plan on a grown
+    * corpus lowers a source's rate, the admitted set of that source
+    * shrinks monotonically (hash-threshold sampling's reproducible-recipe
+    * property); no reshuffle of previously admitted docs ever occurs.
+    * Output: per-source plan allocation vs realized admission (doc and
+    * token mass), every column an exact integer.
+    *
+    * Scale shape: the plan is a |sources|-row broadcast; admission is one
+    * codegen'd hash-compare inside the document scan; the rollup is a
+    * two-phase agg on source. Zero shuffles beyond mixture_plan's own.
+    */
+  def mixtureExecute(spark: SparkSession, sfDir: String): DataFrame = {
+    val rates = mixturePlan(spark, sfDir)
+      .select(col("source"), col("alloc_tokens"),
+        when(col("n_tokens") === 0, lit(0L))
+          .otherwise(least(lit(1000000L),
+            expr("(alloc_tokens * 1000000) div n_tokens"))).as("rate_ppm"))
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        TextAnalysis.tokenCount(col("text")).as("toks"))
+    docs.join(broadcast(rates), "source")
+      .withColumn("admit",
+        graft.ops.Dedup.md5Long(
+          concat(lit("mix#"), col("doc_id").cast("string"))) % 1000000L
+          < col("rate_ppm"))
+      .groupBy(col("source"))
+      .agg(
+        first(col("alloc_tokens")).as("alloc_tokens"),
+        first(col("rate_ppm")).as("rate_ppm"),
+        count(lit(1)).as("n_docs"),
+        sum(when(col("admit"), 1L).otherwise(0L)).as("admitted_docs"),
+        sum(when(col("admit"), col("toks")).otherwise(0L))
+          .as("admitted_tokens"))
+  }
+
+  val mixtureExecuteSql: String = {
+    val nTokSql = "CAST(length(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT)"
+    val coin = OracleSql.hexIntSql("'mix#' || doc_id")
+    s"""WITH plan AS ($mixturePlanSql
+       |), r AS (
+       |  SELECT source, alloc_tokens,
+       |         CASE WHEN n_tokens = 0 THEN 0
+       |              ELSE least(1000000, (alloc_tokens * 1000000) // n_tokens)
+       |         END AS rate_ppm
+       |  FROM plan
+       |), d AS (
+       |  SELECT doc_id, source, $nTokSql AS toks,
+       |         $coin % 1000000 AS coin
+       |  FROM documents
+       |)
+       |SELECT d.source, MAX(r.alloc_tokens) AS alloc_tokens,
+       |       MAX(r.rate_ppm) AS rate_ppm,
+       |       COUNT(*) AS n_docs,
+       |       CAST(SUM(CASE WHEN coin < rate_ppm THEN 1 ELSE 0 END)
+       |         AS BIGINT) AS admitted_docs,
+       |       CAST(SUM(CASE WHEN coin < rate_ppm THEN toks ELSE 0 END)
+       |         AS BIGINT) AS admitted_tokens
+       |FROM d JOIN r ON d.source = r.source
+       |GROUP BY d.source""".stripMargin
+  }
+
   /** Model-based quality classification — the stage real pipelines (CCNet,
     * DCLM) run AFTER the heuristic filters ([[c4Filters]], `text_stats`'
     * ratio score): a linear classifier over hashed token features. Tokens
@@ -3378,6 +3443,7 @@ object TextJobs {
     "quality_classifier_trained" -> qualityClassifierTrained,
     "c4_filters" -> c4Filters,
     "mixture_plan" -> mixturePlan,
+    "mixture_execute" -> mixtureExecute,
     "text_redact" -> textRedact,
     "doc_packing" -> docPacking,
     "packing_eval" -> packingEval,
@@ -3421,6 +3487,7 @@ object TextJobs {
     "quality_classifier_trained" -> qualityClassifierTrainedSql,
     "c4_filters" -> c4FiltersSql,
     "mixture_plan" -> mixturePlanSql,
+    "mixture_execute" -> mixtureExecuteSql,
     "text_redact" -> textRedactSql,
     "doc_packing" -> docPackingSql,
     "packing_eval" -> packingEvalSql,

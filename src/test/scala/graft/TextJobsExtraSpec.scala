@@ -607,6 +607,25 @@ class TextJobsExtraSpec extends SparkSpec {
       l(rows("wordpiece"), "oov_words") == 1L)
   }
 
+  test("mixture_execute: admission tracks the plan rates, deterministic") {
+    val out = TextJobs.mixtureExecute(spark, sf("sf0.001")).collect()
+    assert(out.nonEmpty)
+    var admittedTotal = 0L
+    out.foreach { r =>
+      def l(c: String) = r.getLong(r.fieldIndex(c))
+      assert(l("admitted_docs") <= l("n_docs"))
+      assert(l("rate_ppm") >= 0L && l("rate_ppm") <= 1000000L)
+      // a full-rate source admits everything; a zero-rate source nothing
+      if (l("rate_ppm") == 1000000L) assert(l("admitted_docs") == l("n_docs"))
+      if (l("rate_ppm") == 0L) assert(l("admitted_docs") == 0L)
+      admittedTotal += l("admitted_docs")
+    }
+    assert(admittedTotal > 0L, "fixture must admit some documents")
+    // the md5 coin makes admission a pure function of the corpus
+    val again = TextJobs.mixtureExecute(spark, sf("sf0.001")).collect()
+    assert(out.map(_.toSeq).toSet == again.map(_.toSeq).toSet)
+  }
+
   test("tokenizer_eval: closed-vocab fixture has zero OOV and sane ratios") {
     val out = TextJobs.tokenizerEval(spark, sf("sf0.001")).collect()
     assert(out.length == 3)
