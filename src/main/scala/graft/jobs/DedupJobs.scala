@@ -551,14 +551,20 @@ object DedupJobs {
     * component minimum off it directly; [[splitLeakageSafeSql]] builds the
     * cluster-keyed split on top of the same chain.
     */
-  private def clusterReachCtes: String =
+  /** The minhash candidate chain alone (grams → signatures → LSH cand) —
+    * shared by [[clusterReachCtes]] and the cross-modal union.
+    */
+  private def minhashCandCtes: String =
     s"""$bigramCte, $hashedGramCte, sig AS (
        |  SELECT doc_id, $minhashAggSql
        |  FROM e GROUP BY doc_id
        |), cand AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ($bandEqSql)
-       |), edges AS (
+       |)""".stripMargin
+
+  private def clusterReachCtes: String =
+    s"""$minhashCandCtes, edges AS (
        |  SELECT doc_a AS src, doc_b AS dst FROM cand
        |  UNION
        |  SELECT doc_b, doc_a FROM cand
@@ -570,6 +576,57 @@ object DedupJobs {
 
   val dedupClustersSql: String =
     s"""WITH RECURSIVE $clusterReachCtes
+       |SELECT doc_id, MIN(reached) AS cluster FROM reach GROUP BY doc_id""".stripMargin
+
+  /** ANY-SIGNAL cross-modal cluster resolution: a document joins a
+    * cluster when its TEXT is a minhash-LSH candidate dup OR its IMAGE
+    * asset is a dHash near-dup — the multi-evidence collapse rule
+    * image+caption curation actually runs (LAION-style: either signal is
+    * sufficient). The two pair sets come from the registered pipelines
+    * unchanged (minhash `candidates`, image `pairs` — both banded
+    * int-keyed joins); the union graph resolves through the same
+    * regime-selected [[graft.ops.Dedup.connectedComponents]]. Duplicate
+    * edges (a pair that's both text- and image-dup) need no distinct —
+    * union-find and min-label propagation are idempotent in edges, and a
+    * distinct would be a wasted shuffle.
+    *
+    * The fixture makes the merge REAL: text dup families (content groups)
+    * and image groups (doc_id/8 blocks) partition the corpus differently,
+    * so the union closure is coarser than either input — the spec pins
+    * that it equals the closure of the unioned pair graphs, and the
+    * oracle recomputes both chains.
+    */
+  def crossModalClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    val text = pipeline(spark, sfDir).candidates
+      .select(col("doc_a"), col("doc_b"))
+    val img = MultimodalJobs.pipeline(spark, sfDir).pairs
+      .select(col("doc_a"), col("doc_b"))
+    graft.ops.Dedup.connectedComponents(
+      Tables.documents(spark, sfDir).select(col("doc_id")),
+      text.unionAll(img))
+  }
+
+  /** Oracle: the minhash candidate chain + the image near-dup pairs
+    * (composed verbatim as a subquery; MATERIALIZED — referenced twice in
+    * the symmetric edge union, the r11 diamond rule) → one recursive
+    * transitive closure over the union graph.
+    */
+  lazy val crossModalClustersSql: String =
+    s"""WITH RECURSIVE $minhashCandCtes, ipairs AS MATERIALIZED (
+       |  SELECT doc_a, doc_b FROM (${MultimodalJobs.oracles("image_neardup")}) iq
+       |), edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM cand
+       |  UNION
+       |  SELECT doc_b, doc_a FROM cand
+       |  UNION
+       |  SELECT doc_a, doc_b FROM ipairs
+       |  UNION
+       |  SELECT doc_b, doc_a FROM ipairs
+       |), reach AS (
+       |  SELECT doc_id, doc_id AS reached FROM documents
+       |  UNION
+       |  SELECT r.doc_id, e.dst FROM reach r JOIN edges e ON e.src = r.reached
+       |)
        |SELECT doc_id, MIN(reached) AS cluster FROM reach GROUP BY doc_id""".stripMargin
 
   // ---- deterministic train/val/test split + decontamination ----
@@ -1951,6 +2008,7 @@ object DedupJobs {
     "doc_containment" -> docContainment,
     "sorted_neighborhood" -> sortedNeighborhood,
     "ngram_jaccard_prefix" -> ngramJaccardPrefix,
+    "cross_modal_clusters" -> crossModalClusters,
     "substring_dup_rate" -> substringDupRate,
     "substring_dedup_clean" -> substringDedupClean,
     "repetition_clean" -> repetitionClean,
@@ -1993,6 +2051,7 @@ object DedupJobs {
     // checked contract
     "ngram_jaccard_prefix" -> ngramJaccardSqlAt(
       PREFIX_TAU_NUM.toDouble / PREFIX_TAU_DEN, "WHERE doc_id % 2 = 0"),
+    "cross_modal_clusters" -> crossModalClustersSql,
     "substring_dup_rate" -> substringDupRateSql,
     "substring_dedup_clean" -> substringDedupCleanSql,
     "repetition_clean" -> repetitionCleanSql,

@@ -697,4 +697,41 @@ class DedupSpec extends SparkSpec {
     assert(got == expected)
     assert(got.nonEmpty, "fixture yields near-dup pairs")
   }
+
+  test("cross_modal_clusters: union closure of text + image evidence, genuinely coarser") {
+    val sfd = sf("sf0.001")
+    def pairsOf(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+      df.select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val text = pairsOf(DedupJobs.pipeline(spark, sfd).candidates)
+    val img = pairsOf(graft.jobs.MultimodalJobs.pipeline(spark, sfd).pairs)
+    val docs = graft.io.Tables.documents(spark, sfd)
+      .select("doc_id").collect().map(_.getLong(0))
+    // local union-find truth over the unioned pair graphs
+    def closure(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map(docs.map(d => d -> d): _*)
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) { parent(r) = parent(parent(r)); r = parent(r) }
+        r
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      docs.map(d => d -> find(d)).toMap
+    }
+    val expected = closure(text ++ img)
+    val got = DedupJobs.crossModalClusters(spark, sfd).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+    // the merge must be REAL: coarser than the text-only closure AND the
+    // image-only closure (some cluster unions evidence across modalities)
+    val textOnly = closure(text)
+    val imgOnly = closure(img)
+    assert(got != textOnly && got != imgOnly,
+      "union closure degenerate — merges no cross-modal evidence")
+    assert(docs.exists(d => got(d) != textOnly(d)) &&
+      docs.exists(d => got(d) != imgOnly(d)))
+  }
 }
