@@ -86,6 +86,9 @@ object PlanAudit {
         "(the serve-time cell assignment against the persisted k-means artifact, same shape as semantic_dedup's in-line trained cells); " +
         "the pair stage stays the within-cell int-keyed equi-join on distinct vectors"),
       "mixture_plan" -> "CROSS is the 1-row total-weight aggregate broadcast",
+      "mixture_execute" -> ("CROSS is mixture_plan's 1-row total-weight " +
+        "aggregate broadcast, inherited by composing the plan; admission " +
+        "itself is a |sources|-row broadcast join + one scan"),
       "basket_pairs" -> "CROSS is the 1-row kept-user-count aggregate broadcast (the mixture_plan pattern)",
       "term_associations" -> "CROSS is the 1-row doc-count aggregate broadcast (the mixture_plan pattern); the pair join itself is vocab-fenced and int-keyed",
       "churn_rates" -> "CROSS is the 1-row corpus-max-week aggregate broadcast (the mixture_plan pattern)",
