@@ -2408,6 +2408,58 @@ object TextJobs {
        |GROUP BY d.source""".stripMargin
   }
 
+  private val STRAT_K = 20
+
+  /** Stratified EXACT-k sampling — the eval-panel / labeling-budget
+    * selection step: the k docs with the smallest md5 coins per language
+    * stratum (deterministic across engines, runs and partitionings; the
+    * coin is salted "strat#" so it is independent of every other md5 use
+    * of doc_id). Complements [[mixtureExecute]]'s rate sampling with
+    * exact quotas.
+    *
+    * Scale shape (the r4 low-cardinality-window rule): a naive
+    * per-lang ROW_NUMBER window is one task per stratum — ~5 tasks
+    * sorting the planet. Instead, two-phase top-k: a local k-smallest
+    * window keyed by (spark_partition_id, lang) — cardinality scales
+    * with tasks, and it is LOSSLESS for any partitioning because each
+    * true global top-k row survives its own partition's local top-k —
+    * then the per-lang window runs over the ≤ k·P·L survivors frame
+    * only. The plan test pins the pid-keyed window.
+    */
+  def stratifiedSample(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val coin = graft.ops.Dedup.md5Long(
+      concat(lit("strat#"), col("doc_id").cast("string")))
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), coin.as("coin"))
+      .withColumn("pid", spark_partition_id())
+    val wLocal = Window.partitionBy(col("pid"), col("lang"))
+      .orderBy(col("coin").asc, col("doc_id").asc)
+    val survivors = docs
+      .withColumn("lrn", row_number().over(wLocal))
+      .filter(col("lrn") <= STRAT_K)
+      .select(col("doc_id"), col("lang"), col("coin"))
+    val wGlobal = Window.partitionBy(col("lang"))
+      .orderBy(col("coin").asc, col("doc_id").asc)
+    survivors
+      .withColumn("rank", row_number().over(wGlobal).cast("long"))
+      .filter(col("rank") <= STRAT_K)
+      .select(col("lang"), col("rank"), col("doc_id"), col("coin"))
+  }
+
+  val stratifiedSampleSql: String = {
+    val coin = OracleSql.hexIntSql("'strat#' || doc_id")
+    s"""WITH d AS (
+       |  SELECT doc_id, lang, $coin AS coin FROM documents
+       |)
+       |SELECT lang, rank, doc_id, coin FROM (
+       |  SELECT lang, doc_id, coin,
+       |         ROW_NUMBER() OVER (PARTITION BY lang
+       |                            ORDER BY coin, doc_id) AS rank
+       |  FROM d) r
+       |WHERE rank <= $STRAT_K""".stripMargin
+  }
+
   /** Model-based quality classification — the stage real pipelines (CCNet,
     * DCLM) run AFTER the heuristic filters ([[c4Filters]], `text_stats`'
     * ratio score): a linear classifier over hashed token features. Tokens
@@ -3444,6 +3496,7 @@ object TextJobs {
     "c4_filters" -> c4Filters,
     "mixture_plan" -> mixturePlan,
     "mixture_execute" -> mixtureExecute,
+    "stratified_sample" -> stratifiedSample,
     "text_redact" -> textRedact,
     "doc_packing" -> docPacking,
     "packing_eval" -> packingEval,
@@ -3488,6 +3541,7 @@ object TextJobs {
     "c4_filters" -> c4FiltersSql,
     "mixture_plan" -> mixturePlanSql,
     "mixture_execute" -> mixtureExecuteSql,
+    "stratified_sample" -> stratifiedSampleSql,
     "text_redact" -> textRedactSql,
     "doc_packing" -> docPackingSql,
     "packing_eval" -> packingEvalSql,

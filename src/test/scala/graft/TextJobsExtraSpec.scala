@@ -626,6 +626,25 @@ class TextJobsExtraSpec extends SparkSpec {
     assert(out.map(_.toSeq).toSet == again.map(_.toSeq).toSet)
   }
 
+  test("stratified_sample: exact k per stratum, contiguous ranks, deterministic") {
+    val out = TextJobs.stratifiedSample(spark, sf("sf0.001")).collect()
+    val byLang = out.groupBy(_.getString(0))
+    assert(byLang.nonEmpty)
+    byLang.foreach { case (lang, rows) =>
+      assert(rows.length == 20, s"$lang quota not met") // all strata >= 64 docs (probed)
+      assert(rows.map(_.getLong(1)).sorted.toSeq == (1L to 20L), s"$lang ranks not contiguous")
+    }
+    // doc_ids unique across the panel; coins actually ordered within stratum
+    assert(out.map(_.getLong(2)).distinct.length == out.length)
+    byLang.values.foreach { rows =>
+      val byRank = rows.sortBy(_.getLong(1)).map(r => (r.getLong(3), r.getLong(2))).toSeq
+      assert(byRank.zip(byRank.drop(1)).forall { case (a, b) =>
+        a._1 < b._1 || (a._1 == b._1 && a._2 < b._2) })
+    }
+    val again = TextJobs.stratifiedSample(spark, sf("sf0.001")).collect()
+    assert(out.map(_.toSeq).toSet == again.map(_.toSeq).toSet)
+  }
+
   test("tokenizer_eval: closed-vocab fixture has zero OOV and sane ratios") {
     val out = TextJobs.tokenizerEval(spark, sf("sf0.001")).collect()
     assert(out.length == 3)

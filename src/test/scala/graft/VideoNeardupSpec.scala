@@ -35,6 +35,16 @@ class VideoNeardupSpec extends SparkSpec {
     assert((px(15) & 0xff) == 100) // frame 1, pixel (0,0)
   }
 
+  test("RAWV parse refuses corrupt payloads (wrong magic, truncated body)") {
+    val good = Multimodal.encodeRawv(4, 3, 2, (_, _, _) => 7)
+    val badMagic = good.clone(); badMagic(0) = 'X'
+    intercept[IllegalArgumentException] { Multimodal.decodeRawv(badMagic) }
+    val truncated = java.util.Arrays.copyOfRange(good, 0, good.length - 1)
+    intercept[IllegalArgumentException] { Multimodal.decodeRawv(truncated) }
+    val tooShort = Array[Byte]('R', 'A', 'W')
+    intercept[IllegalArgumentException] { Multimodal.decodeRawv(tooShort) }
+  }
+
   test("per-frame fingerprints come from the real parse and match the arithmetic pattern") {
     val docs = graft.io.Tables.documents(spark, sf("sf0.001"))
       .select("doc_id").limit(40)
