@@ -374,7 +374,55 @@ object ArtifactJobs {
     AnalyticsJobs.itemSimilarityCore(storedUi.unionAll(deltaUi).distinct())
   }
 
+  /** Incremental VIDEO fingerprint index — the daily-ingest shape for the
+    * newest modality: the per-frame fingerprint index of the established
+    * corpus (doc_id % 5 != 0, the "yesterday" 4/5) is a persisted
+    * artifact; serve time parses ONLY the delta clips (doc_id % 5 == 0)
+    * and pairs delta × (stored ∪ delta) through a bipartite anchored band
+    * join — at 100 TB the corpus is never re-decoded, and the join's
+    * stream side is delta-sized. Candidates keep the first-shared-band
+    * multiplicity-1 rule on the raw exploded sides (no identity
+    * compression needed: identical anchors meet exactly once at band 0);
+    * delta-delta pairs canonicalize by id order so each unordered pair
+    * survives once. Output: every near-dup pair touching the delta.
+    *
+    * Oracle: the full in-line per-frame recompute restricted to
+    * delta-touching pairs — hash-equality proves parsing only the delta
+    * against the stored artifact loses nothing vs re-fingerprinting the
+    * world.
+    */
+  def videoIndexIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.ops.{Dedup, Multimodal, VideoPipeline}
+    val docs = Tables.documents(spark, sfDir)
+    val stored = persist(spark, "video_fp_index", docsFp(sfDir),
+      Multimodal.videoScan(spark, docs.filter(col("doc_id") % 5 =!= 0)))
+    val delta = Multimodal.videoScan(spark,
+      docs.filter(col("doc_id") % 5 === 0)).cache()
+    val full = stored.unionByName(delta)
+    val bands = Dedup.Bands63
+    def banded(anchors: DataFrame, idAs: String, fpAs: String) =
+      anchors.filter(col("frame_idx") === 0)
+        .select(col("doc_id").as(idAs), col("fp").as(fpAs),
+          posexplode(array(bands.map(b => Dedup.bandVal(col("fp"), b)): _*))
+            .as(Seq("b", "bv")))
+    val earlierBandsDiffer = bands.zipWithIndex.map { case (bd, j) =>
+      (lit(j) >= col("b")) ||
+        (Dedup.bandVal(col("d_fp"), bd) =!= Dedup.bandVal(col("f_fp"), bd))
+    }.reduce(_ && _)
+    val cand = banded(delta, "d_id", "d_fp")
+      .join(banded(full, "f_id", "f_fp"), Seq("b", "bv"))
+      .filter(col("d_id") =!= col("f_id"))
+      .filter(earlierBandsDiffer)
+      // both-delta pairs arrive in both orders — keep the id-ordered one
+      .filter(col("f_id") % 5 =!= 0 || col("d_id") < col("f_id"))
+      .select(least(col("d_id"), col("f_id")).as("doc_a"),
+        greatest(col("d_id"), col("f_id")).as("doc_b"))
+    VideoPipeline.verifyAligned(full, cand,
+      MultimodalJobs.NEARDUP_MAX_HAMMING)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "video_index_incremental" -> videoIndexIncremental,
     "item_pagerank_incremental" -> itemPagerankIncremental,
     "item_communities_incremental" -> itemCommunitiesIncremental,
     "item_similarity_incremental" -> itemSimilarityIncremental,
@@ -394,6 +442,7 @@ object ArtifactJobs {
     * round-trip changed nothing.
     */
   val oracles: Map[String, String] = Map(
+    "video_index_incremental" -> MultimodalJobs.videoNeardupDeltaSql,
     "item_pagerank_incremental" -> AnalyticsJobs.itemPagerankSql,
     "item_communities_incremental" -> AnalyticsJobs.itemCommunitiesSql,
     "item_similarity_incremental" -> AnalyticsJobs.itemSimilaritySql,

@@ -539,6 +539,18 @@ object MultimodalJobs {
        |SELECT doc_a, doc_b, hamming FROM vpairs
        |WHERE maxh <= $NEARDUP_MAX_HAMMING AND n_aligned = nf""".stripMargin
 
+  /** [[videoNeardupSql]] restricted to pairs touching the doc_id % 5 == 0
+    * delta — the oracle of `video_index_incremental`
+    * ([[ArtifactJobs.videoIndexIncremental]]): DuckDB recomputes every
+    * frame fingerprint in-line, so hash-equality proves the stored-index
+    * + delta-parse path loses nothing vs re-fingerprinting the corpus.
+    */
+  val videoNeardupDeltaSql: String =
+    s"""WITH $videoFpCtes
+       |SELECT doc_a, doc_b, hamming FROM vpairs
+       |WHERE maxh <= $NEARDUP_MAX_HAMMING AND n_aligned = nf
+       |  AND (doc_a % 5 = 0 OR doc_b % 5 = 0)""".stripMargin
+
   /** Video cluster resolution — component minimum over the near-dup pair
     * graph, exactly as [[imageClusters]]/[[audioClusters]].
     */

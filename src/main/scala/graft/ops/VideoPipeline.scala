@@ -46,24 +46,11 @@ final class VideoPipeline private (
     * equal-length requirement explicit in the aggregation itself (a
     * frame-count mismatch can never alias as a pass).
     */
-  lazy val pairs: DataFrame = {
-    val cand = Dedup.hammingPairsAuto(anchors, maxPerFrame, scope)
-      .select(col("doc_a"), col("doc_b"))
-    val a = scan.select(col("doc_id").as("doc_a"),
-      col("n_frames").as("nfa"), col("frame_idx"), col("fp").as("fpa"))
-    val b = scan.select(col("doc_id").as("doc_b"),
-      col("n_frames").as("nfb"), col("frame_idx"), col("fp").as("fpb"))
-    cand.join(a, "doc_a").join(b, Seq("doc_b", "frame_idx"))
-      .filter(col("nfa") === col("nfb"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(
-        sum(bit_count(col("fpa").bitwiseXOR(col("fpb"))).cast("long"))
-          .as("hamming"),
-        max(bit_count(col("fpa").bitwiseXOR(col("fpb")))).as("maxh"),
-        count(lit(1)).as("n_aligned"), first(col("nfa")).as("nf"))
-      .filter(col("maxh") <= maxPerFrame && col("n_aligned") === col("nf"))
-      .select(col("doc_a"), col("doc_b"), col("hamming"))
-  }
+  lazy val pairs: DataFrame =
+    VideoPipeline.verifyAligned(scan,
+      Dedup.hammingPairsAuto(anchors, maxPerFrame, scope)
+        .select(col("doc_a"), col("doc_b")),
+      maxPerFrame)
 
   /** Cluster labels (doc_id, cluster) — component minimum per clip. */
   lazy val clusters: DataFrame =
@@ -94,4 +81,29 @@ object VideoPipeline {
   def apply(spark: SparkSession, docs: DataFrame, maxPerFrame: Int,
       scope: CacheScope = CacheScope.unmanaged): VideoPipeline =
     new VideoPipeline(Multimodal.videoScan(spark, docs), maxPerFrame, scope)
+
+  /** The frame-aligned verify stage over an arbitrary candidate set:
+    * equal frame counts + every aligned frame within `maxPerFrame`, total
+    * Hamming out — the count(*) == n_frames guard makes the equal-length
+    * requirement explicit in the aggregation itself. Shared by the
+    * in-line [[VideoPipeline.pairs]] and the incremental-index twin
+    * (candidates there come from a bipartite delta×full anchor join).
+    */
+  def verifyAligned(scan: DataFrame, cand: DataFrame,
+      maxPerFrame: Int): DataFrame = {
+    val a = scan.select(col("doc_id").as("doc_a"),
+      col("n_frames").as("nfa"), col("frame_idx"), col("fp").as("fpa"))
+    val b = scan.select(col("doc_id").as("doc_b"),
+      col("n_frames").as("nfb"), col("frame_idx"), col("fp").as("fpb"))
+    cand.join(a, "doc_a").join(b, Seq("doc_b", "frame_idx"))
+      .filter(col("nfa") === col("nfb"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(
+        sum(bit_count(col("fpa").bitwiseXOR(col("fpb"))).cast("long"))
+          .as("hamming"),
+        max(bit_count(col("fpa").bitwiseXOR(col("fpb")))).as("maxh"),
+        count(lit(1)).as("n_aligned"), first(col("nfa")).as("nf"))
+      .filter(col("maxh") <= maxPerFrame && col("n_aligned") === col("nf"))
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
 }

@@ -157,6 +157,25 @@ class ArtifactJobsSpec extends SparkSpec {
     assert(inc.nonEmpty)
   }
 
+  test("video_index_incremental equals the full recompute on delta-touching pairs") {
+    val sfd = sf("sf0.001")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val inc = rows(ArtifactJobs.videoIndexIncremental(spark, sfd))
+    val full = rows(graft.jobs.MultimodalJobs.videoNeardup(spark, sfd)
+      .filter(org.apache.spark.sql.functions.expr(
+        "doc_a % 5 = 0 OR doc_b % 5 = 0")))
+    assert(inc == full,
+      s"only-inc=${(inc -- full).take(3)} only-full=${(full -- inc).take(3)}")
+    assert(inc.nonEmpty, "delta must touch near-dup pairs")
+    // both delta-delta and delta-stored pairs must be exercised
+    assert(inc.exists { case (a, b, _) => a % 5 == 0 && b % 5 == 0 })
+    assert(inc.exists { case (a, b, _) => (a % 5 == 0) != (b % 5 == 0) })
+    val p = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_artifacts", "video_fp_index")
+    assert(java.nio.file.Files.exists(p), "video_fp_index artifact missing")
+  }
+
   test("artifacts land on disk as readable parquet models") {
     ArtifactJobs.bpeEncodeFromArtifact(spark, sf("sf0.001")).count()
     val p = java.nio.file.Paths.get(
