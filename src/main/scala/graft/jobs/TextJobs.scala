@@ -2426,7 +2426,7 @@ object TextJobs {
     * then the per-lang window runs over the ≤ k·P·L survivors frame
     * only. The plan test pins the pid-keyed window.
     */
-  def stratifiedSample(spark: SparkSession, sfDir: String): DataFrame = {
+  def evalPanelSample(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val coin = graft.ops.Dedup.md5Long(
       concat(lit("strat#"), col("doc_id").cast("string")))
@@ -2447,7 +2447,7 @@ object TextJobs {
       .select(col("lang"), col("rank"), col("doc_id"), col("coin"))
   }
 
-  val stratifiedSampleSql: String = {
+  val evalPanelSampleSql: String = {
     val coin = OracleSql.hexIntSql("'strat#' || doc_id")
     s"""WITH d AS (
        |  SELECT doc_id, lang, $coin AS coin FROM documents
@@ -3496,7 +3496,7 @@ object TextJobs {
     "c4_filters" -> c4Filters,
     "mixture_plan" -> mixturePlan,
     "mixture_execute" -> mixtureExecute,
-    "stratified_sample" -> stratifiedSample,
+    "eval_panel_sample" -> evalPanelSample,
     "text_redact" -> textRedact,
     "doc_packing" -> docPacking,
     "packing_eval" -> packingEval,
@@ -3541,7 +3541,7 @@ object TextJobs {
     "c4_filters" -> c4FiltersSql,
     "mixture_plan" -> mixturePlanSql,
     "mixture_execute" -> mixtureExecuteSql,
-    "stratified_sample" -> stratifiedSampleSql,
+    "eval_panel_sample" -> evalPanelSampleSql,
     "text_redact" -> textRedactSql,
     "doc_packing" -> docPackingSql,
     "packing_eval" -> packingEvalSql,

@@ -74,13 +74,13 @@ class PlanQualitySpec extends SparkSpec {
       s"q19 part-side disjunction not at the part scan:\n$p19")
   }
 
-  test("stratified_sample: local top-k window keyed by spark_partition_id") {
+  test("eval_panel_sample: local top-k window keyed by spark_partition_id") {
     // the r4 low-cardinality rule: the heavy window must be keyed by
     // (pid, lang) so its cardinality scales with tasks; the per-lang
     // window then runs only over the <= k*P*L survivors
-    val p = plan(TextJobs.stratifiedSample(spark, sf("sf0.001")))
+    val p = plan(TextJobs.evalPanelSample(spark, sf("sf0.001")))
     assert(p.contains("windowspecdefinition(pid#"),
-      s"stratified_sample lost its pid-keyed local top-k window:\n$p")
+      s"eval_panel_sample lost its pid-keyed local top-k window:\n$p")
   }
 
   test("q3: global top-10 via TakeOrderedAndProject, no single-partition Window") {

@@ -626,8 +626,8 @@ class TextJobsExtraSpec extends SparkSpec {
     assert(out.map(_.toSeq).toSet == again.map(_.toSeq).toSet)
   }
 
-  test("stratified_sample: exact k per stratum, contiguous ranks, deterministic") {
-    val out = TextJobs.stratifiedSample(spark, sf("sf0.001")).collect()
+  test("eval_panel_sample: exact k per stratum, contiguous ranks, deterministic") {
+    val out = TextJobs.evalPanelSample(spark, sf("sf0.001")).collect()
     val byLang = out.groupBy(_.getString(0))
     assert(byLang.nonEmpty)
     byLang.foreach { case (lang, rows) =>
@@ -641,7 +641,7 @@ class TextJobsExtraSpec extends SparkSpec {
       assert(byRank.zip(byRank.drop(1)).forall { case (a, b) =>
         a._1 < b._1 || (a._1 == b._1 && a._2 < b._2) })
     }
-    val again = TextJobs.stratifiedSample(spark, sf("sf0.001")).collect()
+    val again = TextJobs.evalPanelSample(spark, sf("sf0.001")).collect()
     assert(out.map(_.toSeq).toSet == again.map(_.toSeq).toSet)
   }
 
