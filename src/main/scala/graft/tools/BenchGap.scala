@@ -93,6 +93,12 @@ object BenchGap {
       "descent 5.4 -> 1.2 s steady"),
     "item_communities" -> ("fixed round 13 (warm pass): BenchOne " +
       "descent 6.0 -> 0.8 s steady (runs 3-4)"),
+    "tokenizer_compare" -> ("fixed round 13 (warm pass): flagged only " +
+      "after the warm-semantics localbench refresh dropped its local " +
+      "median to 1.11 s (r12 driver 3.40 s = 3.1x, barely over); " +
+      "BenchOne descent 7.7 -> 1.5 -> 1.3 -> 1.2 s — run 1 trains all " +
+      "three tokenizer memos + cold codegen, the same class as the " +
+      "other 13"),
     "q5_local_supplier" -> ("fixed round 13 (warm pass): flagged only " +
       "after the warm-semantics localbench refresh dropped its local " +
       "median to 0.71 s (r12 driver 2.26 s = 3.2x); BenchOne descent " +
