@@ -151,10 +151,14 @@ object Bench {
       // these canaries adjudicate: engine fix lands (time drops), env
       // (canary spikes with the query), or real gap (quiet canary, high
       // steady time → forensics).
+      // plus tokenizer_compare and q5_local_supplier, which crossed the
+      // 3x line only after the warm-semantics localbench refresh lowered
+      // their local medians (annotated KnownFixed; canaries for proof).
       "semantic_dedup_from_artifact", "hot_items_topn", "mixture_plan",
       "ann_ivf_pq_rerank", "lm_surprise_ref", "source_caps_quality",
       "event_paths", "set_ops", "ngram_jaccard_prefix", "rec_eval",
-      "embedding_neardup", "item_communities")
+      "embedding_neardup", "item_communities", "tokenizer_compare",
+      "q5_local_supplier")
     val byCost = results.toSeq.sortBy { case (_, v) =>
       if (v.isNaN) Double.MaxValue else v } // cheap first; NaN (errored) last
     val chunk = new StringBuilder
