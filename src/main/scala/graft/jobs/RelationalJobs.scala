@@ -561,8 +561,239 @@ object RelationalJobs {
       |   OR (p.p_brand = 'Brand#22' AND l.l_quantity BETWEEN 20 AND 30
       |       AND p.p_size BETWEEN 1 AND 15)""".stripMargin
 
+  // ---- q4 shape: order priority via EXISTS (native left-semi join) ----
+
+  /** TPC-H q4 shape (`flink-uba` has no subquery surface; this pins
+    * Catalyst's native LeftSemi path): orders in one year that have at
+    * least one "late" line (shipped > 60 days after the order date),
+    * counted by priority. The EXISTS becomes a hash LEFT SEMI join on
+    * `orderkey` with the date comparison as a residual — no distinct, no
+    * row explosion. Scale: the lineitem side carries a DERIVED pushed
+    * filter (`l_shipdate > window_start + 60d`, lossless since shipdate
+    * > orderdate + 60d ≥ that bound) so the fact scan prunes row groups
+    * before the shuffle; both sides exchange on the int orderkey only.
+    * Window probed non-degenerate at every SF.
+    */
+  def q4OrderPriority(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val li = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") > lit("1997-03-02").cast("timestamp"))
+      .select(col("l_orderkey"), col("l_shipdate"))
+    ord.join(li,
+        ord("o_orderkey") === li("l_orderkey") &&
+          li("l_shipdate") > ord("o_orderdate") + expr("INTERVAL 60 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+  }
+
+  val q4OrderPrioritySql: String =
+    """SELECT o_orderpriority, COUNT(*) AS order_count
+      |FROM orders o
+      |WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+      |  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem l
+      |              WHERE l.l_orderkey = o.o_orderkey
+      |                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY o_orderpriority""".stripMargin
+
+  // ---- q13 shape: customer order-count distribution (left outer + zero bucket) ----
+
+  /** TPC-H q13 shape: how many customers placed 0, 1, 2, … orders in a
+    * window. The LEFT OUTER join is the point — customers with no orders
+    * in the window survive as the zero bucket (probed non-degenerate:
+    * ~49% of customers at every SF for 1998H1; an all-time window is
+    * degenerate here because every customer has orders — the r13 seed
+    * rule). Scale: orders pre-aggregates to one row per active customer
+    * BEFORE the join (the join never sees fact multiplicity), then the
+    * distribution agg runs on a customer-sized frame.
+    */
+  def q13CustOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val perCust = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-07-01").cast("timestamp"))
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n"))
+    Tables.customer(spark, sfDir)
+      .select(col("c_custkey"))
+      .join(perCust, col("c_custkey") === col("o_custkey"), "left")
+      .select(coalesce(col("n"), lit(0L)).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+  }
+
+  val q13CustOrdersSql: String =
+    """SELECT c_count, COUNT(*) AS custdist FROM (
+      |  SELECT c.c_custkey, COALESCE(o.n, 0) AS c_count
+      |  FROM customer c LEFT JOIN (
+      |    SELECT o_custkey, COUNT(*) AS n FROM orders
+      |    WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+      |      AND o_orderdate < TIMESTAMP '1998-07-01'
+      |    GROUP BY o_custkey) o ON c.c_custkey = o.o_custkey) t
+      |GROUP BY c_count""".stripMargin
+
+  // ---- q15 shape: top supplier(s) by quarter revenue (scalar-subquery max) ----
+
+  /** TPC-H q15 shape: the supplier(s) with the maximum revenue in one
+    * quarter — the scalar-subquery-max pattern, tie-inclusive. Revenue is
+    * summed in exact integer (cents × (100−disc)) so the max equality
+    * compares BIGINTs, never doubles. Scale: the per-supplier revenue agg
+    * is supplier-sized; the 1-row max frame and the tie-sized winner frame
+    * are both broadcast — the supplier dimension table is never shuffled,
+    * and nothing here depends on the dimension being small.
+    */
+  def q15TopSupplier(spark: SparkSession, sfDir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1998-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(cents(col("l_extendedprice"))
+        * (lit(100) - cents(col("l_discount")))).as("rev_i"))
+    val mx = rev.agg(max(col("rev_i")).as("mx"))
+    val winners = rev.join(broadcast(mx), col("rev_i") === col("mx"))
+      .select(col("l_suppkey"), col("rev_i"))
+    Tables.supplier(spark, sfDir)
+      .select(col("s_suppkey"), col("s_name"))
+      .join(broadcast(winners), col("s_suppkey") === col("l_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        (col("rev_i") / 1e4).as("total_revenue"))
+  }
+
+  val q15TopSupplierSql: String =
+    """WITH rev AS (
+      |  SELECT l_suppkey,
+      |         SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+      |             * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS rev_i
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+      |    AND l_shipdate < TIMESTAMP '1998-04-01'
+      |  GROUP BY l_suppkey)
+      |SELECT s.s_suppkey, s.s_name, r.rev_i / 1e4 AS total_revenue
+      |FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
+      |WHERE r.rev_i = (SELECT MAX(rev_i) FROM rev)""".stripMargin
+
+  // ---- q17 shape: small-lot revenue (decorrelated correlated-avg subquery) ----
+
+  /** TPC-H q17 shape: revenue from lines whose quantity is below half the
+    * part's average quantity. The correlated AVG decorrelates into one
+    * per-part aggregate joined back to the lines — and the threshold
+    * `qty < 0.5·avg` restates as the exact integer inequality
+    * `2·qty·cnt < sum_qty` (quantities are integral in this fixture, so
+    * no double AVG ever materializes — engine-exact at any partial-agg
+    * order). Scale: the brand filter broadcasts a part-key sliver into
+    * the fact scan first, so both the stats agg and the join-back run on
+    * the filtered sliver, partitioned by the same int part key.
+    */
+  def q17SmallLots(spark: SparkSession, sfDir: String): DataFrame = {
+    val pk = Tables.part(spark, sfDir)
+      .filter(col("p_brand") === "Brand#13")
+      .select(col("p_partkey"))
+    val li = Tables.lineitem(spark, sfDir)
+      .join(broadcast(pk), col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"),
+        round(col("l_quantity"), 0).cast("long").as("qty_i"),
+        cents(col("l_extendedprice")).as("price_c"))
+    val stats = li.groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("cnt"), sum(col("qty_i")).as("sum_qty"))
+    li.join(stats, Seq("l_partkey"))
+      .filter(col("qty_i") * 2 * col("cnt") < col("sum_qty"))
+      .agg((sum(col("price_c")) / 100.0).as("total_price"),
+        count(lit(1)).as("n_items"))
+  }
+
+  val q17SmallLotsSql: String =
+    """WITH li AS (
+      |  SELECT l.l_partkey,
+      |         CAST(ROUND(l.l_quantity) AS BIGINT) AS qty_i,
+      |         CAST(ROUND(l.l_extendedprice * 100) AS BIGINT) AS price_c
+      |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      |  WHERE p.p_brand = 'Brand#13'),
+      |stats AS (
+      |  SELECT l_partkey, COUNT(*) AS cnt,
+      |         CAST(SUM(qty_i) AS BIGINT) AS sum_qty
+      |  FROM li GROUP BY l_partkey)
+      |SELECT CAST(SUM(li.price_c) AS BIGINT) / 100.0 AS total_price,
+      |       COUNT(*) AS n_items
+      |FROM li JOIN stats USING (l_partkey)
+      |WHERE li.qty_i * 2 * stats.cnt < stats.sum_qty""".stripMargin
+
+  // ---- q21 shape: lone late supplier (semi + anti join composition) ----
+
+  /** TPC-H q21 shape: suppliers who were the ONLY late supplier on a
+    * multi-supplier order ("late" = any line shipped > 60 days after the
+    * order date), top-10 by count. Pins Catalyst's LeftSemi AND LeftAnti
+    * paths composed on one derived frame: EXISTS(another supplier on the
+    * order) is the semi join, NOT EXISTS(another LATE supplier) is the
+    * anti join — both hash joins on the int orderkey with the
+    * supplier-inequality as residual, never a distinct or a window.
+    * Scale: `ol` collapses lineitem to one row per (order, supplier)
+    * before any self-join (bounded by suppliers-per-order ≈ 7); it is
+    * cached because three branches consume it (r1-2 self-join rule —
+    * 3 slim int columns). Top-10 via orderBy+limit
+    * (TakeOrderedAndProject), deterministic under ties by suppkey.
+    */
+  def q21LateSupplier(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val ol = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(when(col("l_shipdate") >
+        col("o_orderdate") + expr("INTERVAL 60 DAYS"), 1).otherwise(0))
+        .as("late"))
+      .cache()
+    val lateOl = ol.filter(col("late") === 1)
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val others = ol
+      .select(col("l_orderkey").as("o2_orderkey"), col("l_suppkey").as("o2_suppkey"))
+    val lateOthers = lateOl
+      .select(col("l_orderkey").as("o3_orderkey"), col("l_suppkey").as("o3_suppkey"))
+    val cand = lateOl
+      .join(others, col("l_orderkey") === col("o2_orderkey") &&
+        col("l_suppkey") =!= col("o2_suppkey"), "left_semi")
+      .join(lateOthers, col("l_orderkey") === col("o3_orderkey") &&
+        col("l_suppkey") =!= col("o3_suppkey"), "left_anti")
+    val top = cand.groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("l_suppkey").asc)
+      .limit(10)
+    Tables.supplier(spark, sfDir)
+      .select(col("s_suppkey"), col("s_name"))
+      .join(broadcast(top), col("s_suppkey") === col("l_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("numwait"))
+  }
+
+  val q21LateSupplierSql: String =
+    """WITH ol AS MATERIALIZED (
+      |  SELECT l.l_orderkey AS okey, l.l_suppkey AS skey,
+      |         MAX(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      |                  THEN 1 ELSE 0 END) AS late
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  GROUP BY 1, 2),
+      |cand AS (
+      |  SELECT a.okey, a.skey FROM ol a
+      |  WHERE a.late = 1
+      |    AND EXISTS (SELECT 1 FROM ol b
+      |                WHERE b.okey = a.okey AND b.skey <> a.skey)
+      |    AND NOT EXISTS (SELECT 1 FROM ol c
+      |                    WHERE c.okey = a.okey AND c.skey <> a.skey
+      |                      AND c.late = 1)),
+      |top AS (
+      |  SELECT skey, COUNT(*) AS numwait FROM cand GROUP BY skey
+      |  ORDER BY numwait DESC, skey ASC LIMIT 10)
+      |SELECT s.s_suppkey, s.s_name, t.numwait
+      |FROM supplier s JOIN top t ON s.s_suppkey = t.skey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "data_expectations" -> dataExpectations,
+    "q4_order_priority" -> q4OrderPriority,
+    "q13_cust_orders" -> q13CustOrders,
+    "q15_top_supplier" -> q15TopSupplier,
+    "q17_small_lots" -> q17SmallLots,
+    "q21_late_supplier" -> q21LateSupplier,
     "q1_pricing" -> q1Pricing,
     "q3_shipping" -> q3Shipping,
     "q5_local_supplier" -> q5LocalSupplier,
@@ -576,6 +807,11 @@ object RelationalJobs {
 
   val oracles: Map[String, String] = Map(
     "data_expectations" -> dataExpectationsSql,
+    "q4_order_priority" -> q4OrderPrioritySql,
+    "q13_cust_orders" -> q13CustOrdersSql,
+    "q15_top_supplier" -> q15TopSupplierSql,
+    "q17_small_lots" -> q17SmallLotsSql,
+    "q21_late_supplier" -> q21LateSupplierSql,
     "q1_pricing" -> q1PricingSql,
     "q3_shipping" -> q3ShippingSql,
     "q5_local_supplier" -> q5LocalSupplierSql,

@@ -1,0 +1,117 @@
+package graft
+
+import graft.jobs.RelationalJobs
+import org.apache.spark.sql.functions._
+
+/** The round-13 subquery-shape family: EXISTS semi-join (q4), left-outer
+  * zero-bucket distribution (q13), scalar-subquery max (q15), decorrelated
+  * correlated-avg (q17), and semi+anti composition (q21). Each is checked
+  * against an independent in-test recompute, and the join strategies that
+  * ARE the point of each query are pinned in the executed plan.
+  */
+class RelationalShapesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def executedPlan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q4: semi-join counts orders once and only late-line orders") {
+    val dir = sf("sf0.001")
+    val out = RelationalJobs.q4OrderPriority(spark, dir)
+      .as[(String, Long)].collect().toMap
+    // brute-force: distinct orders in window with a late line
+    val ord = graft.io.Tables.orders(spark, dir)
+      .filter($"o_orderdate" >= lit("1997-01-01").cast("timestamp") &&
+        $"o_orderdate" < lit("1998-01-01").cast("timestamp"))
+    val li = graft.io.Tables.lineitem(spark, dir)
+      .select($"l_orderkey", $"l_shipdate")
+    val brute = ord.join(li, $"o_orderkey" === $"l_orderkey")
+      .filter($"l_shipdate" > $"o_orderdate" + expr("INTERVAL 60 DAYS"))
+      .select($"o_orderkey", $"o_orderpriority").distinct()
+      .groupBy($"o_orderpriority").count()
+      .as[(String, Long)].collect().toMap
+    assert(out == brute)
+    assert(out.values.sum < ord.count()) // the EXISTS genuinely filters
+  }
+
+  test("q4 plan uses a native LeftSemi join (no distinct, no explosion)") {
+    val p = executedPlan(RelationalJobs.q4OrderPriority(spark, sf("sf0.001")))
+    assert(p.contains("LeftSemi"), s"expected LeftSemi in:\n$p")
+    assert(!p.contains("HashAggregate(keys=[o_orderkey"),
+      "EXISTS must not be rewritten through a distinct on orderkey")
+  }
+
+  test("q13: distribution covers every customer exactly once, zero bucket real") {
+    val dir = sf("sf0.001")
+    val out = RelationalJobs.q13CustOrders(spark, dir)
+      .as[(Long, Long)].collect().toMap
+    val nCust = graft.io.Tables.customer(spark, dir).count()
+    assert(out.values.sum == nCust)
+    // zero bucket non-degenerate but not total (the r13 seed rule)
+    assert(out.getOrElse(0L, 0L) > 0 && out(0L) < nCust)
+  }
+
+  test("q15: winner matches brute-force max and includes all ties") {
+    val dir = sf("sf0.001")
+    val rev = graft.io.Tables.lineitem(spark, dir)
+      .filter($"l_shipdate" >= lit("1998-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1998-04-01").cast("timestamp"))
+      .groupBy($"l_suppkey")
+      .agg(sum(round($"l_extendedprice" * 100, 0).cast("long") *
+        (lit(100) - round($"l_discount" * 100, 0).cast("long"))).as("rev_i"))
+      .as[(Long, Long)].collect()
+    val mx = rev.map(_._2).max
+    val expect = rev.filter(_._2 == mx).map(t => (t._1, t._2 / 1e4)).toSet
+    val got = RelationalJobs.q15TopSupplier(spark, dir)
+      .select($"s_suppkey", $"total_revenue").as[(Long, Double)].collect().toSet
+    assert(got == expect)
+  }
+
+  test("q17: integer threshold equals the 0.5*avg semantics") {
+    val dir = sf("sf0.001")
+    val li = graft.io.Tables.lineitem(spark, dir)
+      .join(graft.io.Tables.part(spark, dir).filter($"p_brand" === "Brand#13"),
+        $"l_partkey" === $"p_partkey")
+      .select($"l_partkey", round($"l_quantity", 0).cast("long").as("q"),
+        round($"l_extendedprice" * 100, 0).cast("long").as("pc"))
+      .as[(Long, Long, Long)].collect()
+    val byPart = li.groupBy(_._1)
+    val small = li.filter { case (p, q, _) =>
+      val g = byPart(p); 2L * q * g.length < g.map(_._2).sum
+    }
+    val (total, n) = RelationalJobs.q17SmallLots(spark, dir)
+      .as[(Double, Long)].head()
+    assert(n == small.length)
+    assert(math.abs(total - small.map(_._3).sum / 100.0) < 1e-6)
+  }
+
+  test("q21: semi+anti formulation equals the aggregate formulation") {
+    val dir = sf("sf0.001")
+    val ord = graft.io.Tables.orders(spark, dir).select($"o_orderkey", $"o_orderdate")
+    val ol = graft.io.Tables.lineitem(spark, dir)
+      .join(ord, $"l_orderkey" === $"o_orderkey")
+      .groupBy($"l_orderkey", $"l_suppkey")
+      .agg(max(when($"l_shipdate" > $"o_orderdate" + expr("INTERVAL 60 DAYS"), 1)
+        .otherwise(0)).as("late"))
+    val agg = ol.groupBy($"l_orderkey")
+      .agg(count(lit(1)).as("nsupp"), sum($"late").as("nlate"))
+      .filter($"nsupp" > 1 && $"nlate" === 1)
+    val lone = ol.filter($"late" === 1)
+      .join(agg, Seq("l_orderkey"), "left_semi")
+      .groupBy($"l_suppkey").agg(count(lit(1)).as("numwait"))
+      .orderBy($"numwait".desc, $"l_suppkey".asc).limit(10)
+      .as[(Long, Long)].collect().toSet
+    val got = RelationalJobs.q21LateSupplier(spark, dir)
+      .select($"s_suppkey", $"numwait").as[(Long, Long)].collect().toSet
+    assert(got == lone)
+    assert(got.nonEmpty)
+  }
+
+  test("q21 plan composes LeftSemi and LeftAnti hash joins") {
+    val p = executedPlan(RelationalJobs.q21LateSupplier(spark, sf("sf0.001")))
+    assert(p.contains("LeftSemi"), s"expected LeftSemi in:\n$p")
+    assert(p.contains("LeftAnti"), s"expected LeftAnti in:\n$p")
+  }
+}
