@@ -719,6 +719,69 @@ object RelationalJobs {
       |FROM li JOIN stats USING (l_partkey)
       |WHERE li.qty_i * 2 * stats.cnt < stats.sum_qty""".stripMargin
 
+  // ---- q8 shape: market share (conditional-aggregation ratio) ----
+
+  /** TPC-H q8 shape: one supplier nation's share of a region's market for
+    * one part type, per year — the ratio-of-conditional-sums pattern. Both
+    * sums are exact integers (cents × (100−disc)); the share is ONE IEEE
+    * division of the two BIGINTs, so every engine lands the identical
+    * double (the exact sums ride along as hash anchors). Constants follow
+    * the seed rule: NATION_24 within AMERICA/PROMO probed nonzero and
+    * non-total in every year at every SF. Scale: part/customer/supplier
+    * sides broadcast (q5 precedent); only lineitem⨝orders exchanges, on
+    * the int orderkey.
+    */
+  def q8MarketShare(spark: SparkSession, sfDir: String): DataFrame = {
+    val pk = Tables.part(spark, sfDir)
+      .filter(col("p_type") === "PROMO").select(col("p_partkey"))
+    val amer = Tables.customer(spark, sfDir)
+      .join(broadcast(Tables.nation(spark, sfDir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, sfDir).filter(col("r_name") === "AMERICA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"))
+    val suppNat = Tables.supplier(spark, sfDir)
+      .join(broadcast(Tables.nation(spark, sfDir)
+          .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("sn_key"))
+      .select(col("s_suppkey"), col("supp_nation"))
+    val vol = cents(col("l_extendedprice")) * (lit(100) - cents(col("l_discount")))
+    Tables.lineitem(spark, sfDir)
+      .join(broadcast(pk), col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(spark, sfDir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(amer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(suppNat), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(
+        sum(when(col("supp_nation") === "NATION_24", vol).otherwise(0L)).as("num_i"),
+        sum(vol).as("den_i"))
+      .select(col("o_year"), col("num_i"), col("den_i"),
+        (col("num_i").cast("double") / col("den_i").cast("double")).as("mkt_share"))
+  }
+
+  val q8MarketShareSql: String =
+    """SELECT o_year, num_i, den_i,
+      |       CAST(num_i AS DOUBLE) / CAST(den_i AS DOUBLE) AS mkt_share
+      |FROM (
+      |  SELECT year(o.o_orderdate) AS o_year,
+      |         CAST(SUM(CASE WHEN sn.n_name = 'NATION_24'
+      |                       THEN CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+      |                            * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))
+      |                       ELSE 0 END) AS BIGINT) AS num_i,
+      |         CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+      |                   * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT)))
+      |              AS BIGINT) AS den_i
+      |  FROM lineitem l
+      |  JOIN part p ON l.l_partkey = p.p_partkey
+      |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+      |  JOIN region r ON cn.n_regionkey = r.r_regionkey
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+      |  WHERE r.r_name = 'AMERICA' AND p.p_type = 'PROMO'
+      |  GROUP BY 1) t""".stripMargin
+
   // ---- q21 shape: lone late supplier (semi + anti join composition) ----
 
   /** TPC-H q21 shape: suppliers who were the ONLY late supplier on a
@@ -790,6 +853,7 @@ object RelationalJobs {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "data_expectations" -> dataExpectations,
     "q4_order_priority" -> q4OrderPriority,
+    "q8_market_share" -> q8MarketShare,
     "q13_cust_orders" -> q13CustOrders,
     "q15_top_supplier" -> q15TopSupplier,
     "q17_small_lots" -> q17SmallLots,
@@ -808,6 +872,7 @@ object RelationalJobs {
   val oracles: Map[String, String] = Map(
     "data_expectations" -> dataExpectationsSql,
     "q4_order_priority" -> q4OrderPrioritySql,
+    "q8_market_share" -> q8MarketShareSql,
     "q13_cust_orders" -> q13CustOrdersSql,
     "q15_top_supplier" -> q15TopSupplierSql,
     "q17_small_lots" -> q17SmallLotsSql,

@@ -3479,7 +3479,112 @@ object TextJobs {
        |WHERE rn <= $TYPEAHEAD_K""".stripMargin
   }
 
+  // ---- TextRank keyword extraction (graph-over-text) ----
+
+  private val TR_ITERS = 10
+  private val TR_TOPK = 20
+
+  /** TextRank (Mihalcea & Tarau 2004) keyword extraction: stopwords are
+    * stripped from the text (one regexp_replace — both engines replace
+    * globally), the surviving token sequence is paired within a window of
+    * 2 (adjacent + skip-one, the r6 arrays_zip explode — no window
+    * function), pairs canonicalize to undirected int-hashed edges, and
+    * [[graft.ops.Graph.pageRank]]'s integer-exact fixpoint ranks the word
+    * graph. Output: top-20 words by rank (tie-break on the word), i.e.
+    * corpus keywords by graph centrality rather than frequency —
+    * `tfidf_topk`'s counting-based companion.
+    *
+    * 100 TB shape: tokenize/pair/hash fuse into the document scan
+    * (codegen regexps, no UDFs); the graph is VOCAB²-bounded (distinct
+    * co-occurring word pairs), orders of magnitude below the corpus, so
+    * the fixpoint runs in pageRank's single-task regime here and in its
+    * distributed int-keyed regime past 4M edges — the same regime split
+    * item_pagerank carries.
+    */
+  def textrankKeywords(spark: SparkSession, sfDir: String): DataFrame = {
+    val clean = regexp_replace(lower(col("text")),
+      TextAnalysis.stopwordPattern, " ")
+    val toks = Tables.documents(spark, sfDir)
+      .select(regexp_extract_all(clean, lit("[a-z0-9]+"), lit(0)).as("l"))
+    def pairsAt(k: Int) = {
+      val n = size(col("l"))
+      toks.filter(n > k)
+        .select(explode(arrays_zip(
+          slice(col("l"), lit(1), n - k),
+          slice(col("l"), lit(k + 1), n - k))).as("p"))
+        .select(col("p").getField("0").as("w1"), col("p").getField("1").as("w2"))
+    }
+    val e0 = pairsAt(1).unionAll(pairsAt(2))
+      .filter(col("w1") =!= col("w2"))
+      .select(least(hash60(col("w1")), hash60(col("w2"))).as("a"),
+        greatest(hash60(col("w1")), hash60(col("w2"))).as("b"))
+      .filter(col("a") =!= col("b")) // drop theoretical hash-collision loops
+      .distinct()
+    val edges = e0.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(e0.select(col("b").as("src"), col("a").as("dst")))
+    val vocab = Tables.documents(spark, sfDir)
+      .select(explode(regexp_extract_all(clean, lit("[a-z0-9]+"), lit(0))).as("w"))
+      .distinct() // vocab-sized final mapping — the legit token-keyed agg
+      .select(col("w"), hash60(col("w")).as("wh"))
+    graft.ops.Graph.pageRank(edges, iters = TR_ITERS)
+      .join(vocab, col("node") === col("wh"))
+      .orderBy(col("r").desc, col("w").asc)
+      .limit(TR_TOPK)
+      .select(col("w").as("word"), col("r").as("rank_s"))
+  }
+
+  /** Oracle: identical integer recurrence, rounds unrolled as CTEs (the
+    * item_pagerank pattern); every CTE the rounds re-reference is
+    * MATERIALIZED (r11 diamond rule + the check_oracle fd limit).
+    */
+  val textrankKeywordsSql: String = {
+    // DuckDB single-quoted literals are escape-free: '\b' reaches RE2 as-is
+    val stop = TextAnalysis.stopwordPattern
+    val rounds = (1 to TR_ITERS).map { i =>
+      s"""r$i AS (
+         |  SELECT n.node AS node,
+         |         CAST(${graft.ops.Graph.PrBase} +
+         |              COALESCE(SUM((r.r * 85) // (d.deg * 100)), 0) AS BIGINT) AS r
+         |  FROM nodes n
+         |  LEFT JOIN edges e ON e.dst = n.node
+         |  LEFT JOIN r${i - 1} r ON r.node = e.src
+         |  LEFT JOIN deg d ON d.src = e.src
+         |  GROUP BY n.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH toks AS MATERIALIZED (
+       |  SELECT regexp_extract_all(
+       |           regexp_replace(lower(text), '$stop', ' ', 'g'),
+       |           '[a-z0-9]+') AS l
+       |  FROM documents),
+       |pr AS (
+       |  SELECT l[i] AS w1, l[i+1] AS w2
+       |  FROM (SELECT l, unnest(range(1, len(l))) AS i FROM toks) t
+       |  UNION ALL
+       |  SELECT l[i] AS w1, l[i+2] AS w2
+       |  FROM (SELECT l, unnest(range(1, len(l) - 1)) AS i FROM toks) t),
+       |e0 AS MATERIALIZED (
+       |  SELECT DISTINCT LEAST(h1, h2) AS a, GREATEST(h1, h2) AS b
+       |  FROM (SELECT ${hex60Sql("w1")} AS h1, ${hex60Sql("w2")} AS h2
+       |        FROM pr WHERE w1 <> w2) h
+       |  WHERE h1 <> h2),
+       |edges AS MATERIALIZED (
+       |  SELECT a AS src, b AS dst FROM e0 UNION ALL SELECT b, a FROM e0),
+       |deg AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+       |nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges),
+       |r0 AS (SELECT node, CAST(${graft.ops.Graph.PrScale} AS BIGINT) AS r
+       |       FROM nodes),
+       |$rounds,
+       |vocab AS MATERIALIZED (
+       |  SELECT DISTINCT w, ${hex60Sql("w")} AS wh
+       |  FROM (SELECT unnest(l) AS w FROM toks) u)
+       |SELECT v.w AS word, r.r AS rank_s
+       |FROM r$TR_ITERS r JOIN vocab v ON v.wh = r.node
+       |ORDER BY r.r DESC, v.w ASC
+       |LIMIT $TR_TOPK""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "textrank_keywords" -> textrankKeywords,
     "classifier_agreement" -> classifierAgreement,
     "search_typeahead" -> searchTypeahead,
     "tokenizer_fertility" -> tokenizerFertility,
@@ -3525,6 +3630,7 @@ object TextJobs {
     "text_repetition" -> textRepetition)
 
   val oracles: Map[String, String] = Map(
+    "textrank_keywords" -> textrankKeywordsSql,
     "classifier_agreement" -> classifierAgreementSql,
     "search_typeahead" -> searchTypeaheadSql,
     "tokenizer_fertility" -> tokenizerFertilitySql,

@@ -109,6 +109,17 @@ class RelationalShapesSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("q8: share is the exact ratio of the conditional sums, all years present") {
+    val rows = RelationalJobs.q8MarketShare(spark, sf("sf0.001"))
+      .select($"o_year", $"num_i", $"den_i", $"mkt_share")
+      .as[(Int, Long, Long, Double)].collect()
+    assert(rows.length == 7) // probed: every year 1995-2001 non-degenerate
+    rows.foreach { case (_, num, den, share) =>
+      assert(num > 0 && num < den) // nonzero, non-total (the seed rule)
+      assert(share == num.toDouble / den.toDouble) // ONE IEEE division, exact
+    }
+  }
+
   test("q21 plan composes LeftSemi and LeftAnti hash joins") {
     val p = executedPlan(RelationalJobs.q21LateSupplier(spark, sf("sf0.001")))
     assert(p.contains("LeftSemi"), s"expected LeftSemi in:\n$p")
