@@ -850,8 +850,63 @@ object RelationalJobs {
       |SELECT s.s_suppkey, s.s_name, t.numwait
       |FROM supplier s JOIN top t ON s.s_suppkey = t.skey""".stripMargin
 
+  // ---- erasure audit: right-to-be-forgotten cascade accounting ----
+
+  /** GDPR-style deletion audit: given a deterministic tombstone cohort
+    * (`custkey % 29 = 7` — the graph_reach 1/29-cohort precedent, ~3.4%
+    * of users at every SF), report per table how many rows a
+    * right-to-be-forgotten purge would delete vs keep. The interesting
+    * row is `lineitem`: it has no user column, so its purge set CASCADES
+    * through the purged orders — a semi-join on the int orderkey, the
+    * referential-integrity propagation every real erasure pipeline needs.
+    * customer/orders/events count in-scan (conditional agg, no join).
+    * Scale: one pass per table + one orderkey semi-join; the tombstone
+    * predicate is pure arithmetic so it fuses into each scan — no
+    * tombstone table ever ships (and if one did, it would broadcast).
+    */
+  def erasureAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    def split(df: DataFrame, tomb: Column, tbl: String): DataFrame =
+      df.agg(sum(when(tomb, 1L).otherwise(0L)).as("n_purge"),
+          sum(when(tomb, 0L).otherwise(1L)).as("n_keep"))
+        .select(lit(tbl).as("tbl"), col("n_purge"), col("n_keep"))
+    val tombOrd = Tables.orders(spark, sfDir)
+      .filter(col("o_custkey") % 29 === 7).select(col("o_orderkey"))
+    val liFlag = Tables.lineitem(spark, sfDir)
+      .join(tombOrd, col("l_orderkey") === col("o_orderkey"), "left")
+    split(Tables.customer(spark, sfDir), col("c_custkey") % 29 === 7, "customer")
+      .unionAll(split(Tables.orders(spark, sfDir),
+        col("o_custkey") % 29 === 7, "orders"))
+      .unionAll(split(liFlag, col("o_orderkey").isNotNull, "lineitem"))
+      .unionAll(split(Tables.events(spark, sfDir),
+        col("user_id") % 29 === 7, "events"))
+  }
+
+  val erasureAuditSql: String =
+    """SELECT 'customer' AS tbl,
+      |       CAST(SUM(CASE WHEN c_custkey % 29 = 7 THEN 1 ELSE 0 END) AS BIGINT) AS n_purge,
+      |       CAST(SUM(CASE WHEN c_custkey % 29 = 7 THEN 0 ELSE 1 END) AS BIGINT) AS n_keep
+      |FROM customer
+      |UNION ALL
+      |SELECT 'orders',
+      |       CAST(SUM(CASE WHEN o_custkey % 29 = 7 THEN 1 ELSE 0 END) AS BIGINT),
+      |       CAST(SUM(CASE WHEN o_custkey % 29 = 7 THEN 0 ELSE 1 END) AS BIGINT)
+      |FROM orders
+      |UNION ALL
+      |SELECT 'lineitem',
+      |       CAST(SUM(CASE WHEN t.o_orderkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT),
+      |       CAST(SUM(CASE WHEN t.o_orderkey IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT)
+      |FROM lineitem l LEFT JOIN (
+      |  SELECT o_orderkey FROM orders WHERE o_custkey % 29 = 7) t
+      |  ON l.l_orderkey = t.o_orderkey
+      |UNION ALL
+      |SELECT 'events',
+      |       CAST(SUM(CASE WHEN user_id % 29 = 7 THEN 1 ELSE 0 END) AS BIGINT),
+      |       CAST(SUM(CASE WHEN user_id % 29 = 7 THEN 0 ELSE 1 END) AS BIGINT)
+      |FROM events""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "data_expectations" -> dataExpectations,
+    "erasure_audit" -> erasureAudit,
     "q4_order_priority" -> q4OrderPriority,
     "q8_market_share" -> q8MarketShare,
     "q13_cust_orders" -> q13CustOrders,
@@ -871,6 +926,7 @@ object RelationalJobs {
 
   val oracles: Map[String, String] = Map(
     "data_expectations" -> dataExpectationsSql,
+    "erasure_audit" -> erasureAuditSql,
     "q4_order_priority" -> q4OrderPrioritySql,
     "q8_market_share" -> q8MarketShareSql,
     "q13_cust_orders" -> q13CustOrdersSql,

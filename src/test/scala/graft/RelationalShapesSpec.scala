@@ -120,6 +120,28 @@ class RelationalShapesSpec extends SparkSpec {
     }
   }
 
+  test("erasure audit: purge+keep partitions each table; lineitem cascades") {
+    val dir = sf("sf0.001")
+    val out = RelationalJobs.erasureAudit(spark, dir)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out.keySet == Set("customer", "orders", "lineitem", "events"))
+    val totals = Map(
+      "customer" -> graft.io.Tables.customer(spark, dir).count(),
+      "orders" -> graft.io.Tables.orders(spark, dir).count(),
+      "lineitem" -> graft.io.Tables.lineitem(spark, dir).count(),
+      "events" -> graft.io.Tables.events(spark, dir).count())
+    totals.foreach { case (t, n) =>
+      val (p, k) = out(t)
+      assert(p + k == n, s"$t purge+keep != total")
+      assert(p > 0 && k > 0, s"$t cohort degenerate") // the seed rule
+    }
+    // cascade: purged lineitems = lineitems of tombstoned customers' orders
+    val brute = graft.io.Tables.lineitem(spark, dir)
+      .join(graft.io.Tables.orders(spark, dir).filter($"o_custkey" % 29 === 7),
+        $"l_orderkey" === $"o_orderkey").count()
+    assert(out("lineitem")._1 == brute)
+  }
+
   test("q21 plan composes LeftSemi and LeftAnti hash joins") {
     val p = executedPlan(RelationalJobs.q21LateSupplier(spark, sf("sf0.001")))
     assert(p.contains("LeftSemi"), s"expected LeftSemi in:\n$p")
