@@ -1,0 +1,90 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming._
+
+/** Streaming right-to-be-forgotten: the in-flight twin of
+  * `RelationalJobs.erasureAudit`. A tagged union of profile events and
+  * erase commands (the TxMatchStream connect pattern) drives one keyed
+  * state machine per user:
+  *
+  *  - "event": upsert the running profile (min first-seen, count, exact
+  *    cent sum — all order-insensitive) and emit the updated profile row,
+  *    UNLESS the user is tombstoned, in which case the row is dropped and
+  *    only counted (suppression, never re-materialization — the GDPR
+  *    contract: late or replayed data for an erased user must not rebuild
+  *    a profile).
+  *  - "erase": clear the profile state, emit a purge ack carrying what
+  *    was deleted, and retain ONLY a tombstone marker (minimal metadata —
+  *    the suppression list every real deletion pipeline keeps).
+  *
+  * Within a micro-batch, events apply BEFORE an erase command for the
+  * same key, so the ack deterministically accounts for everything seen up
+  * to and including its batch; arrival batching otherwise cannot change
+  * any emitted value (every profile field is order-insensitive, the
+  * ProfileStream contract). TimeMode.None — no timers: a tombstone has no
+  * expiry, exactly like the batch cohort predicate.
+  *
+  * Requires the RocksDB state store provider (multiple column families).
+  */
+object ErasureStream {
+
+  /** kind: "event" or "erase"; us/event_id/cents only read for events. */
+  case class In(user_id: Long, kind: String, us: Long, event_id: Long,
+      cents: Long)
+
+  /** kind: "profile" (live upsert) or "purge_ack" (n_events/sum_cents =
+    * what was deleted; first_us = tombstone batch's floor marker 0 when
+    * nothing existed). A third kind never exists: suppressed events emit
+    * NOTHING — silence is the contract.
+    */
+  case class Out(user_id: Long, kind: String, first_us: Long,
+      n_events: Long, sum_cents: Long)
+
+  private case class Profile(first_us: Long, n_events: Long, sum_cents: Long)
+
+  class Processor extends StatefulProcessor[Long, In, Out] {
+    @transient private var profile: ValueState[Profile] = _
+    @transient private var tombstoned: ValueState[Boolean] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      profile = getHandle.getValueState[Profile](
+        "profile", Encoders.product[Profile], TTLConfig.NONE)
+      tombstoned = getHandle.getValueState[Boolean](
+        "tombstoned", Encoders.scalaBoolean, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(user: Long, rows: Iterator[In],
+        timerValues: TimerValues): Iterator[Out] = {
+      val (events, erases) = rows.toSeq.partition(_.kind == "event")
+      if (tombstoned.exists() && tombstoned.get()) return Iterator.empty
+      // events first — the ack accounts for everything seen this batch
+      var changed = false
+      events.foreach { e =>
+        val p = if (profile.exists()) profile.get()
+                else Profile(Long.MaxValue, 0L, 0L)
+        profile.update(Profile(math.min(p.first_us, e.us),
+          p.n_events + 1L, p.sum_cents + e.cents))
+        changed = true
+      }
+      if (erases.nonEmpty) {
+        val p = if (profile.exists()) profile.get() else Profile(0L, 0L, 0L)
+        profile.clear()
+        tombstoned.update(true)
+        Iterator.single(Out(user, "purge_ack", p.first_us, p.n_events,
+          p.sum_cents))
+      } else if (changed) {
+        val p = profile.get()
+        Iterator.single(Out(user, "profile", p.first_us, p.n_events,
+          p.sum_cents))
+      } else Iterator.empty
+    }
+  }
+
+  /** Tagged-union input (see [[In]]) → profile upserts + purge acks. */
+  def erasure(in: Dataset[In]): Dataset[Out] = {
+    import in.sparkSession.implicits._
+    in.groupByKey(_.user_id)
+      .transformWithState(new Processor, TimeMode.None(), OutputMode.Update())
+  }
+}

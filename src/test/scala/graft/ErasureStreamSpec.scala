@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.streaming.ErasureStream
+import graft.streaming.ErasureStream.{In, Out}
+
+/** Streaming right-to-be-forgotten: profile upserts until the tombstone,
+  * one purge ack accounting for everything seen, then permanent silence —
+  * late/replayed data for an erased user must never re-materialize state.
+  */
+class ErasureStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("erasure stream: upsert, ack-with-cascade, then permanent suppression") {
+    val prevProvider = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    implicit val sqlCtx = spark.sqlContext
+    try {
+      val in = MemoryStream[In]
+      val q = ErasureStream.erasure(in.toDS()).toDF()
+        .writeStream.format("memory").queryName("erasure")
+        .outputMode("update").start()
+      def rows() = spark.table("erasure").as[Out].collect().toSeq
+      try {
+        // batch 1: two users accumulate
+        in.addData(
+          In(1L, "event", 1000L, 10L, 500L),
+          In(1L, "event", 900L, 11L, 250L),
+          In(2L, "event", 2000L, 20L, 100L))
+        q.processAllAvailable()
+        val b1 = rows()
+        assert(b1.toSet == Set(
+          Out(1L, "profile", 900L, 2L, 750L),
+          Out(2L, "profile", 2000L, 1L, 100L)))
+
+        // batch 2: same-batch event THEN erase for user 1 — the ack
+        // accounts for all 3 events; user 2 keeps upserting
+        in.addData(
+          In(1L, "event", 1100L, 12L, 50L),
+          In(1L, "erase", 0L, 0L, 0L),
+          In(2L, "event", 2100L, 21L, 100L))
+        q.processAllAvailable()
+        val b2 = rows().diff(b1)
+        assert(b2.toSet == Set(
+          Out(1L, "purge_ack", 900L, 3L, 800L),
+          Out(2L, "profile", 2000L, 2L, 200L)))
+
+        // batch 3: replayed/late data for the erased user is suppressed
+        // SILENTLY (no output kind exists for it); user 2 unaffected.
+        // An erase for a never-seen user acks zero.
+        in.addData(
+          In(1L, "event", 800L, 13L, 999L), // earlier ts than anything — still dead
+          In(2L, "event", 2200L, 22L, 100L),
+          In(3L, "erase", 0L, 0L, 0L))
+        q.processAllAvailable()
+        val b3 = rows().diff(b1 ++ b2)
+        assert(b3.toSet == Set(
+          Out(2L, "profile", 2000L, 3L, 300L),
+          Out(3L, "purge_ack", 0L, 0L, 0L)))
+        assert(rows().count(r => r.user_id == 1L && r.kind == "profile") == 1)
+      } finally q.stop()
+    } finally {
+      prevProvider match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+}
