@@ -88,3 +88,61 @@ object ErasureStream {
       .transformWithState(new Processor, TimeMode.None(), OutputMode.Update())
   }
 }
+
+/** Deletion propagation to downstream aggregates — the retract-stream leg
+  * of [[ErasureStream]]. `Sinks.retractBatches` diffs rows that ARRIVE,
+  * so a key that silently disappears never retracts; an erasure is exactly
+  * that disappearance, and GDPR requires the user's contribution to leave
+  * every derived table, not just the profile store. This foreachBatch
+  * handler maintains the live per-user profile table plus a per-bucket
+  * rollup and emits the Flink-style changelog: a purge ack retracts the
+  * old bucket row and adds the recomputed one — or retracts WITHOUT a
+  * re-add when the bucket empties (the case the plain diff can never
+  * produce).
+  *
+  * Driver-side maps are bounded by live users and buckets — the same
+  * memory contract as `retractBatches`' previous-result map (retract
+  * streams decorate RESULT tables, never the corpus).
+  */
+object ErasureRollup {
+
+  case class BucketAgg(bucket: Long, n_users: Long, n_events: Long,
+      sum_cents: Long)
+
+  /** foreachBatch handler over [[ErasureStream.erasure]]'s output. */
+  def handler(buckets: Long)(emit: (Boolean, BucketAgg) => Unit)
+      : (Dataset[ErasureStream.Out], Long) => Unit = {
+    val current =
+      scala.collection.mutable.HashMap.empty[Long, (Long, Long)]
+    val prevAgg = scala.collection.mutable.HashMap.empty[Long, BucketAgg]
+    (batch: Dataset[ErasureStream.Out], _: Long) => {
+      val touched = scala.collection.mutable.Set.empty[Long]
+      batch.collect().foreach { o =>
+        val b = java.lang.Math.floorMod(o.user_id, buckets)
+        o.kind match {
+          case "profile" =>
+            current(o.user_id) = (o.n_events, o.sum_cents); touched += b
+          case "purge_ack" =>
+            if (current.remove(o.user_id).nonEmpty) touched += b
+          case _ => ()
+        }
+      }
+      touched.toSeq.sorted.foreach { b =>
+        val m = current.filter { case (u, _) =>
+          java.lang.Math.floorMod(u, buckets) == b }
+        val next =
+          if (m.isEmpty) None
+          else Some(BucketAgg(b, m.size.toLong, m.values.map(_._1).sum,
+            m.values.map(_._2).sum))
+        (prevAgg.get(b), next) match {
+          case (Some(o), Some(n)) if o == n => ()
+          case (Some(o), Some(n)) =>
+            emit(false, o); emit(true, n); prevAgg(b) = n
+          case (Some(o), None) => emit(false, o); prevAgg.remove(b)
+          case (None, Some(n)) => emit(true, n); prevAgg(b) = n
+          case (None, None) => ()
+        }
+      }
+    }
+  }
+}

@@ -11,6 +11,74 @@ import graft.streaming.ErasureStream.{In, Out}
 class ErasureStreamSpec extends SparkSpec {
   import spark.implicits._
 
+  test("erasure rollup: deletion propagates to bucket aggregates as retracts") {
+    val prevProvider = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    implicit val sqlCtx = spark.sqlContext
+    try {
+      val log = scala.collection.mutable.ArrayBuffer
+        .empty[(Boolean, graft.streaming.ErasureRollup.BucketAgg)]
+      val in = MemoryStream[In]
+      val q = ErasureStream.erasure(in.toDS())
+        .writeStream.outputMode("update")
+        .foreachBatch(graft.streaming.ErasureRollup.handler(2L) {
+          (add, row) => log.synchronized { log += ((add, row)) }
+        })
+        .start()
+      import graft.streaming.ErasureRollup.BucketAgg
+      try {
+        // users 1,3 -> bucket 1; user 2 -> bucket 0
+        in.addData(
+          In(1L, "event", 1000L, 10L, 500L),
+          In(1L, "event", 900L, 11L, 250L),
+          In(2L, "event", 2000L, 20L, 100L))
+        q.processAllAvailable()
+        assert(log.toSet == Set(
+          (true, BucketAgg(0L, 1L, 1L, 100L)),
+          (true, BucketAgg(1L, 1L, 2L, 750L))))
+        val mark1 = log.size
+
+        // erase user 1 (bucket 1 empties: retract WITHOUT re-add — the
+        // case a plain arriving-row diff can never produce); user 2 grows
+        in.addData(In(1L, "erase", 0L, 0L, 0L),
+          In(2L, "event", 2100L, 21L, 100L))
+        q.processAllAvailable()
+        assert(log.drop(mark1).toSet == Set(
+          (false, BucketAgg(0L, 1L, 1L, 100L)),
+          (true, BucketAgg(0L, 1L, 2L, 200L)),
+          (false, BucketAgg(1L, 1L, 2L, 750L))))
+        val mark2 = log.size
+
+        // user 3 repopulates bucket 1; user 1's replay stays suppressed
+        in.addData(In(3L, "event", 3000L, 30L, 40L),
+          In(1L, "event", 950L, 12L, 999L))
+        q.processAllAvailable()
+        assert(log.drop(mark2).toSet == Set(
+          (true, BucketAgg(1L, 1L, 1L, 40L))))
+
+        // changelog replay lands exactly the survivors-only end state
+        // (retract(old)+add(new) pairs overwrite by bucket key)
+        val replayed = log.foldLeft(Map.empty[Long, BucketAgg]) {
+          case (m, (true, r)) => m + (r.bucket -> r)
+          case (m, (false, r)) if m.get(r.bucket).contains(r) => m - r.bucket
+          case (m, _) => m
+        }
+        assert(replayed == Map(
+          0L -> BucketAgg(0L, 1L, 2L, 200L),
+          1L -> BucketAgg(1L, 1L, 1L, 40L)))
+      } finally q.stop()
+    } finally {
+      prevProvider match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("erasure stream: upsert, ack-with-cascade, then permanent suppression") {
     val prevProvider = spark.conf.getOption(
       "spark.sql.streaming.stateStore.providerClass")

@@ -43,6 +43,17 @@ class RelationalShapesSpec extends SparkSpec {
       "EXISTS must not be rewritten through a distinct on orderkey")
   }
 
+  test("q4: derived lineitem bound reaches the parquet scan") {
+    // the semi-join's correlated date comparison can't push down, but its
+    // LOSSLESS derived bound (shipdate > window_start + 60d) must — pinned
+    // on the visible GreaterThan(l_shipdate) filter (r13 rule: pin a
+    // VISIBLE pushed filter, plan strings truncate long lists)
+    val p = RelationalJobs.q4OrderPriority(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("GreaterThan(l_shipdate,1997-03-02"),
+      s"derived shipdate bound not pushed to the lineitem scan:\n$p")
+  }
+
   test("q13: distribution covers every customer exactly once, zero bucket real") {
     val dir = sf("sf0.001")
     val out = RelationalJobs.q13CustOrders(spark, dir)
