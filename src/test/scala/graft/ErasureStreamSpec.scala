@@ -11,6 +11,70 @@ import graft.streaming.ErasureStream.{In, Out}
 class ErasureStreamSpec extends SparkSpec {
   import spark.implicits._
 
+  test("erasure stream matches a reference model over randomized batches") {
+    val prevProvider = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    implicit val sqlCtx = spark.sqlContext
+    try {
+      val rnd = new scala.util.Random(42)
+      val in = MemoryStream[In]
+      val q = ErasureStream.erasure(in.toDS()).toDF()
+        .writeStream.format("memory").queryName("erasure_model")
+        .outputMode("update").start()
+      // reference model of the contract
+      val prof = scala.collection.mutable.HashMap.empty[Long, (Long, Long, Long)]
+      val dead = scala.collection.mutable.Set.empty[Long]
+      var eid = 100L
+      try {
+        var seen = Seq.empty[Out]
+        (1 to 6).foreach { _ =>
+          val ops = (0 until (2 + rnd.nextInt(5))).map { _ =>
+            val u = 1L + rnd.nextInt(5)
+            if (rnd.nextDouble() < 0.2) In(u, "erase", 0L, 0L, 0L)
+            else { eid += 1; In(u, "event", 1000L + rnd.nextInt(9000),
+              eid, 10L + rnd.nextInt(500)) }
+          }
+          in.addData(ops: _*)
+          q.processAllAvailable()
+          // model: per user — events apply first, then an erase (if any)
+          val expect = ops.groupBy(_.user_id).toSeq.flatMap { case (u, rows) =>
+            if (dead(u)) None
+            else {
+              val evs = rows.filter(_.kind == "event")
+              evs.foreach { e =>
+                val (f, n, s) = prof.getOrElse(u, (Long.MaxValue, 0L, 0L))
+                prof(u) = (math.min(f, e.us), n + 1, s + e.cents)
+              }
+              if (rows.exists(_.kind == "erase")) {
+                val (f, n, s) = prof.remove(u).getOrElse((0L, 0L, 0L))
+                dead += u
+                Some(Out(u, "purge_ack", f, n, s))
+              } else if (evs.nonEmpty) {
+                val (f, n, s) = prof(u)
+                Some(Out(u, "profile", f, n, s))
+              } else None
+            }
+          }
+          val now = spark.table("erasure_model").as[Out].collect().toSeq
+          val batchOut = now.diff(seen)
+          assert(batchOut.toSet == expect.toSet,
+            s"batch mismatch:\ngot    $batchOut\nexpect $expect")
+          seen = now
+        }
+        assert(dead.nonEmpty, "seed produced no erasures — re-seed the test")
+      } finally q.stop()
+    } finally {
+      prevProvider match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("erasure rollup: deletion propagates to bucket aggregates as retracts") {
     val prevProvider = spark.conf.getOption(
       "spark.sql.streaming.stateStore.providerClass")
