@@ -662,7 +662,7 @@ object RelationalJobs {
   }
 
   val q15TopSupplierSql: String =
-    """WITH rev AS (
+    """WITH rev AS MATERIALIZED (
       |  SELECT l_suppkey,
       |         SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
       |             * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS rev_i
@@ -690,11 +690,14 @@ object RelationalJobs {
     val pk = Tables.part(spark, sfDir)
       .filter(col("p_brand") === "Brand#13")
       .select(col("p_partkey"))
+    // consumed by BOTH the stats agg and the join-back (r1-2 rule):
+    // 3 slim int columns on the brand-filtered sliver
     val li = Tables.lineitem(spark, sfDir)
       .join(broadcast(pk), col("l_partkey") === col("p_partkey"))
       .select(col("l_partkey"),
         round(col("l_quantity"), 0).cast("long").as("qty_i"),
         cents(col("l_extendedprice")).as("price_c"))
+      .cache()
     val stats = li.groupBy(col("l_partkey"))
       .agg(count(lit(1)).as("cnt"), sum(col("qty_i")).as("sum_qty"))
     li.join(stats, Seq("l_partkey"))
@@ -704,7 +707,7 @@ object RelationalJobs {
   }
 
   val q17SmallLotsSql: String =
-    """WITH li AS (
+    """WITH li AS MATERIALIZED (
       |  SELECT l.l_partkey,
       |         CAST(ROUND(l.l_quantity) AS BIGINT) AS qty_i,
       |         CAST(ROUND(l.l_extendedprice * 100) AS BIGINT) AS price_c

@@ -3504,8 +3504,11 @@ object TextJobs {
   def textrankKeywords(spark: SparkSession, sfDir: String): DataFrame = {
     val clean = regexp_replace(lower(col("text")),
       TextAnalysis.stopwordPattern, " ")
+    // ONE tokenize scan feeds both pairing passes and the vocab map-back
+    // (r1-2 rule: cached, multi-consumed derived frame)
     val toks = Tables.documents(spark, sfDir)
       .select(regexp_extract_all(clean, lit("[a-z0-9]+"), lit(0)).as("l"))
+      .cache()
     def pairsAt(k: Int) = {
       val n = size(col("l"))
       toks.filter(n > k)
@@ -3520,10 +3523,11 @@ object TextJobs {
         greatest(hash60(col("w1")), hash60(col("w2"))).as("b"))
       .filter(col("a") =!= col("b")) // drop theoretical hash-collision loops
       .distinct()
+      .cache() // both edge directions read it (r1-2 rule)
     val edges = e0.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(e0.select(col("b").as("src"), col("a").as("dst")))
-    val vocab = Tables.documents(spark, sfDir)
-      .select(explode(regexp_extract_all(clean, lit("[a-z0-9]+"), lit(0))).as("w"))
+    val vocab = toks
+      .select(explode(col("l")).as("w"))
       .distinct() // vocab-sized final mapping — the legit token-keyed agg
       .select(col("w"), hash60(col("w")).as("wh"))
     graft.ops.Graph.pageRank(edges, iters = TR_ITERS)

@@ -10,10 +10,10 @@ import org.apache.spark.sql.streaming._
   *
   *  - "event": upsert the running profile (min first-seen, count, exact
   *    cent sum — all order-insensitive) and emit the updated profile row,
-  *    UNLESS the user is tombstoned, in which case the row is dropped and
-  *    only counted (suppression, never re-materialization — the GDPR
+  *    UNLESS the user is tombstoned, in which case the row is dropped
+  *    SILENTLY (suppression, never re-materialization — the GDPR
   *    contract: late or replayed data for an erased user must not rebuild
-  *    a profile).
+  *    a profile, and emitting anything for it would itself leak).
   *  - "erase": clear the profile state, emit a purge ack carrying what
   *    was deleted, and retain ONLY a tombstone marker (minimal metadata —
   *    the suppression list every real deletion pipeline keeps).
@@ -58,14 +58,16 @@ object ErasureStream {
         timerValues: TimerValues): Iterator[Out] = {
       val (events, erases) = rows.toSeq.partition(_.kind == "event")
       if (tombstoned.exists() && tombstoned.get()) return Iterator.empty
-      // events first — the ack accounts for everything seen this batch
-      var changed = false
-      events.foreach { e =>
-        val p = if (profile.exists()) profile.get()
-                else Profile(Long.MaxValue, 0L, 0L)
-        profile.update(Profile(math.min(p.first_us, e.us),
-          p.n_events + 1L, p.sum_cents + e.cents))
-        changed = true
+      // events first — the ack accounts for everything seen this batch.
+      // Fold locally, write state ONCE: m events = 1 RocksDB put, not m.
+      val changed = events.nonEmpty
+      if (changed) {
+        val p0 = if (profile.exists()) profile.get()
+                 else Profile(Long.MaxValue, 0L, 0L)
+        profile.update(events.foldLeft(p0) { (p, e) =>
+          Profile(math.min(p.first_us, e.us),
+            p.n_events + 1L, p.sum_cents + e.cents)
+        })
       }
       if (erases.nonEmpty) {
         val p = if (profile.exists()) profile.get() else Profile(0L, 0L, 0L)
@@ -127,13 +129,16 @@ object ErasureRollup {
           case _ => ()
         }
       }
+      // ONE pass over the live-user table, grouped by bucket — per-bucket
+      // filtering would rescan all U users for each of the k touched
+      // buckets (O(k·U) per micro-batch instead of O(U))
+      val byBucket = current.groupBy { case (u, _) =>
+        java.lang.Math.floorMod(u, buckets) }
       touched.toSeq.sorted.foreach { b =>
-        val m = current.filter { case (u, _) =>
-          java.lang.Math.floorMod(u, buckets) == b }
-        val next =
-          if (m.isEmpty) None
-          else Some(BucketAgg(b, m.size.toLong, m.values.map(_._1).sum,
-            m.values.map(_._2).sum))
+        val next = byBucket.get(b).map { m =>
+          BucketAgg(b, m.size.toLong, m.values.map(_._1).sum,
+            m.values.map(_._2).sum)
+        }
         (prevAgg.get(b), next) match {
           case (Some(o), Some(n)) if o == n => ()
           case (Some(o), Some(n)) =>
