@@ -326,4 +326,27 @@ class EdgeCaseSpec extends SparkSpec {
     assert(Similarity.pcaPowerProjection(zeros, 2, 3).collect()
       .forall(_.getLong(1) == 0L))
   }
+
+  test("round-13 ops are total on empty and degenerate documents") {
+    // textrank on docs too short to pair (0-2 surviving tokens) and on an
+    // empty corpus: the n > k pairing guards and pageRank's empty-graph
+    // path must hold (the fixture's docs are all long, so the guard
+    // branch is otherwise never exercised)
+    val short = java.nio.file.Files.createTempDirectory("r13_short").toString
+    Seq((1L, "alpha", "en", "s", 5L), // 1 token: no pairs at all
+        (2L, "beta gamma", "en", "s", 10L), // 2 tokens: window-1 pair only
+        (3L, "the of and", "en", "s", 10L), // all stopwords: 0 tokens
+        (4L, "", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$short/documents.parquet")
+    val tr = graft.jobs.TextJobs.textrankKeywords(spark, short).collect()
+    // beta—gamma is the only edge; both rank equally, both surface
+    assert(tr.map(_.getString(0)).toSet == Set("beta", "gamma"))
+
+    val empty = java.nio.file.Files.createTempDirectory("r13_empty").toString
+    Seq.empty[(Long, String, String, String, Long)]
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$empty/documents.parquet")
+    assert(graft.jobs.TextJobs.textrankKeywords(spark, empty).count() == 0)
+  }
 }
