@@ -785,6 +785,54 @@ object RelationalJobs {
       |  WHERE r.r_name = 'AMERICA' AND p.p_type = 'PROMO'
       |  GROUP BY 1) t""".stripMargin
 
+  // ---- q11 shape: important parts (HAVING vs a global scalar) ----
+
+  /** TPC-H q11 shape: parts whose value within one supplier nation
+    * exceeds a global-threshold scalar. Classic q11's FIXED fraction is a
+    * scale trap (per-part share shrinks as the corpus grows, so one
+    * constant is degenerate at some SF); the threshold here is
+    * SCALE-INVARIANT — `value > 2 × mean part value`, restated as the
+    * exact integer inequality `val_i · n_parts > 2 · tot_i` (bounded:
+    * val_i ≤ 10¹⁰ cents × n_parts ≤ 10⁶ stays far under 2⁶³). Probed
+    * ~9% of parts passing at every SF. Scale: the nation filter
+    * broadcasts a supplier sliver into the fact scan; the per-part agg is
+    * part-bounded; the threshold ships as a 1-ROW broadcast non-equi join
+    * (BroadcastNestedLoopJoin with a single build row — the anomaly_days
+    * grid pattern, never corpus×corpus).
+    */
+  def q11ImportantParts(spark: SparkSession, sfDir: String): DataFrame = {
+    val supp = Tables.supplier(spark, sfDir)
+      .join(broadcast(Tables.nation(spark, sfDir)
+          .filter(col("n_name") === "NATION_24")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"))
+    val v = Tables.lineitem(spark, sfDir)
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_partkey"))
+      .agg(sum(cents(col("l_extendedprice"))).as("val_i"))
+    val tot = v.agg(sum(col("val_i")).as("tot_i"),
+      count(lit(1)).as("n_parts"))
+    v.join(broadcast(tot),
+        col("val_i") * col("n_parts") > lit(2) * col("tot_i"))
+      .select(col("l_partkey"), (col("val_i") / 100.0).as("value"))
+  }
+
+  val q11ImportantPartsSql: String =
+    """WITH v AS MATERIALIZED (
+      |  SELECT l.l_partkey,
+      |         CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT))
+      |              AS BIGINT) AS val_i
+      |  FROM lineitem l
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |  WHERE n.n_name = 'NATION_24'
+      |  GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(val_i) AS BIGINT) AS tot_i,
+      |               COUNT(*) AS n_parts FROM v)
+      |SELECT v.l_partkey, v.val_i / 100.0 AS value
+      |FROM v, tot
+      |WHERE v.val_i * tot.n_parts > 2 * tot.tot_i""".stripMargin
+
   // ---- q21 shape: lone late supplier (semi + anti join composition) ----
 
   /** TPC-H q21 shape: suppliers who were the ONLY late supplier on a
@@ -912,6 +960,7 @@ object RelationalJobs {
     "erasure_audit" -> erasureAudit,
     "q4_order_priority" -> q4OrderPriority,
     "q8_market_share" -> q8MarketShare,
+    "q11_important_parts" -> q11ImportantParts,
     "q13_cust_orders" -> q13CustOrders,
     "q15_top_supplier" -> q15TopSupplier,
     "q17_small_lots" -> q17SmallLots,
@@ -932,6 +981,7 @@ object RelationalJobs {
     "erasure_audit" -> erasureAuditSql,
     "q4_order_priority" -> q4OrderPrioritySql,
     "q8_market_share" -> q8MarketShareSql,
+    "q11_important_parts" -> q11ImportantPartsSql,
     "q13_cust_orders" -> q13CustOrdersSql,
     "q15_top_supplier" -> q15TopSupplierSql,
     "q17_small_lots" -> q17SmallLotsSql,

@@ -35,6 +35,8 @@ object PlanAudit {
       "CROSSes are the C-bounded centroid-frame broadcasts (per k-means " +
         "assign round) -- C is a model constant, never corpus-sized"
     val knownLegit: Map[String, String] = Map(
+      "q11_important_parts" -> ("CROSS is the 1-row threshold aggregate broadcast (tot_i, n_parts) against the " +
+        "part-bounded value frame — the scale-invariant HAVING scalar, never corpus-sized"),
       "tfidf_topk" -> "CROSS is the 1-row corpus-size aggregate broadcast (N in the idf ratio)",
       "heavy_hitters" -> "CROSS is the 1-row CMS sketch aggregate broadcast",
       "vocab_coverage" -> "CROSS is the 1-row vocab-array broadcast",

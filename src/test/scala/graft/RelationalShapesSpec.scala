@@ -131,6 +131,24 @@ class RelationalShapesSpec extends SparkSpec {
     }
   }
 
+  test("q11: scale-invariant threshold keeps exactly the >2x-mean parts") {
+    val dir = sf("sf0.001")
+    val vals = graft.io.Tables.lineitem(spark, dir)
+      .join(graft.io.Tables.supplier(spark, dir), $"l_suppkey" === $"s_suppkey")
+      .join(graft.io.Tables.nation(spark, dir).filter($"n_name" === "NATION_24"),
+        $"s_nationkey" === $"n_nationkey")
+      .groupBy($"l_partkey")
+      .agg(sum(round($"l_extendedprice" * 100, 0).cast("long")).as("v"))
+      .as[(Long, Long)].collect()
+    val tot = vals.map(_._2).sum; val n = vals.length.toLong
+    val expect = vals.filter(t => t._2 * n > 2 * tot)
+      .map(t => (t._1, t._2 / 100.0)).toSet
+    val got = RelationalJobs.q11ImportantParts(spark, dir)
+      .as[(Long, Double)].collect().toSet
+    assert(got == expect)
+    assert(got.nonEmpty && got.size < n) // non-degenerate (the seed rule)
+  }
+
   test("erasure audit: purge+keep partitions each table; lineitem cascades") {
     val dir = sf("sf0.001")
     val out = RelationalJobs.erasureAudit(spark, dir)
