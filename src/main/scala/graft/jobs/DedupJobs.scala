@@ -597,13 +597,24 @@ object DedupJobs {
     * oracle recomputes both chains.
     */
   def crossModalClusters(spark: SparkSession, sfDir: String): DataFrame = {
-    val text = pipeline(spark, sfDir).candidates
+    // Scope the two pipelines' internal caches (grams, signatures, image
+    // scan, fingerprint frames): this consumer reads ONLY the slim
+    // (doc_a, doc_b) pair frames, so the union edge set is materialized
+    // eagerly (localCheckpoint) and every upstream cache is released
+    // BEFORE cluster resolution runs — holding both pipelines' full
+    // caches through the components pass was the r13 driver-memory
+    // footprint (10.8 s driver vs 4.0 s local, the rounds-4/5 playbook).
+    val scope = graft.ops.CacheScope()
+    val text = new graft.ops.DedupPipeline(
+        Tables.documents(spark, sfDir).select(col("doc_id"), col("text")),
+        K, BANDS, JACCARD_N, scope)
+      .candidates.select(col("doc_a"), col("doc_b"))
+    val img = MultimodalJobs.pipelineScoped(spark, sfDir, scope).pairs
       .select(col("doc_a"), col("doc_b"))
-    val img = MultimodalJobs.pipeline(spark, sfDir).pairs
-      .select(col("doc_a"), col("doc_b"))
+    val edges = text.unionAll(img).localCheckpoint()
+    scope.close()
     graft.ops.Dedup.connectedComponents(
-      Tables.documents(spark, sfDir).select(col("doc_id")),
-      text.unionAll(img))
+      Tables.documents(spark, sfDir).select(col("doc_id")), edges)
   }
 
   /** Oracle: the minhash candidate chain + the image near-dup pairs

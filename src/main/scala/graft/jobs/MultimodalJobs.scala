@@ -202,6 +202,15 @@ object MultimodalJobs {
     graft.ops.ImagePipeline(spark, Tables.documents(spark, sfDir),
       NEARDUP_MAX_HAMMING)
 
+  /** [[pipeline]] with its internal caches registered to `scope` — for
+    * consumers (cross_modal_clusters) that extract one slim frame and
+    * release the decode/fingerprint caches before downstream work.
+    */
+  def pipelineScoped(spark: SparkSession, sfDir: String,
+      scope: graft.ops.CacheScope): graft.ops.ImagePipeline =
+    graft.ops.ImagePipeline(spark, Tables.documents(spark, sfDir),
+      NEARDUP_MAX_HAMMING, scope)
+
   /** The dHash pipeline restated for the oracles: pixel mix (two
     * multiplicative steps mod 2^31−1 with xor-shifts between — every
     * intermediate < 2^47, BIGINT-exact), per-id perturbation,
@@ -256,6 +265,20 @@ object MultimodalJobs {
        |       CAST(bit_count(xor(a.f, b.f)) AS BIGINT) AS hamming
        |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.f, b.f)) <= $NEARDUP_MAX_HAMMING""".stripMargin
+
+  /** [[imageNeardupSql]] restricted to pairs touching the doc_id % 5 == 0
+    * delta — the oracle of `image_index_incremental`
+    * ([[ArtifactJobs.imageIndexIncremental]]): DuckDB recomputes every
+    * dHash in-line, so hash-equality proves the stored-index + delta-only
+    * decode path loses nothing vs re-decoding the corpus.
+    */
+  val imageNeardupDeltaSql: String =
+    s"""WITH $imageFpCtes
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |       CAST(bit_count(xor(a.f, b.f)) AS BIGINT) AS hamming
+       |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.f, b.f)) <= $NEARDUP_MAX_HAMMING
+       |  AND (a.doc_id % 5 = 0 OR b.doc_id % 5 = 0)""".stripMargin
 
   /** Image cluster resolution — the step an image-dedup pipeline runs
     * after candidate pairing, exactly as `dedup_clusters` does for text:

@@ -509,10 +509,12 @@ object RelationalJobs {
       |    AND l.l_shipdate < TIMESTAMP '1998-04-01'
       |)
       |SELECT
-      |  SUM(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END) AS promo_rev_c4,
-      |  SUM(rev) AS total_rev_c4,
-      |  (SUM(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END) * 1000000)
-      |    // SUM(rev) AS promo_ppm
+      |  CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END) AS BIGINT)
+      |    AS promo_rev_c4,
+      |  CAST(SUM(rev) AS BIGINT) AS total_rev_c4,
+      |  CAST((CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END)
+      |             AS BIGINT) * 1000000)
+      |    // CAST(SUM(rev) AS BIGINT) AS BIGINT) AS promo_ppm
       |FROM j""".stripMargin
 
   // ---- q19: discounted revenue (disjunctive multi-predicate dim join) ----
@@ -651,6 +653,9 @@ object RelationalJobs {
       .groupBy(col("l_suppkey"))
       .agg(sum(cents(col("l_extendedprice"))
         * (lit(100) - cents(col("l_discount")))).as("rev_i"))
+      // consumed twice (scalar max + winner join) — cache the
+      // supplier-sized aggregate so the lineitem scan runs once
+      .cache()
     val mx = rev.agg(max(col("rev_i")).as("mx"))
     val winners = rev.join(broadcast(mx), col("rev_i") === col("mx"))
       .select(col("l_suppkey"), col("rev_i"))
@@ -810,6 +815,9 @@ object RelationalJobs {
       .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("l_partkey"))
       .agg(sum(cents(col("l_extendedprice"))).as("val_i"))
+      // consumed twice (threshold scalar + winner join) — cache the
+      // part-sized aggregate so the lineitem scan runs once
+      .cache()
     val tot = v.agg(sum(col("val_i")).as("tot_i"),
       count(lit(1)).as("n_parts"))
     v.join(broadcast(tot),
@@ -955,7 +963,133 @@ object RelationalJobs {
       |       CAST(SUM(CASE WHEN user_id % 29 = 7 THEN 0 ELSE 1 END) AS BIGINT)
       |FROM events""".stripMargin
 
+  // ---- q2 shape: min-cost supplier per part (correlated scalar min) ----
+
+  /** TPC-H q2 shape: for every part, the EUROPE supplier(s) offering the
+    * minimum unit cost — the min-cost-per-group correlated scalar,
+    * decorrelated into a window min over the per-(part, supplier) cost
+    * aggregate (tie-inclusive by construction, the q15 discipline). The
+    * fixture has no partsupp table, so "supply cost" is the supplier's
+    * best observed unit price on the fact table: MIN over lines of
+    * `(cents(extendedprice)·10) div qty` — all-positive integer division,
+    * identical truncation in both engines, quantities integral in this
+    * fixture (the q17 note). Probed non-degenerate at every SF
+    * (200/1984/19960 parts with a EUROPE winner).
+    *
+    * Scale: region/nation/supplier compose into one broadcast dim; the
+    * fact table never shuffles for it. The (part, supplier) agg exchanges
+    * once on the int key pair; the window min re-partitions by part only.
+    * The winner set is part-bounded (≥1 per part, ties rare), joined back
+    * to the broadcast supplier dim — no correlated re-scan anywhere.
+    */
+  def q2MinCostSupplier(spark: SparkSession, sfDir: String): DataFrame = {
+    val euro = Tables.supplier(spark, sfDir)
+      .join(broadcast(Tables.nation(spark, sfDir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, sfDir)
+          .filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"))
+    val cost = Tables.lineitem(spark, sfDir)
+      .join(broadcast(euro.select(col("s_suppkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("l_partkey"), col("l_suppkey"),
+        expr("(cast(round(l_extendedprice * 100) as bigint) * 10) " +
+          "div cast(round(l_quantity) as bigint)").as("uc"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(col("uc")).as("cost_i"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("l_partkey"))
+    cost.withColumn("mc", min(col("cost_i")).over(w))
+      .filter(col("cost_i") === col("mc"))
+      .join(broadcast(euro), col("l_suppkey") === col("s_suppkey"))
+      .select(col("l_partkey").as("p_partkey"), col("s_suppkey"),
+        col("s_name"), col("n_name"), col("cost_i").as("min_cost_i"))
+  }
+
+  val q2MinCostSupplierSql: String =
+    """WITH euro AS MATERIALIZED (
+      |  SELECT s.s_suppkey, s.s_name, n.n_name
+      |  FROM supplier s
+      |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |  JOIN region r ON n.n_regionkey = r.r_regionkey
+      |  WHERE r.r_name = 'EUROPE'),
+      |cost AS (
+      |  SELECT l.l_partkey, l.l_suppkey,
+      |         MIN((CAST(ROUND(l.l_extendedprice * 100) AS BIGINT) * 10)
+      |             // CAST(ROUND(l.l_quantity) AS BIGINT)) AS cost_i
+      |  FROM lineitem l JOIN euro e ON l.l_suppkey = e.s_suppkey
+      |  GROUP BY 1, 2),
+      |win AS (
+      |  SELECT l_partkey, l_suppkey, cost_i,
+      |         MIN(cost_i) OVER (PARTITION BY l_partkey) AS mc
+      |  FROM cost)
+      |SELECT w.l_partkey AS p_partkey, e.s_suppkey, e.s_name, e.n_name,
+      |       w.cost_i AS min_cost_i
+      |FROM win w JOIN euro e ON w.l_suppkey = e.s_suppkey
+      |WHERE w.cost_i = w.mc""".stripMargin
+
+  // ---- q20 shape: excess-share suppliers (semi-join over an aggregate threshold) ----
+
+  /** TPC-H q20 shape: suppliers holding an EXCESS SHARE of some PROMO
+    * part's shipments in 1998H1 — the EXISTS-over-aggregate-threshold
+    * pattern. The correlated `EXISTS (SELECT ... HAVING supplier's share
+    * > 50%)` decorrelates into one pre-aggregated fact side: per-(part,
+    * supplier) shipped quantity, per-part totals via window sums, the
+    * exact integer halving `2·q > total` (at most ONE dominator per part
+    * by construction), restricted to CONTESTED parts (≥2 suppliers —
+    * otherwise dominance is vacuous; probed 8/66/679 of 10/100/1000
+    * suppliers at the three SFs). The supplier dim then LEFT SEMI joins
+    * the dominator set — no correlated re-scan, no distinct (semi joins
+    * are multiplicity-insensitive).
+    *
+    * Scale: the part filter broadcasts into the fact scan; the (part,
+    * supplier) agg and the per-part window share one part-keyed exchange
+    * lineage; the dominator frame is part-bounded (≤1 row per part) and
+    * the semi join runs on the int suppkey (AQE broadcasts it when small).
+    */
+  def q20ExcessShare(spark: SparkSession, sfDir: String): DataFrame = {
+    val pk = Tables.part(spark, sfDir)
+      .filter(col("p_type") === "PROMO").select(col("p_partkey"))
+    val sq = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1998-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-07-01").cast("timestamp"))
+      .join(broadcast(pk), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(round(col("l_quantity"), 0).cast("long")).as("q"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("l_partkey"))
+    val dom = sq
+      .withColumn("tq", sum(col("q")).over(w))
+      .withColumn("nsupp", count(lit(1)).over(w))
+      .filter(col("nsupp") >= 2 && col("q") * 2 > col("tq"))
+      .select(col("l_suppkey"))
+    Tables.supplier(spark, sfDir)
+      .join(dom, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"))
+  }
+
+  val q20ExcessShareSql: String =
+    """WITH sq AS (
+      |  SELECT l.l_suppkey, l.l_partkey,
+      |         CAST(SUM(CAST(ROUND(l.l_quantity) AS BIGINT)) AS BIGINT) AS q
+      |  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      |  WHERE p.p_type = 'PROMO'
+      |    AND l.l_shipdate >= TIMESTAMP '1998-01-01'
+      |    AND l.l_shipdate < TIMESTAMP '1998-07-01'
+      |  GROUP BY 1, 2),
+      |dom AS (
+      |  SELECT l_suppkey FROM (
+      |    SELECT l_suppkey, q,
+      |           CAST(SUM(q) OVER (PARTITION BY l_partkey) AS BIGINT) AS tq,
+      |           COUNT(*) OVER (PARTITION BY l_partkey) AS nsupp
+      |    FROM sq) t
+      |  WHERE nsupp >= 2 AND 2 * q > tq)
+      |SELECT s.s_suppkey, s.s_name
+      |FROM supplier s
+      |WHERE EXISTS (SELECT 1 FROM dom d WHERE d.l_suppkey = s.s_suppkey)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q2_min_cost_supplier" -> q2MinCostSupplier,
+    "q20_excess_share" -> q20ExcessShare,
     "data_expectations" -> dataExpectations,
     "erasure_audit" -> erasureAudit,
     "q4_order_priority" -> q4OrderPriority,
@@ -977,6 +1111,8 @@ object RelationalJobs {
     "distinct_agg" -> distinctAgg)
 
   val oracles: Map[String, String] = Map(
+    "q2_min_cost_supplier" -> q2MinCostSupplierSql,
+    "q20_excess_share" -> q20ExcessShareSql,
     "data_expectations" -> dataExpectationsSql,
     "erasure_audit" -> erasureAuditSql,
     "q4_order_priority" -> q4OrderPrioritySql,

@@ -56,7 +56,12 @@ object ErasureStream {
 
     override def handleInputRows(user: Long, rows: Iterator[In],
         timerValues: TimerValues): Iterator[Out] = {
-      val (events, erases) = rows.toSeq.partition(_.kind == "event")
+      // Match both kinds EXPLICITLY: an unknown kind must be dropped, not
+      // fall into the erase branch (a malformed record would otherwise
+      // silently tombstone the user forever).
+      val all = rows.toSeq
+      val events = all.filter(_.kind == "event")
+      val erases = all.filter(_.kind == "erase")
       if (tombstoned.exists() && tombstoned.get()) return Iterator.empty
       // events first — the ack accounts for everything seen this batch.
       // Fold locally, write state ONCE: m events = 1 RocksDB put, not m.

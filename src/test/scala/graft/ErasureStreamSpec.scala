@@ -192,6 +192,16 @@ class ErasureStreamSpec extends SparkSpec {
           Out(2L, "profile", 2000L, 3L, 300L),
           Out(3L, "purge_ack", 0L, 0L, 0L)))
         assert(rows().count(r => r.user_id == 1L && r.kind == "profile") == 1)
+
+        // batch 4: a MALFORMED kind must be dropped, never interpreted as
+        // an erase — user 2's profile survives and keeps accumulating
+        in.addData(
+          In(2L, "garbage", 0L, 0L, 0L),
+          In(2L, "event", 2300L, 23L, 100L))
+        q.processAllAvailable()
+        val b4 = rows().diff(b1 ++ b2 ++ b3)
+        assert(b4.toSet == Set(Out(2L, "profile", 2000L, 4L, 400L)))
+        assert(rows().count(r => r.user_id == 2L && r.kind == "purge_ack") == 0)
       } finally q.stop()
     } finally {
       prevProvider match {

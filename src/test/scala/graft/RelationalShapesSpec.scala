@@ -17,6 +17,13 @@ class RelationalShapesSpec extends SparkSpec {
     df.queryExecution.executedPlan.toString
   }
 
+  /** The AQE plan string prints BOTH "Final Plan" and "Initial Plan"
+    * sections, so a single scan appears twice — scan-count asserts must
+    * read the final section only.
+    */
+  private def finalPlanOnly(p: String): String =
+    p.split("== Initial Plan ==").head
+
   test("q4: semi-join counts orders once and only late-line orders") {
     val dir = sf("sf0.001")
     val out = RelationalJobs.q4OrderPriority(spark, dir)
@@ -175,5 +182,75 @@ class RelationalShapesSpec extends SparkSpec {
     val p = executedPlan(RelationalJobs.q21LateSupplier(spark, sf("sf0.001")))
     assert(p.contains("LeftSemi"), s"expected LeftSemi in:\n$p")
     assert(p.contains("LeftAnti"), s"expected LeftAnti in:\n$p")
+  }
+
+  test("q2: winners are exactly the per-part min-cost suppliers, tie-inclusive") {
+    val dir = sf("sf0.001")
+    val euro = graft.io.Tables.supplier(spark, dir)
+      .join(graft.io.Tables.nation(spark, dir), $"s_nationkey" === $"n_nationkey")
+      .join(graft.io.Tables.region(spark, dir).filter($"r_name" === "EUROPE"),
+        $"n_regionkey" === $"r_regionkey")
+      .select($"s_suppkey").as[Long].collect().toSet
+    val costs = graft.io.Tables.lineitem(spark, dir)
+      .select($"l_partkey", $"l_suppkey",
+        expr("(cast(round(l_extendedprice * 100) as bigint) * 10) " +
+          "div cast(round(l_quantity) as bigint)").as("uc"))
+      .as[(Long, Long, Long)].collect()
+      .filter(t => euro.contains(t._2))
+    val perPair = costs.groupBy(t => (t._1, t._2))
+      .map { case ((p, s), g) => (p, s, g.map(_._3).min) }.toSeq
+    val perPartMin = perPair.groupBy(_._1).map { case (p, g) =>
+      p -> g.map(_._3).min }
+    val expect = perPair.filter(t => t._3 == perPartMin(t._1))
+      .map(t => (t._1, t._2, t._3)).toSet
+    val got = RelationalJobs.q2MinCostSupplier(spark, dir)
+      .select($"p_partkey", $"s_suppkey", $"min_cost_i")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == expect)
+    assert(got.nonEmpty) // the seed rule
+    // every part with a EUROPE line has at least one winner
+    assert(got.map(_._1) == perPartMin.keySet)
+  }
+
+  test("q2 plan: window min, broadcast dims, no correlated re-scan") {
+    val p = executedPlan(RelationalJobs.q2MinCostSupplier(spark, sf("sf0.001")))
+    assert(p.contains("windowspecdefinition(l_partkey"),
+      s"per-part min must be a window over the pair agg:\n$p")
+    // exactly one lineitem scan — the decorrelation's whole point
+    assert("lineitem\\.parquet".r.findAllIn(finalPlanOnly(p)).size <= 1,
+      s"correlated re-scan of lineitem detected:\n$p")
+  }
+
+  test("q20: dominators match the brute-force >50%-share rule on contested parts") {
+    val dir = sf("sf0.001")
+    val promo = graft.io.Tables.part(spark, dir)
+      .filter($"p_type" === "PROMO").select($"p_partkey").as[Long].collect().toSet
+    val sq = graft.io.Tables.lineitem(spark, dir)
+      .filter($"l_shipdate" >= lit("1998-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1998-07-01").cast("timestamp"))
+      .select($"l_partkey", $"l_suppkey", round($"l_quantity", 0).cast("long"))
+      .as[(Long, Long, Long)].collect()
+      .filter(t => promo.contains(t._1))
+      .groupBy(t => (t._1, t._2))
+      .map { case ((p, s), g) => (p, s, g.map(_._3).sum) }.toSeq
+    val byPart = sq.groupBy(_._1)
+    val expect = sq.filter { case (p, _, q) =>
+      val g = byPart(p); g.size >= 2 && 2 * q > g.map(_._3).sum
+    }.map(_._2).toSet
+    val got = RelationalJobs.q20ExcessShare(spark, dir)
+      .select($"s_suppkey").as[Long].collect().toSet
+    assert(got == expect)
+    // selective at this SF (probed 8 of 10) — the semi join genuinely filters
+    assert(got.nonEmpty &&
+      got.size < graft.io.Tables.supplier(spark, dir).count())
+  }
+
+  test("q20 plan: LeftSemi supplier probe, dominance via one window lineage") {
+    val p = executedPlan(RelationalJobs.q20ExcessShare(spark, sf("sf0.001")))
+    assert(p.contains("LeftSemi"), s"expected LeftSemi in:\n$p")
+    assert(p.contains("windowspecdefinition(l_partkey"),
+      s"per-part totals must ride one window lineage:\n$p")
+    assert("lineitem\\.parquet".r.findAllIn(finalPlanOnly(p)).size <= 1,
+      s"correlated re-scan of lineitem detected:\n$p")
   }
 }
