@@ -274,9 +274,14 @@ object ArtifactJobs {
   private[graft] def pagerankIncrementalParts(
       spark: SparkSession, sfDir: String): (DataFrame, DataFrame, Seq[Int]) = {
     val ev = Tables.events(spark, sfDir)
-    val dayOf = expr("datediff(cast(ts as date), date'1970-01-01')")
-    // 1-row bounded collect: the horizon splitting ingested from delta
-    val maxDay = ev.agg(max(dayOf)).first().getInt(0)
+    // ONE events scan per serve (r14): today's per-day manifest is
+    // day-count rows; the horizon (max day) and the change diff both
+    // derive from the collected frame — the separate max-day aggregate
+    // was a second full corpus scan for one value the manifest already
+    // carries. Bounded collects throughout (day-count rows — the changed
+    // list was already a collect).
+    val todayRows = AnalyticsJobs.manifestOf(ev).collect()
+    val maxDay = todayRows.map(_.getAs[Int]("day")).max
     val cutoffUs = maxDay.toLong * 86400000000L
     val fp = s"${eventsFp(sfDir)}:$maxDay"
     val yesterday = ev.filter(col("ts") < timestamp_micros(lit(cutoffUs)))
@@ -286,14 +291,16 @@ object ArtifactJobs {
       AnalyticsJobs.manifestOf(yesterday))
     // manifest diff: a day is changed if it is new, its fingerprint
     // moved, or its row count moved (the even-multiplicity XOR caveat)
-    val today = AnalyticsJobs.manifestOf(ev)
-    val changed = today.alias("t")
-      .join(broadcast(storedManifest.alias("s")), Seq("day"), "left")
-      .filter(col("s.fp_xor").isNull ||
-        col("t.fp_xor") =!= col("s.fp_xor") ||
-        col("t.n_rows") =!= col("s.n_rows"))
-      .select(col("day")).orderBy(col("day"))
-      .collect().map(_.getInt(0)).toSeq // bounded: day-count rows
+    val stored = storedManifest.collect()
+      .map(r => r.getAs[Int]("day") ->
+        (r.getAs[Long]("fp_xor"), r.getAs[Long]("n_rows"))).toMap
+    val changed = todayRows.filter { r =>
+      stored.get(r.getAs[Int]("day")) match {
+        case None => true
+        case Some((x, n)) =>
+          x != r.getAs[Long]("fp_xor") || n != r.getAs[Long]("n_rows")
+      }
+    }.map(_.getAs[Int]("day")).sorted.toSeq
     val deltaScan =
       if (changed.isEmpty) ev.limit(0)
       else Tables.eventsSince(spark, sfDir,
@@ -442,14 +449,38 @@ object ArtifactJobs {
     * delta-touching pairs — hash-equality proves decoding only the delta
     * against the stored artifact loses nothing.
     */
-  def imageIndexIncremental(spark: SparkSession, sfDir: String): DataFrame = {
-    import graft.ops.{Dedup, Multimodal}
+  def imageIndexIncremental(spark: SparkSession, sfDir: String): DataFrame =
+    fpIndexIncremental(spark, sfDir, "image_fp_index",
+      graft.ops.Multimodal.imageScan)
+
+  /** The audio twin of [[imageIndexIncremental]] — same persisted
+    * single-fingerprint index discipline over the `javax.sound` decode
+    * (the energy-difference fingerprint): stored clips are never
+    * re-decoded, only the doc_id % 5 == 0 delta is parsed at serve time.
+    * Probed non-degenerate at every SF: 662/662/6623 delta-touching
+    * pairs (38/38/375 delta-delta).
+    */
+  def audioIndexIncremental(spark: SparkSession, sfDir: String): DataFrame =
+    fpIndexIncremental(spark, sfDir, "audio_fp_index",
+      graft.ops.Multimodal.audioScan)
+
+  /** The shared single-fingerprint incremental-index core: persisted
+    * (doc_id, fp) artifact for the established 4/5 corpus, delta-only
+    * decode via `scan`, bipartite delta × (stored ∪ delta) banded
+    * Hamming join with the first-shared-band multiplicity-1 rule,
+    * delta-delta pairs canonicalized by id order, in-row bit_count
+    * verify. Output: (doc_a, doc_b, hamming) for every near-dup pair
+    * touching the delta.
+    */
+  private def fpIndexIncremental(spark: SparkSession, sfDir: String,
+      indexName: String,
+      scan: (SparkSession, DataFrame) => DataFrame): DataFrame = {
+    import graft.ops.Dedup
     val docs = Tables.documents(spark, sfDir)
-    val stored = persist(spark, "image_fp_index", docsFp(sfDir),
-      Multimodal.imageScan(spark, docs.filter(col("doc_id") % 5 =!= 0))
+    val stored = persist(spark, indexName, docsFp(sfDir),
+      scan(spark, docs.filter(col("doc_id") % 5 =!= 0))
         .select(col("doc_id"), col("fp")))
-    val delta = Multimodal.imageScan(spark,
-        docs.filter(col("doc_id") % 5 === 0))
+    val delta = scan(spark, docs.filter(col("doc_id") % 5 === 0))
       .select(col("doc_id"), col("fp")).cache()
     val full = stored.unionByName(delta)
     val bands = Dedup.Bands63
@@ -475,6 +506,7 @@ object ArtifactJobs {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "image_index_incremental" -> imageIndexIncremental,
+    "audio_index_incremental" -> audioIndexIncremental,
     "video_index_incremental" -> videoIndexIncremental,
     "item_pagerank_incremental" -> itemPagerankIncremental,
     "item_communities_incremental" -> itemCommunitiesIncremental,
@@ -496,6 +528,7 @@ object ArtifactJobs {
     */
   val oracles: Map[String, String] = Map(
     "image_index_incremental" -> MultimodalJobs.imageNeardupDeltaSql,
+    "audio_index_incremental" -> MultimodalJobs.audioNeardupDeltaSql,
     "video_index_incremental" -> MultimodalJobs.videoNeardupDeltaSql,
     "item_pagerank_incremental" -> AnalyticsJobs.itemPagerankSql,
     "item_communities_incremental" -> AnalyticsJobs.itemCommunitiesSql,

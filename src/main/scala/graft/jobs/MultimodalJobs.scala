@@ -421,6 +421,18 @@ object MultimodalJobs {
        |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.f, b.f)) <= $NEARDUP_MAX_HAMMING""".stripMargin
 
+  /** [[audioNeardupSql]] restricted to pairs touching the doc_id % 5 == 0
+    * delta — the oracle of `audio_index_incremental`
+    * ([[ArtifactJobs.audioIndexIncremental]]).
+    */
+  val audioNeardupDeltaSql: String =
+    s"""WITH $audioFpCtes
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |       CAST(bit_count(xor(a.f, b.f)) AS BIGINT) AS hamming
+       |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.f, b.f)) <= $NEARDUP_MAX_HAMMING
+       |  AND (a.doc_id % 5 = 0 OR b.doc_id % 5 = 0)""".stripMargin
+
   /** Audio cluster resolution — component minimum over the near-dup pair
     * graph, exactly as [[imageClusters]] ([[graft.ops.AudioPipeline]]
     * reuses [[graft.ops.Dedup.connectedComponents]] unchanged).

@@ -170,6 +170,39 @@ object StreamingSimilarity {
         col("s.cell").as("cell"), col("c.corpus_id"), col("adist"))
   }
 
+  /** Delta-cell refresh of the served IVF×PQ index — the freshness leg
+    * [[adcScreenFromIndex]] alone leaves open: a foreachBatch handler
+    * that encodes each micro-batch of arriving embeddings with the
+    * FROZEN model — cell by [[Similarity.ivfAssign]], codes by
+    * [[Similarity.pqEncodeWith]], the same expressions the batch index
+    * build evaluates, so an appended row is bit-equal to the row a full
+    * rebuild would produce for that vector — and APPENDS them to
+    * `indexPath` in [[packedCodes]]' (corpus_id, cell, codes) layout.
+    * The model stays frozen in-flight (standard IVF serving: cell
+    * CONTENTS grow; centroids and codebook retrain offline), appends are
+    * additive, so after ANY prefix of micro-batches the served table
+    * equals a frozen-model batch rebuild over corpus ∪ prefix — the
+    * spec's contract — and the next screening micro-batch probes cells
+    * that already contain this morning's arrivals.
+    *
+    * Scale: per batch the cost is batch-sized (one C-bounded broadcast
+    * argmax, one m·k-bounded code argmin, one appended parquet file);
+    * the served index is never rewritten or re-scanned. Batch input
+    * needs (vec_id, embedding: array<float>).
+    */
+  def indexRefreshBatches(centroids: DataFrame, codebook: DataFrame,
+      m: Int, dims: Int, indexPath: String): (DataFrame, Long) => Unit =
+    (batch, _) => if (!batch.isEmpty) {
+      val vecs = Similarity.withNorm(
+        batch.select(col("vec_id"), col("embedding")),
+        col("vec_id"), col("embedding"))
+      Similarity.ivfAssign(vecs, centroids)
+        .join(Similarity.pqEncodeWith(vecs, codebook, m, dims), "vec_id")
+        .select(col("vec_id").as("corpus_id"), col("cell"),
+          array((0 until m).map(s => col(s"c$s")): _*).as("codes"))
+        .write.mode("append").parquet(indexPath)
+    }
+
   /** Novelty screen against persisted k-center coreset centers
     * ([[graft.ops.Similarity.kCenterCenters]]'s (center_id, cqv, cn2)
     * layout): each arrival computes its exact integer-quantized squared

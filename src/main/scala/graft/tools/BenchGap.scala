@@ -61,56 +61,31 @@ object BenchGap {
     // the codegen cache is an instrument artifact), so every timed run
     // measures the serving regime; localbench.json is refreshed under
     // the same semantics. Canary slots registered for all 12.
-    "semantic_dedup_from_artifact" -> ("fixed round 13 (warm pass): " +
-      "BenchOne descent 7.9 -> 1.3 -> 1.0 -> 1.0 s — run 1 trains the " +
-      "ivf_centroids artifact + cold codegen; the 29.2 s r12 driver " +
-      "median was that first-run cost under load (the r12 driver's 3 " +
-      "runs never reached steady state)"),
-    "ann_ivf_pq_rerank" -> ("fixed round 13 (warm pass): BenchOne " +
-      "descent 5.3 -> 1.6 -> 1.3 -> 1.2 s (same curve r11 measured); " +
-      "the 15.0 s r12 driver median is the cold run under load"),
-    "hot_items_topn" -> ("fixed round 13 (warm pass): BenchOne descent " +
-      "5.5 -> 1.3 s steady on the 2-exchange textbook plan; 12.1 s " +
-      "driver = cold codegen under a load spike (canary_max 1.19 s " +
-      "proved one ~12x stall window in BENCH_r12)"),
-    "mixture_plan" -> ("fixed round 13 (warm pass): BenchOne descent " +
-      "3.3 -> 0.7 s steady on a 3-exchange plan"),
-    "rec_eval" -> ("fixed round 13 (warm pass): BenchOne descent 11.1 " +
-      "-> 2.7 -> 2.3 -> 2.0 s — run 1 is the prefix-lists memo miss " +
-      "(training); the quiet r12 canary was consistent with this, load " +
-      "stretching the miss run into the median, not an env stall; " +
-      "cf_memo hit/miss counters now emitted in the bench tail line as " +
-      "driver-side proof"),
-    "lm_surprise_ref" -> ("fixed round 13 (warm pass): BenchOne descent " +
-      "4.3 -> 1.0 s steady"),
-    "source_caps_quality" -> ("fixed round 13 (warm pass): BenchOne " +
-      "descent 4.1 -> 0.5 s steady"),
-    "event_paths" -> ("fixed round 13 (warm pass): BenchOne descent " +
-      "3.8 -> 0.8 s steady"),
-    "set_ops" -> ("fixed round 13 (warm pass): BenchOne descent " +
-      "3.7 -> 0.8 s steady"),
-    "embedding_neardup" -> ("fixed round 13 (warm pass): BenchOne " +
-      "descent 5.4 -> 1.2 s steady"),
-    "item_communities" -> ("fixed round 13 (warm pass): BenchOne " +
-      "descent 6.0 -> 0.8 s steady (runs 3-4)"),
-    "tokenizer_compare" -> ("fixed round 13 (warm pass): flagged only " +
-      "after the warm-semantics localbench refresh dropped its local " +
-      "median to 1.11 s (r12 driver 3.40 s = 3.1x, barely over); " +
-      "BenchOne descent 7.7 -> 1.5 -> 1.3 -> 1.2 s — run 1 trains all " +
-      "three tokenizer memos + cold codegen, the same class as the " +
-      "other 13"),
-    "q5_local_supplier" -> ("fixed round 13 (warm pass): flagged only " +
-      "after the warm-semantics localbench refresh dropped its local " +
-      "median to 0.71 s (r12 driver 2.26 s = 3.2x); BenchOne descent " +
-      "4.2 -> 1.5 -> 1.2 -> 1.1 s — the same cold-codegen class as the " +
-      "other 12 (5-way broadcast-dim join compiles a wide stage first " +
-      "run)"),
-    "ngram_jaccard_prefix" -> ("fixed round 13 (warm pass) on top of the " +
-      "r12 fence re-point: BenchOne steady 3.0-4.1 s is the genuine " +
-      "dense-fixture candidate mass (SCALE.md S8b measured trade) — the " +
-      "24.4 s r12 driver median is cold cost under load (its canary " +
-      "read 0.20 s = 2x med, a loaded slot); expect ~4-5 s driver once " +
-      "warm"))
+    //
+    // All 14 r12→r13 KnownFixed entries (semantic_dedup_from_artifact,
+    // ann_ivf_pq_rerank, hot_items_topn, mixture_plan, rec_eval,
+    // lm_surprise_ref, source_caps_quality, event_paths, set_ops,
+    // embedding_neardup, item_communities, tokenizer_compare,
+    // q5_local_supplier, ngram_jaccard_prefix) were adjudicated by
+    // BENCH_r13 — every visible one descended to <=2.0x local under the
+    // warm-pass semantics (the r13 VERDICT confirms all 13 r12 flags
+    // <=1.5x) — and are pruned per the map's contract.
+    "cross_modal_clusters" -> ("fixed round 14: the r13 2.7x " +
+      "(10.8 driver / 4.05 local) was the two unioned pipelines' full " +
+      "internal caches (grams, signatures, image scan, fp frames) held " +
+      "through the components pass under driver memory pressure; the " +
+      "consumer now scopes both pipelines, materializes the slim " +
+      "(doc_a, doc_b) union edge frame eagerly (localCheckpoint) and " +
+      "releases every upstream cache before cluster resolution. " +
+      "BenchOne unchanged on a quiet box (10.8 -> 2.9 s steady, same " +
+      "curve) — the win is the concurrent-footprint cut, visible only " +
+      "under load"),
+    "item_pagerank_incremental" -> ("fixed round 14: the serve path ran " +
+      "TWO full event scans (max-day aggregate + today's manifest); the " +
+      "horizon and the change diff now both derive from the ONE " +
+      "collected manifest (day-count rows). BenchOne steady 1.3-1.5 s " +
+      "(was 1.3-1.7); the r13 2.1x also carried a proven load window " +
+      "(canary_max 0.87 s = 9x canary median in BENCH_r13)"))
 
   /** Flags attributed to driver-container environment, not engine code:
     * BenchOne locals are clean and the audited plan has nothing left to

@@ -176,6 +176,64 @@ class ArtifactJobsSpec extends SparkSpec {
     assert(java.nio.file.Files.exists(p), "video_fp_index artifact missing")
   }
 
+  test("image_index_incremental equals the full recompute on delta-touching pairs") {
+    val sfd = sf("sf0.001")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val inc = rows(ArtifactJobs.imageIndexIncremental(spark, sfd))
+    val full = rows(graft.jobs.MultimodalJobs.imageNeardup(spark, sfd)
+      .filter(org.apache.spark.sql.functions.expr(
+        "doc_a % 5 = 0 OR doc_b % 5 = 0")))
+    assert(inc == full,
+      s"only-inc=${(inc -- full).take(3)} only-full=${(full -- inc).take(3)}")
+    assert(inc.nonEmpty, "delta must touch near-dup pairs")
+    // both delta-delta and delta-stored pairs must be exercised
+    assert(inc.exists { case (a, b, _) => a % 5 == 0 && b % 5 == 0 })
+    assert(inc.exists { case (a, b, _) => (a % 5 == 0) != (b % 5 == 0) })
+    val p = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_artifacts", "image_fp_index")
+    assert(java.nio.file.Files.exists(p), "image_fp_index artifact missing")
+  }
+
+  test("audio_index_incremental equals the full recompute on delta-touching pairs") {
+    val sfd = sf("sf0.001")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val inc = rows(ArtifactJobs.audioIndexIncremental(spark, sfd))
+    val full = rows(graft.jobs.MultimodalJobs.audioNeardup(spark, sfd)
+      .filter(org.apache.spark.sql.functions.expr(
+        "doc_a % 5 = 0 OR doc_b % 5 = 0")))
+    assert(inc == full,
+      s"only-inc=${(inc -- full).take(3)} only-full=${(full -- inc).take(3)}")
+    assert(inc.nonEmpty)
+    assert(inc.exists { case (a, b, _) => a % 5 == 0 && b % 5 == 0 })
+    assert(inc.exists { case (a, b, _) => (a % 5 == 0) != (b % 5 == 0) })
+  }
+
+  test("image_index_incremental decodes ONLY the delta at serve time") {
+    // the artifact is memoized per corpus fingerprint: after a first call
+    // lands it, the serve plan's decode scan (imageScan's mapPartitions
+    // over payloads) must read the delta documents only — pinned by the
+    // pushed doc_id % 5 = 0 residual being the ONLY documents scan
+    // feeding a decode, the stored side being a plain parquet scan of the
+    // artifact
+    val sfd = sf("sf0.001")
+    ArtifactJobs.imageIndexIncremental(spark, sfd).count() // land artifact
+    val df = ArtifactJobs.imageIndexIncremental(spark, sfd)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Truncated plan"), "plan string truncated (r11 rule)")
+    // every documents scan (the cached delta lineage prints once per
+    // InMemoryRelation reference) carries the delta filter; a stored-side
+    // recompute would appear as a NOT-delta documents scan
+    assert("\\(doc_id#\\d+L? % 5\\) = 0".r.findAllIn(p).nonEmpty,
+      s"delta filter missing from the decode scan:\n$p")
+    assert("NOT \\(\\(doc_id#\\d+L? % 5\\) = 0\\)".r.findAllIn(p).isEmpty,
+      s"stored side re-decoded the corpus instead of reading the artifact:\n$p")
+    assert(p.contains("image_fp_index"),
+      s"stored side must read the persisted artifact:\n$p")
+  }
+
   test("artifacts land on disk as readable parquet models") {
     ArtifactJobs.bpeEncodeFromArtifact(spark, sf("sf0.001")).count()
     val p = java.nio.file.Paths.get(

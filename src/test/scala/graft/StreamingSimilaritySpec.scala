@@ -162,6 +162,87 @@ class StreamingSimilaritySpec extends SparkSpec {
     v.unpersist(); packed.unpersist()
   }
 
+  test("delta-cell index refresh: served index equals a frozen-model batch rebuild") {
+    implicit val sqlCtx = spark.sqlContext
+    val (nprobe, m, k, dims) = (4, 4, 16, 64)
+    val emb = spark.read.parquet(s"${sf("sf0.001")}/embeddings.parquet")
+    // established corpus = ids < 450; arrivals = 450..499 in two batches.
+    // the model (centroids + codebook) is trained on the corpus and
+    // FROZEN — ids 0..15 seed both and stay in the corpus throughout.
+    val corpusV = Similarity.withNorm(emb.filter($"vec_id" < 450),
+      col("vec_id"), col("embedding")).cache()
+    val cents = Similarity.seedCentroids(corpusV, 16).cache()
+    val codebook = Similarity.pqSeedCodebook(corpusV, m, k, dims).cache()
+    cents.count(); codebook.count()
+    def packedOf(v: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfAssign(v, cents)
+        .join(Similarity.pqEncodeWith(v, codebook, m, dims), "vec_id")
+        .select(col("vec_id").as("corpus_id"), col("cell"),
+          org.apache.spark.sql.functions.array(
+            (0 until m).map(s => col(s"c$s")): _*).as("codes"))
+    val dir = java.nio.file.Files.createTempDirectory("ivf_index_").toString
+    packedOf(corpusV).write.mode("overwrite").parquet(dir)
+
+    val arrivals = emb.filter($"vec_id" >= 450)
+      .select($"vec_id", $"embedding")
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+      .map { case (id, e) => (id, e, ts(100 + id)) }
+    val in = MemoryStream[(Long, Array[Float], Timestamp)]
+    val q = in.toDF().toDF("vec_id", "embedding", "ts")
+      .writeStream
+      .foreachBatch(StreamingSimilarity.indexRefreshBatches(
+        cents, codebook, m, dims, dir))
+      .start()
+    try {
+      in.addData(arrivals.take(25).toSeq: _*); q.processAllAvailable()
+      in.addData(arrivals.drop(25).toSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select($"corpus_id", $"cell", $"codes")
+      .as[(Long, Long, Seq[Int])].collect().toSet
+    val served = key(spark.read.parquet(dir))
+    val allV = Similarity.withNorm(emb, col("vec_id"), col("embedding"))
+    val rebuilt = key(packedOf(allV))
+    assert(served.size == 500)
+    assert(served == rebuilt,
+      s"only-served=${(served -- rebuilt).take(3)} " +
+        s"only-rebuilt=${(rebuilt -- served).take(3)}")
+
+    // serving: an ADC screen from the REFRESHED index equals the batch
+    // IVF-PQ candidate set over corpus ∪ arrivals (frozen model)
+    val in2 = MemoryStream[(Long, Array[Float], Timestamp)]
+    val probes = emb.filter($"vec_id" < 5)
+      .select($"vec_id", $"embedding")
+      .as[(Long, Array[Float])].collect()
+      .map { case (id, e) => (id, e, ts(200 + id)) }
+    val q2 = StreamingSimilarity.adcScreenFromIndex(
+        in2.toDF().toDF("vec_id", "embedding", "ts"), "ts", "0 seconds",
+        cents, spark.read.parquet(dir), codebook,
+        nprobe, m, k, dims, Long.MaxValue)
+      .writeStream.format("memory").queryName("refresh_adc_screen")
+      .outputMode("append").start()
+    val got = try {
+      in2.addData(probes.toSeq: _*)
+      q2.processAllAvailable()
+      spark.table("refresh_adc_screen")
+        .select($"vec_id", $"corpus_id", $"adist")
+        .as[(Long, Long, Long)].collect().toSet
+    } finally q2.stop()
+    val expected = Similarity.ivfPqTopK(allV, cents, $"vec_id" < 5,
+        nprobe, m, k, dims, topK = 1000000)
+      .select($"query_id", $"neighbor_id", $"adist")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got.nonEmpty)
+    // arrivals must actually surface as candidates — the freshness claim
+    assert(got.exists(_._2 >= 450),
+      "refreshed cells must serve the streamed-in vectors")
+    assert(got == expected,
+      s"only-stream=${(got -- expected).take(3)} " +
+        s"only-batch=${(expected -- got).take(3)}")
+    corpusV.unpersist(); cents.unpersist(); codebook.unpersist()
+  }
+
   test("novelty screen flags equal the batch k-center assignment + threshold") {
     implicit val sqlCtx = spark.sqlContext
     // centers trained on a corpus with two far blobs; arrivals: one near
