@@ -82,6 +82,44 @@ object StreamingMultimodal {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Delta refresh of the persisted image fingerprint index — the
+    * multimodal sibling of
+    * [[StreamingSimilarity.indexRefreshBatches]], closing the freshness
+    * gap [[screenImages]] alone leaves open (it screens against a STATIC
+    * landed table): a foreachBatch handler that decodes + dHashes each
+    * micro-batch of arriving image assets with the SAME in-flight
+    * expressions the screen evaluates (one codec decode + one 63-sample
+    * grid walk per arrival — and the same arithmetic as the batch
+    * [[Multimodal.imageFingerprints]], so an appended row is bit-equal
+    * to a full re-fingerprint's row) and APPENDS the (doc_id, fp) rows
+    * to the index table at `indexPath`. The fingerprint is a pure
+    * function of the payload and appends are additive, so after any
+    * prefix of micro-batches the table equals a batch re-fingerprint
+    * over corpus ∪ prefix (the spec's contract) — and the NEXT
+    * micro-batch's screen flags near-dups of THIS batch's arrivals, not
+    * just of yesterday's corpus.
+    *
+    * Scale: per batch the cost is batch-sized (narrow decode, one
+    * appended parquet file); the index is never rewritten or re-scanned.
+    * Batch input needs (asset_id, content: binary PNG, width, height).
+    */
+  def imageIndexRefreshBatches(indexPath: String): (DataFrame, Long) => Unit =
+    (batch, _) => if (!batch.isEmpty) {
+      val spark = batch.sparkSession
+      import spark.implicits._
+      batch
+        .select(col("asset_id"), col("content"), col("width"), col("height"))
+        .as[(Long, Array[Byte], Int, Int)]
+        .mapPartitions { it =>
+          it.map { case (id, png, w, h) =>
+            val px = Multimodal.decode(
+              Multimodal.Asset(id, png, "image", w, h, 1))
+            (id, Multimodal.dHash63(px, w, h))
+          }
+        }.toDF("doc_id", "fp")
+        .write.mode("append").parquet(indexPath)
+    }
+
   /** The AUDIO sibling of [[screenImages]]: each arriving clip is decoded
     * (`javax.sound`) and fingerprinted ([[Multimodal.audioFp63]])
     * in-flight, then Hamming-banded against the persisted corpus

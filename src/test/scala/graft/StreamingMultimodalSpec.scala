@@ -69,6 +69,80 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(expected.exists(_._3 > 0), "must include true near dups, not just exact")
   }
 
+  test("image index refresh: appended index equals a batch re-fingerprint; screen serves it") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.io.Tables.documents(spark, sf("sf0.001"))
+    // yesterday's index: fingerprints of ids < 100, landed
+    val dir = java.nio.file.Files.createTempDirectory("imgfp_inc").toString
+    Multimodal.imageFingerprints(spark, docs.filter($"doc_id" < 100))
+      .write.mode("overwrite").parquet(dir)
+
+    // arrivals: ids 100..199 in two micro-batches through the refresher
+    val arrivals = Multimodal
+      .neardupImageAssets(spark,
+        docs.filter($"doc_id" >= 100 && $"doc_id" < 200))
+      .collect().sortBy(_.asset_id)
+      .map(a => (a.asset_id, a.content, a.width, a.height, ts(a.asset_id)))
+    val in = MemoryStream[(Long, Array[Byte], Int, Int, Timestamp)]
+    val q = in.toDF().toDF("asset_id", "content", "width", "height", "ts")
+      .writeStream
+      .foreachBatch(StreamingMultimodal.imageIndexRefreshBatches(dir))
+      .start()
+    try {
+      in.addData(arrivals.take(50).toSeq: _*); q.processAllAvailable()
+      in.addData(arrivals.drop(50).toSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+
+    // contract: the landed table equals a batch re-fingerprint of
+    // corpus ∪ arrivals, bit for bit
+    val served = spark.read.parquet(dir)
+      .as[(Long, Long)].collect().toSet
+    val rebuilt = Multimodal
+      .imageFingerprints(spark, docs.filter($"doc_id" < 200))
+      .as[(Long, Long)].collect().toSet
+    assert(served.size == 200)
+    assert(served == rebuilt,
+      s"only-served=${(served -- rebuilt).take(3)} " +
+        s"only-rebuilt=${(rebuilt -- served).take(3)}")
+
+    // freshness: a probe screened against the REFRESHED index must hit
+    // streamed-in arrivals (ids >= 100), which the static corpus alone
+    // could never flag — verified against brute force over the union
+    val probes = Multimodal
+      .neardupImageAssets(spark,
+        docs.filter($"doc_id" >= 60 && $"doc_id" < 100))
+      .collect()
+      .map(a => (a.asset_id, a.content, a.width, a.height, ts(a.asset_id)))
+    val in2 = MemoryStream[(Long, Array[Byte], Int, Int, Timestamp)]
+    val q2 = StreamingMultimodal.screenImages(
+        in2.toDF().toDF("asset_id", "content", "width", "height", "ts"),
+        "ts", "0 seconds", spark.read.parquet(dir), Dedup.Bands63,
+        maxHamming = 3)
+      .writeStream.format("memory").queryName("refresh_img_screen")
+      .outputMode("append").start()
+    val got = try {
+      in2.addData(probes.toSeq: _*)
+      q2.processAllAvailable()
+      spark.table("refresh_img_screen")
+        .select($"asset_id", $"corpus_id", $"hamming")
+        .as[(Long, Long, Long)].collect().toSet
+    } finally q2.stop()
+    val fpMap = rebuilt.toMap
+    val probeFp = Multimodal
+      .imageFingerprints(spark, docs.filter($"doc_id" >= 60 && $"doc_id" < 100))
+      .as[(Long, Long)].collect().toMap
+    val expected = (for {
+      (aid, af) <- probeFp.toSeq
+      (cid, cf) <- fpMap.toSeq if cid != aid
+      hm = java.lang.Long.bitCount(af ^ cf).toLong if hm <= 3
+    } yield (aid, cid, hm)).toSet
+    assert(got == expected,
+      s"only-stream=${(got -- expected).take(3)} " +
+        s"only-batch=${(expected -- got).take(3)}")
+    assert(got.exists(_._2 >= 100),
+      "refreshed index must surface streamed-in arrivals as near-dups")
+  }
+
   test("stream audio screen equals brute force over real decoded fingerprints") {
     implicit val sqlCtx = spark.sqlContext
     val docs = graft.io.Tables.documents(spark, sf("sf0.001"))
