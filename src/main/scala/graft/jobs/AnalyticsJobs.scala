@@ -1218,7 +1218,7 @@ object AnalyticsJobs {
     * frame distributed (the 100 TB fence — big models belong in the
     * [[ArtifactJobs]] parquet contract, not driver memory).
     */
-  private def memoizedLists(spark: SparkSession, key: String,
+  private[jobs] def memoizedLists(spark: SparkSession, key: String,
       build: => DataFrame): DataFrame = {
     import spark.implicits._
     def rebuild(flat: Array[Long]): DataFrame =

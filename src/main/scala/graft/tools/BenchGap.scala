@@ -80,6 +80,13 @@ object BenchGap {
       "BenchOne unchanged on a quiet box (10.8 -> 2.9 s steady, same " +
       "curve) — the win is the concurrent-footprint cut, visible only " +
       "under load"),
+    "item_similarity_incremental" -> ("fixed round 14: flags only " +
+      "because the fix dropped the LOCAL median (3.2 -> 0.57 s) under " +
+      "the r13 driver number — the merged-set CF lists are now " +
+      "content-memoized like the full-log simLists (r8 contract, " +
+      "distinct memo tag so the stored-artifact + delta lineage still " +
+      "runs and hash-gates on the miss); the consistent ~3.2 s in every " +
+      "reference run was the quadratic pair join re-run per timed pass"),
     "item_pagerank_incremental" -> ("fixed round 14: the serve path ran " +
       "TWO full event scans (max-day aggregate + today's manifest); the " +
       "horizon and the change diff now both derive from the ONE " +
