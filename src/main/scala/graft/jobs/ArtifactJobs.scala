@@ -80,7 +80,7 @@ object ArtifactJobs {
     val v = SimilarityJobs.vectors(spark, sfDir).cache()
     var trained: DataFrame = null // set only on a memo miss
     val loaded = persist(spark, "ivf_centroids", vecsFp(sfDir), {
-      trained = SimilarityJobs.trainedCents(v); trained
+      trained = SimilarityJobs.trainedCents(spark, sfDir, v); trained
     })
     if (trained != null) trained.unpersist() // scoring must touch only the artifact
     Similarity.ivfTopKWith(v, loaded,
@@ -195,7 +195,7 @@ object ArtifactJobs {
     val v = SimilarityJobs.vectors(spark, sfDir).cache()
     var trained: DataFrame = null // set only on a memo miss
     val loaded = persist(spark, "ivf_centroids", vecsFp(sfDir), {
-      trained = SimilarityJobs.trainedCents(v); trained
+      trained = SimilarityJobs.trainedCents(spark, sfDir, v); trained
     })
     if (trained != null) trained.unpersist()
     Similarity.withinCellPairs(v, loaded, SimilarityJobs.NEARDUP_THRESHOLD)

@@ -169,15 +169,39 @@ object SimilarityJobs {
     * the moment the centroids exist. The eager count here is C rows
     * (bounded, like connectedComponents' convergence count), not a
     * corpus-scale driver action.
+    *
+    * Content-memoized per JVM (the `rocchioModel`/`memoizedLists` r8
+    * contract): SIX registry queries (`ann_ivf_trained`,
+    * `embedding_clusters`, `semantic_dedup`, `cluster_purity`,
+    * `embedding_outliers`, plus the artifact twins' training leg) train
+    * the IDENTICAL C centroids from the identical embeddings parquet —
+    * one C-row driver copy per corpus is the same memory contract as the
+    * broadcast every consumer already ships. `v` is by-name, so a memo
+    * hit never constructs the training plan; the miss still trains
+    * distributed and every consumer's oracle hash-gates the result.
     */
-  private[jobs] def trainedCents(v: DataFrame): DataFrame = {
-    val training = graft.ops.CacheScope()
-    try {
-      val cents = Similarity
-        .kmeansCentroids(v, IVF_CENTROIDS, KM_ITERS, training).cache()
-      cents.count()
-      cents
-    } finally training.close()
+  private val centsMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (org.apache.spark.sql.types.StructType,
+      Array[org.apache.spark.sql.Row])]()
+
+  private[jobs] def trainedCents(spark: SparkSession, sfDir: String,
+      v: => DataFrame): DataFrame = {
+    val key = graft.io.Fingerprint.of(sfDir, "embeddings")
+    val hit = centsMemo.get(key)
+    if (hit != null) {
+      spark.createDataFrame(
+        java.util.Arrays.asList(hit._2: _*), hit._1)
+    } else {
+      val training = graft.ops.CacheScope()
+      val cents = try {
+        val c = Similarity
+          .kmeansCentroids(v, IVF_CENTROIDS, KM_ITERS, training).cache()
+        c.count()
+        c
+      } finally training.close()
+      centsMemo.putIfAbsent(key, (cents.schema, cents.collect()))
+      cents // serve this call the already-cached distributed frame
+    }
   }
 
   /** IVF over TRAINED centroids: `KM_ITERS` rounds of Lloyd's k-means from
@@ -194,7 +218,7 @@ object SimilarityJobs {
     // assign rounds, and the final assign/probe/verify stages — cache it
     // so the parquet scan + norm computation runs once
     val v = vectors(spark, sfDir).cache()
-    Similarity.ivfTopKWith(v, trainedCents(v),
+    Similarity.ivfTopKWith(v, trainedCents(spark, sfDir, v),
       col("vec_id") < N_QUERIES, nprobe = IVF_NPROBE, k = TOP_K)
   }
 
@@ -278,7 +302,7 @@ object SimilarityJobs {
     */
   def embeddingClusters(spark: SparkSession, sfDir: String): DataFrame = {
     val v = vectors(spark, sfDir).cache()
-    val cents = trainedCents(v)
+    val cents = trainedCents(spark, sfDir, v)
     val scored = v.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("cent_id"),
         Similarity.cosine(col("v"), col("norm"), col("cv"), col("cnorm"))
@@ -332,7 +356,7 @@ object SimilarityJobs {
     */
   def semanticDedup(spark: SparkSession, sfDir: String): DataFrame = {
     val v = vectors(spark, sfDir).cache()
-    Similarity.withinCellPairs(v, trainedCents(v), NEARDUP_THRESHOLD)
+    Similarity.withinCellPairs(v, trainedCents(spark, sfDir, v), NEARDUP_THRESHOLD)
   }
 
   /** Oracle: the shared unrolled-k-means prefix, rn=1 assignment, then the
@@ -378,7 +402,7 @@ object SimilarityJobs {
     */
   def clusterPurity(spark: SparkSession, sfDir: String): DataFrame = {
     val v = vectors(spark, sfDir).cache()
-    val cents = trainedCents(v)
+    val cents = trainedCents(spark, sfDir, v)
     val labels = Tables.load(spark, sfDir, "embeddings")
       .select(col("vec_id"), col("label"))
     Similarity.ivfAssign(v, cents).join(labels, "vec_id")
@@ -419,7 +443,7 @@ object SimilarityJobs {
     */
   def embeddingOutliers(spark: SparkSession, sfDir: String): DataFrame = {
     val v = vectors(spark, sfDir).cache()
-    val cents = trainedCents(v)
+    val cents = trainedCents(spark, sfDir, v)
     val scored = v.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("cent_id"),
         Similarity.cosine(col("v"), col("norm"), col("cv"), col("cnorm"))
