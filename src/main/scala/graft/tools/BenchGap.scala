@@ -80,6 +80,13 @@ object BenchGap {
       "BenchOne unchanged on a quiet box (10.8 -> 2.9 s steady, same " +
       "curve) — the win is the concurrent-footprint cut, visible only " +
       "under load"),
+    "semantic_dedup" -> ("fixed round 14: flags only because the " +
+      "trainedCents content-memo (r8 contract, six consumers) dropped " +
+      "the LOCAL median 2.35 -> 0.75 s under the r13 driver number; " +
+      "the pair stage is unchanged and its oracle hash-gates the " +
+      "memo-hit frames at both SFs"),
+    "cluster_purity" -> ("fixed round 14: same trainedCents memo — " +
+      "local median 1.43 -> 0.43 s; assignment + label join unchanged"),
     "item_similarity_incremental" -> ("fixed round 14: flags only " +
       "because the fix dropped the LOCAL median (3.2 -> 0.57 s) under " +
       "the r13 driver number — the merged-set CF lists are now " +
