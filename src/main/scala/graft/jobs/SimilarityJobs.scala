@@ -184,6 +184,13 @@ object SimilarityJobs {
     String, (org.apache.spark.sql.types.StructType,
       Array[org.apache.spark.sql.Row])]()
 
+  /** Spec hook: [[trainedCents]] over the standard vector frame of a
+    * fixture dir (exercises the memo path end to end).
+    */
+  private[graft] def trainedCentsForSpec(spark: SparkSession,
+      sfDir: String): DataFrame =
+    trainedCents(spark, sfDir, vectors(spark, sfDir))
+
   private[jobs] def trainedCents(spark: SparkSession, sfDir: String,
       v: => DataFrame): DataFrame = {
     val key = graft.io.Fingerprint.of(sfDir, "embeddings")

@@ -162,6 +162,31 @@ object StreamingMultimodal {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** The AUDIO sibling of [[imageIndexRefreshBatches]]: arriving clips
+    * are decoded (`javax.sound`) and fingerprinted
+    * ([[Multimodal.audioFp63]]) with [[screenAudio]]'s own in-flight
+    * expressions — bit-equal to the batch [[Multimodal.audioScan]]'s
+    * fp column — and appended to the landed
+    * (doc_id, fp) index. Same rebuild-equivalence invariant, same
+    * batch-sized per-micro-batch cost. Batch input needs (asset_id,
+    * content: binary WAV).
+    */
+  def audioIndexRefreshBatches(indexPath: String): (DataFrame, Long) => Unit =
+    (batch, _) => if (!batch.isEmpty) {
+      val spark = batch.sparkSession
+      import spark.implicits._
+      batch.select(col("asset_id"), col("content"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          it.map { case (id, wav) =>
+            val samples = Multimodal.decode(
+              Multimodal.Asset(id, wav, "audio", 0, 0, 1))
+            (id, Multimodal.audioFp63(samples))
+          }
+        }.toDF("doc_id", "fp")
+        .write.mode("append").parquet(indexPath)
+    }
+
   /** The static side of the VIDEO screen: per-clip frame-fingerprint
     * sequences rolled up from a [[Multimodal.videoScan]]-shaped table —
     * (corpus_id, corpus_nf, corpus_fps ordered by frame, corpus_fp =

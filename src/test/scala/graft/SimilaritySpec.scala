@@ -17,6 +17,20 @@ class SimilaritySpec extends SparkSpec {
 
   private def v = Similarity.withNorm(vecs, $"vec_id", $"embedding")
 
+  test("centroid memo isolates corpora: different SF dirs train different models") {
+    // the trainedCents memo keys on the embeddings parquet fingerprint —
+    // two corpora served from ONE JVM must never share a model, and a
+    // repeat call on the same corpus must serve the identical rows
+    def rows(sfDir: String) = graft.jobs.SimilarityJobs
+      .trainedCentsForSpec(spark, sfDir)
+      .select($"cent_id", $"cnorm").as[(Long, Double)].collect().toSet
+    val a1 = rows(sf("sf0.001"))
+    val b = rows(sf("sf0.01"))
+    val a2 = rows(sf("sf0.001")) // memo hit
+    assert(a1 == a2, "repeat call must serve the identical model")
+    assert(a1 != b, "different corpora must not share a memoized model")
+  }
+
   test("brute-force top-k ranks by cosine with self excluded") {
     val out = Similarity.bruteForceTopK(v, v.filter($"vec_id" === 0), 2)
       .orderBy($"rn").select($"neighbor_id", $"sim").as[(Long, Double)].collect()

@@ -143,6 +143,41 @@ class StreamingMultimodalSpec extends SparkSpec {
       "refreshed index must surface streamed-in arrivals as near-dups")
   }
 
+  test("audio index refresh: appended index equals a batch re-fingerprint") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.io.Tables.documents(spark, sf("sf0.001"))
+    val dir = java.nio.file.Files.createTempDirectory("audfp_inc").toString
+    Multimodal.audioScan(spark, docs.filter($"doc_id" < 100))
+      .select(col("doc_id"), col("fp"))
+      .write.mode("overwrite").parquet(dir)
+
+    val arrivals = Multimodal
+      .neardupAudioAssets(spark,
+        docs.filter($"doc_id" >= 100 && $"doc_id" < 200))
+      .collect().sortBy(_.asset_id)
+      .map(a => (a.asset_id, a.content, ts(a.asset_id)))
+    val in = MemoryStream[(Long, Array[Byte], Timestamp)]
+    val q = in.toDF().toDF("asset_id", "content", "ts")
+      .writeStream
+      .foreachBatch(StreamingMultimodal.audioIndexRefreshBatches(dir))
+      .start()
+    try {
+      in.addData(arrivals.take(50).toSeq: _*); q.processAllAvailable()
+      in.addData(arrivals.drop(50).toSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+
+    val served = spark.read.parquet(dir)
+      .as[(Long, Long)].collect().toSet
+    val rebuilt = Multimodal
+      .audioScan(spark, docs.filter($"doc_id" < 200))
+      .select(col("doc_id"), col("fp"))
+      .as[(Long, Long)].collect().toSet
+    assert(served.size == 200)
+    assert(served == rebuilt,
+      s"only-served=${(served -- rebuilt).take(3)} " +
+        s"only-rebuilt=${(rebuilt -- served).take(3)}")
+  }
+
   test("stream audio screen equals brute force over real decoded fingerprints") {
     implicit val sqlCtx = spark.sqlContext
     val docs = graft.io.Tables.documents(spark, sf("sf0.001"))
