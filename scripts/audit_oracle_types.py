@@ -14,12 +14,17 @@ Exit 0 = clean; 1 = flagged columns or DESCRIBE errors (listed).
 import duckdb, json, glob, os, sys
 
 def main():
+    if len(sys.argv) < 3:
+        print("usage: audit_oracle_types.py <verify_outDir> <sfDir>")
+        return 2
     outdir, sfdir = sys.argv[1], sys.argv[2]
     sql = json.load(open(os.path.join(outdir, 'oracle_sql.json')))
     con = duckdb.connect()
     for pq in glob.glob(f'{sfdir}/*.parquet'):
         t = os.path.basename(pq).replace('.parquet', '')
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pq}')")
+        # quoted identifier: a filename stem need not be a bare SQL name
+        con.execute(
+            f"CREATE VIEW \"{t}\" AS SELECT * FROM read_parquet('{pq}')")
     bad = []
     for name, q in sorted(sql.items()):
         try:

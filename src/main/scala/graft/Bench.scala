@@ -151,14 +151,19 @@ object Bench {
       // these canaries adjudicate: engine fix lands (time drops), env
       // (canary spikes with the query), or real gap (quiet canary, high
       // steady time → forensics).
-      // plus tokenizer_compare and q5_local_supplier, which crossed the
-      // 3x line only after the warm-semantics localbench refresh lowered
-      // their local medians (annotated KnownFixed; canaries for proof).
-      "semantic_dedup_from_artifact", "hot_items_topn", "mixture_plan",
-      "ann_ivf_pq_rerank", "lm_surprise_ref", "source_caps_quality",
-      "event_paths", "set_ops", "ngram_jaccard_prefix", "rec_eval",
-      "embedding_neardup", "item_communities", "tokenizer_compare",
-      "q5_local_supplier")
+      // r14 adjudications (13 r13 slots pruned): hot_items_topn 1.3x,
+      // mixture_plan 1.2x, ann_ivf_pq_rerank 0.7x, lm_surprise_ref 1.4x,
+      // source_caps_quality 1.0x, event_paths 1.4x, set_ops 1.3x,
+      // ngram_jaccard_prefix 0.6x, rec_eval 0.9x, embedding_neardup 1.3x,
+      // item_communities 1.2x, tokenizer_compare 1.4x, q5_local_supplier
+      // 1.2x — all cleared under the warm-pass semantics with quiet slot
+      // canaries. r15 slots = the BENCH_r14 >3x flags (ann_cosine_topk,
+      // video_clusters) plus the 2-3x watch band (BENCHGAP-r14) — the
+      // clusters/index queries got the slim CacheScope handoff this
+      // round, the rest await canary adjudication.
+      "semantic_dedup_from_artifact", "ann_cosine_topk", "video_clusters",
+      "image_clusters", "image_index_incremental", "decontamination",
+      "bm25_search")
     val byCost = results.toSeq.sortBy { case (_, v) =>
       if (v.isNaN) Double.MaxValue else v } // cheap first; NaN (errored) last
     val chunk = new StringBuilder

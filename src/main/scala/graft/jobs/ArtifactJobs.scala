@@ -411,8 +411,11 @@ object ArtifactJobs {
     val docs = Tables.documents(spark, sfDir)
     val stored = persist(spark, "video_fp_index", docsFp(sfDir),
       Multimodal.videoScan(spark, docs.filter(col("doc_id") % 5 =!= 0)))
+    // localCheckpoint, not .cache(): consumed by both the banded join and
+    // the verify stage, and a bare cache would leak past the query (see
+    // [[fpIndexIncremental]]).
     val delta = Multimodal.videoScan(spark,
-      docs.filter(col("doc_id") % 5 === 0)).cache()
+      docs.filter(col("doc_id") % 5 === 0)).localCheckpoint()
     val full = stored.unionByName(delta)
     val bands = Dedup.Bands63
     def banded(anchors: DataFrame, idAs: String, fpAs: String) =
@@ -442,7 +445,8 @@ object ArtifactJobs {
     * artifact; serve time DECODES ONLY the delta images (doc_id % 5 == 0)
     * and pairs delta × (stored ∪ delta) through a bipartite banded
     * Hamming join — at 100 TB the corpus is never re-decoded (decode
-    * dominates image-dedup cost), and the join's stream side is
+    * dominates image-dedup cost; memo-key scope: see
+    * [[fpIndexIncremental]]), and the join's stream side is
     * delta-sized. First-shared-band keeps candidate multiplicity exactly
     * 1 (identical fingerprints meet at band 0); delta-delta pairs arrive
     * in both orientations and keep the id-ordered one — the
@@ -479,6 +483,15 @@ object ArtifactJobs {
     * delta-delta pairs canonicalized by id order, in-row bit_count
     * verify. Output: (doc_a, doc_b, hamming) for every near-dup pair
     * touching the delta.
+    *
+    * Memo-key scope: the stored artifact is keyed on the fingerprint of
+    * the ONE fixture parquet that holds both the established corpus and
+    * the delta, so rewriting that file re-builds the index — the
+    * "never re-decoded" economics hold within a fixture generation. A
+    * production deployment where deltas land as NEW partitions keys the
+    * stored index on a manifest of landed partitions instead (the
+    * [[itemPagerankIncremental]] manifest discipline), so arrivals never
+    * invalidate the established index.
     */
   private def fpIndexIncremental(spark: SparkSession, sfDir: String,
       indexName: String,
@@ -488,8 +501,13 @@ object ArtifactJobs {
     val stored = persist(spark, indexName, docsFp(sfDir),
       scan(spark, docs.filter(col("doc_id") % 5 =!= 0))
         .select(col("doc_id"), col("fp")))
+    // Eagerly materialized (localCheckpoint, ContextCleaner-reclaimed)
+    // rather than .cache()d: the delta frame is consumed twice (its own
+    // banded side and the stored ∪ delta side) but a bare cache would
+    // outlive the query for the JVM lifetime — the same concurrent-
+    // footprint class the cross_modal_clusters scoping fixed.
     val delta = scan(spark, docs.filter(col("doc_id") % 5 === 0))
-      .select(col("doc_id"), col("fp")).cache()
+      .select(col("doc_id"), col("fp")).localCheckpoint()
     val full = stored.unionByName(delta)
     val bands = Dedup.Bands63
     def banded(side: DataFrame, idAs: String, fpAs: String) =

@@ -287,8 +287,21 @@ object MultimodalJobs {
     * at this graph size the single-task union-find path, behind an
     * oracle gate). Singletons keep their own id.
     */
-  def imageClusters(spark: SparkSession, sfDir: String): DataFrame =
-    pipeline(spark, sfDir).clusters
+  def imageClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    // Cluster resolution reads only the slim (doc_id) / (doc_a, doc_b)
+    // frames, so both are materialized eagerly and every pipeline cache
+    // (decode scan, distinct-fingerprint frame) is released BEFORE the
+    // components pass runs — the cross_modal_clusters footprint playbook
+    // (holding the full decode cache through components was the r14
+    // driver-memory gap on this query).
+    val scope = graft.ops.CacheScope()
+    val (ids, edges) = try {
+      val p = pipelineScoped(spark, sfDir, scope)
+      (p.scan.select(col("doc_id")).localCheckpoint(),
+        p.pairs.select(col("doc_a"), col("doc_b")).localCheckpoint())
+    } finally scope.close()
+    graft.ops.Dedup.connectedComponents(ids, edges)
+  }
 
   /** Oracle: transitive closure by recursive CTE over the brute-force
     * Hamming pairs; MIN(reached) is the same fixpoint every
@@ -373,9 +386,11 @@ object MultimodalJobs {
   /** The shared decode→fingerprint pass the audio gate queries build on
     * ([[graft.ops.AudioPipeline]]) — one decode scan per corpus pass.
     */
-  def audioPipeline(spark: SparkSession, sfDir: String): graft.ops.AudioPipeline =
+  def audioPipeline(spark: SparkSession, sfDir: String,
+      scope: graft.ops.CacheScope = graft.ops.CacheScope.unmanaged)
+      : graft.ops.AudioPipeline =
     graft.ops.AudioPipeline(spark, Tables.documents(spark, sfDir),
-      NEARDUP_MAX_HAMMING)
+      NEARDUP_MAX_HAMMING, scope)
 
   /** The audio fingerprint restated for the oracles: avalanche sample mix
     * (BIGINT-exact, every intermediate < 2^47), per-id perturbation,
@@ -437,8 +452,16 @@ object MultimodalJobs {
     * graph, exactly as [[imageClusters]] ([[graft.ops.AudioPipeline]]
     * reuses [[graft.ops.Dedup.connectedComponents]] unchanged).
     */
-  def audioClusters(spark: SparkSession, sfDir: String): DataFrame =
-    audioPipeline(spark, sfDir).clusters
+  def audioClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    // Slim handoff before components — see [[imageClusters]].
+    val scope = graft.ops.CacheScope()
+    val (ids, edges) = try {
+      val p = audioPipeline(spark, sfDir, scope)
+      (p.scan.select(col("doc_id")).localCheckpoint(),
+        p.pairs.select(col("doc_a"), col("doc_b")).localCheckpoint())
+    } finally scope.close()
+    graft.ops.Dedup.connectedComponents(ids, edges)
+  }
 
   val audioClustersSql: String =
     s"""WITH RECURSIVE $audioFpCtes, pairs AS (
@@ -502,9 +525,11 @@ object MultimodalJobs {
   /** The shared parse→per-frame-fingerprint pass the video gate queries
     * build on ([[graft.ops.VideoPipeline]]).
     */
-  def videoPipeline(spark: SparkSession, sfDir: String): graft.ops.VideoPipeline =
+  def videoPipeline(spark: SparkSession, sfDir: String,
+      scope: graft.ops.CacheScope = graft.ops.CacheScope.unmanaged)
+      : graft.ops.VideoPipeline =
     graft.ops.VideoPipeline(spark, Tables.documents(spark, sfDir),
-      NEARDUP_MAX_HAMMING)
+      NEARDUP_MAX_HAMMING, scope)
 
   /** The per-frame video fingerprint restated for the oracles: the
     * [[audioFpCtes]]/[[imageFpCtes]] avalanche chain extended with the
@@ -589,8 +614,19 @@ object MultimodalJobs {
   /** Video cluster resolution — component minimum over the near-dup pair
     * graph, exactly as [[imageClusters]]/[[audioClusters]].
     */
-  def videoClusters(spark: SparkSession, sfDir: String): DataFrame =
-    videoPipeline(spark, sfDir).clusters
+  def videoClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    // Slim handoff before components — see [[imageClusters]]. The video
+    // scan cache is per-FRAME rows (an order more than images), so
+    // releasing it before the components pass is the biggest footprint
+    // win of the three modalities (the r14 3.7x driver/local flag).
+    val scope = graft.ops.CacheScope()
+    val (ids, edges) = try {
+      val p = videoPipeline(spark, sfDir, scope)
+      (p.anchors.select(col("doc_id")).localCheckpoint(),
+        p.pairs.select(col("doc_a"), col("doc_b")).localCheckpoint())
+    } finally scope.close()
+    graft.ops.Dedup.connectedComponents(ids, edges)
+  }
 
   val videoClustersSql: String =
     s"""WITH RECURSIVE $videoFpCtes, pairs AS (

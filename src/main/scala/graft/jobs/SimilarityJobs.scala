@@ -194,21 +194,23 @@ object SimilarityJobs {
   private[jobs] def trainedCents(spark: SparkSession, sfDir: String,
       v: => DataFrame): DataFrame = {
     val key = graft.io.Fingerprint.of(sfDir, "embeddings")
-    val hit = centsMemo.get(key)
-    if (hit != null) {
-      spark.createDataFrame(
-        java.util.Arrays.asList(hit._2: _*), hit._1)
-    } else {
+    // computeIfAbsent, not get-then-putIfAbsent: two concurrent first
+    // callers for the same corpus must not each run the full distributed
+    // training (deterministic result, so the race was wasted work, not a
+    // wrong answer). The C-row local frame is what every caller gets —
+    // memo hit and miss serve bit-identical rows (six consumers
+    // hash-green at both SFs in one JVM).
+    val hit = centsMemo.computeIfAbsent(key, _ => {
       val training = graft.ops.CacheScope()
-      val cents = try {
+      try {
         val c = Similarity
           .kmeansCentroids(v, IVF_CENTROIDS, KM_ITERS, training).cache()
-        c.count()
-        c
+        val rows = (c.schema, c.collect())
+        c.unpersist()
+        rows
       } finally training.close()
-      centsMemo.putIfAbsent(key, (cents.schema, cents.collect()))
-      cents // serve this call the already-cached distributed frame
-    }
+    })
+    spark.createDataFrame(java.util.Arrays.asList(hit._2: _*), hit._1)
   }
 
   /** IVF over TRAINED centroids: `KM_ITERS` rounds of Lloyd's k-means from

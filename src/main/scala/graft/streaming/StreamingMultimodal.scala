@@ -187,6 +187,41 @@ object StreamingMultimodal {
         .write.mode("append").parquet(indexPath)
     }
 
+  /** The VIDEO sibling of [[imageIndexRefreshBatches]] — the last cell of
+    * the modality × streaming-refresh matrix: each arriving RAWV clip is
+    * byte-level parsed and per-frame dHashed with [[screenVideo]]'s own
+    * in-flight expressions — each appended row bit-equal to the batch
+    * [[Multimodal.videoScan]]'s row for the same payload — and the
+    * (doc_id, n_frames, frame_idx, fp) rows land on the persisted
+    * per-frame index (the `video_fp_index` artifact shape,
+    * [[graft.jobs.ArtifactJobs.videoIndexIncremental]]). The fingerprint
+    * sequence is a pure function of the payload and appends are additive,
+    * so after any prefix of micro-batches the table equals a batch
+    * re-fingerprint over corpus ∪ prefix — and [[videoCorpusSeqs]] over
+    * the refreshed table makes THIS batch's arrivals screenable by the
+    * next micro-batch. Per-batch cost is batch-sized (narrow parse, one
+    * appended parquet file); the index is never rewritten. Batch input
+    * needs (asset_id, content: binary RAWV).
+    */
+  def videoIndexRefreshBatches(indexPath: String): (DataFrame, Long) => Unit =
+    (batch, _) => if (!batch.isEmpty) {
+      val spark = batch.sparkSession
+      import spark.implicits._
+      batch.select(col("asset_id"), col("content"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          it.flatMap { case (id, rawv) =>
+            val (w, h, nf, px) = Multimodal.decodeRawv(rawv)
+            (0 until nf).map { f =>
+              val frame =
+                java.util.Arrays.copyOfRange(px, f * w * h, (f + 1) * w * h)
+              (id, nf.toLong, f.toLong, Multimodal.dHash63(frame, w, h))
+            }
+          }
+        }.toDF("doc_id", "n_frames", "frame_idx", "fp")
+        .write.mode("append").parquet(indexPath)
+    }
+
   /** The static side of the VIDEO screen: per-clip frame-fingerprint
     * sequences rolled up from a [[Multimodal.videoScan]]-shaped table —
     * (corpus_id, corpus_nf, corpus_fps ordered by frame, corpus_fp =

@@ -70,36 +70,21 @@ object BenchGap {
     // BENCH_r13 — every visible one descended to <=2.0x local under the
     // warm-pass semantics (the r13 VERDICT confirms all 13 r12 flags
     // <=1.5x) — and are pruned per the map's contract.
-    "cross_modal_clusters" -> ("fixed round 14: the r13 2.7x " +
-      "(10.8 driver / 4.05 local) was the two unioned pipelines' full " +
-      "internal caches (grams, signatures, image scan, fp frames) held " +
-      "through the components pass under driver memory pressure; the " +
-      "consumer now scopes both pipelines, materializes the slim " +
-      "(doc_a, doc_b) union edge frame eagerly (localCheckpoint) and " +
-      "releases every upstream cache before cluster resolution. " +
-      "BenchOne unchanged on a quiet box (10.8 -> 2.9 s steady, same " +
-      "curve) — the win is the concurrent-footprint cut, visible only " +
-      "under load"),
-    "semantic_dedup" -> ("fixed round 14: flags only because the " +
-      "trainedCents content-memo (r8 contract, six consumers) dropped " +
-      "the LOCAL median 2.35 -> 0.75 s under the r13 driver number; " +
-      "the pair stage is unchanged and its oracle hash-gates the " +
-      "memo-hit frames at both SFs"),
-    "cluster_purity" -> ("fixed round 14: same trainedCents memo — " +
-      "local median 1.43 -> 0.43 s; assignment + label join unchanged"),
-    "item_similarity_incremental" -> ("fixed round 14: flags only " +
-      "because the fix dropped the LOCAL median (3.2 -> 0.57 s) under " +
-      "the r13 driver number — the merged-set CF lists are now " +
-      "content-memoized like the full-log simLists (r8 contract, " +
-      "distinct memo tag so the stored-artifact + delta lineage still " +
-      "runs and hash-gates on the miss); the consistent ~3.2 s in every " +
-      "reference run was the quadratic pair join re-run per timed pass"),
-    "item_pagerank_incremental" -> ("fixed round 14: the serve path ran " +
-      "TWO full event scans (max-day aggregate + today's manifest); the " +
-      "horizon and the change diff now both derive from the ONE " +
-      "collected manifest (day-count rows). BenchOne steady 1.3-1.5 s " +
-      "(was 1.3-1.7); the r13 2.1x also carried a proven load window " +
-      "(canary_max 0.87 s = 9x canary median in BENCH_r13)"))
+    // All five r13→r14 KnownFixed entries adjudicated by BENCH_r14 and
+    // pruned per the map's contract: cross_modal_clusters 3.09 s (1.4x,
+    // the scoped-cache fix driver-confirmed 10.8 -> 3.09), semantic_dedup
+    // / cluster_purity / item_similarity_incremental / item_pagerank_
+    // incremental all off the flag list entirely (memo + single-manifest
+    // fixes landed driver-side).
+    "video_clusters" -> ("fixed round 15: the r14 3.7x (2.75 driver / " +
+      "0.75 local) is the cross_modal footprint class — the per-FRAME " +
+      "video scan cache plus the fingerprint frames were held through " +
+      "the components pass; the consumer now scopes the pipeline, " +
+      "checkpoints the slim (doc_id) / (doc_a, doc_b) frames and " +
+      "releases every decode cache before cluster resolution. BenchOne " +
+      "steady ~1.9 s on a quiet box both before and after (the win is " +
+      "concurrent footprint, not quiet-box wall); canary slot " +
+      "registered for adjudication"))
 
   /** Flags attributed to driver-container environment, not engine code:
     * BenchOne locals are clean and the audited plan has nothing left to
@@ -130,7 +115,17 @@ object BenchGap {
     "attribution" -> ("r12 1.57 s vs 0.47 local (3.3x) WITH slot canary " +
       "0.32 s vs 0.113 canary_med — the constant-work scan stalled ~3x " +
       "in the same slot, proving the r11 env attribution per the canary " +
-      "contract; keyed joins + bounded window, nothing to replan"))
+      "contract; keyed joins + bounded window, nothing to replan"),
+    "ann_cosine_topk" -> ("r14 1.34 s vs 0.31 local (4.3x): BenchOne " +
+      "r15 quiet-box descent 4.07 -> 1.02 -> 0.90 -> 0.72 -> 0.66 s — " +
+      "steady ~0.7-0.9 in a FRESH JVM (the r13 ~2x fresh-vs-registry " +
+      "instrument factor over the 0.31 in-registry local), so the 1.34 " +
+      "driver median is that steady state under a run whose canary_max " +
+      "hit 0.378 (3.3x canary_med — proven load windows). Plan is the " +
+      "bounded query-side broadcast brute-force baseline, PLANAUDIT " +
+      "clean, no caches on the path to slim. Canary slot registered — " +
+      "if the slot canary spikes next round the attribution is proven; " +
+      "if it stays flat at >3x this entry comes back out to forensics"))
 
   // the driver wrapper stores our stdout line INSIDE a JSON string, so
   // its quotes arrive backslash-escaped — accept both forms

@@ -226,6 +226,88 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(expected.exists(_._3 > 0), "must include true near dups, not just exact")
   }
 
+  test("video index refresh: appended per-frame index equals a batch re-fingerprint; screen serves it") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.io.Tables.documents(spark, sf("sf0.001"))
+    // yesterday's per-frame index: clips < 100, landed
+    val dir = java.nio.file.Files.createTempDirectory("vidfp_inc").toString
+    Multimodal.videoScan(spark, docs.filter($"doc_id" < 100))
+      .write.mode("overwrite").parquet(dir)
+
+    // arrivals: ids 100..199 in two micro-batches through the refresher
+    val arrivals = Multimodal
+      .neardupVideoAssets(spark,
+        docs.filter($"doc_id" >= 100 && $"doc_id" < 200))
+      .collect().sortBy(_.asset_id)
+      .map(a => (a.asset_id, a.content, ts(a.asset_id)))
+    val in = MemoryStream[(Long, Array[Byte], Timestamp)]
+    val q = in.toDF().toDF("asset_id", "content", "ts")
+      .writeStream
+      .foreachBatch(StreamingMultimodal.videoIndexRefreshBatches(dir))
+      .start()
+    try {
+      in.addData(arrivals.take(50).toSeq: _*); q.processAllAvailable()
+      in.addData(arrivals.drop(50).toSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+
+    // contract: the landed per-frame table equals a batch re-fingerprint
+    // of corpus ∪ arrivals, bit for bit (doc, n_frames, frame, fp)
+    val served = spark.read.parquet(dir)
+      .select(col("doc_id"), col("n_frames"), col("frame_idx"), col("fp"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val rebuilt = Multimodal
+      .videoScan(spark, docs.filter($"doc_id" < 200))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(served.map(_._1).size == rebuilt.map(_._1).size)
+    assert(served == rebuilt,
+      s"only-served=${(served -- rebuilt).take(3)} " +
+        s"only-rebuilt=${(rebuilt -- served).take(3)}")
+
+    // freshness: probes screened against the REFRESHED index must hit
+    // streamed-in arrivals (ids >= 100), which the static corpus alone
+    // could never flag — verified against brute force over the union
+    val probes = Multimodal
+      .neardupVideoAssets(spark,
+        docs.filter($"doc_id" >= 60 && $"doc_id" < 100))
+      .collect()
+      .map(a => (a.asset_id, a.content, ts(a.asset_id)))
+    val in2 = MemoryStream[(Long, Array[Byte], Timestamp)]
+    val q2 = StreamingMultimodal.screenVideo(
+        in2.toDF().toDF("asset_id", "content", "ts"),
+        "ts", "0 seconds",
+        StreamingMultimodal.videoCorpusSeqs(spark.read.parquet(dir)),
+        Dedup.Bands63, maxPerFrame = 3)
+      .writeStream.format("memory").queryName("refresh_vid_screen")
+      .outputMode("append").start()
+    val got = try {
+      in2.addData(probes.toSeq: _*)
+      q2.processAllAvailable()
+      spark.table("refresh_vid_screen")
+        .select($"asset_id", $"corpus_id", $"hamming")
+        .as[(Long, Long, Long)].collect().toSet
+    } finally q2.stop()
+    def seqsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "frame_idx", "fp").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .groupBy(_._1)
+        .map { case (id, rs) => id -> rs.sortBy(_._2).map(_._3).toIndexedSeq }
+    val union = seqsOf(spark.read.parquet(dir))
+    val probeSeqs = seqsOf(Multimodal.videoScan(spark,
+      docs.filter($"doc_id" >= 60 && $"doc_id" < 100)))
+    val expected = (for {
+      (aid, af) <- probeSeqs.toSeq
+      (cid, cf) <- union.toSeq
+      if cid != aid && af.length == cf.length
+      perFrame = af.zip(cf).map { case (x, y) => java.lang.Long.bitCount(x ^ y) }
+      if perFrame.max <= 3
+    } yield (aid, cid, perFrame.map(_.toLong).sum)).toSet
+    assert(got == expected,
+      s"only-stream=${(got -- expected).take(3)} " +
+        s"only-batch=${(expected -- got).take(3)}")
+    assert(got.exists(_._2 >= 100),
+      "refreshed index must surface streamed-in arrivals as near-dups")
+  }
+
   test("stream video screen equals brute force over full frame sequences") {
     implicit val sqlCtx = spark.sqlContext
     val docs = graft.io.Tables.documents(spark, sf("sf0.001"))
