@@ -530,7 +530,143 @@ object ArtifactJobs {
       .filter(col("hamming") <= MultimodalJobs.NEARDUP_MAX_HAMMING)
   }
 
+  /** Compact an append-accumulated index back into ONE canonically-sorted
+    * parquet part — the missing piece of the incremental serving story:
+    * [[fpIndexIncremental]] and the streaming refreshers
+    * ([[graft.streaming.StreamingMultimodal]] /
+    * [[graft.streaming.StreamingSimilarity.indexRefreshBatches]]) APPEND
+    * one small file per micro-batch / ingest day, so an uncompacted index
+    * eventually pays a file-listing + small-file scan penalty on every
+    * probe; at 100 TB with daily ingest the delta tail dominates serve
+    * cost. Compaction here is the from-artifact discipline in reverse:
+    * stored artifact ∪ appended delta chunks → one sorted part, and the
+    * consumer's oracle hash-gates the COMPACTED serve against the full
+    * in-line rebuild, proving the merge loses nothing.
+    *
+    * Deterministic + content-memoized like [[persist]]: on a memo miss
+    * the append dir is rebuilt from scratch (`chunks` written one append
+    * each — the micro-batch tail), then merged; repeat serves read the
+    * compacted part. `stored` and `chunks` are by-name so a memo hit
+    * constructs no builder plan.
+    */
+  private def compacted(spark: SparkSession, name: String, inputFp: String,
+      stored: => DataFrame, chunks: => Seq[DataFrame],
+      sortCols: Seq[String]): DataFrame = {
+    val appendDir = root.resolve(name + "_appends")
+    val outPath = root.resolve(name).toString
+    val fresh = persisted.get(name) == inputFp &&
+      java.nio.file.Files.exists(root.resolve(name))
+    if (!fresh) {
+      // rebuild the micro-batch append tail from scratch
+      if (java.nio.file.Files.exists(appendDir)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(appendDir).iterator().asScala.toSeq
+          .reverse.foreach(java.nio.file.Files.delete)
+      }
+      chunks.foreach(_.coalesce(1)
+        .write.mode("append").parquet(appendDir.toString))
+      stored.unionByName(spark.read.parquet(appendDir.toString))
+        .sort(sortCols.map(col): _*).coalesce(1)
+        .write.mode("overwrite").parquet(outPath)
+      persisted.put(name, inputFp)
+    }
+    spark.read.parquet(outPath)
+  }
+
+  /** Hook for the compaction spec: the number of parquet part files a
+    * serve of `name` reads — 1 after compaction, 1 + |chunks| before.
+    */
+  private[graft] def partFileCount(name: String): Int = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.list(root.resolve(name)).iterator().asScala
+      .count(_.getFileName.toString.endsWith(".parquet"))
+  }
+  private[graft] def artifactPath(name: String): String =
+    root.resolve(name).toString
+
+  /** Image fingerprint index COMPACTION — the serving-lifecycle close of
+    * [[imageIndexIncremental]]: the established 4/5 index is the stored
+    * artifact, the doc_id % 5 == 0 delta arrives as FIVE append chunks
+    * (the micro-batch tail the streaming refresher leaves behind), and
+    * compaction merges them into one doc_id-sorted part. The query then
+    * serves ALL near-dup pairs from the compacted index alone — zero
+    * decode anywhere on the serve path.
+    *
+    * Oracle: the full in-line dHash brute force
+    * ([[MultimodalJobs.imageNeardupSql]] VERBATIM) — hash-equality proves
+    * stored ∪ appends → compacted → serve loses nothing vs
+    * re-fingerprinting the world from pixels.
+    */
+  def imageIndexCompacted(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.ops.Multimodal
+    val docs = Tables.documents(spark, sfDir)
+    val idx = compacted(spark, "image_fp_compacted", docsFp(sfDir),
+      stored = Multimodal.imageScan(spark, docs.filter(col("doc_id") % 5 =!= 0))
+        .select(col("doc_id"), col("fp")),
+      chunks = (0 until 5).map { c =>
+        Multimodal.imageScan(spark,
+            docs.filter(col("doc_id") % 5 === 0 && col("doc_id") % 25 === c * 5))
+          .select(col("doc_id"), col("fp"))
+      },
+      sortCols = Seq("doc_id"))
+    val scope = graft.ops.CacheScope()
+    try {
+      graft.ops.Dedup.hammingPairsAuto(idx,
+          MultimodalJobs.NEARDUP_MAX_HAMMING, scope)
+        .localCheckpoint()
+    } finally scope.close()
+  }
+
+  /** IVF×PQ index COMPACTION — the embedding sibling of
+    * [[imageIndexCompacted]], closing the delta-cell growth
+    * [[graft.streaming.StreamingSimilarity.indexRefreshBatches]] leaves
+    * behind: the established (vec_id % 5 != 0) cell-assignment and
+    * PQ-code tables are stored artifacts, the delta arrives as append
+    * chunks encoded with the SAME frozen full-corpus seed model the
+    * in-line pipeline derives (cell contents grow, the model retrains
+    * offline — standard IVF serving), and compaction merges each into
+    * one cell-sorted part. Queries are then answered ENTIRELY from the
+    * compacted loads ([[Similarity.ivfPqRerankServed]]).
+    *
+    * Oracle: `ann_ivf_pq_rerank`'s SQL verbatim — hash-equality proves
+    * the compacted two-table index serves bit-identically to the
+    * in-line composed pipeline over the full corpus.
+    */
+  def annIvfPqCompacted(spark: SparkSession, sfDir: String): DataFrame = {
+    import SimilarityJobs._
+    val v = SimilarityJobs.vectors(spark, sfDir)
+    val fp = vecsFp(sfDir)
+    val established = col("vec_id") % 5 =!= 0
+    def deltaChunk(c: Int) =
+      col("vec_id") % 5 === 0 && col("vec_id") % 15 === lit(c * 5)
+    val cents = persist(spark, "ivfpq_centroids", fp,
+      Similarity.seedCentroids(v, IVF_CENTROIDS))
+    val codebook = persist(spark, "ivfpq_codebook", fp,
+      Similarity.pqSeedCodebook(v, PQ_M, PQ_K, DIMS))
+    // subset encodes use the PERSISTED full-corpus model frames — pqAssign
+    // would re-derive the codebook from the chunk (vec_id < k of the
+    // SUBSET) and encode delta rows against a different model
+    def cellsOf(pred: org.apache.spark.sql.Column) =
+      Similarity.ivfCells(v.filter(pred), cents)
+    def codesOf(pred: org.apache.spark.sql.Column) =
+      Similarity.pqEncodeTriples(v.filter(pred), codebook, PQ_M, DIMS)
+        .select(col("vec_id"), col("s"), col("code"))
+    val cells = compacted(spark, "ivfpq_cells_compacted", fp,
+      stored = cellsOf(established),
+      chunks = (0 until 3).map(c => cellsOf(deltaChunk(c))),
+      sortCols = Seq("cell", "vec_id"))
+    val codes = compacted(spark, "ivfpq_codes_compacted", fp,
+      stored = codesOf(established),
+      chunks = (0 until 3).map(c => codesOf(deltaChunk(c))),
+      sortCols = Seq("vec_id", "s"))
+    Similarity.ivfPqRerankServed(v, cents, cells, codes, codebook,
+      col("vec_id") < N_QUERIES, nprobe = IVF_NPROBE, m = PQ_M,
+      dims = DIMS, topK = TOP_K, shortlist = PQ_SHORTLIST)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "image_index_compacted" -> imageIndexCompacted,
+    "ann_ivf_pq_compacted" -> annIvfPqCompacted,
     "image_index_incremental" -> imageIndexIncremental,
     "audio_index_incremental" -> audioIndexIncremental,
     "video_index_incremental" -> videoIndexIncremental,
@@ -553,6 +689,8 @@ object ArtifactJobs {
     * round-trip changed nothing.
     */
   val oracles: Map[String, String] = Map(
+    "image_index_compacted" -> MultimodalJobs.imageNeardupSql,
+    "ann_ivf_pq_compacted" -> SimilarityJobs.annIvfPqRerankSql,
     "image_index_incremental" -> MultimodalJobs.imageNeardupDeltaSql,
     "audio_index_incremental" -> MultimodalJobs.audioNeardupDeltaSql,
     "video_index_incremental" -> MultimodalJobs.videoNeardupDeltaSql,

@@ -517,6 +517,115 @@ object RelationalJobs {
       |    // CAST(SUM(rev) AS BIGINT) AS BIGINT) AS promo_ppm
       |FROM j""".stripMargin
 
+  // ---- q12: late-shipment priority accounting (q12's conditional agg) ----
+
+  /** The TPC-H q12 shape — two-priority conditional counts by mode with a
+    * date chain — restated on the fixture's columns (it has no
+    * l_shipmode/l_commitdate/l_receiptdate): the mode axis is
+    * l_returnflag and the lateness chain is l_shipdate more than 60 days
+    * after o_orderdate inside the 1996 ship window. One date-pruned
+    * 3-column lineitem scan shuffle-joins orders on the key (both sides
+    * fact-sized at 100 TB — no broadcast exists for orders), the
+    * lateness predicate evaluates in-row post-join, and the aggregation
+    * is a 3-group conditional COUNT (map-side partials). COUNT(CASE),
+    * not SUM(CASE): DuckDB SUM(BIGINT) is HUGEINT (the r14 audit class).
+    * Probed non-degenerate at every SF (both counts > 0 in every group:
+    * A 25/43, N 26/30, R 22/47 at sf0.001).
+    */
+  def q12LatePriority(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_shipdate"))
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    li.join(Tables.orders(spark, sfDir)
+          .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(when(high, lit(1))).as("high_cnt"),
+        count(when(!high, lit(1))).as("low_cnt"))
+  }
+
+  val q12LatePrioritySql: String =
+    """SELECT l.l_returnflag,
+      |  COUNT(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
+      |             THEN 1 END) AS high_cnt,
+      |  COUNT(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+      |             THEN 1 END) AS low_cnt
+      |FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      |WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l.l_shipdate < TIMESTAMP '1997-01-01'
+      |  AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      |GROUP BY 1""".stripMargin
+
+  // ---- q9: profit by nation and year (decorrelated supplycost) ----
+
+  /** The TPC-H q9 shape — product profit by supplier nation × order year
+    * over a part-name filter — with supplycost restated via the q2
+    * per-(part, supplier) min unit-cost derivation (the fixture has no
+    * partsupp): cost of a line = its pair's historical-minimum unit cost
+    * × quantity. All arithmetic is exact BIGINT at the c4 scale
+    * (revenue = cents × (100 − discount-cents); uc is cents×10 per unit,
+    * so uc × qty × 10 lands on the same scale — no float ever sums).
+    *
+    * Plan shape at 100 TB: TWO lineitem scans — one for the
+    * (part, supplier) min-cost aggregate (the partsupp surrogate; the
+    * canonical query reads a separate partsupp table here), one for the
+    * probe — joined on the composite key both sides already shuffle on;
+    * part (name-filtered before the join), supplier and nation broadcast.
+    * Probed non-degenerate at every SF (70/175/175 nation×year groups,
+    * no zero profits; sign varies with corpus shape — the derived min-uc
+    * cost is price-correlated, unlike canonical partsupp).
+    */
+  def q9ProductProfit(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val uc = li.groupBy(col("l_partkey").as("u_partkey"),
+        col("l_suppkey").as("u_suppkey"))
+      .agg(min(expr("(cast(round(l_extendedprice * 100) as bigint) * 10) " +
+        "div cast(round(l_quantity) as bigint)")).as("uc"))
+    val widgets = Tables.part(spark, sfDir)
+      .filter(col("p_name").like("%widget%")).select(col("p_partkey"))
+    li.join(broadcast(widgets), col("l_partkey") === col("p_partkey"))
+      .join(uc, col("l_partkey") === col("u_partkey") &&
+        col("l_suppkey") === col("u_suppkey"))
+      .join(broadcast(Tables.supplier(spark, sfDir)
+          .select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, sfDir)
+          .select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.orders(spark, sfDir)
+          .select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name"), year(col("o_orderdate")).as("o_year"))
+      .agg(sum(cents(col("l_extendedprice")) *
+          (lit(100) - cents(col("l_discount"))) -
+          col("uc") * round(col("l_quantity"), 0).cast("long") * 10)
+        .as("profit_c4"))
+  }
+
+  val q9ProductProfitSql: String =
+    """WITH uc AS (
+      |  SELECT l_partkey AS u_partkey, l_suppkey AS u_suppkey,
+      |         MIN((CAST(ROUND(l_extendedprice * 100) AS BIGINT) * 10)
+      |             // CAST(ROUND(l_quantity) AS BIGINT)) AS uc
+      |  FROM lineitem GROUP BY 1, 2
+      |)
+      |SELECT n.n_name, year(o.o_orderdate) AS o_year,
+      |  CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+      |           * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))
+      |           - u.uc * CAST(ROUND(l.l_quantity) AS BIGINT) * 10)
+      |    AS BIGINT) AS profit_c4
+      |FROM lineitem l
+      |JOIN part p ON p.p_partkey = l.l_partkey AND p.p_name LIKE '%widget%'
+      |JOIN uc u ON u.u_partkey = l.l_partkey AND u.u_suppkey = l.l_suppkey
+      |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      |JOIN nation n ON n.n_nationkey = s.s_nationkey
+      |JOIN orders o ON o.o_orderkey = l.l_orderkey
+      |GROUP BY 1, 2""".stripMargin
+
   // ---- q19: discounted revenue (disjunctive multi-predicate dim join) ----
 
   /** Three brand/quantity/size disjuncts over the same join — the
@@ -1108,6 +1217,8 @@ object RelationalJobs {
     "q6_forecast_revenue" -> q6ForecastRevenue,
     "q14_promo_effect" -> q14PromoEffect,
     "q19_discounted_revenue" -> q19DiscountedRevenue,
+    "q12_late_priority" -> q12LatePriority,
+    "q9_product_profit" -> q9ProductProfit,
     "distinct_agg" -> distinctAgg)
 
   val oracles: Map[String, String] = Map(
@@ -1131,5 +1242,7 @@ object RelationalJobs {
     "q6_forecast_revenue" -> q6ForecastRevenueSql,
     "q14_promo_effect" -> q14PromoEffectSql,
     "q19_discounted_revenue" -> q19DiscountedRevenueSql,
+    "q12_late_priority" -> q12LatePrioritySql,
+    "q9_product_profit" -> q9ProductProfitSql,
     "distinct_agg" -> distinctAggSql)
 }

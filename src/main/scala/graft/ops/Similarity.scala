@@ -497,16 +497,28 @@ object Similarity {
     * loaded from storage, the arithmetic is identical. Output schema of
     * [[pqCodes]]: (vec_id, c0..c{m-1}, recon_err).
     */
-  def pqEncodeWith(vectors: DataFrame, codebook: DataFrame, m: Int,
+  /** The (vec_id, s, qdist, code) encode stage against an EXPLICIT
+    * codebook — the per-subvector argmin [[pqEncodeWith]] aggregates to
+    * wide form and the incremental/compaction index builders
+    * ([[graft.jobs.ArtifactJobs.annIvfPqCompacted]]) store directly.
+    * Unlike [[pqAssign]], the codebook never derives from the input
+    * frame, so a corpus SUBSET (a delta chunk) encodes bit-identically
+    * to its rows inside a full-corpus pass.
+    */
+  def pqEncodeTriples(vectors: DataFrame, codebook: DataFrame, m: Int,
       dims: Int): DataFrame = {
     require(dims % m == 0, s"dims=$dims not divisible by m=$m")
-    val subv = pqSubvectors(vectors, m, dims / m)
-    val best = subv.join(broadcast(codebook), "s")
+    pqSubvectors(vectors, m, dims / m).join(broadcast(codebook), "s")
       .select(col("vec_id"), col("s"), col("code"), pqQdist.as("qdist"))
       .groupBy(col("vec_id"), col("s"))
       .agg(min(struct(col("qdist"), col("code"))).as("b"))
       .select(col("vec_id"), col("s"),
         col("b.qdist").as("qdist"), col("b.code").as("code"))
+  }
+
+  def pqEncodeWith(vectors: DataFrame, codebook: DataFrame, m: Int,
+      dims: Int): DataFrame = {
+    val best = pqEncodeTriples(vectors, codebook, m, dims)
     val aggs = (0 until m).map(s =>
       max(when(col("s") === s, col("code"))).as(s"c$s")) :+
       (sum(col("qdist")).cast("double") / lit(1e6)).as("recon_err")

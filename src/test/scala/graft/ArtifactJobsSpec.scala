@@ -82,6 +82,30 @@ class ArtifactJobsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("image index compaction: stored + 5 append chunks merge to ONE part; serve equals decode rebuild") {
+    val out = ArtifactJobs.imageIndexCompacted(spark, sf("sf0.001"))
+    // the micro-batch append tail existed (5 chunk files) and the
+    // compacted index the serve reads is a single parquet part
+    assert(ArtifactJobs.partFileCount("image_fp_compacted_appends") == 5)
+    assert(ArtifactJobs.partFileCount("image_fp_compacted") == 1)
+    // rebuild-equivalence: pairs served from the compacted index with
+    // zero decode equal the full decode pipeline's pairs
+    assertTwin("image_compacted", out,
+      graft.jobs.MultimodalJobs.imageNeardup(spark, sf("sf0.001")))
+    spark.catalog.clearCache()
+  }
+
+  test("ivf-pq compaction: cells and codes each merge to ONE part; serve equals the artifact pipeline") {
+    val out = ArtifactJobs.annIvfPqCompacted(spark, sf("sf0.001"))
+    assert(ArtifactJobs.partFileCount("ivfpq_cells_compacted_appends") == 3)
+    assert(ArtifactJobs.partFileCount("ivfpq_codes_compacted_appends") == 3)
+    assert(ArtifactJobs.partFileCount("ivfpq_cells_compacted") == 1)
+    assert(ArtifactJobs.partFileCount("ivfpq_codes_compacted") == 1)
+    assertTwin("ivfpq_compacted", out,
+      ArtifactJobs.annIvfPqFromArtifact(spark, sf("sf0.001")))
+    spark.catalog.clearCache()
+  }
+
   test("ann_ivf_pq_from_artifact equals ann_ivf_pq_rerank") {
     assertTwin("ann_ivf_pq",
       ArtifactJobs.annIvfPqFromArtifact(spark, sf("sf0.001")),
@@ -223,13 +247,15 @@ class ArtifactJobsSpec extends SparkSpec {
     df.collect()
     val p = df.queryExecution.executedPlan.toString
     assert(!p.contains("Truncated plan"), "plan string truncated (r11 rule)")
-    // every documents scan (the cached delta lineage prints once per
-    // InMemoryRelation reference) carries the delta filter; a stored-side
-    // recompute would appear as a NOT-delta documents scan
-    assert("\\(doc_id#\\d+L? % 5\\) = 0".r.findAllIn(p).nonEmpty,
-      s"delta filter missing from the decode scan:\n$p")
-    assert("NOT \\(\\(doc_id#\\d+L? % 5\\) = 0\\)".r.findAllIn(p).isEmpty,
-      s"stored side re-decoded the corpus instead of reading the artifact:\n$p")
+    // r15: the delta decode is an EAGER localCheckpoint (the r14 bare
+    // .cache() leaked for the JVM lifetime), so the serve plan contains
+    // NO decode scan at all — the delta lands as an ExistingRDD and the
+    // stored side is a plain parquet scan of the artifact. Any documents
+    // scan in the serve plan would be a corpus re-decode.
+    assert(!p.contains("documents.parquet"),
+      s"serve plan must not re-decode any documents:\n$p")
+    assert(p.contains("ExistingRDD"),
+      s"checkpointed delta fingerprints missing from the serve plan:\n$p")
     assert(p.contains("image_fp_index"),
       s"stored side must read the persisted artifact:\n$p")
   }

@@ -221,6 +221,78 @@ class RelationalShapesSpec extends SparkSpec {
       s"correlated re-scan of lineitem detected:\n$p")
   }
 
+  test("q12: conditional counts match the brute-force late-line split") {
+    val dir = sf("sf0.001")
+    val li = graft.io.Tables.lineitem(spark, dir)
+      .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1997-01-01").cast("timestamp"))
+      .select($"l_orderkey", $"l_returnflag", $"l_shipdate")
+      .as[(Long, String, java.sql.Timestamp)].collect()
+    val ord = graft.io.Tables.orders(spark, dir)
+      .select($"o_orderkey", $"o_orderdate", $"o_orderpriority")
+      .as[(Long, java.sql.Timestamp, String)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    val late = li.filter { case (ok, _, ship) =>
+      val (od, _) = ord(ok)
+      ship.getTime - od.getTime > 60L * 86400 * 1000
+    }
+    val brute = late.groupBy(_._2).map { case (flag, g) =>
+      val hi = g.count(t => Set("1-URGENT", "2-HIGH")(ord(t._1)._2))
+      flag -> (hi.toLong, (g.length - hi).toLong)
+    }
+    val got = RelationalJobs.q12LatePriority(spark, dir)
+      .as[(String, Long, Long)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    assert(got == brute)
+    // non-degenerate in every group (the seed rule)
+    assert(got.size == 3 && got.values.forall(t => t._1 > 0 && t._2 > 0))
+  }
+
+  test("q12 plan: ship window pushed to the lineitem scan") {
+    val p = executedPlan(RelationalJobs.q12LatePriority(spark, sf("sf0.001")))
+    assert(p.contains("GreaterThanOrEqual(l_shipdate,1996-01-01"),
+      s"date window must reach PushedFilters:\n$p")
+  }
+
+  test("q9: profit matches the per-line min-uc recompute") {
+    val dir = sf("sf0.001")
+    val li = graft.io.Tables.lineitem(spark, dir)
+      .select($"l_orderkey", $"l_partkey", $"l_suppkey",
+        expr("cast(round(l_extendedprice * 100) as bigint)").as("ep"),
+        expr("cast(round(l_discount * 100) as bigint)").as("dc"),
+        expr("cast(round(l_quantity) as bigint)").as("q"))
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    val uc = li.groupBy(t => (t._2, t._3))
+      .map { case (k, g) => k -> g.map(t => t._4 * 10 / t._6).min }
+    val widgets = graft.io.Tables.part(spark, dir)
+      .filter($"p_name".like("%widget%")).select($"p_partkey")
+      .as[Long].collect().toSet
+    val nat = graft.io.Tables.supplier(spark, dir)
+      .join(graft.io.Tables.nation(spark, dir),
+        $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey", $"n_name").as[(Long, String)].collect().toMap
+    val oyear = graft.io.Tables.orders(spark, dir)
+      .select($"o_orderkey", year($"o_orderdate")).as[(Long, Int)]
+      .collect().toMap
+    val brute = li.filter(t => widgets(t._2)).groupBy(t =>
+        (nat(t._3), oyear(t._1)))
+      .map { case (k, g) =>
+        k -> g.map(t => t._4 * (100 - t._5) - uc((t._2, t._3)) * t._6 * 10).sum
+      }
+    val got = RelationalJobs.q9ProductProfit(spark, dir)
+      .as[(String, Int, Long)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    assert(got == brute)
+    assert(got.nonEmpty && got.values.forall(_ != 0L)) // the seed rule
+  }
+
+  test("q9 plan: two lineitem scans (uc aggregate + probe), dims broadcast") {
+    val p = executedPlan(RelationalJobs.q9ProductProfit(spark, sf("sf0.001")))
+    val scans = "lineitem\\.parquet".r.findAllIn(finalPlanOnly(p)).size
+    assert(scans <= 2, s"expected <=2 lineitem scans (uc agg + probe), got $scans:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"dims must broadcast:\n$p")
+  }
+
   test("q20: dominators match the brute-force >50%-share rule on contested parts") {
     val dir = sf("sf0.001")
     val promo = graft.io.Tables.part(spark, dir)
