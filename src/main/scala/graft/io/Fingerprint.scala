@@ -20,6 +20,29 @@ object Fingerprint {
   def of(sfDir: String, table: String): String =
     ofPath(Paths.get(sfDir, s"$table.parquet").toString)
 
+  private val lastSeen =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** [[of]] + staleness defense for the JVM-level content memos: when the
+    * fingerprint of a path this JVM has ALREADY fingerprinted changes (a
+    * parquet rewritten in place — regenerated fixture, relanded daily
+    * table), Spark's plan-equality CacheManager would otherwise keep
+    * serving operator-internal caches built over the OLD bytes (the
+    * cached logical plan embeds only the path string), so the memo's
+    * retrain would silently re-collect stale data. `refreshByPath`
+    * invalidates every cached plan touching the path; it fires ONLY on a
+    * changed re-sighting — never in steady state — so the hot path pays
+    * one map upsert.
+    */
+  def ofRefreshing(sfDir: String, table: String): String = {
+    val path = Paths.get(sfDir, s"$table.parquet").toString
+    val fp = ofPath(path)
+    val prev = lastSeen.put(path, fp)
+    if (prev != null && prev != fp)
+      org.apache.spark.sql.SparkSession.active.catalog.refreshByPath(path)
+    fp
+  }
+
   def ofPath(path: String): String = {
     val p = Paths.get(path)
     val parts: Seq[Path] =

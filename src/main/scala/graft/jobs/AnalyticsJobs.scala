@@ -1209,8 +1209,14 @@ object AnalyticsJobs {
   private[jobs] val SimMemoMaxRows = 1000000L
 
   private[jobs] def simLists(spark: SparkSession, sfDir: String): DataFrame =
-    memoizedLists(spark, graft.io.Fingerprint.of(sfDir, "events"),
+    memoizedLists(spark, graft.io.Fingerprint.ofRefreshing(sfDir, "events"),
       itemSimilarityCore(interactionsOf(spark, sfDir)))
+
+  /** Spec hook: [[simLists]] for the memo-drift spec (a rewritten events
+    * parquet must retrain, never serve the stale CF lists).
+    */
+  private[graft] def simListsForSpec(spark: SparkSession,
+      sfDir: String): DataFrame = simLists(spark, sfDir)
 
   /** The memo mechanism shared by the full-log and eval-prefix list
     * models: catalog×K rows collected once per (corpus, tag) key; above
@@ -1487,7 +1493,7 @@ object AnalyticsJobs {
     // local sink) while serving identical lists
     val hist = keptOf(prefix)
     val lists = memoizedLists(spark,
-      graft.io.Fingerprint.of(sfDir, "events") + ":prefix",
+      graft.io.Fingerprint.ofRefreshing(sfDir, "events") + ":prefix",
       itemSimilarityOverKept(hist))
     val recs = itemRecsServe(hist, lists)
     val perUser = recs

@@ -68,9 +68,9 @@ object ArtifactJobs {
   }
 
   private def docsFp(sfDir: String): String =
-    graft.io.Fingerprint.of(sfDir, "documents")
+    graft.io.Fingerprint.ofRefreshing(sfDir, "documents")
   private def vecsFp(sfDir: String): String =
-    graft.io.Fingerprint.of(sfDir, "embeddings")
+    graft.io.Fingerprint.ofRefreshing(sfDir, "embeddings")
 
   /** IVF ANN scored against centroids LOADED from parquet: train k-means
     * (identical to `ann_ivf_trained`), persist the (cent_id, cv, cnorm)
@@ -234,7 +234,7 @@ object ArtifactJobs {
   }
 
   private def eventsFp(sfDir: String): String =
-    graft.io.Fingerprint.of(sfDir, "events")
+    graft.io.Fingerprint.ofRefreshing(sfDir, "events")
 
   /** The namespaced symmetric edge extraction of
     * [[AnalyticsJobs.itemPagerank]] over an arbitrary events slice.

@@ -1840,7 +1840,7 @@ object DedupJobs {
     import spark.implicits._
     def rebuild(flat: Array[Long]): DataFrame =
       flat.grouped(2).map(g => (g(0), g(1))).toSeq.toDF("doc_a", "doc_b")
-    val key = graft.io.Fingerprint.of(sfDir, "documents")
+    val key = graft.io.Fingerprint.ofRefreshing(sfDir, "documents")
     val hit = truthMemo.get(key)
     if (hit != null) {
       if (hit.length == 0)
@@ -1863,6 +1863,12 @@ object DedupJobs {
       }
     }
   }
+
+  /** Spec hook: [[jaccardTruthPairs]] for the memo-drift spec (a
+    * rewritten documents parquet must recompute the truth set).
+    */
+  private[graft] def jaccardTruthForSpec(spark: SparkSession,
+      sfDir: String): DataFrame = jaccardTruthPairs(spark, sfDir)
 
   def dedupEval(spark: SparkSession, sfDir: String): DataFrame = {
     val truth = jaccardTruthPairs(spark, sfDir)

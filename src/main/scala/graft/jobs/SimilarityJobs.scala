@@ -193,7 +193,7 @@ object SimilarityJobs {
 
   private[jobs] def trainedCents(spark: SparkSession, sfDir: String,
       v: => DataFrame): DataFrame = {
-    val key = graft.io.Fingerprint.of(sfDir, "embeddings")
+    val key = graft.io.Fingerprint.ofRefreshing(sfDir, "embeddings")
     // computeIfAbsent, not get-then-putIfAbsent: two concurrent first
     // callers for the same corpus must not each run the full distributed
     // training (deterministic result, so the race was wasted work, not a

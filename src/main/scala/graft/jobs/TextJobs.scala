@@ -2563,7 +2563,7 @@ object TextJobs {
     String, (Array[(Long, Long)], Double)]()
 
   private def docsFingerprint(sfDir: String): String =
-    graft.io.Fingerprint.of(sfDir, "documents")
+    graft.io.Fingerprint.ofRefreshing(sfDir, "documents")
 
   private[jobs] def rocchioModel(
       spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
