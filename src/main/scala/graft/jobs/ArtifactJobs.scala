@@ -77,15 +77,19 @@ object ArtifactJobs {
     * frame, release the training cache, probe from the load.
     */
   def annIvfFromArtifact(spark: SparkSession, sfDir: String): DataFrame = {
-    val v = SimilarityJobs.vectors(spark, sfDir).cache()
-    var trained: DataFrame = null // set only on a memo miss
-    val loaded = persist(spark, "ivf_centroids", vecsFp(sfDir), {
-      trained = SimilarityJobs.trainedCents(spark, sfDir, v); trained
-    })
-    if (trained != null) trained.unpersist() // scoring must touch only the artifact
-    Similarity.ivfTopKWith(v, loaded,
-      col("vec_id") < SimilarityJobs.N_QUERIES,
-      nprobe = SimilarityJobs.IVF_NPROBE, k = SimilarityJobs.TOP_K)
+    // slim handoff (the semanticDedupFromArtifact discipline): scoring
+    // touches only the loaded artifact, and the vector/probe caches
+    // release at construction end
+    val scope = graft.ops.CacheScope()
+    try {
+      val v = scope.cache(SimilarityJobs.vectors(spark, sfDir))
+      val loaded = persist(spark, "ivf_centroids", vecsFp(sfDir),
+        SimilarityJobs.trainedCents(spark, sfDir, v))
+      Similarity.ivfTopKWith(v, loaded,
+        col("vec_id") < SimilarityJobs.N_QUERIES,
+        nprobe = SimilarityJobs.IVF_NPROBE, k = SimilarityJobs.TOP_K,
+        scope = scope).localCheckpoint()
+    } finally scope.close()
   }
 
   /** Rocchio quality classifier scoring from persisted (b, w) weights
@@ -192,13 +196,18 @@ object ArtifactJobs {
     * round-trip changed no pair and no cosine.
     */
   def semanticDedupFromArtifact(spark: SparkSession, sfDir: String): DataFrame = {
-    val v = SimilarityJobs.vectors(spark, sfDir).cache()
-    var trained: DataFrame = null // set only on a memo miss
-    val loaded = persist(spark, "ivf_centroids", vecsFp(sfDir), {
-      trained = SimilarityJobs.trainedCents(spark, sfDir, v); trained
-    })
-    if (trained != null) trained.unpersist()
-    Similarity.withinCellPairs(v, loaded, SimilarityJobs.NEARDUP_THRESHOLD)
+    // slim handoff (the semanticDedup discipline): vector cache +
+    // pair-stage internals release at construction end; trainedCents
+    // serves a local C-row frame (computeIfAbsent memo), so persist's
+    // by-name model constructs no training plan on a memo hit
+    val scope = graft.ops.CacheScope()
+    try {
+      val v = scope.cache(SimilarityJobs.vectors(spark, sfDir))
+      val loaded = persist(spark, "ivf_centroids", vecsFp(sfDir),
+        SimilarityJobs.trainedCents(spark, sfDir, v))
+      Similarity.withinCellPairs(v, loaded, SimilarityJobs.NEARDUP_THRESHOLD,
+        scope).localCheckpoint()
+    } finally scope.close()
   }
 
   /** Hard-negative mining served from persisted IVF centroids: the

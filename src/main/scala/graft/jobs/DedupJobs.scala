@@ -734,7 +734,18 @@ object DedupJobs {
     */
   def decontamination(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    val verified = pipeline(spark, sfDir).verifiedPairs(JACCARD_THRESHOLD)
+    // slim handoff: the split join reads only (doc_a, doc_b, jaccard), so
+    // the verified frame is materialized eagerly and every pipeline-
+    // internal cache (grams, signatures, membership) releases before the
+    // split joins run — the cross_modal/image_clusters footprint playbook
+    // (decontamination sat in BENCHGAP-r14's 2-3x watch band)
+    val scope = graft.ops.CacheScope()
+    val verified = try {
+      new graft.ops.DedupPipeline(
+          Tables.documents(spark, sfDir).select(col("doc_id"), col("text")),
+          K, BANDS, JACCARD_N, scope)
+        .verifiedPairs(JACCARD_THRESHOLD).localCheckpoint()
+    } finally scope.close()
     val splits = Tables.documents(spark, sfDir)
       .select(col("doc_id"), splitCol(spark).as("split"))
     verified

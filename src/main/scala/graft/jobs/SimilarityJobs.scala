@@ -225,10 +225,15 @@ object SimilarityJobs {
   def annIvfTrained(spark: SparkSession, sfDir: String): DataFrame = {
     // the normed vector frame feeds the quantized-dim view, both k-means
     // assign rounds, and the final assign/probe/verify stages — cache it
-    // so the parquet scan + norm computation runs once
-    val v = vectors(spark, sfDir).cache()
-    Similarity.ivfTopKWith(v, trainedCents(spark, sfDir, v),
-      col("vec_id") < N_QUERIES, nprobe = IVF_NPROBE, k = TOP_K)
+    // so the parquet scan + norm computation runs once; scope-released at
+    // construction end with the probe internals (r15 footprint playbook)
+    val scope = graft.ops.CacheScope()
+    try {
+      val v = scope.cache(vectors(spark, sfDir))
+      Similarity.ivfTopKWith(v, trainedCents(spark, sfDir, v),
+        col("vec_id") < N_QUERIES, nprobe = IVF_NPROBE, k = TOP_K,
+        scope = scope).localCheckpoint()
+    } finally scope.close()
   }
 
   /** One k-means iteration as a CTE pair: assignment argmax against
@@ -363,9 +368,28 @@ object SimilarityJobs {
     * linear), only the quadratic pair stage is compressed. The oracle
     * states the UNcompressed semantics, so losslessness is hash-checked.
     */
+  /** Spec hook: the UN-checkpointed within-cell pair plan (what
+    * [[semanticDedup]] materializes eagerly behind its slim handoff) —
+    * the PlanQualitySpec cell-equi-join pin reads this shape.
+    */
+  private[graft] def semanticDedupPlanForSpec(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val v = vectors(spark, sfDir)
+    Similarity.withinCellPairs(v, trainedCents(spark, sfDir, v),
+      NEARDUP_THRESHOLD)
+  }
+
   def semanticDedup(spark: SparkSession, sfDir: String): DataFrame = {
-    val v = vectors(spark, sfDir).cache()
-    Similarity.withinCellPairs(v, trainedCents(spark, sfDir, v), NEARDUP_THRESHOLD)
+    // slim handoff: the output is the pair-mass frame, so it materializes
+    // eagerly and the vector cache + withinCellPairs' internal membership
+    // caches release at construction end (the r15 footprint playbook —
+    // a bare v.cache() outlived the query for the JVM lifetime)
+    val scope = graft.ops.CacheScope()
+    try {
+      val v = scope.cache(vectors(spark, sfDir))
+      Similarity.withinCellPairs(v, trainedCents(spark, sfDir, v),
+        NEARDUP_THRESHOLD, scope).localCheckpoint()
+    } finally scope.close()
   }
 
   /** Oracle: the shared unrolled-k-means prefix, rn=1 assignment, then the

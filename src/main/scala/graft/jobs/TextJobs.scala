@@ -1739,7 +1739,11 @@ object TextJobs {
       .toDF("query_id", "term")
     val docs = Tables.documents(spark, sfDir)
     val tf = bm25Tf(docs)
-    val dl = bm25Dl(tf).cache()
+    // scope-released at construction end with an eager K×|queries| output
+    // (the r15 footprint playbook — the dl cache outlived the query)
+    val scope = graft.ops.CacheScope()
+    try {
+    val dl = scope.cache(bm25Dl(tf))
     val (nDocs, adl) = bm25CorpusStats(docs, dl)
     val matched = tf.join(broadcast(terms), col("token") === col("term"))
     val dfx = matched.select(col("term"), col("doc_id")).distinct()
@@ -1767,6 +1771,8 @@ object TextJobs {
     local.withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= SEARCH_K)
       .select(col("query_id"), col("doc_id"), col("score"), col("rn"))
+      .localCheckpoint()
+    } finally scope.close()
   }
 
   /** The (doc_id, token, tf) postings frame BM25 builds on. */

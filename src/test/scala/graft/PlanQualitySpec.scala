@@ -221,7 +221,9 @@ class PlanQualitySpec extends SparkSpec {
   }
 
   test("semantic dedup pairs via an int-cell equi-join, never all-pairs") {
-    val p = plan(SimilarityJobs.semanticDedup(spark, sf("sf0.001")))
+    // the registry query checkpoints its output behind a slim handoff
+    // (r15), so the pin reads the UN-checkpointed pair plan via the hook
+    val p = plan(SimilarityJobs.semanticDedupPlanForSpec(spark, sf("sf0.001")))
     // nested-loop joins in this plan are only the C-bounded broadcast
     // centroid assigns (their build side is the ≤C-row centroid frame —
     // never a data×data product); the count of their STRING occurrences
