@@ -626,6 +626,38 @@ object ArtifactJobs {
     } finally scope.close()
   }
 
+  /** VIDEO per-frame index COMPACTION — the sequence-fingerprint member
+    * of the [[imageIndexCompacted]] family: the established per-frame
+    * index is the stored artifact, the delta's frame rows arrive as five
+    * append chunks, and compaction merges them into one
+    * (doc_id, frame_idx)-sorted part. The serve then runs the FULL
+    * frame-aligned pair contract ([[VideoPipeline.verifyAligned]] over
+    * anchor-banded candidates) from the compacted table alone — zero
+    * RAWV parse anywhere. Oracle: the full in-line per-frame recompute
+    * ([[MultimodalJobs.videoNeardupSql]] VERBATIM).
+    */
+  def videoIndexCompacted(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.ops.{Dedup, Multimodal, VideoPipeline}
+    val docs = Tables.documents(spark, sfDir)
+    val idx = compacted(spark, "video_fp_compacted", docsFp(sfDir),
+      stored = Multimodal.videoScan(spark, docs.filter(col("doc_id") % 5 =!= 0)),
+      chunks = (0 until 5).map { c =>
+        Multimodal.videoScan(spark,
+          docs.filter(col("doc_id") % 5 === 0 && col("doc_id") % 25 === c * 5))
+      },
+      sortCols = Seq("doc_id", "frame_idx"))
+    val scope = graft.ops.CacheScope()
+    try {
+      val anchors = idx.filter(col("frame_idx") === 0)
+        .select(col("doc_id"), col("fp"))
+      VideoPipeline.verifyAligned(idx,
+        Dedup.hammingPairsAuto(anchors,
+            MultimodalJobs.NEARDUP_MAX_HAMMING, scope)
+          .select(col("doc_a"), col("doc_b")),
+        MultimodalJobs.NEARDUP_MAX_HAMMING).localCheckpoint()
+    } finally scope.close()
+  }
+
   /** IVF×PQ index COMPACTION — the embedding sibling of
     * [[imageIndexCompacted]], closing the delta-cell growth
     * [[graft.streaming.StreamingSimilarity.indexRefreshBatches]] leaves
@@ -675,6 +707,7 @@ object ArtifactJobs {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "image_index_compacted" -> imageIndexCompacted,
+    "video_index_compacted" -> videoIndexCompacted,
     "ann_ivf_pq_compacted" -> annIvfPqCompacted,
     "image_index_incremental" -> imageIndexIncremental,
     "audio_index_incremental" -> audioIndexIncremental,
@@ -699,6 +732,7 @@ object ArtifactJobs {
     */
   val oracles: Map[String, String] = Map(
     "image_index_compacted" -> MultimodalJobs.imageNeardupSql,
+    "video_index_compacted" -> MultimodalJobs.videoNeardupSql,
     "ann_ivf_pq_compacted" -> SimilarityJobs.annIvfPqRerankSql,
     "image_index_incremental" -> MultimodalJobs.imageNeardupDeltaSql,
     "audio_index_incremental" -> MultimodalJobs.audioNeardupDeltaSql,

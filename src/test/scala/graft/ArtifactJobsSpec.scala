@@ -95,6 +95,15 @@ class ArtifactJobsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("video index compaction: per-frame index merges to ONE part; serve equals parse rebuild") {
+    val out = ArtifactJobs.videoIndexCompacted(spark, sf("sf0.001"))
+    assert(ArtifactJobs.partFileCount("video_fp_compacted_appends") == 5)
+    assert(ArtifactJobs.partFileCount("video_fp_compacted") == 1)
+    assertTwin("video_compacted", out,
+      graft.jobs.MultimodalJobs.videoNeardup(spark, sf("sf0.001")))
+    spark.catalog.clearCache()
+  }
+
   test("ivf-pq compaction: cells and codes each merge to ONE part; serve equals the artifact pipeline") {
     val out = ArtifactJobs.annIvfPqCompacted(spark, sf("sf0.001"))
     assert(ArtifactJobs.partFileCount("ivfpq_cells_compacted_appends") == 3)
