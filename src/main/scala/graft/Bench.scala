@@ -163,7 +163,7 @@ object Bench {
       // round, the rest await canary adjudication.
       "semantic_dedup_from_artifact", "ann_cosine_topk", "video_clusters",
       "image_clusters", "image_index_incremental", "decontamination",
-      "bm25_search")
+      "bm25_search", "thumbnail_match", "multimodal_pairs")
     val byCost = results.toSeq.sortBy { case (_, v) =>
       if (v.isNaN) Double.MaxValue else v } // cheap first; NaN (errored) last
     val chunk = new StringBuilder

@@ -84,7 +84,22 @@ object BenchGap {
       "releases every decode cache before cluster resolution. BenchOne " +
       "steady ~1.9 s on a quiet box both before and after (the win is " +
       "concurrent footprint, not quiet-box wall); canary slot " +
-      "registered for adjudication"))
+      "registered for adjudication"),
+    "image_index_incremental" -> ("fixed round 15: the delta decode was " +
+      "a bare .cache() leaked for the JVM lifetime — now an eager " +
+      "localCheckpoint (serve plan carries NO documents scan, pinned in " +
+      "ArtifactJobsSpec). Local medians under the r15 binary: " +
+      "0.85/0.79/0.43 across the three reference runs (was 0.72 kept-" +
+      "r14); the r14 driver 1.81 predates the fix. Canary slot " +
+      "registered"),
+    "multimodal_pairs" -> ("flags only because the LOCAL median dropped " +
+      "3.0 -> 1.6-2.0 s (consistent across all three r15 reference " +
+      "runs) under the r15 registry-wide cache scoping — its own code " +
+      "is unchanged; it shared executor-storage eviction pressure with " +
+      "the formerly-unscoped image/video pipeline caches inside a " +
+      "220-query run. The r14 driver 5.48 predates that scoping; the " +
+      "r14 verdict already audited its plan clean (shared decode pass, " +
+      "int-keyed join, captions never touch pixels)"))
 
   /** Flags attributed to driver-container environment, not engine code:
     * BenchOne locals are clean and the audited plan has nothing left to
@@ -125,7 +140,16 @@ object BenchGap {
       "bounded query-side broadcast brute-force baseline, PLANAUDIT " +
       "clean, no caches on the path to slim. Canary slot registered — " +
       "if the slot canary spikes next round the attribution is proven; " +
-      "if it stays flat at >3x this entry comes back out to forensics"))
+      "if it stays flat at >3x this entry comes back out to forensics"),
+    "thumbnail_match" -> ("driver 4.05 vs kept-run local 1.11 is SWING " +
+      "on both sides, not a regression: the query's three r15 reference " +
+      "runs read 3.28/1.97/1.11 s (the r14 rule — top-cost queries " +
+      "swing 2-3x between whole reference runs) and the r13/r14 locals " +
+      "were ~5.3; the r14 VERDICT already adjudicated the driver 4.05 " +
+      "as BELOW the then-local median with the plan audited clean " +
+      "(parity-tagged banded Hamming self-join, anchor blocking " +
+      "lossless). No code change this round; re-adjudicate only if the " +
+      "next driver median exceeds its own r14 value"))
 
   // the driver wrapper stores our stdout line INSIDE a JSON string, so
   // its quotes arrive backslash-escaped — accept both forms
