@@ -192,8 +192,17 @@ object SimilarityJobs {
     trainedCents(spark, sfDir, vectors(spark, sfDir))
 
   private[jobs] def trainedCents(spark: SparkSession, sfDir: String,
-      v: => DataFrame): DataFrame = {
-    val key = graft.io.Fingerprint.ofRefreshing(sfDir, "embeddings")
+      v: => DataFrame): DataFrame = trainedCentsTagged(spark, sfDir, "", v)
+
+  /** [[trainedCents]] with a DISTINCT memo tag for models trained on a
+    * different vector subset of the same corpus (the `:sim_inc`
+    * discipline — the tag keeps the miss lineage executing and
+    * hash-gating per training set; `ann_index_drift`'s established-only
+    * model uses ":est").
+    */
+  private[jobs] def trainedCentsTagged(spark: SparkSession, sfDir: String,
+      tag: String, v: => DataFrame): DataFrame = {
+    val key = graft.io.Fingerprint.ofRefreshing(sfDir, "embeddings") + tag
     // computeIfAbsent, not get-then-putIfAbsent: two concurrent first
     // callers for the same corpus must not each run the full distributed
     // training (deterministic result, so the race was wasted work, not a
@@ -241,20 +250,26 @@ object SimilarityJobs {
     * BY d)` makes the array reassembly deterministic, mirroring Spark's
     * sort_array(collect_list(struct))).
     */
-  private def kmeansIterSql(i: Int, prevCent: String): String =
+  /** `e`/`qd` name the training-vector and quantized-dim CTEs so the
+    * drift oracle can run the SAME unrolled iterations over the
+    * established subset (te/tqd) while assignment still covers all of
+    * `e` — the default names keep every existing oracle verbatim.
+    */
+  private def kmeansIterSql(i: Int, prevCent: String, e: String = "e",
+      qd: String = "qd"): String =
     s"""a$i AS (
        |  SELECT vec_id, cent_id AS cell FROM (
        |    SELECT e.vec_id, c.cent_id, ROW_NUMBER() OVER (
        |      PARTITION BY e.vec_id ORDER BY
        |        ROUND(list_cosine_similarity(e.v, c.cv) + 1e-12, 6) DESC,
        |        c.cent_id ASC) AS rn
-       |    FROM e CROSS JOIN $prevCent c) r
+       |    FROM $e e CROSS JOIN $prevCent c) r
        |  WHERE rn = 1
        |), cent$i AS (
        |  SELECT cell AS cent_id, list(coord ORDER BY d) AS cv FROM (
        |    SELECT a$i.cell, qd.d,
        |           CAST(SUM(qd.q) AS DOUBLE) / (COUNT(*) * 1000000.0) AS coord
-       |    FROM qd JOIN a$i USING (vec_id)
+       |    FROM $qd qd JOIN a$i USING (vec_id)
        |    GROUP BY a$i.cell, qd.d) m
        |  GROUP BY cell
        |)""".stripMargin
@@ -346,6 +361,132 @@ object SimilarityJobs {
        |       ROUND(CAST(SUM(CAST(ROUND(sim * 1000000.0) AS BIGINT)) AS DOUBLE)
        |             / (COUNT(*) * 1000000.0) + 1e-9, 4) AS mean_cos
        |FROM assigned GROUP BY cent_id""".stripMargin
+
+  /** Hot-cell vote threshold for [[annIndexDrift]] (percent): a cell is
+    * drift-hot when today's ingest concentrates there beyond
+    * DRIFT_HOT_PCT% of its membership — vs the 20% global delta share.
+    * A deployment tunes this to its ingest fraction; the gate tests the
+    * exact-integer mechanism at a value probed non-degenerate (hot and
+    * cold cells both present) at every fixture SF.
+    */
+  private[jobs] val DRIFT_HOT_PCT = 21
+
+  /** The unrolled-k-means prefix trained on the ESTABLISHED corpus only
+    * (vec_id % 5 != 0 — yesterday's model), while `e` still covers all
+    * vectors for the assignment side. Same iteration CTEs via
+    * [[kmeansIterSql]] with te/tqd sources.
+    */
+  private def kmeansEstPrefixSql: String = {
+    val iters = (1 to KM_ITERS)
+      .map(i => kmeansIterSql(i, if (i == 1) "cent0" else s"cent${i - 1}",
+        e = "te", qd = "tqd"))
+      .mkString(", ")
+    s"""e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |), te AS (
+       |  SELECT * FROM e WHERE vec_id % 5 <> 0
+       |), cent0 AS (
+       |  SELECT vec_id AS cent_id, v AS cv FROM te WHERE vec_id < $IVF_CENTROIDS
+       |), tqd AS (
+       |  SELECT vec_id, s.d AS d, s.q AS q FROM (
+       |    SELECT vec_id, unnest(
+       |      [{'d': i, 'q': CAST(ROUND(v[i] * 1000000.0 + 1e-9) AS BIGINT)}
+       |       FOR i IN range(1, len(v) + 1)]) AS s
+       |    FROM te) u
+       |), $iters""".stripMargin
+  }
+
+  /** Index-drift audit — the RE-TRAIN TRIGGER for the served IVF stack:
+    * the streaming refreshers keep cell CONTENTS fresh under a frozen
+    * model, but nothing decided when drift warrants retraining the
+    * centroids themselves. This query assigns BOTH cohorts — the
+    * established corpus (what yesterday's model was trained on,
+    * vec_id % 5 != 0) and today's delta — against the
+    * established-trained centroids and emits the per-cell audit a
+    * retrain policy reads: cohort populations, exact integer-ppm mean
+    * assignment cosines, the quality drop, and the hot-cell vote
+    * ([[DRIFT_HOT_PCT]] — today's ingest over-concentrating in a cell).
+    * Hot cells + positive quality drops = the delta is landing where the
+    * model has no resolution, i.e. retrain.
+    *
+    * Everything emitted is engine-exact: counts, quantized-cosine
+    * integer sums (order-independent), truncating sign-split divisions
+    * (the r11 kappa rule — Spark `div` truncates toward zero, DuckDB
+    * `//` floors, so negative numerators sign-split in the oracle).
+    * Scale shape: one training pass over the established corpus
+    * (C-bounded broadcasts throughout), one C-bounded broadcast argmax
+    * over the full corpus, one 16-row conditional agg.
+    */
+  def annIndexDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    val scope = graft.ops.CacheScope()
+    try {
+      val v = scope.cache(vectors(spark, sfDir))
+      val cents = trainedCentsTagged(spark, sfDir, ":est",
+        v.filter(col("vec_id") % 5 =!= 0))
+      val scored = v.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("cent_id"),
+          Similarity.cosine(col("v"), col("norm"), col("cv"), col("cnorm"))
+            .as("cscore"))
+      val isDelta = col("vec_id") % 5 === 0
+      graft.ops.TopN.topNPer(scored, col("vec_id"), col("cscore"),
+          col("cent_id"), 1)
+        .withColumn("q", round(col("cscore") * 1e6).cast("long"))
+        .groupBy(col("cent_id").as("cell"))
+        .agg(
+          count(when(!isDelta, lit(1))).as("n_est"),
+          count(when(isDelta, lit(1))).as("n_delta"),
+          sum(when(!isDelta, col("q")).otherwise(0L)).as("sq_est"),
+          sum(when(isDelta, col("q")).otherwise(0L)).as("sq_delta"))
+        .select(col("cell"), col("n_est"), col("n_delta"),
+          expr("case when n_est = 0 then 0 " +
+            "when sq_est >= 0 then sq_est div n_est " +
+            "else -((-sq_est) div n_est) end").as("mean_est_ppm"),
+          expr("case when n_delta = 0 then 0 " +
+            "when sq_delta >= 0 then sq_delta div n_delta " +
+            "else -((-sq_delta) div n_delta) end").as("mean_delta_ppm"),
+          (lit(100L) * col("n_delta") >
+            lit(DRIFT_HOT_PCT.toLong) * (col("n_est") + col("n_delta")))
+            .as("hot"))
+        .withColumn("quality_drop_ppm",
+          col("mean_est_ppm") - col("mean_delta_ppm"))
+        .localCheckpoint()
+    } finally scope.close()
+  }
+
+  val annIndexDriftSql: String =
+    s"""WITH $kmeansEstPrefixSql, assigned AS (
+       |  SELECT vec_id, cent_id, sim FROM (
+       |    SELECT e.vec_id, c.cent_id,
+       |      ROUND(list_cosine_similarity(e.v, c.cv) + 1e-12, 6) AS sim,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+       |        ROUND(list_cosine_similarity(e.v, c.cv) + 1e-12, 6) DESC,
+       |        c.cent_id ASC) AS rn
+       |    FROM e CROSS JOIN cent$KM_ITERS c) r
+       |  WHERE rn = 1
+       |), cells AS (
+       |  SELECT cent_id AS cell,
+       |    COUNT(CASE WHEN vec_id % 5 <> 0 THEN 1 END) AS n_est,
+       |    COUNT(CASE WHEN vec_id % 5 = 0 THEN 1 END) AS n_delta,
+       |    CAST(COALESCE(SUM(CASE WHEN vec_id % 5 <> 0
+       |      THEN CAST(ROUND(sim * 1000000.0) AS BIGINT) END), 0) AS BIGINT)
+       |      AS sq_est,
+       |    CAST(COALESCE(SUM(CASE WHEN vec_id % 5 = 0
+       |      THEN CAST(ROUND(sim * 1000000.0) AS BIGINT) END), 0) AS BIGINT)
+       |      AS sq_delta
+       |  FROM assigned GROUP BY 1
+       |), means AS (
+       |  SELECT cell, n_est, n_delta,
+       |    CASE WHEN n_est = 0 THEN 0
+       |         WHEN sq_est >= 0 THEN sq_est // n_est
+       |         ELSE -((-sq_est) // n_est) END AS mean_est_ppm,
+       |    CASE WHEN n_delta = 0 THEN 0
+       |         WHEN sq_delta >= 0 THEN sq_delta // n_delta
+       |         ELSE -((-sq_delta) // n_delta) END AS mean_delta_ppm,
+       |    100 * n_delta > $DRIFT_HOT_PCT * (n_est + n_delta) AS hot
+       |  FROM cells)
+       |SELECT cell, n_est, n_delta, mean_est_ppm, mean_delta_ppm,
+       |       mean_est_ppm - mean_delta_ppm AS quality_drop_ppm, hot
+       |FROM means""".stripMargin
 
   /** SemDeDup-style semantic near-dedup (Abbas et al. 2023): cluster the
     * corpus with trained k-means, then search near-duplicate pairs ONLY
@@ -1441,6 +1582,7 @@ object SimilarityJobs {
     "ann_ivf" -> annIvf,
     "ann_ivf_trained" -> annIvfTrained,
     "embedding_clusters" -> embeddingClusters,
+    "ann_index_drift" -> annIndexDrift,
     "cluster_purity" -> clusterPurity,
     "embedding_outliers" -> embeddingOutliers,
     "semantic_dedup" -> semanticDedup)
@@ -1469,6 +1611,7 @@ object SimilarityJobs {
     "ann_ivf" -> annIvfSql,
     "ann_ivf_trained" -> annIvfTrainedSql,
     "embedding_clusters" -> embeddingClustersSql,
+    "ann_index_drift" -> annIndexDriftSql,
     "cluster_purity" -> clusterPuritySql,
     "embedding_outliers" -> embeddingOutliersSql,
     "semantic_dedup" -> semanticDedupSql)

@@ -31,6 +31,46 @@ class SimilaritySpec extends SparkSpec {
     assert(a1 != b, "different corpora must not share a memoized model")
   }
 
+  test("index drift audit: cohort stats re-derive from a Scala assignment; both votes present") {
+    val dir = sf("sf0.001")
+    // independent recompute: collect the established-trained centroids,
+    // assign every vector by plain-Scala rounded-cosine argmax, rebuild
+    // the per-cell cohort audit, compare to the query's rows
+    val vecs = graft.io.Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding".cast("array<double>"))
+      .as[(Long, Array[Double])].collect()
+    val vFrame = graft.ops.Similarity.withNorm(
+      graft.io.Tables.embeddings(spark, dir), $"vec_id", $"embedding")
+    val cents = graft.ops.Similarity.kmeansCentroids(
+        vFrame.filter($"vec_id" % 5 =!= 0), 16, 2)
+      .select($"cent_id", $"cv").as[(Long, Array[Double])].collect()
+    def r6(x: Double) = math.floor((x + 1e-12) * 1e6 + 0.5) / 1e6
+    def cos(a: Array[Double], b: Array[Double]) = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      r6(dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum)))
+    }
+    val assigned = vecs.map { case (id, v) =>
+      val (cid, sim) = cents.map { case (c, cv) => (c, cos(v, cv)) }
+        .maxBy { case (c, s) => (s, -c) }
+      (id, cid, sim)
+    }
+    val expect = assigned.groupBy(_._2).map { case (cell, g) =>
+      val (est, del) = g.partition(_._1 % 5 != 0)
+      def meanPpm(xs: Array[(Long, Long, Double)]) =
+        if (xs.isEmpty) 0L
+        else xs.map(t => math.round(t._3 * 1e6)).sum / xs.length
+      val (me, md) = (meanPpm(est), meanPpm(del))
+      cell -> (est.length.toLong, del.length.toLong, me, md, me - md,
+        100L * del.length > 21L * g.length)
+    }
+    val got = graft.jobs.SimilarityJobs.annIndexDrift(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Boolean, Long)].collect()
+      .map(t => t._1 -> (t._2, t._3, t._4, t._5, t._7, t._6)).toMap
+    assert(got == expect)
+    assert(got.values.exists(_._6) && got.values.exists(!_._6),
+      "hot vote must split (the seed rule)")
+  }
+
   test("brute-force top-k ranks by cosine with self excluded") {
     val out = Similarity.bruteForceTopK(v, v.filter($"vec_id" === 0), 2)
       .orderBy($"rn").select($"neighbor_id", $"sim").as[(Long, Double)].collect()
