@@ -1278,21 +1278,46 @@ object AnalyticsJobs {
   private[jobs] def itemSimilarityCore(ui: DataFrame): DataFrame =
     itemSimilarityOverKept(keptOf(ui))
 
-  /** The degree-capped interaction frame (cached — read by sizes, both
-    * sides of the pair join, and [[itemRecsCore]]'s history/anti-join).
+  /** The degree cap applied to an interaction frame — uncached form, so
+    * [[ArtifactJobs.cfErasure]] can scope-manage its own copies (a user's
+    * degree is a function of their OWN rows only, so the cap evaluates
+    * identically over any per-user-complete subset — the property the
+    * erasure decrement leans on).
     */
-  private def keptOf(ui: DataFrame): DataFrame =
+  private[jobs] def keptUncached(ui: DataFrame): DataFrame =
     ui.join(
       ui.groupBy(col("u")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") <= SIM_USER_CAP).select(col("u")), "u")
-      .cache()
 
-  private def itemSimilarityOverKept(kept: DataFrame): DataFrame = {
-    val sizes = kept.groupBy(col("i")).agg(count(lit(1)).as("n"))
-    val inter = kept.alias("a").join(kept.alias("b"),
+  /** The degree-capped interaction frame (cached — read by sizes, both
+    * sides of the pair join, and [[itemRecsCore]]'s history/anti-join).
+    */
+  private def keptOf(ui: DataFrame): DataFrame = keptUncached(ui).cache()
+
+  /** Per-item membership counts over a kept frame — with
+    * [[interCountsOf]], the CF model's sufficient statistics (what a
+    * persisted pair-count artifact stores, and what an erasure pass
+    * decrements).
+    */
+  private[jobs] def sizesOf(kept: DataFrame): DataFrame =
+    kept.groupBy(col("i")).agg(count(lit(1)).as("n"))
+
+  /** Per-pair co-occurrence counts (half matrix, ia < ib) over a kept
+    * frame. Each count decomposes per user (both endpoints share `u`),
+    * so counts over a user-disjoint union add — the decrement identity.
+    */
+  private[jobs] def interCountsOf(kept: DataFrame): DataFrame =
+    kept.alias("a").join(kept.alias("b"),
         col("a.u") === col("b.u") && col("a.i") < col("b.i"))
       .groupBy(col("a.i").as("ia"), col("b.i").as("ib"))
       .agg(count(lit(1)).as("inter"))
+
+  /** Jaccard + symmetrize + top-[[SIM_TOP_K]] rank from the sufficient
+    * statistics — the serve stage, shared by the in-line pipeline and
+    * the decremented-artifact erasure path.
+    */
+  private[jobs] def listsFromCounts(inter: DataFrame,
+      sizes: DataFrame): DataFrame = {
     val pairs = inter
       .join(sizes.select(col("i").as("ia"), col("n").as("na")), "ia")
       .join(sizes.select(col("i").as("ib"), col("n").as("nb")), "ib")
@@ -1308,6 +1333,9 @@ object AnalyticsJobs {
       .filter(col("rank") <= SIM_TOP_K)
       .select(col("item_id"), col("rank"), col("partner"), col("jacc_ppm"))
   }
+
+  private def itemSimilarityOverKept(kept: DataFrame): DataFrame =
+    listsFromCounts(interCountsOf(kept), sizesOf(kept))
 
   /** Default (full-log) interaction CTE body shared by the CF oracles. */
   private val uiSqlDefault: String =

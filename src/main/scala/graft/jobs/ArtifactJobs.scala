@@ -607,13 +607,161 @@ object ArtifactJobs {
     * re-fingerprinting the world from pixels.
     */
   def imageIndexCompacted(spark: SparkSession, sfDir: String): DataFrame = {
+    val idx = imageFpCompactedIdx(spark, sfDir)
+    val scope = graft.ops.CacheScope()
+    try {
+      graft.ops.Dedup.hammingPairsAuto(idx,
+          MultimodalJobs.NEARDUP_MAX_HAMMING, scope)
+        .localCheckpoint()
+    } finally scope.close()
+  }
+
+  /** The compacted full-corpus image fp index (stored 4/5 artifact ∪ five
+    * delta append chunks → one sorted part) — shared by the compaction
+    * gate and the erasure pass that runs after it in the lifecycle.
+    */
+  private def imageFpCompactedIdx(spark: SparkSession,
+      sfDir: String): DataFrame = {
     import graft.ops.Multimodal
     val docs = Tables.documents(spark, sfDir)
-    val idx = compacted(spark, "image_fp_compacted", docsFp(sfDir),
+    compacted(spark, "image_fp_compacted", docsFp(sfDir),
       stored = Multimodal.imageScan(spark, docs.filter(col("doc_id") % 5 =!= 0))
         .select(col("doc_id"), col("fp")),
       chunks = (0 until 5).map { c =>
         Multimodal.imageScan(spark,
+            docs.filter(col("doc_id") % 5 === 0 && col("doc_id") % 25 === c * 5))
+          .select(col("doc_id"), col("fp"))
+      },
+      sortCols = Seq("doc_id"))
+  }
+
+  /** Tombstone cohort for the artifact-erasure gates: `index_erasure`
+    * purges DOCUMENTS with doc_id % 29 == 7 (the `erasure_audit` cohort
+    * transplanted to the documents table — 17/17/173 docs, 119 index
+    * pairs touched at sf0.01); `cf_erasure` purges USERS with
+    * u % 29 == [[CF_ERASE_RESIDUE]] — residue 6, NOT 7, because the
+    * degree-capped user population at sf0.001 has no residue-7 members
+    * (the graph_reach seed rule: probed kept-interaction counts per
+    * residue are 48/189/1521 for 6 vs 0/86/1537 for 7).
+    */
+  private val DOC_ERASE_RESIDUE = 7
+  private[jobs] val CF_ERASE_RESIDUE = 6
+
+  /** ERASURE REACHES THE SERVING ARTIFACTS — the gap between the RTBF
+    * cascade (raw tables, streaming state, retract rollups — all covered
+    * by `erasure_audit` + `ErasureStream`) and the index lifecycle:
+    * purged doc_ids otherwise survive inside persisted fingerprint
+    * indexes until the next full rebuild. This pass filters the
+    * tombstone cohort OUT of the compacted image fp index, persists the
+    * purged index as the new serving artifact (one part, the compaction
+    * discipline), and serves near-dup pairs from it alone — zero decode,
+    * zero pairs to or from a purged id.
+    *
+    * Oracle: the full in-line dHash rebuild over the SURVIVING corpus
+    * ([[MultimodalJobs.imageNeardupSurvivorsSql]]) — hash-equality
+    * proves purge-in-place ≡ rebuild-from-survivors (fingerprints are
+    * per-document, so the two commute; the spec additionally asserts no
+    * purged id survives in the persisted artifact or the serve).
+    *
+    * Scale: the purge is one filtered scan of the index artifact
+    * (fingerprint-sized, not corpus-sized); nothing re-decodes. At
+    * 100 TB this is the difference between an erasure SLA measured in
+    * index-scan minutes and one measured in corpus-decode days.
+    */
+  def indexErasure(spark: SparkSession, sfDir: String): DataFrame = {
+    val purged = persist(spark, "image_fp_purged", docsFp(sfDir),
+      imageFpCompactedIdx(spark, sfDir)
+        .filter(col("doc_id") % 29 =!= DOC_ERASE_RESIDUE))
+    val scope = graft.ops.CacheScope()
+    try {
+      graft.ops.Dedup.hammingPairsAuto(purged,
+          MultimodalJobs.NEARDUP_MAX_HAMMING, scope)
+        .localCheckpoint()
+    } finally scope.close()
+  }
+
+  /** ERASURE REACHES THE CF MODEL — the collaborative-filtering sibling
+    * of [[indexErasure]]: a purged user's interactions are baked into
+    * the co-occurrence counts the similarity lists rank on, so a list
+    * artifact cannot be row-filtered (removal can PROMOTE pairs that
+    * were outside the stored top-K). The honest serving artifact is the
+    * model's sufficient statistics — the (ia, ib, inter) pair counts and
+    * (i, n) membership sizes ([[AnalyticsJobs.interCountsOf]] /
+    * [[AnalyticsJobs.sizesOf]], persisted once per corpus) — and erasure
+    * DECREMENTS them: one pass over the purged users' own interactions
+    * (their degrees are self-contained, so the degree cap evaluates
+    * without touching the full log) rebuilds their pair/size
+    * contributions, an int-keyed left join subtracts, zero-count rows
+    * drop, and the serve re-ranks from the decremented counts.
+    *
+    * Oracle: the full CF pipeline retrained on the surviving log
+    * ([[AnalyticsJobs.itemSimilaritySqlOver]] with the cohort filter in
+    * the interaction CTE) — hash-equality proves decrement ≡ retrain:
+    * co-occurrence counts decompose per user, survivors' degrees are
+    * unchanged by the purge, and the jacc/rank stage is a pure function
+    * of the counts.
+    *
+    * Scale: erasure cost is O(purged users' degree²) + one artifact-
+    * sized decrement join — never the corpus-wide quadratic pass the
+    * artifact already paid. Probed non-degenerate at every SF: 435/498/
+    * 500 of 500 list rows change.
+    */
+  def cfErasure(spark: SparkSession, sfDir: String): DataFrame = {
+    import AnalyticsJobs.{interactionsOf, keptUncached, interCountsOf,
+      sizesOf, listsFromCounts, memoizedLists}
+    val fp = graft.io.Fingerprint.ofRefreshing(sfDir, "events")
+    // catalog×K output under the r14 memo-face contract (the
+    // item_similarity_incremental precedent): the distinct ":cf_erase"
+    // tag keeps the decrement lineage executing and hash-gating on the
+    // miss; repeat serves are catalog×K lookups
+    memoizedLists(spark, fp + ":cf_erase", {
+      val scope = graft.ops.CacheScope()
+      try {
+        lazy val kept = scope.cache(keptUncached(interactionsOf(spark, sfDir)))
+        val storedInter = persist(spark, "cf_pair_counts", fp,
+          interCountsOf(kept))
+        val storedSizes = persist(spark, "cf_item_sizes", fp, sizesOf(kept))
+        val purgedKept = scope.cache(keptUncached(
+          interactionsOf(spark, sfDir)
+            .filter(col("u") % 29 === CF_ERASE_RESIDUE)))
+        val dInter = interCountsOf(purgedKept)
+          .select(col("ia"), col("ib"), col("inter").as("dinter"))
+        val dSizes = sizesOf(purgedKept).select(col("i"), col("n").as("dn"))
+        val newInter = storedInter.join(dInter, Seq("ia", "ib"), "left")
+          .select(col("ia"), col("ib"),
+            (col("inter") - coalesce(col("dinter"), lit(0L))).as("inter"))
+          .filter(col("inter") > 0)
+        val newSizes = storedSizes.join(dSizes, Seq("i"), "left")
+          .select(col("i"), (col("n") - coalesce(col("dn"), lit(0L))).as("n"))
+          .filter(col("n") > 0)
+        listsFromCounts(newInter, newSizes).localCheckpoint()
+      } finally scope.close()
+    })
+  }
+
+  /** AUDIO fingerprint index COMPACTION — completes the modality matrix
+    * ([[imageIndexCompacted]] / [[videoIndexCompacted]] / IVF×PQ were the
+    * other three): the established 4/5 energy-difference index
+    * ([[graft.ops.Multimodal.audioScan]], the `javax.sound` decode) is
+    * the stored artifact, the doc_id % 5 == 0 delta arrives as five
+    * append chunks (the tail [[audioIndexIncremental]] and the streaming
+    * audio refresher leave behind), and compaction merges them into one
+    * doc_id-sorted part. The serve pairs near-dups from the compacted
+    * index alone — zero WAV decode anywhere on the serve path.
+    *
+    * Oracle: the full in-line acoustic-fingerprint brute force
+    * ([[MultimodalJobs.audioNeardupSql]] VERBATIM) — hash-equality proves
+    * stored ∪ appends → compacted → serve loses nothing vs re-decoding
+    * every clip.
+    */
+  def audioIndexCompacted(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.ops.Multimodal
+    val docs = Tables.documents(spark, sfDir)
+    val idx = compacted(spark, "audio_fp_compacted", docsFp(sfDir),
+      stored = Multimodal.audioScan(spark, docs.filter(col("doc_id") % 5 =!= 0))
+        .select(col("doc_id"), col("fp")),
+      chunks = (0 until 5).map { c =>
+        Multimodal.audioScan(spark,
             docs.filter(col("doc_id") % 5 === 0 && col("doc_id") % 25 === c * 5))
           .select(col("doc_id"), col("fp"))
       },
@@ -705,8 +853,34 @@ object ArtifactJobs {
       dims = DIMS, topK = TOP_K, shortlist = PQ_SHORTLIST)
   }
 
+  /** Spec hook: the CF model RETRAINED from scratch on the surviving
+    * log — what [[cfErasure]]'s decrement must equal.
+    */
+  private[graft] def cfRetrainForSpec(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    import AnalyticsJobs.{interactionsOf, keptUncached, interCountsOf,
+      sizesOf, listsFromCounts}
+    val kept = keptUncached(interactionsOf(spark, sfDir)
+      .filter(col("u") % 29 =!= CF_ERASE_RESIDUE))
+    listsFromCounts(interCountsOf(kept), sizesOf(kept))
+  }
+
+  /** [[cfErasure]]'s oracle: the CF pipeline retrained on the surviving
+    * log — the shared SQL with the cohort filter inside the interaction
+    * CTE.
+    */
+  val cfErasureSql: String = AnalyticsJobs.itemSimilaritySqlOver(
+    s"""SELECT DISTINCT user_id AS u,
+       |         CAST(json_extract_string(props, '$$.k') AS BIGINT) AS i
+       |  FROM events
+       |  WHERE json_extract_string(props, '$$.k') IS NOT NULL
+       |    AND user_id % 29 <> $CF_ERASE_RESIDUE""".stripMargin)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "index_erasure" -> indexErasure,
+    "cf_erasure" -> cfErasure,
     "image_index_compacted" -> imageIndexCompacted,
+    "audio_index_compacted" -> audioIndexCompacted,
     "video_index_compacted" -> videoIndexCompacted,
     "ann_ivf_pq_compacted" -> annIvfPqCompacted,
     "image_index_incremental" -> imageIndexIncremental,
@@ -731,7 +905,10 @@ object ArtifactJobs {
     * round-trip changed nothing.
     */
   val oracles: Map[String, String] = Map(
+    "index_erasure" -> MultimodalJobs.imageNeardupSurvivorsSql,
+    "cf_erasure" -> cfErasureSql,
     "image_index_compacted" -> MultimodalJobs.imageNeardupSql,
+    "audio_index_compacted" -> MultimodalJobs.audioNeardupSql,
     "video_index_compacted" -> MultimodalJobs.videoNeardupSql,
     "ann_ivf_pq_compacted" -> SimilarityJobs.annIvfPqRerankSql,
     "image_index_incremental" -> MultimodalJobs.imageNeardupDeltaSql,

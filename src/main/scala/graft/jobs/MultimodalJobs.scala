@@ -280,6 +280,23 @@ object MultimodalJobs {
        |WHERE bit_count(xor(a.f, b.f)) <= $NEARDUP_MAX_HAMMING
        |  AND (a.doc_id % 5 = 0 OR b.doc_id % 5 = 0)""".stripMargin
 
+  /** [[imageNeardupSql]] rebuilt from the SURVIVING corpus — the oracle of
+    * `index_erasure` ([[ArtifactJobs.indexErasure]]): every dHash is a
+    * per-document function, so restricting the `fp` relation to
+    * doc_id % 29 <> 7 IS the relation the full fp CTEs produce over
+    * `documents WHERE doc_id % 29 <> 7` — DuckDB recomputes the surviving
+    * fingerprints in-line and hash-equality proves the purged persisted
+    * index serves exactly what a rebuild from survivors would.
+    */
+  val imageNeardupSurvivorsSql: String =
+    s"""WITH $imageFpCtes, sfp AS (
+       |  SELECT doc_id, f FROM fp WHERE doc_id % 29 <> 7
+       |)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |       CAST(bit_count(xor(a.f, b.f)) AS BIGINT) AS hamming
+       |FROM sfp a JOIN sfp b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.f, b.f)) <= $NEARDUP_MAX_HAMMING""".stripMargin
+
   /** Image cluster resolution — the step an image-dedup pipeline runs
     * after candidate pairing, exactly as `dedup_clusters` does for text:
     * every document labelled with the minimum doc_id reachable through

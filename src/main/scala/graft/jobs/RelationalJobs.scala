@@ -575,18 +575,27 @@ object RelationalJobs {
     * canonical query reads a separate partsupp table here), one for the
     * probe — joined on the composite key both sides already shuffle on;
     * part (name-filtered before the join), supplier and nation broadcast.
+    * The min-cost aggregate's input is ALSO pre-filtered by a broadcast
+    * LeftSemi on the widget part keys: only widget pairs are ever
+    * consumed by the inner probe join, so the semi-join is lossless and
+    * shrinks scan 1's aggregate state by the part selectivity — at 100×
+    * scale the difference between a catalog-sized and a slice-sized
+    * shuffle on the first scan.
     * Probed non-degenerate at every SF (70/175/175 nation×year groups,
     * no zero profits; sign varies with corpus shape — the derived min-uc
     * cost is price-correlated, unlike canonical partsupp).
     */
   def q9ProductProfit(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.lineitem(spark, sfDir)
-    val uc = li.groupBy(col("l_partkey").as("u_partkey"),
+    val widgets = Tables.part(spark, sfDir)
+      .filter(col("p_name").like("%widget%")).select(col("p_partkey"))
+    val uc = li
+      .join(broadcast(widgets), col("l_partkey") === col("p_partkey"),
+        "left_semi")
+      .groupBy(col("l_partkey").as("u_partkey"),
         col("l_suppkey").as("u_suppkey"))
       .agg(min(expr("(cast(round(l_extendedprice * 100) as bigint) * 10) " +
         "div cast(round(l_quantity) as bigint)")).as("uc"))
-    val widgets = Tables.part(spark, sfDir)
-      .filter(col("p_name").like("%widget%")).select(col("p_partkey"))
     li.join(broadcast(widgets), col("l_partkey") === col("p_partkey"))
       .join(uc, col("l_partkey") === col("u_partkey") &&
         col("l_suppkey") === col("u_suppkey"))

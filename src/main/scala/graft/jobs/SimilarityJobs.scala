@@ -253,11 +253,14 @@ object SimilarityJobs {
   /** `e`/`qd` name the training-vector and quantized-dim CTEs so the
     * drift oracle can run the SAME unrolled iterations over the
     * established subset (te/tqd) while assignment still covers all of
-    * `e` — the default names keep every existing oracle verbatim.
+    * `e`; `p` prefixes the per-iteration CTE names (`a$i`/`cent$i`) so
+    * TWO models can train inside ONE oracle (the retrained gate needs
+    * the established chain and the full-corpus chain side by side) —
+    * the default names keep every existing oracle verbatim.
     */
   private def kmeansIterSql(i: Int, prevCent: String, e: String = "e",
-      qd: String = "qd"): String =
-    s"""a$i AS (
+      qd: String = "qd", p: String = ""): String =
+    s"""${p}a$i AS (
        |  SELECT vec_id, cent_id AS cell FROM (
        |    SELECT e.vec_id, c.cent_id, ROW_NUMBER() OVER (
        |      PARTITION BY e.vec_id ORDER BY
@@ -265,12 +268,12 @@ object SimilarityJobs {
        |        c.cent_id ASC) AS rn
        |    FROM $e e CROSS JOIN $prevCent c) r
        |  WHERE rn = 1
-       |), cent$i AS (
+       |), ${p}cent$i AS (
        |  SELECT cell AS cent_id, list(coord ORDER BY d) AS cv FROM (
-       |    SELECT a$i.cell, qd.d,
+       |    SELECT ${p}a$i.cell, qd.d,
        |           CAST(SUM(qd.q) AS DOUBLE) / (COUNT(*) * 1000000.0) AS coord
-       |    FROM $qd qd JOIN a$i USING (vec_id)
-       |    GROUP BY a$i.cell, qd.d) m
+       |    FROM $qd qd JOIN ${p}a$i USING (vec_id)
+       |    GROUP BY ${p}a$i.cell, qd.d) m
        |  GROUP BY cell
        |)""".stripMargin
 
@@ -423,33 +426,89 @@ object SimilarityJobs {
       val v = scope.cache(vectors(spark, sfDir))
       val cents = trainedCentsTagged(spark, sfDir, ":est",
         v.filter(col("vec_id") % 5 =!= 0))
-      val scored = v.crossJoin(broadcast(cents))
-        .select(col("vec_id"), col("cent_id"),
-          Similarity.cosine(col("v"), col("norm"), col("cv"), col("cnorm"))
-            .as("cscore"))
-      val isDelta = col("vec_id") % 5 === 0
-      graft.ops.TopN.topNPer(scored, col("vec_id"), col("cscore"),
-          col("cent_id"), 1)
-        .withColumn("q", round(col("cscore") * 1e6).cast("long"))
-        .groupBy(col("cent_id").as("cell"))
-        .agg(
-          count(when(!isDelta, lit(1))).as("n_est"),
-          count(when(isDelta, lit(1))).as("n_delta"),
-          sum(when(!isDelta, col("q")).otherwise(0L)).as("sq_est"),
-          sum(when(isDelta, col("q")).otherwise(0L)).as("sq_delta"))
-        .select(col("cell"), col("n_est"), col("n_delta"),
-          expr("case when n_est = 0 then 0 " +
-            "when sq_est >= 0 then sq_est div n_est " +
-            "else -((-sq_est) div n_est) end").as("mean_est_ppm"),
-          expr("case when n_delta = 0 then 0 " +
-            "when sq_delta >= 0 then sq_delta div n_delta " +
-            "else -((-sq_delta) div n_delta) end").as("mean_delta_ppm"),
-          (lit(100L) * col("n_delta") >
-            lit(DRIFT_HOT_PCT.toLong) * (col("n_est") + col("n_delta")))
-            .as("hot"))
-        .withColumn("quality_drop_ppm",
-          col("mean_est_ppm") - col("mean_delta_ppm"))
-        .localCheckpoint()
+      driftAudit(v, cents).localCheckpoint()
+    } finally scope.close()
+  }
+
+  /** The per-cell drift audit shared by [[annIndexDrift]] (which emits it)
+    * and [[annIndexRetrained]] (which reads its retrain vote): both
+    * cohorts assigned against `cents`, per-cell populations, exact
+    * integer-ppm mean cosines, hot-cell vote.
+    */
+  private def driftAudit(v: DataFrame, cents: DataFrame): DataFrame = {
+    val scored = v.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cent_id"),
+        Similarity.cosine(col("v"), col("norm"), col("cv"), col("cnorm"))
+          .as("cscore"))
+    val isDelta = col("vec_id") % 5 === 0
+    graft.ops.TopN.topNPer(scored, col("vec_id"), col("cscore"),
+        col("cent_id"), 1)
+      .withColumn("q", round(col("cscore") * 1e6).cast("long"))
+      .groupBy(col("cent_id").as("cell"))
+      .agg(
+        count(when(!isDelta, lit(1))).as("n_est"),
+        count(when(isDelta, lit(1))).as("n_delta"),
+        sum(when(!isDelta, col("q")).otherwise(0L)).as("sq_est"),
+        sum(when(isDelta, col("q")).otherwise(0L)).as("sq_delta"))
+      .select(col("cell"), col("n_est"), col("n_delta"),
+        expr("case when n_est = 0 then 0 " +
+          "when sq_est >= 0 then sq_est div n_est " +
+          "else -((-sq_est) div n_est) end").as("mean_est_ppm"),
+        expr("case when n_delta = 0 then 0 " +
+          "when sq_delta >= 0 then sq_delta div n_delta " +
+          "else -((-sq_delta) div n_delta) end").as("mean_delta_ppm"),
+        (lit(100L) * col("n_delta") >
+          lit(DRIFT_HOT_PCT.toLong) * (col("n_est") + col("n_delta")))
+          .as("hot"))
+      .withColumn("quality_drop_ppm",
+        col("mean_est_ppm") - col("mean_delta_ppm"))
+  }
+
+  /** The retrain DECISION rule, one boolean over the 16-row audit: retrain
+    * when any cell is drift-hot AND its delta quality dropped — today's
+    * ingest over-concentrates where the frozen model resolves it worse
+    * than the corpus it was trained on. Exact integer arithmetic on both
+    * sides, so Spark and the oracle always vote identically. Probed
+    * non-degenerate at every fixture SF: the vote FIRES (hot cells with
+    * positive drops exist: 4/5/6 of 12 cells at sf0.001/0.01/0.1) while
+    * hot and cold cells are both present — the false branch is exercised
+    * by the spec on a synthetic audit.
+    */
+  private[graft] def retrainVote(audit: DataFrame): Boolean =
+    audit.filter(col("hot") && col("quality_drop_ppm") > 0)
+      .limit(1).count() > 0
+
+  /** CLOSES THE RETRAIN LOOP the drift audit opened: consume
+    * [[retrainVote]]'s verdict — when it fires, retrain the centroids on
+    * established ∪ delta (= the full corpus; the standard offline retrain
+    * a drifted IVF index runs) and serve the IVF top-k from the RETRAINED
+    * index; when it doesn't, keep serving yesterday's established-trained
+    * model. The vote read is a 16-row-audit driver action (the regime-
+    * selection count contract); retraining rides the content-memoized
+    * [[trainedCents]] machinery (the full-corpus model is the SAME model
+    * six other queries train — memo hits make the retrain leg free in a
+    * warm JVM while the miss lineage still trains distributed).
+    *
+    * Oracle: BOTH unrolled k-means chains (established via te/tqd,
+    * full-corpus via the `f`-prefixed [[kmeansIterSql]] names), the audit
+    * + vote restated exactly, and a relational branch select — the
+    * serve probes whichever model the vote picked, so hash-equality
+    * proves trigger → retrain → serve end-to-end: on this fixture the
+    * vote fires and the result is bit-identical to training on
+    * everything ([[annIvfTrained]]'s serve).
+    */
+  def annIndexRetrained(spark: SparkSession, sfDir: String): DataFrame = {
+    val scope = graft.ops.CacheScope()
+    try {
+      val v = scope.cache(vectors(spark, sfDir))
+      val estCents = trainedCentsTagged(spark, sfDir, ":est",
+        v.filter(col("vec_id") % 5 =!= 0))
+      val served =
+        if (retrainVote(driftAudit(v, estCents)))
+          trainedCents(spark, sfDir, v)
+        else estCents
+      Similarity.ivfTopKWith(v, served, col("vec_id") < N_QUERIES,
+        nprobe = IVF_NPROBE, k = TOP_K, scope = scope).localCheckpoint()
     } finally scope.close()
   }
 
@@ -487,6 +546,90 @@ object SimilarityJobs {
        |SELECT cell, n_est, n_delta, mean_est_ppm, mean_delta_ppm,
        |       mean_est_ppm - mean_delta_ppm AS quality_drop_ppm, hot
        |FROM means""".stripMargin
+
+  /** [[annIndexRetrained]]'s oracle: the established chain trains
+    * (te/tqd → cent$KM_ITERS), the audit votes, the full-corpus chain
+    * trains under `f`-prefixed CTE names (fqd → fcent$KM_ITERS), and the
+    * serve probes whichever model the vote picked via a relational branch
+    * union — each branch filtered by the MATERIALIZED 1-row vote (plain
+    * inlining would re-evaluate the whole est training chain once per
+    * reference, the r11 diamond rule).
+    */
+  val annIndexRetrainedSql: String = {
+    val fullIters = (1 to KM_ITERS)
+      .map(i => kmeansIterSql(i, if (i == 1) "fcent0" else s"fcent${i - 1}",
+        e = "e", qd = "fqd", p = "f"))
+      .mkString(", ")
+    s"""WITH $kmeansEstPrefixSql, assigned AS (
+       |  SELECT vec_id, cent_id, sim FROM (
+       |    SELECT e.vec_id, c.cent_id,
+       |      ROUND(list_cosine_similarity(e.v, c.cv) + 1e-12, 6) AS sim,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+       |        ROUND(list_cosine_similarity(e.v, c.cv) + 1e-12, 6) DESC,
+       |        c.cent_id ASC) AS rn
+       |    FROM e CROSS JOIN cent$KM_ITERS c) r
+       |  WHERE rn = 1
+       |), dcells AS (
+       |  SELECT cent_id AS cell,
+       |    COUNT(CASE WHEN vec_id % 5 <> 0 THEN 1 END) AS n_est,
+       |    COUNT(CASE WHEN vec_id % 5 = 0 THEN 1 END) AS n_delta,
+       |    CAST(COALESCE(SUM(CASE WHEN vec_id % 5 <> 0
+       |      THEN CAST(ROUND(sim * 1000000.0) AS BIGINT) END), 0) AS BIGINT)
+       |      AS sq_est,
+       |    CAST(COALESCE(SUM(CASE WHEN vec_id % 5 = 0
+       |      THEN CAST(ROUND(sim * 1000000.0) AS BIGINT) END), 0) AS BIGINT)
+       |      AS sq_delta
+       |  FROM assigned GROUP BY 1
+       |), vote AS MATERIALIZED (
+       |  SELECT COALESCE(MAX(CASE WHEN
+       |    100 * n_delta > $DRIFT_HOT_PCT * (n_est + n_delta)
+       |    AND (CASE WHEN n_est = 0 THEN 0
+       |              WHEN sq_est >= 0 THEN sq_est // n_est
+       |              ELSE -((-sq_est) // n_est) END)
+       |      - (CASE WHEN n_delta = 0 THEN 0
+       |              WHEN sq_delta >= 0 THEN sq_delta // n_delta
+       |              ELSE -((-sq_delta) // n_delta) END) > 0
+       |    THEN 1 ELSE 0 END), 0) = 1 AS retrain
+       |  FROM dcells
+       |), fqd AS (
+       |  SELECT vec_id, s.d AS d, s.q AS q FROM (
+       |    SELECT vec_id, unnest(
+       |      [{'d': i, 'q': CAST(ROUND(v[i] * 1000000.0 + 1e-9) AS BIGINT)}
+       |       FOR i IN range(1, len(v) + 1)]) AS s
+       |    FROM e) u
+       |), fcent0 AS (
+       |  SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < $IVF_CENTROIDS
+       |), $fullIters, served AS (
+       |  SELECT cent_id, cv FROM fcent$KM_ITERS
+       |    WHERE (SELECT retrain FROM vote)
+       |  UNION ALL
+       |  SELECT cent_id, cv FROM cent$KM_ITERS
+       |    WHERE NOT (SELECT retrain FROM vote)
+       |), ranked AS (
+       |  SELECT e.vec_id, c.cent_id,
+       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+       |      ROUND(list_cosine_similarity(e.v, c.cv) + 1e-12, 6) DESC,
+       |      c.cent_id ASC) AS rn
+       |  FROM e CROSS JOIN served c
+       |), cells AS (
+       |  SELECT e.vec_id, e.v, r.cent_id AS cell
+       |  FROM e JOIN ranked r ON r.vec_id = e.vec_id AND r.rn = 1
+       |), probes AS (
+       |  SELECT e.vec_id AS query_id, e.v AS qv, r.cent_id AS cell
+       |  FROM e JOIN ranked r ON r.vec_id = e.vec_id AND r.rn <= $IVF_NPROBE
+       |  WHERE e.vec_id < $N_QUERIES
+       |), s AS (
+       |  SELECT p.query_id, c.vec_id AS neighbor_id,
+       |    ROUND(list_cosine_similarity(p.qv, c.v) + 1e-12, 6) AS sim
+       |  FROM probes p JOIN cells c
+       |    ON c.cell = p.cell AND c.vec_id <> p.query_id
+       |)
+       |SELECT query_id, neighbor_id, sim, rn FROM (
+       |  SELECT *, ROW_NUMBER() OVER (
+       |    PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rn
+       |  FROM s) final
+       |WHERE rn <= $TOP_K""".stripMargin
+  }
 
   /** SemDeDup-style semantic near-dedup (Abbas et al. 2023): cluster the
     * corpus with trained k-means, then search near-duplicate pairs ONLY
@@ -1583,6 +1726,7 @@ object SimilarityJobs {
     "ann_ivf_trained" -> annIvfTrained,
     "embedding_clusters" -> embeddingClusters,
     "ann_index_drift" -> annIndexDrift,
+    "ann_index_retrained" -> annIndexRetrained,
     "cluster_purity" -> clusterPurity,
     "embedding_outliers" -> embeddingOutliers,
     "semantic_dedup" -> semanticDedup)
@@ -1612,6 +1756,7 @@ object SimilarityJobs {
     "ann_ivf_trained" -> annIvfTrainedSql,
     "embedding_clusters" -> embeddingClustersSql,
     "ann_index_drift" -> annIndexDriftSql,
+    "ann_index_retrained" -> annIndexRetrainedSql,
     "cluster_purity" -> clusterPuritySql,
     "embedding_outliers" -> embeddingOutliersSql,
     "semantic_dedup" -> semanticDedupSql)

@@ -8,6 +8,7 @@ import graft.jobs.{ArtifactJobs, SimilarityJobs, TextJobs}
   * two plans, so any drift is a lossy round-trip.
   */
 class ArtifactJobsSpec extends SparkSpec {
+  import spark.implicits._
 
   private def rows(df: org.apache.spark.sql.DataFrame): Set[String] = {
     val cols = df.columns.sorted.toIndexedSeq
@@ -92,6 +93,50 @@ class ArtifactJobsSpec extends SparkSpec {
     // zero decode equal the full decode pipeline's pairs
     assertTwin("image_compacted", out,
       graft.jobs.MultimodalJobs.imageNeardup(spark, sf("sf0.001")))
+    spark.catalog.clearCache()
+  }
+
+  test("index erasure: no purged id in the persisted artifact or the serve; equals rebuild from survivors") {
+    val dir = sf("sf0.001")
+    val out = ArtifactJobs.indexErasure(spark, dir)
+      .as[(Long, Long, Long)].collect().toSet
+    // the tombstone cohort is GONE from the persisted serving artifact...
+    val artifact = spark.read.parquet(
+      ArtifactJobs.artifactPath("image_fp_purged"))
+    assert(artifact.filter($"doc_id" % 29 === 7).count() == 0)
+    assert(artifact.count() > 0)
+    // ...and from every served pair
+    assert(!out.exists(p => p._1 % 29 == 7 || p._2 % 29 == 7))
+    // non-degenerate: the UNpurged index really had cohort pairs, and
+    // purge-in-place equals rebuilding from the surviving corpus
+    val all = graft.jobs.MultimodalJobs.imageNeardup(spark, dir)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(all.exists(p => p._1 % 29 == 7 || p._2 % 29 == 7),
+      "cohort must participate in pairs or the purge is dead code")
+    assert(out == all.filter(p => p._1 % 29 != 7 && p._2 % 29 != 7))
+    spark.catalog.clearCache()
+  }
+
+  test("cf erasure: decremented counts equal retraining on the surviving log; lists genuinely change") {
+    val dir = sf("sf0.001")
+    val got = ArtifactJobs.cfErasure(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val retrained = ArtifactJobs.cfRetrainForSpec(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == retrained, "decrement must equal retrain-on-survivors")
+    val full = graft.jobs.AnalyticsJobs.itemSimilarity(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got != full,
+      "the purge must actually move the lists (the seed rule)")
+    spark.catalog.clearCache()
+  }
+
+  test("audio index compaction: stored + 5 append chunks merge to ONE part; serve equals decode rebuild") {
+    val out = ArtifactJobs.audioIndexCompacted(spark, sf("sf0.001"))
+    assert(ArtifactJobs.partFileCount("audio_fp_compacted_appends") == 5)
+    assert(ArtifactJobs.partFileCount("audio_fp_compacted") == 1)
+    assertTwin("audio_compacted", out,
+      graft.jobs.MultimodalJobs.audioNeardup(spark, sf("sf0.001")))
     spark.catalog.clearCache()
   }
 

@@ -291,6 +291,11 @@ class RelationalShapesSpec extends SparkSpec {
     val scans = "lineitem\\.parquet".r.findAllIn(finalPlanOnly(p)).size
     assert(scans <= 2, s"expected <=2 lineitem scans (uc agg + probe), got $scans:\n$p")
     assert(p.contains("BroadcastHashJoin"), s"dims must broadcast:\n$p")
+    // BOTH lineitem lineages are widget-filtered before any shuffle: the
+    // probe via the inner broadcast part join, the uc aggregate via a
+    // broadcast LeftSemi — its state shrinks by the part selectivity.
+    assert(p.contains("LeftSemi"),
+      s"uc aggregate input must be widget-semi-filtered:\n$p")
   }
 
   test("q20: dominators match the brute-force >50%-share rule on contested parts") {

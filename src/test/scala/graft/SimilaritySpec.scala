@@ -71,6 +71,34 @@ class SimilaritySpec extends SparkSpec {
       "hot vote must split (the seed rule)")
   }
 
+  test("retrain loop: the drifted fixture fires the vote and the served index equals training on everything") {
+    // trigger -> retrain -> serve end-to-end: the fixture's delta IS
+    // drifted (hot cells with positive quality drops at every SF), so
+    // the vote fires and the served top-k must be bit-identical to the
+    // full-corpus trained pipeline — retrain ≡ training on everything
+    val dir = sf("sf0.001")
+    val got = SimilarityJobs.annIndexRetrained(spark, dir)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val full = SimilarityJobs.annIvfTrained(spark, dir)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(got == full,
+      "vote fired -> serve must equal the full-corpus trained index")
+  }
+
+  test("retrain vote: fires only on hot cells with positive quality drops") {
+    def audit(rows: (Long, Long, Long, Long, Long, Boolean, Long)*) =
+      rows.toSeq.toDF("cell", "n_est", "n_delta", "mean_est_ppm",
+        "mean_delta_ppm", "hot", "quality_drop_ppm")
+    // hot-without-drop and drop-without-hot must BOTH stay frozen —
+    // the false branch the fixture (vote always fires there) can't reach
+    assert(!SimilarityJobs.retrainVote(audit(
+      (1L, 10L, 9L, 100L, 200L, true, -100L),
+      (2L, 10L, 1L, 300L, 100L, false, 200L))))
+    assert(SimilarityJobs.retrainVote(audit(
+      (1L, 10L, 9L, 100L, 200L, true, -100L),
+      (2L, 10L, 9L, 300L, 100L, true, 200L))))
+  }
+
   test("brute-force top-k ranks by cosine with self excluded") {
     val out = Similarity.bruteForceTopK(v, v.filter($"vec_id" === 0), 2)
       .orderBy($"rn").select($"neighbor_id", $"sim").as[(Long, Double)].collect()
