@@ -3,6 +3,7 @@ package graft.jobs
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.io.Tables
+import graft.ops.Eager.EagerOps
 
 /** Analytics headroom beyond the reference's own surface (SURVEY.md §2.6 /
   * §2.7 notes): session windows, grouping sets, pivot, set operations.
@@ -1839,7 +1840,7 @@ object AnalyticsJobs {
       // lift-thinned item-pair-bounded — model-sized, never the corpus —
       // so truncating its lineage is the [[graft.ops.Graph]] iterative
       // pattern, not a durability risk worth re-deriving per branch.
-      .localCheckpoint()
+      .eagerCheckpoint()
   }
 
   /** Shared oracle CTE chain ending in `und(ia, ib)` — the lift graph.

@@ -2,6 +2,7 @@ package graft.jobs
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.ops.Eager.EagerOps
 
 import graft.io.Tables
 import graft.ops.Similarity
@@ -88,7 +89,7 @@ object ArtifactJobs {
       Similarity.ivfTopKWith(v, loaded,
         col("vec_id") < SimilarityJobs.N_QUERIES,
         nprobe = SimilarityJobs.IVF_NPROBE, k = SimilarityJobs.TOP_K,
-        scope = scope).localCheckpoint()
+        scope = scope).eagerCheckpoint()
     } finally scope.close()
   }
 
@@ -206,7 +207,7 @@ object ArtifactJobs {
       val loaded = persist(spark, "ivf_centroids", vecsFp(sfDir),
         SimilarityJobs.trainedCents(spark, sfDir, v))
       Similarity.withinCellPairs(v, loaded, SimilarityJobs.NEARDUP_THRESHOLD,
-        scope).localCheckpoint()
+        scope).eagerCheckpoint()
     } finally scope.close()
   }
 
@@ -424,7 +425,7 @@ object ArtifactJobs {
     // the verify stage, and a bare cache would leak past the query (see
     // [[fpIndexIncremental]]).
     val delta = Multimodal.videoScan(spark,
-      docs.filter(col("doc_id") % 5 === 0)).localCheckpoint()
+      docs.filter(col("doc_id") % 5 === 0)).eagerCheckpoint()
     val full = stored.unionByName(delta)
     val bands = Dedup.Bands63
     def banded(anchors: DataFrame, idAs: String, fpAs: String) =
@@ -516,7 +517,7 @@ object ArtifactJobs {
     // outlive the query for the JVM lifetime — the same concurrent-
     // footprint class the cross_modal_clusters scoping fixed.
     val delta = scan(spark, docs.filter(col("doc_id") % 5 === 0))
-      .select(col("doc_id"), col("fp")).localCheckpoint()
+      .select(col("doc_id"), col("fp")).eagerCheckpoint()
     val full = stored.unionByName(delta)
     val bands = Dedup.Bands63
     def banded(side: DataFrame, idAs: String, fpAs: String) =
@@ -612,7 +613,7 @@ object ArtifactJobs {
     try {
       graft.ops.Dedup.hammingPairsAuto(idx,
           MultimodalJobs.NEARDUP_MAX_HAMMING, scope)
-        .localCheckpoint()
+        .eagerCheckpoint()
     } finally scope.close()
   }
 
@@ -676,7 +677,7 @@ object ArtifactJobs {
     try {
       graft.ops.Dedup.hammingPairsAuto(purged,
           MultimodalJobs.NEARDUP_MAX_HAMMING, scope)
-        .localCheckpoint()
+        .eagerCheckpoint()
     } finally scope.close()
   }
 
@@ -734,7 +735,7 @@ object ArtifactJobs {
         val newSizes = storedSizes.join(dSizes, Seq("i"), "left")
           .select(col("i"), (col("n") - coalesce(col("dn"), lit(0L))).as("n"))
           .filter(col("n") > 0)
-        listsFromCounts(newInter, newSizes).localCheckpoint()
+        listsFromCounts(newInter, newSizes).eagerCheckpoint()
       } finally scope.close()
     })
   }
@@ -770,7 +771,7 @@ object ArtifactJobs {
     try {
       graft.ops.Dedup.hammingPairsAuto(idx,
           MultimodalJobs.NEARDUP_MAX_HAMMING, scope)
-        .localCheckpoint()
+        .eagerCheckpoint()
     } finally scope.close()
   }
 
@@ -802,7 +803,7 @@ object ArtifactJobs {
         Dedup.hammingPairsAuto(anchors,
             MultimodalJobs.NEARDUP_MAX_HAMMING, scope)
           .select(col("doc_a"), col("doc_b")),
-        MultimodalJobs.NEARDUP_MAX_HAMMING).localCheckpoint()
+        MultimodalJobs.NEARDUP_MAX_HAMMING).eagerCheckpoint()
     } finally scope.close()
   }
 

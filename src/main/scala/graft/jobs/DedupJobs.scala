@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.io.Tables
 import graft.ops.Dedup
+import graft.ops.Eager.EagerOps
 
 /** Deduplication queries over `documents`, each with a DuckDB oracle.
   * DuckDB lacks `conv(hex, 16, 10)`, so the oracles rebuild the md5-prefix
@@ -611,7 +612,7 @@ object DedupJobs {
       .candidates.select(col("doc_a"), col("doc_b"))
     val img = MultimodalJobs.pipelineScoped(spark, sfDir, scope).pairs
       .select(col("doc_a"), col("doc_b"))
-    val edges = text.unionAll(img).localCheckpoint()
+    val edges = text.unionAll(img).eagerCheckpoint()
     scope.close()
     graft.ops.Dedup.connectedComponents(
       Tables.documents(spark, sfDir).select(col("doc_id")), edges)
@@ -744,7 +745,7 @@ object DedupJobs {
       new graft.ops.DedupPipeline(
           Tables.documents(spark, sfDir).select(col("doc_id"), col("text")),
           K, BANDS, JACCARD_N, scope)
-        .verifiedPairs(JACCARD_THRESHOLD).localCheckpoint()
+        .verifiedPairs(JACCARD_THRESHOLD).eagerCheckpoint()
     } finally scope.close()
     val splits = Tables.documents(spark, sfDir)
       .select(col("doc_id"), splitCol(spark).as("split"))

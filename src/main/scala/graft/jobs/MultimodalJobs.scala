@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.io.Tables
 import graft.ops.Multimodal
+import graft.ops.Eager.EagerOps
 
 /** Multimodal-pipeline queries. `multimodal_meta` (binary payload + typed
   * metadata extraction) is oracle-checked; the decode/feature path runs
@@ -314,8 +315,8 @@ object MultimodalJobs {
     val scope = graft.ops.CacheScope()
     val (ids, edges) = try {
       val p = pipelineScoped(spark, sfDir, scope)
-      (p.scan.select(col("doc_id")).localCheckpoint(),
-        p.pairs.select(col("doc_a"), col("doc_b")).localCheckpoint())
+      (p.scan.select(col("doc_id")).eagerCheckpoint(),
+        p.pairs.select(col("doc_a"), col("doc_b")).eagerCheckpoint())
     } finally scope.close()
     graft.ops.Dedup.connectedComponents(ids, edges)
   }
@@ -474,8 +475,8 @@ object MultimodalJobs {
     val scope = graft.ops.CacheScope()
     val (ids, edges) = try {
       val p = audioPipeline(spark, sfDir, scope)
-      (p.scan.select(col("doc_id")).localCheckpoint(),
-        p.pairs.select(col("doc_a"), col("doc_b")).localCheckpoint())
+      (p.scan.select(col("doc_id")).eagerCheckpoint(),
+        p.pairs.select(col("doc_a"), col("doc_b")).eagerCheckpoint())
     } finally scope.close()
     graft.ops.Dedup.connectedComponents(ids, edges)
   }
@@ -639,8 +640,8 @@ object MultimodalJobs {
     val scope = graft.ops.CacheScope()
     val (ids, edges) = try {
       val p = videoPipeline(spark, sfDir, scope)
-      (p.anchors.select(col("doc_id")).localCheckpoint(),
-        p.pairs.select(col("doc_a"), col("doc_b")).localCheckpoint())
+      (p.anchors.select(col("doc_id")).eagerCheckpoint(),
+        p.pairs.select(col("doc_a"), col("doc_b")).eagerCheckpoint())
     } finally scope.close()
     graft.ops.Dedup.connectedComponents(ids, edges)
   }

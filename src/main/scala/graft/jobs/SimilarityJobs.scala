@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.io.Tables
 import graft.ops.Similarity
+import graft.ops.Eager.EagerOps
 
 /** Embedding similarity-search queries over `embeddings`, all hash-checked:
   * `ann_cosine_topk` is the exact brute-force baseline (query side
@@ -241,7 +242,7 @@ object SimilarityJobs {
       val v = scope.cache(vectors(spark, sfDir))
       Similarity.ivfTopKWith(v, trainedCents(spark, sfDir, v),
         col("vec_id") < N_QUERIES, nprobe = IVF_NPROBE, k = TOP_K,
-        scope = scope).localCheckpoint()
+        scope = scope).eagerCheckpoint()
     } finally scope.close()
   }
 
@@ -426,7 +427,7 @@ object SimilarityJobs {
       val v = scope.cache(vectors(spark, sfDir))
       val cents = trainedCentsTagged(spark, sfDir, ":est",
         v.filter(col("vec_id") % 5 =!= 0))
-      driftAudit(v, cents).localCheckpoint()
+      driftAudit(v, cents).eagerCheckpoint()
     } finally scope.close()
   }
 
@@ -508,7 +509,7 @@ object SimilarityJobs {
           trainedCents(spark, sfDir, v)
         else estCents
       Similarity.ivfTopKWith(v, served, col("vec_id") < N_QUERIES,
-        nprobe = IVF_NPROBE, k = TOP_K, scope = scope).localCheckpoint()
+        nprobe = IVF_NPROBE, k = TOP_K, scope = scope).eagerCheckpoint()
     } finally scope.close()
   }
 
@@ -672,7 +673,7 @@ object SimilarityJobs {
     try {
       val v = scope.cache(vectors(spark, sfDir))
       Similarity.withinCellPairs(v, trainedCents(spark, sfDir, v),
-        NEARDUP_THRESHOLD, scope).localCheckpoint()
+        NEARDUP_THRESHOLD, scope).eagerCheckpoint()
     } finally scope.close()
   }
 

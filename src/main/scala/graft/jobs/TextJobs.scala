@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.io.Tables
 import graft.ops.TextAnalysis
+import graft.ops.Eager.EagerOps
 
 /** Text-analysis queries over `documents`: token/quality stats, language-ID,
   * content fingerprinting. All single-pass scans — no shuffle at all except
@@ -1771,7 +1772,7 @@ object TextJobs {
     local.withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= SEARCH_K)
       .select(col("query_id"), col("doc_id"), col("score"), col("rn"))
-      .localCheckpoint()
+      .eagerCheckpoint()
     } finally scope.close()
   }
 

@@ -10,10 +10,17 @@ import org.apache.spark.sql.SparkSession
   * shuffle storm. Output: markdown to stdout (checked in as PLANAUDIT.md).
   *
   * Plans are built at the given SF but never executed -- the audit reads
-  * the statically-planned tree (under AQE, the initial plan).
+  * the statically-planned tree (under AQE, the initial plan). Slim-handoff
+  * materialization points ([[graft.ops.Eager]]) are switched to
+  * pass-through for the audit, so the checkpointed queries neither execute
+  * their pipelines nor hide their lineage behind an `ExistingRDD` scan
+  * (the r15 regression: the audit was executing ten pipelines to print
+  * scan-only plans). Queries whose CONSTRUCTION is execution (regime
+  * counts, fixpoint loops, memo misses) still run -- that is inherent.
   */
 object PlanAudit {
   def main(args: Array[String]): Unit = {
+    graft.ops.Eager.planOnly = true
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
@@ -85,6 +92,11 @@ object PlanAudit {
         "ADC joins on (query_id, s, code) and exact cosine only on the shortlist -- never all-pairs"),
       "quality_from_artifact" -> "CROSSes are 1-row model frames (loaded Rocchio weights + midpoint threshold) broadcast into the scoring scan",
       "cluster_purity" -> centroidCross,
+      "ann_index_drift" -> (centroidCross +
+        " (the established-trained model broadcast into the full-corpus audit argmax)"),
+      "ann_index_retrained" -> (centroidCross +
+        "; TWO of them because the retrain loop runs two C-bounded assigns -- the drift audit " +
+        "against the established model and the serve against whichever model the vote picked"),
       "embedding_clusters" -> centroidCross,
       "semantic_dedup" -> centroidCross,
       "semantic_dedup_from_artifact" -> ("CROSSes are the C-bounded LOADED-centroid broadcast assign " +
