@@ -254,7 +254,7 @@ class PlanQualitySpec extends SparkSpec {
   }
 
   test("composed jaccard fence shuffles int keys only, never all-pairs") {
-    val p = plan(DedupJobs.ngramJaccardPrefix(spark, sf("sf0.001")))
+    val p = plan(DedupJobs.ngramJaccardPrefixPlanForSpec(spark, sf("sf0.001")))
     // both fences (identity compression + df-ordered prefix) are int-keyed:
     // no exchange may carry gram strings, and candidate generation must be
     // the prefix equi-join, never a quadratic fallback
