@@ -502,14 +502,44 @@ object SimilarityJobs {
     val scope = graft.ops.CacheScope()
     try {
       val v = scope.cache(vectors(spark, sfDir))
-      val estCents = trainedCentsTagged(spark, sfDir, ":est",
-        v.filter(col("vec_id") % 5 =!= 0))
-      val served =
-        if (retrainVote(driftAudit(v, estCents)))
-          trainedCents(spark, sfDir, v)
-        else estCents
-      Similarity.ivfTopKWith(v, served, col("vec_id") < N_QUERIES,
+      Similarity.ivfTopKWith(v, retrainedServedCents(spark, sfDir, v),
+        col("vec_id") < N_QUERIES,
         nprobe = IVF_NPROBE, k = TOP_K, scope = scope).eagerCheckpoint()
+    } finally scope.close()
+  }
+
+  /** The vote-selected serving model (shared by the IVF and IVF×PQ
+    * retrained serves): audit the delta against yesterday's
+    * established-trained centroids, retrain on the full corpus when
+    * [[retrainVote]] fires, keep the frozen model otherwise. Both
+    * candidate models are content-memoized C-row frames.
+    */
+  private def retrainedServedCents(spark: SparkSession, sfDir: String,
+      v: DataFrame): DataFrame = {
+    val estCents = trainedCentsTagged(spark, sfDir, ":est",
+      v.filter(col("vec_id") % 5 =!= 0))
+    if (retrainVote(driftAudit(v, estCents))) trainedCents(spark, sfDir, v)
+    else estCents
+  }
+
+  /** The RETRAINED serve for the full billion-vector layout: the IVF×PQ
+    * shortlist-rerank stack ([[annIvfPqRerank]]'s shape) probing the
+    * vote-selected centroids — cells re-encode against the retrained
+    * model, the PQ codebook stays the frozen seed model (its own
+    * lifecycle: PQ distortion drifts with SUBSPACE distributions, not
+    * cell assignment — the quantity [[annIndexDrift]] measures; a
+    * codebook retrain would be the same machinery over
+    * [[Similarity.pqTrainCodebook]]). Completes the retrain loop for
+    * the serving stack the compaction gates maintain.
+    */
+  def annIvfPqRetrained(spark: SparkSession, sfDir: String): DataFrame = {
+    val scope = graft.ops.CacheScope()
+    try {
+      val v = scope.cache(vectors(spark, sfDir))
+      Similarity.ivfPqRerank(v, retrainedServedCents(spark, sfDir, v),
+        col("vec_id") < N_QUERIES, nprobe = IVF_NPROBE,
+        m = PQ_M, k = PQ_K, dims = DIMS, topK = TOP_K,
+        shortlist = PQ_SHORTLIST).eagerCheckpoint()
     } finally scope.close()
   }
 
@@ -556,12 +586,16 @@ object SimilarityJobs {
     * inlining would re-evaluate the whole est training chain once per
     * reference, the r11 diamond rule).
     */
-  val annIndexRetrainedSql: String = {
+  /** Shared by the two retrained-serve oracles: both k-means chains, the
+    * audit, the MATERIALIZED vote, and the relational branch select
+    * ending at `served(cent_id, cv)` — the model the serve probes.
+    */
+  private lazy val retrainedServedPrefixSql: String = {
     val fullIters = (1 to KM_ITERS)
       .map(i => kmeansIterSql(i, if (i == 1) "fcent0" else s"fcent${i - 1}",
         e = "e", qd = "fqd", p = "f"))
       .mkString(", ")
-    s"""WITH $kmeansEstPrefixSql, assigned AS (
+    s"""$kmeansEstPrefixSql, assigned AS (
        |  SELECT vec_id, cent_id, sim FROM (
        |    SELECT e.vec_id, c.cent_id,
        |      ROUND(list_cosine_similarity(e.v, c.cv) + 1e-12, 6) AS sim,
@@ -606,7 +640,11 @@ object SimilarityJobs {
        |  UNION ALL
        |  SELECT cent_id, cv FROM cent$KM_ITERS
        |    WHERE NOT (SELECT retrain FROM vote)
-       |), ranked AS (
+       |)""".stripMargin
+  }
+
+  val annIndexRetrainedSql: String = {
+    s"""WITH $retrainedServedPrefixSql, ranked AS (
        |  SELECT e.vec_id, c.cent_id,
        |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
        |      ROUND(list_cosine_similarity(e.v, c.cv) + 1e-12, 6) DESC,
@@ -629,6 +667,77 @@ object SimilarityJobs {
        |  SELECT *, ROW_NUMBER() OVER (
        |    PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rn
        |  FROM s) final
+       |WHERE rn <= $TOP_K""".stripMargin
+  }
+
+  /** [[annIvfPqRetrained]]'s oracle: the retrained-serve prefix (both
+    * chains + vote + branch select) feeding `ann_ivf_pq_rerank`'s probe /
+    * ADC / shortlist / exact-rerank stages — the cell side probes
+    * `served`, the PQ stages (sv/cb/scored/codes) are the frozen seed
+    * codebook exactly as the in-line pipeline derives it.
+    */
+  // lazy: PQ_M/PQ_K/PQ_SHORTLIST are declared later in the object (the
+  // r11 init-order rule — a plain val here would capture zeros)
+  lazy val annIvfPqRetrainedSql: String = {
+    val sub = DIMS / PQ_M
+    s"""WITH $retrainedServedPrefixSql, ranked AS (
+       |  SELECT e.vec_id, c.cent_id,
+       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+       |      ROUND(list_cosine_similarity(e.v, c.cv) + 1e-12, 6) DESC,
+       |      c.cent_id ASC) AS rn
+       |  FROM e CROSS JOIN served c
+       |), cells AS (
+       |  SELECT e.vec_id, r.cent_id AS cell
+       |  FROM e JOIN ranked r ON r.vec_id = e.vec_id AND r.rn = 1
+       |), probes AS (
+       |  SELECT e.vec_id AS query_id, r.cent_id AS cell
+       |  FROM e JOIN ranked r ON r.vec_id = e.vec_id AND r.rn <= $IVF_NPROBE
+       |  WHERE e.vec_id < $N_QUERIES
+       |), sv AS (
+       |  SELECT vec_id, s, v[s*$sub+1 : s*$sub+$sub] AS sv
+       |  FROM e, (SELECT unnest(range(0, $PQ_M)) AS s) subs
+       |), cb AS (
+       |  SELECT s, CAST(vec_id AS INTEGER) AS code, sv AS cv
+       |  FROM sv WHERE vec_id < $PQ_K
+       |), scored AS (
+       |  SELECT vec_id, s, code,
+       |         CAST(ROUND((list_dot_product(sv, sv)
+       |                     - 2.0 * list_dot_product(sv, cv)
+       |                     + list_dot_product(cv, cv)) * 1000000.0
+       |                    + 1e-9, 0) AS BIGINT) AS qdist
+       |  FROM sv JOIN cb USING (s)
+       |), codes AS (
+       |  SELECT vec_id, s, code FROM (
+       |    SELECT *, ROW_NUMBER() OVER (
+       |      PARTITION BY vec_id, s ORDER BY qdist, code) AS rn
+       |    FROM scored) r
+       |  WHERE rn = 1
+       |), adc AS (
+       |  SELECT p.query_id, m.vec_id,
+       |         CAST(SUM(q.qdist) AS BIGINT) AS adist
+       |  FROM probes p
+       |  JOIN cells m ON m.cell = p.cell AND m.vec_id <> p.query_id
+       |  JOIN codes c ON c.vec_id = m.vec_id
+       |  JOIN scored q ON q.vec_id = p.query_id
+       |              AND q.s = c.s AND q.code = c.code
+       |  GROUP BY 1, 2
+       |), short AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT *, ROW_NUMBER() OVER (
+       |      PARTITION BY query_id ORDER BY adist, vec_id) AS srn
+       |    FROM adc) s
+       |  WHERE srn <= $PQ_SHORTLIST
+       |), rescored AS (
+       |  SELECT s.query_id, s.vec_id,
+       |    ROUND(list_cosine_similarity(q.v, n.v) + 1e-12, 6) AS sim
+       |  FROM short s
+       |  JOIN e q ON q.vec_id = s.query_id
+       |  JOIN e n ON n.vec_id = s.vec_id
+       |)
+       |SELECT query_id, vec_id AS neighbor_id, sim, rn FROM (
+       |  SELECT *, ROW_NUMBER() OVER (
+       |    PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rn
+       |  FROM rescored) final
        |WHERE rn <= $TOP_K""".stripMargin
   }
 
@@ -1728,6 +1837,7 @@ object SimilarityJobs {
     "embedding_clusters" -> embeddingClusters,
     "ann_index_drift" -> annIndexDrift,
     "ann_index_retrained" -> annIndexRetrained,
+    "ann_ivf_pq_retrained" -> annIvfPqRetrained,
     "cluster_purity" -> clusterPurity,
     "embedding_outliers" -> embeddingOutliers,
     "semantic_dedup" -> semanticDedup)
@@ -1758,6 +1868,7 @@ object SimilarityJobs {
     "embedding_clusters" -> embeddingClustersSql,
     "ann_index_drift" -> annIndexDriftSql,
     "ann_index_retrained" -> annIndexRetrainedSql,
+    "ann_ivf_pq_retrained" -> annIvfPqRetrainedSql,
     "cluster_purity" -> clusterPuritySql,
     "embedding_outliers" -> embeddingOutliersSql,
     "semantic_dedup" -> semanticDedupSql)

@@ -97,6 +97,10 @@ object PlanAudit {
       "ann_index_retrained" -> (centroidCross +
         "; TWO of them because the retrain loop runs two C-bounded assigns -- the drift audit " +
         "against the established model and the serve against whichever model the vote picked"),
+      "ann_ivf_pq_retrained" -> (centroidCross +
+        "; the same two retrain-loop assigns (drift audit + vote-picked serve), feeding " +
+        "ann_ivf_pq_rerank's designed stages -- ADC joins on (query_id, s, code), exact cosine " +
+        "only on the shortlist, never all-pairs"),
       "embedding_clusters" -> centroidCross,
       "semantic_dedup" -> centroidCross,
       "semantic_dedup_from_artifact" -> ("CROSSes are the C-bounded LOADED-centroid broadcast assign " +

@@ -85,6 +85,23 @@ class SimilaritySpec extends SparkSpec {
       "vote fired -> serve must equal the full-corpus trained index")
   }
 
+  test("retrained IVF-PQ rerank equals the full-corpus trained rerank stack") {
+    // the PQ leg of the retrain loop: vote fired -> cells re-encode
+    // against the retrained centroids and the shortlist-rerank serve is
+    // bit-identical to probing a model trained on everything
+    val dir = sf("sf0.001")
+    val v = Similarity.withNorm(graft.io.Tables.embeddings(spark, dir),
+      $"vec_id", $"embedding")
+    val got = SimilarityJobs.annIvfPqRetrained(spark, dir)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val full = Similarity.ivfPqRerank(v,
+        graft.ops.Similarity.kmeansCentroids(v, 16, 2),
+        $"vec_id" < 20, nprobe = 4, m = 4, k = 16, dims = 64,
+        topK = 5, shortlist = 15)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(got == full)
+  }
+
   test("retrain vote: fires only on hot cells with positive quality drops") {
     def audit(rows: (Long, Long, Long, Long, Long, Boolean, Long)*) =
       rows.toSeq.toDF("cell", "n_est", "n_delta", "mean_est_ppm",
