@@ -825,6 +825,20 @@ object ArtifactJobs {
   def annIvfPqCompacted(spark: SparkSession, sfDir: String): DataFrame = {
     import SimilarityJobs._
     val v = SimilarityJobs.vectors(spark, sfDir)
+    val (cents, codebook, cells, codes) = ivfPqCompactedIdx(spark, sfDir, v)
+    Similarity.ivfPqRerankServed(v, cents, cells, codes, codebook,
+      col("vec_id") < N_QUERIES, nprobe = IVF_NPROBE, m = PQ_M,
+      dims = DIMS, topK = TOP_K, shortlist = PQ_SHORTLIST)
+  }
+
+  /** The compacted IVF×PQ index quadruple (centroids, codebook, cells,
+    * codes — the two data tables as single compacted parts) — shared by
+    * the compaction gate and [[annIndexErasure]], the lifecycle stage
+    * after it.
+    */
+  private def ivfPqCompactedIdx(spark: SparkSession, sfDir: String,
+      v: DataFrame): (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    import SimilarityJobs._
     val fp = vecsFp(sfDir)
     val established = col("vec_id") % 5 =!= 0
     def deltaChunk(c: Int) =
@@ -849,9 +863,45 @@ object ArtifactJobs {
       stored = codesOf(established),
       chunks = (0 until 3).map(c => codesOf(deltaChunk(c))),
       sortCols = Seq("vec_id", "s"))
-    Similarity.ivfPqRerankServed(v, cents, cells, codes, codebook,
-      col("vec_id") < N_QUERIES, nprobe = IVF_NPROBE, m = PQ_M,
-      dims = DIMS, topK = TOP_K, shortlist = PQ_SHORTLIST)
+    (cents, codebook, cells, codes)
+  }
+
+  /** ERASURE REACHES THE VECTOR INDEX — completes the serving-artifact
+    * erasure matrix ([[indexErasure]]: fingerprint index;
+    * [[cfErasure]]: CF sufficient statistics; here: the IVF×PQ
+    * cells/codes tables). The purge filters the vec_id % 29 == 7
+    * tombstone cohort out of BOTH compacted data tables and persists
+    * them as the new serving artifacts; the MODEL artifacts (seed
+    * centroids, seed codebook) stay frozen — they are trained
+    * parameters, not per-subject data rows, and model unlearning is the
+    * retrain pipeline's job ([[SimilarityJobs.annIvfPqRetrained]]).
+    * The serve answers rerank queries from the purged tables with the
+    * exact-rerank side reading only surviving full-precision vectors —
+    * a purged subject is unservable as query, candidate, or rerank
+    * lookup.
+    *
+    * Oracle: the rerank pipeline rebuilt with candidates and queries
+    * restricted to survivors
+    * ([[SimilarityJobs.annIvfPqRerankSurvivorsSql]]) — hash-equality
+    * proves purge-in-place ≡ rebuild-from-survivors (per-vector index
+    * rows commute with the filter under a frozen model). Cohort probed
+    * non-degenerate: vec 7 is a query (19×5 = 95 output rows, not 100)
+    * and ~1/29 of candidates drop at every SF.
+    */
+  def annIndexErasure(spark: SparkSession, sfDir: String): DataFrame = {
+    import SimilarityJobs._
+    val v = SimilarityJobs.vectors(spark, sfDir)
+    val fp = vecsFp(sfDir)
+    val survivor = col("vec_id") % 29 =!= 7
+    val (cents, codebook, cells, codes) = ivfPqCompactedIdx(spark, sfDir, v)
+    val purgedCells = persist(spark, "ivfpq_cells_purged", fp,
+      cells.filter(survivor))
+    val purgedCodes = persist(spark, "ivfpq_codes_purged", fp,
+      codes.filter(survivor))
+    Similarity.ivfPqRerankServed(v.filter(survivor), cents, purgedCells,
+      purgedCodes, codebook, col("vec_id") < N_QUERIES,
+      nprobe = IVF_NPROBE, m = PQ_M, dims = DIMS, topK = TOP_K,
+      shortlist = PQ_SHORTLIST)
   }
 
   /** Spec hook: the CF model RETRAINED from scratch on the surviving
@@ -880,6 +930,7 @@ object ArtifactJobs {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "index_erasure" -> indexErasure,
     "cf_erasure" -> cfErasure,
+    "ann_index_erasure" -> annIndexErasure,
     "image_index_compacted" -> imageIndexCompacted,
     "audio_index_compacted" -> audioIndexCompacted,
     "video_index_compacted" -> videoIndexCompacted,
@@ -908,6 +959,7 @@ object ArtifactJobs {
   val oracles: Map[String, String] = Map(
     "index_erasure" -> MultimodalJobs.imageNeardupSurvivorsSql,
     "cf_erasure" -> cfErasureSql,
+    "ann_index_erasure" -> SimilarityJobs.annIvfPqRerankSurvivorsSql,
     "image_index_compacted" -> MultimodalJobs.imageNeardupSql,
     "audio_index_compacted" -> MultimodalJobs.audioNeardupSql,
     "video_index_compacted" -> MultimodalJobs.videoNeardupSql,

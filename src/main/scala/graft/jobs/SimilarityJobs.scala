@@ -1170,7 +1170,14 @@ object SimilarityJobs {
     * code/distance-table CTEs; the ADC sum runs only over probed-cell
     * candidates. Integer micros end-to-end — hash-exact.
     */
-  val annIvfPqSql: String = {
+  /** The IVF×PQ ADC pipeline CTEs, parameterized over an optional
+    * survivor predicate (`AND ...` fragment on `e.vec_id`): the
+    * index-erasure oracle restricts the candidate cells AND the query
+    * side to the surviving cohort while the MODEL CTEs (cent, cb) stay
+    * derived from the full corpus — exactly the frozen-model-vs-data
+    * distinction the purged artifacts implement.
+    */
+  private def annIvfPqSqlWhere(survivors: String): String = {
     val sub = DIMS / PQ_M
     s"""WITH e AS (
        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
@@ -1185,10 +1192,11 @@ object SimilarityJobs {
        |), cells AS (
        |  SELECT e.vec_id, r.cent_id AS cell
        |  FROM e JOIN ranked r ON r.vec_id = e.vec_id AND r.rn = 1
+       |  WHERE 1 = 1$survivors
        |), probes AS (
        |  SELECT e.vec_id AS query_id, r.cent_id AS cell
        |  FROM e JOIN ranked r ON r.vec_id = e.vec_id AND r.rn <= $IVF_NPROBE
-       |  WHERE e.vec_id < $N_QUERIES
+       |  WHERE e.vec_id < $N_QUERIES$survivors
        |), sv AS (
        |  SELECT vec_id, s, v[s*$sub+1 : s*$sub+$sub] AS sv
        |  FROM e, (SELECT unnest(range(0, $PQ_M)) AS s) subs
@@ -1225,6 +1233,8 @@ object SimilarityJobs {
        |WHERE rn <= $TOP_K""".stripMargin
   }
 
+  val annIvfPqSql: String = annIvfPqSqlWhere("")
+
   private[jobs] val PQ_SHORTLIST = 3 * TOP_K
 
   /** [[Similarity.ivfPqRerank]]: the served billion-vector layout — the
@@ -1245,9 +1255,21 @@ object SimilarityJobs {
   /** Oracle: `ann_ivf_pq`'s CTEs with the ADC ranking truncated at the
     * shortlist depth, then the exact rounded-cosine re-rank.
     */
-  val annIvfPqRerankSql: String = {
-    val adcPrefix = annIvfPqSql
-      .substring(0, annIvfPqSql.indexOf("\n)\nSELECT"))
+  val annIvfPqRerankSql: String = rerankSqlOver(annIvfPqSql)
+
+  /** `ann_index_erasure`'s oracle ([[ArtifactJobs.annIndexErasure]]): the
+    * rerank pipeline rebuilt with candidate cells and queries restricted
+    * to the erasure survivors — the models (seed centroids, seed
+    * codebook) stay full-corpus, exactly as the frozen persisted
+    * artifacts do.
+    */
+  lazy val annIvfPqRerankSurvivorsSql: String =
+    rerankSqlOver(annIvfPqSqlWhere(" AND e.vec_id % 29 <> 7"))
+
+  /** Shortlist + exact-rerank tail over any ADC-pipeline SQL. */
+  private def rerankSqlOver(adcSql: String): String = {
+    val adcPrefix = adcSql
+      .substring(0, adcSql.indexOf("\n)\nSELECT"))
     s"""$adcPrefix
        |), short AS (
        |  SELECT query_id, vec_id FROM (

@@ -87,6 +87,10 @@ object PlanAudit {
       "ann_ivf_pq_from_artifact" -> ("CROSS is the C-bounded LOADED-centroid broadcast against the query subset only " +
         "(cells/codes/codebook come from storage, so no corpus-side assign stage exists); " +
         "ADC joins on (query_id, s, code) and exact cosine only on the shortlist -- never all-pairs"),
+      "ann_index_erasure" -> ("CROSS is the C-bounded PURGED-index centroid broadcast against the " +
+        "query subset (cells/codes are the purged single-part loads -- the ann_ivf_pq_from_artifact " +
+        "serve shape over survivor-filtered tables); ADC joins on (query_id, s, code) and exact " +
+        "cosine only on the shortlist -- never all-pairs"),
       "ann_ivf_pq_compacted" -> ("CROSS is the C-bounded COMPACTED-index centroid broadcast against the query subset " +
         "(cells/codes are single-part compacted loads, r15 -- the ann_ivf_pq_from_artifact serve shape unchanged); " +
         "ADC joins on (query_id, s, code) and exact cosine only on the shortlist -- never all-pairs"),

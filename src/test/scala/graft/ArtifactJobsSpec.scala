@@ -117,6 +117,38 @@ class ArtifactJobsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("ann index erasure: no purged vec in the purged tables or the serve; equals rebuild from survivors") {
+    import graft.ops.Similarity
+    val dir = sf("sf0.001")
+    val out = ArtifactJobs.annIndexErasure(spark, dir)
+      .as[(Long, Long, Double, Long)].collect()
+    // the purged serving tables hold no tombstone rows
+    val cells = spark.read.parquet(
+      ArtifactJobs.artifactPath("ivfpq_cells_purged"))
+    val codes = spark.read.parquet(
+      ArtifactJobs.artifactPath("ivfpq_codes_purged"))
+    assert(cells.filter($"vec_id" % 29 === 7).count() == 0 && cells.count() > 0)
+    assert(codes.filter($"vec_id" % 29 === 7).count() == 0)
+    // no purged id serves as query or neighbor; query 7 itself dropped
+    assert(out.forall(r => r._1 % 29 != 7 && r._2 % 29 != 7))
+    assert(out.map(_._1).distinct.length == 19)
+    // purge-in-place equals the in-line frozen-model rebuild on survivors
+    val v = Similarity.withNorm(graft.io.Tables.embeddings(spark, dir),
+      $"vec_id", $"embedding")
+    val vs = v.filter($"vec_id" % 29 =!= 7)
+    val cents = Similarity.seedCentroids(v, 16)
+    val codebook = Similarity.pqSeedCodebook(v, 4, 16, 64)
+    val expected = Similarity.ivfPqRerankServed(vs, cents,
+        Similarity.ivfCells(vs, cents),
+        Similarity.pqEncodeTriples(vs, codebook, 4, 64)
+          .select($"vec_id", $"s", $"code"),
+        codebook, $"vec_id" < 20, nprobe = 4, m = 4, dims = 64,
+        topK = 5, shortlist = 15)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(out.toSet == expected)
+    spark.catalog.clearCache()
+  }
+
   test("cf erasure: decremented counts equal retraining on the surviving log; lists genuinely change") {
     val dir = sf("sf0.001")
     val got = ArtifactJobs.cfErasure(spark, dir)
