@@ -120,6 +120,39 @@ object StreamingMultimodal {
         .write.mode("append").parquet(indexPath)
     }
 
+  /** STREAMING ERASURE of a served fingerprint index — the RTBF path
+    * that cannot wait for the next compaction: physically rewriting a
+    * 100 TB index per micro-batch would be the scale anti-pattern, so
+    * arriving tombstones land in a TINY side table and every serve
+    * reads the index through [[servedIndex]]'s broadcast anti-join — a
+    * purged id becomes unservable in the same micro-batch its tombstone
+    * lands. The PHYSICAL drop happens at the next compaction/purge pass
+    * ([[graft.jobs.ArtifactJobs]] `indexErasure` discipline); the
+    * tombstone table's row count is the deletion backlog — it
+    * outgrowing broadcast range means compaction is overdue, which is
+    * exactly the metric an erasure SLA monitors.
+    */
+  def tombstoneBatches(tombPath: String): (DataFrame, Long) => Unit =
+    (batch, _) => if (!batch.isEmpty) {
+      batch.select(col("doc_id")).dropDuplicates("doc_id")
+        .write.mode("append").parquet(tombPath)
+    }
+
+  /** The landed fingerprint index with pending tombstones masked out —
+    * what every screen/serve reads between compactions. The anti-join
+    * build side is the tombstone table (request-rate-bounded, never
+    * corpus-sized), explicitly broadcast.
+    */
+  def servedIndex(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, tombPath: String): DataFrame = {
+    val idx = spark.read.parquet(indexPath)
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(tombPath))) idx
+    else idx.join(
+      org.apache.spark.sql.functions.broadcast(
+        spark.read.parquet(tombPath).select(col("doc_id")).distinct()),
+      Seq("doc_id"), "left_anti")
+  }
+
   /** The AUDIO sibling of [[screenImages]]: each arriving clip is decoded
     * (`javax.sound`) and fingerprinted ([[Multimodal.audioFp63]])
     * in-flight, then Hamming-banded against the persisted corpus

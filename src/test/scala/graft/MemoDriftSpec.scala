@@ -58,6 +58,14 @@ class MemoDriftSpec extends SparkSpec {
       rows(graft.jobs.AnalyticsJobs.simListsForSpec(spark, dir)))
   }
 
+  test("cf_erasure (memoized output + persisted count artifacts) recomputes on an in-place events rewrite") {
+    // three memo layers share the fingerprint key here: the persisted
+    // cf_pair_counts/cf_item_sizes artifacts, and the :cf_erase-tagged
+    // output lists — a stale ANY of them would serve the old model
+    driftCheck("events", dir =>
+      rows(graft.jobs.ArtifactJobs.cfErasure(spark, dir)))
+  }
+
   test("jaccard truth pairs recompute when the documents parquet is rewritten in place") {
     driftCheck("documents", dir =>
       rows(graft.jobs.DedupJobs.jaccardTruthForSpec(spark, dir)))

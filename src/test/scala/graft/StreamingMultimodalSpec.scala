@@ -69,6 +69,67 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(expected.exists(_._3 > 0), "must include true near dups, not just exact")
   }
 
+  test("streaming index erasure: tombstoned ids vanish from the served index in-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.io.Tables.documents(spark, sf("sf0.001"))
+    val dir = java.nio.file.Files.createTempDirectory("imgfp_tomb").toString
+    val tomb = java.nio.file.Files.createTempDirectory("tombs").toString + "/t"
+    Multimodal.imageFingerprints(spark, docs.filter($"doc_id" < 200))
+      .write.mode("overwrite").parquet(dir)
+
+    // before any tombstone: served index = landed index
+    assert(StreamingMultimodal.servedIndex(spark, dir, tomb).count() == 200)
+
+    // two micro-batches of tombstones (the erasure_audit cohort + one
+    // extra id that participates in near-dup pairs)
+    val in = MemoryStream[Long]
+    val q = in.toDF().toDF("doc_id")
+      .writeStream.outputMode("append")
+      .foreachBatch(StreamingMultimodal.tombstoneBatches(tomb))
+      .start()
+    val cohort = (0L until 200L).filter(_ % 29 == 7)
+    try {
+      in.addData(cohort.take(3): _*)
+      q.processAllAvailable()
+      // purged ids are unservable the same batch their tombstone lands
+      val mid = StreamingMultimodal.servedIndex(spark, dir, tomb)
+        .select($"doc_id").as[Long].collect().toSet
+      assert(cohort.take(3).forall(id => !mid.contains(id)))
+      in.addData(cohort.drop(3): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // served index equals a batch rebuild over the survivors
+    val served = StreamingMultimodal.servedIndex(spark, dir, tomb)
+      .as[(Long, Long)].collect().toSet
+    val survivors = Multimodal.imageFingerprints(spark,
+        docs.filter($"doc_id" < 200 && $"doc_id" % 29 =!= 7))
+      .as[(Long, Long)].collect().toSet
+    assert(served == survivors)
+    // and a screen over the served index can never flag a purged id
+    val arrivals = Multimodal
+      .neardupImageAssets(spark, docs.filter($"doc_id" >= 60 && $"doc_id" < 100))
+      .collect()
+      .map(a => (a.asset_id, a.content, a.width, a.height, ts(a.asset_id)))
+    val sin = MemoryStream[(Long, Array[Byte], Int, Int, Timestamp)]
+    val sq = StreamingMultimodal.screenImages(
+        sin.toDF().toDF("asset_id", "content", "width", "height", "ts"),
+        "ts", "0 seconds",
+        StreamingMultimodal.servedIndex(spark, dir, tomb),
+        Dedup.Bands63, maxHamming = 3)
+      .writeStream.format("memory").queryName("stream_erased_screen")
+      .outputMode("append").start()
+    try {
+      sin.addData(arrivals.toSeq: _*)
+      sq.processAllAvailable()
+      val pairs = spark.table("stream_erased_screen")
+        .select($"asset_id", $"corpus_id").as[(Long, Long)].collect()
+      assert(pairs.nonEmpty)
+      assert(pairs.forall(_._2 % 29 != 7),
+        "a purged id surfaced from the served index")
+    } finally sq.stop()
+  }
+
   test("image index refresh: appended index equals a batch re-fingerprint; screen serves it") {
     implicit val sqlCtx = spark.sqlContext
     val docs = graft.io.Tables.documents(spark, sf("sf0.001"))
