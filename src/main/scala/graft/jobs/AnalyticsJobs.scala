@@ -2130,26 +2130,43 @@ object AnalyticsJobs {
     val base = perUser.crossJoin(broadcast(maxDay))
       .select(col("user_id"), (col("max_day") - col("last_day")).as("r_days"),
         col("f"), col("m_cents"))
-      .cache() // three rank passes + the final join read it
-    def rank(sortExpr: org.apache.spark.sql.Column, out: String): DataFrame = {
-      val b = base.select(col("user_id"), sortExpr.as("sk"))
-        .repartitionByRange(col("sk"), col("user_id"))
-        .withColumn("pid", spark_partition_id())
-        .cache() // the partitioner samples — pin one boundary cut
-      val offsets = b.groupBy(col("pid")).agg(count(lit(1)).as("part_n"))
-        .withColumn("part_offset", coalesce(sum(col("part_n")).over(
-          Window.orderBy(col("pid"))
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-        .select(col("pid"), col("part_offset"))
-      b.join(broadcast(offsets), "pid")
-        .withColumn(out, col("part_offset") +
-          row_number().over(Window.partitionBy(col("pid"))
-            .orderBy(col("sk").asc, col("user_id").asc)))
-        .select(col("user_id"), col(out))
-    }
-    base.join(rank(-col("r_days"), "r_rank"), "user_id")
-      .join(rank(col("f"), "f_rank"), "user_id")
-      .join(rank(col("m_cents"), "m_rank"), "user_id")
+      .cache() // the metric explode + the final join read it
+    // ONE distributed prefix-sum ranks all three metrics (r16): explode
+    // each user into (metric, sk) rows, range-partition by the COMPOSITE
+    // (metric, sk, user_id) — ranges are metric-major, so the global rank
+    // within metric m is grank − m·n_users (every user contributes one
+    // row per metric). Per-metric ordering (sk asc, user_id asc) is
+    // unchanged, so ranks — and therefore scores — are bit-identical to
+    // the previous three independent passes; the plan drops two range
+    // exchanges, two sampled-partitioner caches, two offset broadcasts,
+    // and two user_id joins (guide §2.4: share one exchange).
+    val tall = base.select(col("user_id"), explode(array(
+        struct(lit(0L).as("metric"), (-col("r_days")).as("sk")),
+        struct(lit(1L).as("metric"), col("f").as("sk")),
+        struct(lit(2L).as("metric"), col("m_cents").as("sk")))).as("m"))
+      .select(col("user_id"), col("m.metric").as("metric"),
+        col("m.sk").as("sk"))
+    val b = tall.repartitionByRange(col("metric"), col("sk"), col("user_id"))
+      .withColumn("pid", spark_partition_id())
+      .cache() // the partitioner samples — pin one boundary cut
+    val offsets = b.groupBy(col("pid")).agg(count(lit(1)).as("part_n"))
+      .withColumn("part_offset", coalesce(sum(col("part_n")).over(
+        Window.orderBy(col("pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("pid"), col("part_offset"))
+    val ranked = b.join(broadcast(offsets), "pid")
+      .withColumn("grank", col("part_offset") +
+        row_number().over(Window.partitionBy(col("pid"))
+          .orderBy(col("metric").asc, col("sk").asc, col("user_id").asc)))
+    val ranks = ranked.crossJoin(broadcast(nUsers))
+      .groupBy(col("user_id"))
+      .agg(
+        max(when(col("metric") === 0, col("grank"))).as("r_rank"),
+        (max(when(col("metric") === 1, col("grank"))) -
+          max(col("n_users"))).as("f_rank"),
+        (max(when(col("metric") === 2, col("grank"))) -
+          lit(2) * max(col("n_users"))).as("m_rank"))
+    base.join(ranks, "user_id")
       .crossJoin(broadcast(nUsers))
       .select(col("user_id"), col("r_days"), col("f"), col("m_cents"),
         expr("((r_rank - 1) * 5) div n_users + 1").as("r_score"),

@@ -975,6 +975,7 @@ object RelationalJobs {
     * (TakeOrderedAndProject), deterministic under ties by suppkey.
     */
   def q21LateSupplier(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val ord = Tables.orders(spark, sfDir)
       .select(col("o_orderkey"), col("o_orderdate"))
     val ol = Tables.lineitem(spark, sfDir)
@@ -984,18 +985,21 @@ object RelationalJobs {
       .agg(max(when(col("l_shipdate") >
         col("o_orderdate") + expr("INTERVAL 60 DAYS"), 1).otherwise(0))
         .as("late"))
-      .cache()
-    val lateOl = ol.filter(col("late") === 1)
-      .select(col("l_orderkey"), col("l_suppkey"))
-    val others = ol
-      .select(col("l_orderkey").as("o2_orderkey"), col("l_suppkey").as("o2_suppkey"))
-    val lateOthers = lateOl
-      .select(col("l_orderkey").as("o3_orderkey"), col("l_suppkey").as("o3_suppkey"))
-    val cand = lateOl
-      .join(others, col("l_orderkey") === col("o2_orderkey") &&
-        col("l_suppkey") =!= col("o2_suppkey"), "left_semi")
-      .join(lateOthers, col("l_orderkey") === col("o3_orderkey") &&
-        col("l_suppkey") =!= col("o3_suppkey"), "left_anti")
+    // EXISTS(other supplier) / NOT EXISTS(other LATE supplier) restated as
+    // per-order counts over the (okey, skey)-unique frame: with late ∈
+    // {0,1}, "another supplier exists" ⇔ n_supp ≥ 2 and "no OTHER late
+    // supplier" ⇔ n_late = 1 for a late row — row-for-row the semantics
+    // of the previous left-semi + left-anti self-join pair (guide §2.4:
+    // two operations keyed the same way share one exchange). The window
+    // key is the high-cardinality orderkey (the r4 low-cardinality rule
+    // does not apply) and rides the aggregation's existing okey-compatible
+    // partitioning, so the two self-join shuffles of the cached frame
+    // disappear outright — and so does the cache.
+    val w = Window.partitionBy(col("l_orderkey"))
+    val cand = ol
+      .withColumn("n_supp", count(lit(1)).over(w))
+      .withColumn("n_late", sum(col("late")).over(w))
+      .filter(col("late") === 1 && col("n_supp") >= 2 && col("n_late") === 1)
     val top = cand.groupBy(col("l_suppkey"))
       .agg(count(lit(1)).as("numwait"))
       .orderBy(col("numwait").desc, col("l_suppkey").asc)

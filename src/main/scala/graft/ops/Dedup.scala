@@ -1036,12 +1036,27 @@ object Dedup {
         row_number().over(wDoc.orderBy(col("gram_df").asc, col("gh").asc)))
       .withColumn("nn", count(lit(1)).over(wDoc))
     val prefix = ranked.filter(col("rk") <= prefixLen(col("nn"), tauNum, tauDen))
-      .select(col("doc_id"), col("block"), col("gh"))
+      .select(col("doc_id"), col("block"), col("gh"), col("rk"), col("nn"))
     val pa = prefix.alias("pa"); val pb = prefix.alias("pb")
+    // PPJoin's positional filter (Xiao et al. 2008), previously missing:
+    // both docs' gram lists are sorted by the same total order
+    // (gram_df asc, gh asc — global within a block), so a match at
+    // positions (rka, rkb) bounds the overlap by
+    // ub = 1 + min(na − rka, nb − rkb), and jaccard ≥ τ ⇔
+    // inter·(τn+τd) ≥ τn·(na+nb) — a row whose ub fails that bound cannot
+    // witness a qualifying pair. Row-level, integer-exact, LOSSLESS (a
+    // pair survives through any row that passes; r16 measured the τ=0.8
+    // gate generating 151k candidate pairs for a 20-pair result — the
+    // verify join was paying ~1.5 s re-intersecting pairs the positions
+    // already disqualified).
+    val ub = lit(1) +
+      least(col("pa.nn") - col("pa.rk"), col("pb.nn") - col("pb.rk"))
     val cand = pa.join(pb,
         col("pa.gh") === col("pb.gh") &&
           col("pa.block") === col("pb.block") &&
-          col("pa.doc_id") < col("pb.doc_id"))
+          col("pa.doc_id") < col("pb.doc_id") &&
+          ub * lit(tauNum + tauDen) >=
+            lit(tauNum) * (col("pa.nn") + col("pb.nn")))
       .select(col("pa.doc_id").as("doc_a"), col("pb.doc_id").as("doc_b"))
       .distinct()
     val sizes = e.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))

@@ -28,6 +28,18 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  // `ImageIO.read(InputStream)`/`write(..., OutputStream)` wrap their
+  // stream in a FileCache image stream by default: every tiny PNG
+  // encode/decode creates and deletes a TEMP FILE on disk. Measured
+  // (ProfileR16 micro, 5000 fixture tiles, 1 thread): encode 0.91 →
+  // 0.30 s, decode 0.52 → 0.08 s with the memory-cached streams — and
+  // under 32 concurrent tasks the temp-file churn also serializes on the
+  // filesystem, so the parallel decode stage was SLOWER than one thread.
+  // Process-global, set once per JVM at class load (executors load this
+  // object before any codec call); output bytes are identical — only the
+  // stream's backing buffer changes.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** A binary asset row: payload + the typed metadata a real pipeline
     * carries (media kind, declared dimensions, sample rate...).
     */
@@ -66,6 +78,41 @@ object Multimodal {
     * Stands in for audio/video (no codec libs in this container).
     */
   private def decodeStub(a: Asset): Array[Byte] = a.content
+
+  /** The id frame feeding the IMAGE payload-synthesis `mapPartitions`,
+    * spread over the session's full parallelism. The fixture's documents
+    * table is one parquet split at bench SFs, so without this the
+    * PNG synth+decode pass ran in ONE task (measured: the 32-core image
+    * fingerprint stage was SLOWER than a single driver thread). The
+    * shuffle moves 8-byte ids — the round-8 "decide with small rows, move
+    * big rows once" shape: ids are the small rows, and the heavy payload
+    * bytes are BORN downstream of the exchange, so they still never cross
+    * a shuffle. Partition count follows `defaultParallelism`
+    * (cluster-derived, not a constant), so the driver's lower-core bench
+    * run scales the same way.
+    *
+    * IMAGE ONLY, by measurement: PNG encode+decode through
+    * `javax.imageio` is expensive enough per row (~75 µs even
+    * memory-cached) to amortize the exchange; the WAV and RAWV synth
+    * paths are not — parallelizing them REGRESSED every audio/video query
+    * 1.5-2× in the registry bench (`javax.sound`'s per-call provider
+    * lookups contend across 32 tasks, and the extra 32-task stages tax
+    * every downstream job), so [[serialIds]] keeps those on the scan's
+    * own partitioning.
+    */
+  private def idRows(docs: DataFrame): Dataset[Long] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .repartition(spark.sparkContext.defaultParallelism)
+  }
+
+  /** The id frame on the scan's own partitioning — see [[idRows]]. */
+  private def serialIds(docs: DataFrame): Dataset[Long] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+  }
 
   private val PngMagic: Array[Byte] =
     Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte)
@@ -173,7 +220,7 @@ object Multimodal {
     */
   def audioAssets(spark: SparkSession, docs: DataFrame): Dataset[Asset] = {
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+    serialIds(docs).mapPartitions { it =>
       it.map { id =>
         val n = wavSamples(id)
         Asset(id, encodeWav(n, i => pixelValue(id, i, 0)),
@@ -190,7 +237,7 @@ object Multimodal {
     */
   def imageAssets(spark: SparkSession, docs: DataFrame): Dataset[Asset] = {
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+    idRows(docs).mapPartitions { it =>
       it.map { id =>
         val (w, h) = pngDims(id)
         Asset(id, encodePng(w, h, (x, y) => pixelValue(id, x, y)),
@@ -245,7 +292,7 @@ object Multimodal {
     */
   def neardupImageAssets(spark: SparkSession, docs: DataFrame): Dataset[Asset] = {
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+    idRows(docs).mapPartitions { it =>
       it.map { id =>
         val (w, h) = neardupDims(neardupBase(id))
         Asset(id, encodePng(w, h, (x, y) => neardupPixel(id, x, y)),
@@ -353,7 +400,7 @@ object Multimodal {
     */
   def neardupAudioAssets(spark: SparkSession, docs: DataFrame): Dataset[Asset] = {
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+    serialIds(docs).mapPartitions { it =>
       it.map { id =>
         val n = audioNeardupSamples(neardupBase(id))
         Asset(id, encodeWav(n, i => audioNeardupSample(id, i)),
@@ -481,7 +528,7 @@ object Multimodal {
     */
   def neardupVideoAssets(spark: SparkSession, docs: DataFrame): Dataset[Asset] = {
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+    serialIds(docs).mapPartitions { it =>
       it.map { id =>
         val base = neardupBase(id)
         val (w, h) = neardupDims(base)

@@ -178,10 +178,15 @@ class RelationalShapesSpec extends SparkSpec {
     assert(out("lineitem")._1 == brute)
   }
 
-  test("q21 plan composes LeftSemi and LeftAnti hash joins") {
+  test("q21 plan: per-order window, no self-joins (r16 restatement)") {
+    // The EXISTS/NOT-EXISTS pair is one window over the (okey, skey) agg:
+    // no LeftSemi/LeftAnti self-join of the frame remains, and the window
+    // partitions by the high-cardinality orderkey.
     val p = executedPlan(RelationalJobs.q21LateSupplier(spark, sf("sf0.001")))
-    assert(p.contains("LeftSemi"), s"expected LeftSemi in:\n$p")
-    assert(p.contains("LeftAnti"), s"expected LeftAnti in:\n$p")
+    assert(p.contains("windowspecdefinition(l_orderkey"),
+      s"expected per-orderkey window in:\n$p")
+    assert(!p.contains("LeftSemi"), s"unexpected LeftSemi in:\n$p")
+    assert(!p.contains("LeftAnti"), s"unexpected LeftAnti in:\n$p")
   }
 
   test("q2: winners are exactly the per-part min-cost suppliers, tie-inclusive") {
