@@ -61,8 +61,8 @@ object PlanAudit {
       "split_balance" -> ("CROSSes are the 1-row corpus-total broadcast (the mixture_plan pattern) and the " +
         "3-row split-literal x bucket-totals grid — both bounded model-sized frames, never corpus-sized"),
       "rfm_segments" -> ("CROSSes are the 1-row corpus-max-day and 1-row user-count broadcasts (the " +
-        "mixture_plan pattern), multiplied through the plan by the three prefix-sum rank joins — " +
-        "every build side is a 1-row aggregate, never corpus-sized"),
+        "mixture_plan pattern) through the fused metric-exploded prefix-sum rank (r16: one range " +
+        "exchange ranks all three metrics) — every build side is a 1-row aggregate, never corpus-sized"),
       "dedup_cluster_sizes" -> "CROSS is the 1-row family-total aggregate broadcast (the mixture_plan pattern)",
       "classifier_lift" -> ("CROSSes are 1-row model/total frames: the loaded Rocchio weights + midpoint " +
         "theta (quality_from_artifact's documented shape) plus the 1-row n_total/pos_total aggregate " +
