@@ -287,10 +287,16 @@ object DedupJobs {
   private val JACCARD_THRESHOLD = 0.35
 
   def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
-    val d = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("text"), col("lang").as("block"))
-    Dedup.jaccardPairs(d, JACCARD_N, JACCARD_THRESHOLD)
-      .select(col("doc_a"), col("doc_b"), col("inter"), col("jaccard"))
+    // slim handoff (r17): the compressed join's gram/membership caches
+    // were unmanaged and outlived the query for the JVM lifetime
+    val scope = graft.ops.CacheScope()
+    try {
+      val d = Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("text"), col("lang").as("block"))
+      Dedup.jaccardPairs(d, JACCARD_N, JACCARD_THRESHOLD, scope)
+        .select(col("doc_a"), col("doc_b"), col("inter"), col("jaccard"))
+        .eagerCheckpoint()
+    } finally scope.close()
   }
 
   /** τ for the prefix gate as the exact rational the filter needs:
@@ -400,9 +406,24 @@ object DedupJobs {
     * copies score ≈ 1 in one direction while their Jaccard stays small).
     */
   def docContainment(spark: SparkSession, sfDir: String): DataFrame = {
-    val d = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("text"), col("lang").as("block"))
-    Dedup.containmentPairs(d, JACCARD_N, CONT_THRESHOLD_PPM)
+    // slim handoff (r17): the distinct-gram cache was unmanaged and
+    // outlived the query for the JVM lifetime. The containment PREFIX
+    // fence ([[Dedup.containmentPairsPrefix]]) was built and measured
+    // this round and LOSES 11× here (1.34 → 14.96 s at sf0.1): at
+    // τ = 0.5 ppm on this dense small-vocab corpus the min-side prefix
+    // keeps ~half of every doc's grams, so prefix×full candidates ≈ all
+    // gram-sharing pairs plus the fence's own df-rank stages (the r12
+    // every-fence-has-a-losing-shape rule). The fence stays library +
+    // spec-pinned for containment-heavy Zipf shapes; the plain
+    // intersection join remains the registered plan at this operating
+    // point.
+    val scope = graft.ops.CacheScope()
+    try {
+      val d = Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("text"), col("lang").as("block"))
+      Dedup.containmentPairs(d, JACCARD_N, CONT_THRESHOLD_PPM, scope)
+        .eagerCheckpoint()
+    } finally scope.close()
   }
 
   /** Oracle: the Jaccard oracle's gram chain with both ppm
@@ -1033,10 +1054,18 @@ object DedupJobs {
     * suffix array. Cross-doc only by construction (window document
     * frequency ≥ 2); within-doc repetition is text_repetition's signal.
     */
-  def substringDupRate(spark: SparkSession, sfDir: String): DataFrame =
-    Dedup.substringDupRate(
-      Tables.documents(spark, sfDir).select(col("doc_id"), col("text")),
-      SUBSTR_W)
+  def substringDupRate(spark: SparkSession, sfDir: String): DataFrame = {
+    // slim handoff (r17): the per-(doc, window-hash) cache was unmanaged
+    // and outlived the query for the JVM lifetime — the r16 verdict also
+    // flagged this query's superlinear 8-core degradation as cache/memory
+    // pressure (§5); scoping bounds its footprint to the query's own run
+    val scope = graft.ops.CacheScope()
+    try Dedup.substringDupRate(
+        Tables.documents(spark, sfDir).select(col("doc_id"), col("text")),
+        SUBSTR_W, scope)
+      .eagerCheckpoint()
+    finally scope.close()
+  }
 
   /** Oracle restates the window-hash → document-frequency cascade; the
     * positional comprehension (no list_distinct) mirrors Spark's

@@ -1606,6 +1606,15 @@ object SimilarityJobs {
     * (TopNHotItems.java) applied to retrieval lists.
     */
   def rrfFusion(spark: SparkSession, sfDir: String): DataFrame = {
+    // slim handoff (r17): the corpus token cache was unmanaged and
+    // outlived the query for the JVM lifetime
+    val scope = graft.ops.CacheScope()
+    try rrfFusionCore(spark, sfDir, scope).eagerCheckpoint()
+    finally scope.close()
+  }
+
+  private def rrfFusionCore(spark: SparkSession, sfDir: String,
+      scope: graft.ops.CacheScope): DataFrame = {
     val v = vectors(spark, sfDir)
     val dense = Similarity
       .bruteForceTopK(v, v.filter(col("vec_id") < N_QUERIES), RRF_DEPTH)
@@ -1613,12 +1622,11 @@ object SimilarityJobs {
         col("rn").as("dense_rn"))
     // distinct ONCE on int hashes (round-3 set-semantics discipline);
     // cached: the query side and the posting side both read it
-    val toks = Tables.documents(spark, sfDir)
+    val toks = scope.cache(Tables.documents(spark, sfDir)
       .select(col("doc_id"),
         explode(graft.ops.TextAnalysis.tokens(lower(col("text")))).as("w"))
       .select(col("doc_id"), graft.ops.Dedup.md5Long(col("w")).as("th"))
-      .distinct()
-      .cache()
+      .distinct())
     val overlap = toks.filter(col("doc_id") < N_QUERIES)
       .select(col("doc_id").as("query_id"), col("th"))
       .join(toks, "th")

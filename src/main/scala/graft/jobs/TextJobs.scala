@@ -3509,34 +3509,54 @@ object TextJobs {
     * item_pagerank carries.
     */
   def textrankKeywords(spark: SparkSession, sfDir: String): DataFrame = {
+    // slim handoff (r17): the token and edge caches were unmanaged and
+    // outlived the query for the JVM lifetime; scope them, checkpoint the
+    // 20-row output, release
+    val scope = graft.ops.CacheScope()
+    try textrankCore(spark, sfDir, scope).eagerCheckpoint()
+    finally scope.close()
+  }
+
+  /** Spec/audit hook: the un-checkpointed textrank plan. */
+  private[graft] def textrankCore(spark: SparkSession, sfDir: String,
+      scope: graft.ops.CacheScope): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val clean = regexp_replace(lower(col("text")),
       TextAnalysis.stopwordPattern, " ")
-    // ONE tokenize scan feeds both pairing passes and the vocab map-back
-    // (r1-2 rule: cached, multi-consumed derived frame)
-    val toks = Tables.documents(spark, sfDir)
-      .select(regexp_extract_all(clean, lit("[a-z0-9]+"), lit(0)).as("l"))
-      .cache()
-    def pairsAt(k: Int) = {
-      val n = size(col("l"))
-      toks.filter(n > k)
-        .select(explode(arrays_zip(
-          slice(col("l"), lit(1), n - k),
-          slice(col("l"), lit(k + 1), n - k))).as("p"))
-        .select(col("p").getField("0").as("w1"), col("p").getField("1").as("w2"))
-    }
-    val e0 = pairsAt(1).unionAll(pairsAt(2))
-      .filter(col("w1") =!= col("w2"))
-      .select(least(hash60(col("w1")), hash60(col("w2"))).as("a"),
-        greatest(hash60(col("w1")), hash60(col("w2"))).as("b"))
+    // Hash-first pairing (r17, guide §2.3 "shuffle keys, not payloads" /
+    // r2 int-keys rule applied to the pair EXPLODE): tokens explode ONCE
+    // with their position and are md5-hashed ONCE EACH, then the window-2
+    // co-occurrence pairs come from two `lead`s over the (doc_id, pos)
+    // window — the pair lineage is all-int from birth. The r16 form
+    // zipped string pairs and hashed at the pair select (≥2 md5 per pair
+    // row ≈ 4 per token; this is 1 per token — ProfileR17 `tr` carries
+    // the measured both-ways numbers). The old `w1 <> w2` string guard is
+    // equivalent to the kept a <> b int guard (equal strings ⇒ equal
+    // hashes, and hash-collision pairs were dropped by a <> b anyway).
+    // ONE cached token frame feeds both the pairing window and the vocab
+    // map-back.
+    val t = scope.cache(Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        posexplode(regexp_extract_all(clean, lit("[a-z0-9]+"), lit(0)))
+          .as(Seq("pos", "w")))
+      .select(col("doc_id"), col("pos"), col("w"), hash60(col("w")).as("wh")))
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val nbr = t.select(col("wh"),
+      lead(col("wh"), 1).over(wDoc).as("n1"),
+      lead(col("wh"), 2).over(wDoc).as("n2"))
+    val e0 = scope.cache(nbr
+      .select(col("wh").as("h1"),
+        explode(array(col("n1"), col("n2"))).as("h2"))
+      .filter(col("h2").isNotNull)
+      .select(least(col("h1"), col("h2")).as("a"),
+        greatest(col("h1"), col("h2")).as("b"))
       .filter(col("a") =!= col("b")) // drop theoretical hash-collision loops
-      .distinct()
-      .cache() // both edge directions read it (r1-2 rule)
+      .distinct()) // both edge directions read it (r1-2 rule)
     val edges = e0.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(e0.select(col("b").as("src"), col("a").as("dst")))
-    val vocab = toks
-      .select(explode(col("l")).as("w"))
+    val vocab = t
+      .select(col("w"), col("wh"))
       .distinct() // vocab-sized final mapping — the legit token-keyed agg
-      .select(col("w"), hash60(col("w")).as("wh"))
     graft.ops.Graph.pageRank(edges, iters = TR_ITERS)
       .join(vocab, col("node") === col("wh"))
       .orderBy(col("r").desc, col("w").asc)

@@ -896,6 +896,88 @@ object Dedup {
         >= thresholdPpm)
   }
 
+  /** Containment-prefix length for the SMALLER side of a qualifying pair:
+    * p = n − ⌈τ·n⌉ + 1 with τ = ppm/10⁶ (integer-exact,
+    * ⌈τ·n⌉ = (ppm·n + 10⁶ − 1) div 10⁶). A pair clears
+    * max(inter/na, inter/nb) ≥ τ iff inter·10⁶ ≥ ppm·min(na, nb), so on
+    * the min side the first common gram sits within this prefix; the
+    * LARGER side gets no bound at all (a tiny doc fully quoted inside a
+    * huge one pins inter to the tiny size) and must join its FULL list.
+    */
+  def contPrefixLen(nn: Column, thresholdPpm: Long): Column =
+    nn - ((lit(thresholdPpm) * nn + lit(999999L))
+      .divide(lit(1000000L)).cast("long")) + 1
+
+  /** [[containmentPairs]] behind a lossless candidate fence — the
+    * asymmetric analogue of [[prefixCore]]'s probing/indexing split: the
+    * candidate join pairs each doc's FULL df-ranked gram list (pa, the
+    * would-be larger side) against only the [[contPrefixLen]] rarest
+    * grams of docs ranked (nn, doc_id)-lexicographically below it (pb,
+    * the min side). Proof a qualifying pair (s = min side, L = other,
+    * O = inter, qualification O·10⁶ ≥ ppm·n_s) survives: the first
+    * common gram in the shared (gram_df, gh) order has rank
+    * r_s ≤ n_s − O + 1 ≤ contPrefixLen(n_s) on s (O ≥ ⌈ppm·n_s/10⁶⌉) and
+    * is trivially in L's full list; its positional bound
+    * ub = 1 + min(n_L−r_L, n_s−r_s) ≥ O passes the integer test
+    * ub·10⁶ ≥ ppm·n_s. Exact set counts are then recomputed over the
+    * full gram sets for candidates only, so output ≡ [[containmentPairs]]
+    * bit-for-bit (the spec pins equality; the same oracle hash-checks).
+    *
+    * Candidate volume is Σ_g f(g)·pcnt(g) instead of Σ_g f(g)²/2 — the
+    * df ordering drops hot grams out of every min-side prefix, which is
+    * what fences the stop-gram f² zone the full intersection join pays.
+    * Corpus-shape-dependent like every prefix fence (measure before
+    * registering — the r12 rule).
+    */
+  def containmentPairsPrefix(df: DataFrame, n: Int, thresholdPpm: Long,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = scope.cache(explodedGrams(
+        df.select(col("doc_id"), col("block"), col("text")), n,
+        distinct = false)
+      .select(col("doc_id"), col("block"), md5Long(col("gram")).as("gh"))
+      .distinct())
+    val sizes = e.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+    val dfc = e.groupBy(col("block"), col("gh"))
+      .agg(count(lit(1)).as("gram_df"))
+    val wDoc = Window.partitionBy(col("doc_id"))
+    val ranked = scope.cache(e.join(dfc, Seq("block", "gh"))
+      .withColumn("rk",
+        row_number().over(wDoc.orderBy(col("gram_df").asc, col("gh").asc)))
+      .withColumn("nn", count(lit(1)).over(wDoc))
+      .select(col("doc_id"), col("block"), col("gh"), col("rk"), col("nn")))
+    val pMin = ranked.filter(col("rk") <= contPrefixLen(col("nn"), thresholdPpm))
+    val pa = ranked.alias("pa"); val pb = pMin.alias("pb")
+    val ub = lit(1) +
+      least(col("pa.nn") - col("pa.rk"), col("pb.nn") - col("pb.rk"))
+    val cand = pa.join(pb,
+        col("pa.gh") === col("pb.gh") &&
+          col("pa.block") === col("pb.block") &&
+          (col("pb.nn") < col("pa.nn") ||
+            (col("pb.nn") === col("pa.nn") &&
+              col("pb.doc_id") < col("pa.doc_id"))) &&
+          ub * lit(1000000L) >= lit(thresholdPpm) * col("pb.nn"))
+      .select(least(col("pa.doc_id"), col("pb.doc_id")).as("doc_a"),
+        greatest(col("pa.doc_id"), col("pb.doc_id")).as("doc_b"))
+      .distinct()
+    val inter = cand
+      .join(e.alias("ga"), col("ga.doc_id") === col("doc_a"))
+      .join(e.alias("gb"),
+        col("gb.doc_id") === col("doc_b") && col("gb.gh") === col("ga.gh"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n_grams", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n_grams", "nb"), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        expr("(inter * 1000000) div na").as("cont_ab_ppm"),
+        expr("(inter * 1000000) div nb").as("cont_ba_ppm"))
+      .filter(greatest(col("cont_ab_ppm"), col("cont_ba_ppm"))
+        >= thresholdPpm)
+  }
+
   /** Identity compression around any representative-level pairing core:
     * collapse identical whitespace-normalized contents to one
     * representative per (block, content) group, run `core` (which returns
@@ -979,17 +1061,19 @@ object Dedup {
     * fence for Zipf-vocabulary corpora — PPJoin/VernicaJoin family): order
     * each document's grams by ascending in-block document frequency
     * (tie-break on the gram hash — a deterministic total order both
-    * engines reproduce), and self-join ONLY each doc's prefix of the
-    * p = |d| − ceil(α·|d|) + 1 rarest grams, α = 2τ/(1+τ). Two sets with
-    * Jaccard ≥ τ must share a prefix gram, so candidate generation is
-    * LOSSLESS; exact Jaccard is then verified over the FULL gram sets
-    * restricted to candidates. The stop-gram f² zone never joins: a gram
-    * appears in a doc's prefix only while rarer than ~half the doc's
-    * grams, so high-df grams drop out of every prefix.
+    * engines reproduce), and join ONLY each doc's rarest-gram prefixes:
+    * the τ-prefix (p = |d| − ⌈τ·|d|⌉ + 1, [[tauPrefixLen]]) on one side
+    * against the α-prefix (α = 2τ/(1+τ), [[prefixLen]]) on the other,
+    * with the α side required to be the smaller set — the probing/indexing
+    * prefix split of PPJoin, LOSSLESS for all pair shapes including
+    * unequal sizes (the r16 symmetric α-join was not; proof at the join
+    * site in [[prefixCore]]). Exact Jaccard is then verified over the FULL
+    * gram sets restricted to candidates. The stop-gram f² zone never
+    * joins: a gram appears in a doc's prefixes only while rarer than
+    * ~(1−τ) of the doc's grams, so high-df grams drop out of every prefix.
     *
     * τ is passed as the exact rational tauNum/tauDen so the prefix length
-    * is pure integer arithmetic (ceil(α·n) = (2·num·n + num + den − 1)
-    * div (num + den)) — engine-exact, no float-boundary drift.
+    * is pure integer arithmetic — engine-exact, no float-boundary drift.
     *
     * Cost shape: best when gram df is skewed (real corpora) and τ is high;
     * on dense low-τ data the candidate set approaches all-pairs and the
@@ -1007,6 +1091,19 @@ object Dedup {
   def prefixLen(nn: Column, tauNum: Int, tauDen: Int): Column =
     nn - ((lit(2 * tauNum) * nn + lit(tauNum + tauDen - 1))
       .divide(lit(tauNum + tauDen)).cast("long")) + 1
+
+  /** τ-prefix (PPJoin's PROBING prefix) p = n − ⌈τ·n⌉ + 1, τ = num/den:
+    * the length the LARGER record of an unequal-size pair needs. The α
+    * mid-prefix ([[prefixLen]]) is only guaranteed to contain a common
+    * gram of the SMALLER side — jaccard ≥ τ gives overlap ≥ ⌈τ·max⌉ and
+    * ≥ ⌈α·min⌉, but NOT ≥ α·max (r16 advice: a τ=1/2 containment pair
+    * na=6/nb=3 with the 3 common grams last in the larger doc's order
+    * qualifies yet has no common gram in the larger doc's α-prefix).
+    * Integer-exact like [[prefixLen]].
+    */
+  def tauPrefixLen(nn: Column, tauNum: Int, tauDen: Int): Column =
+    nn - ((lit(tauNum) * nn + lit(tauDen - 1))
+      .divide(lit(tauDen)).cast("long")) + 1
 
   def jaccardPairsPrefix(
       df: DataFrame, n: Int, tauNum: Int, tauDen: Int,
@@ -1035,29 +1132,43 @@ object Dedup {
       .withColumn("rk",
         row_number().over(wDoc.orderBy(col("gram_df").asc, col("gh").asc)))
       .withColumn("nn", count(lit(1)).over(wDoc))
-    val prefix = ranked.filter(col("rk") <= prefixLen(col("nn"), tauNum, tauDen))
-      .select(col("doc_id"), col("block"), col("gh"), col("rk"), col("nn"))
-    val pa = prefix.alias("pa"); val pb = prefix.alias("pb")
-    // PPJoin's positional filter (Xiao et al. 2008), previously missing:
-    // both docs' gram lists are sorted by the same total order
-    // (gram_df asc, gh asc — global within a block), so a match at
-    // positions (rka, rkb) bounds the overlap by
-    // ub = 1 + min(na − rka, nb − rkb), and jaccard ≥ τ ⇔
-    // inter·(τn+τd) ≥ τn·(na+nb) — a row whose ub fails that bound cannot
-    // witness a qualifying pair. Row-level, integer-exact, LOSSLESS (a
-    // pair survives through any row that passes; r16 measured the τ=0.8
-    // gate generating 151k candidate pairs for a 20-pair result — the
-    // verify join was paying ~1.5 s re-intersecting pairs the positions
-    // already disqualified).
+    // PPJoin's probing/indexing prefix split (Xiao et al. 2008), replacing
+    // the r16 symmetric α-prefix join that was LOSSY at boundary
+    // unequal-size pairs (r16 advice; see [[tauPrefixLen]]). Proof that
+    // every qualifying pair (x, y) survives: let s be the (nn, doc_id)-
+    // lexicographically smaller side, L the other, O = |x ∩ y| and
+    // t = ⌈τ/(1+τ)·(n_s+n_L)⌉ so jaccard ≥ τ ⇔ O ≥ t. The FIRST common
+    // gram g* in the shared (gram_df, gh) total order has all O common
+    // grams at-or-after it in BOTH lists, so its ranks satisfy
+    // r_L ≤ n_L − O + 1 ≤ n_L − ⌈τ·n_L⌉ + 1   (O ≥ τ(n_s+n_L−O) ≥ τ·n_L)
+    // r_s ≤ n_s − O + 1 ≤ n_s − ⌈α·n_s⌉ + 1   (O ≥ τ/(1+τ)(n_s+n_L) ≥ α·n_s)
+    // i.e. g* is in L's τ-prefix (pa) and s's α-prefix (pb), and its
+    // positional bound ub = 1 + min(n_L−r_L, n_s−r_s) ≥ O passes the
+    // integer-exact test ub·(τn+τd) ≥ τn·(na+nb) ⇔ (bound on) jaccard ≥ τ.
+    // The row (pa = L, pb = s) therefore always exists and passes every
+    // predicate — candidate generation is lossless; the full-set verify
+    // below restores exactness. The positional filter also SUBSUMES the
+    // per-pair optimum (it implies the min side sits within its α-prefix
+    // and the length filter min·τd ≥ max·τn), so no separate length
+    // predicate is needed. Join volume is Σ_g τcnt(g)·αcnt(g) — ~1.8× the
+    // old lossy α² at τ=0.8 before filtering, the price of correctness.
+    val pTau = scope.cache(
+      ranked.filter(col("rk") <= tauPrefixLen(col("nn"), tauNum, tauDen))
+        .select(col("doc_id"), col("block"), col("gh"), col("rk"), col("nn")))
+    val pAlpha = pTau.filter(col("rk") <= prefixLen(col("nn"), tauNum, tauDen))
+    val pa = pTau.alias("pa"); val pb = pAlpha.alias("pb")
     val ub = lit(1) +
       least(col("pa.nn") - col("pa.rk"), col("pb.nn") - col("pb.rk"))
     val cand = pa.join(pb,
         col("pa.gh") === col("pb.gh") &&
           col("pa.block") === col("pb.block") &&
-          col("pa.doc_id") < col("pb.doc_id") &&
+          (col("pb.nn") < col("pa.nn") ||
+            (col("pb.nn") === col("pa.nn") &&
+              col("pb.doc_id") < col("pa.doc_id"))) &&
           ub * lit(tauNum + tauDen) >=
             lit(tauNum) * (col("pa.nn") + col("pb.nn")))
-      .select(col("pa.doc_id").as("doc_a"), col("pb.doc_id").as("doc_b"))
+      .select(least(col("pa.doc_id"), col("pb.doc_id")).as("doc_a"),
+        greatest(col("pa.doc_id"), col("pb.doc_id")).as("doc_b"))
       .distinct()
     val sizes = e.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
     val inter = cand

@@ -37,13 +37,27 @@ object Similarity {
   def cosine(va: Column, na: Column, vb: Column, nb: Column): Column =
     round(dot(va, vb) / (na * nb) + lit(1e-12), 6)
 
+  /** Spread a frame to the cluster's parallelism ONLY when its scan is
+    * narrower (guide §2.5: repartition after a non-splittable read). The
+    * vectors table is one parquet split at bench SFs, so every stage that
+    * streams it — the brute-force quadratic loop in particular — otherwise
+    * runs in ONE task with every other core idle (r17: knn_classify's
+    * 8-core/32-core ratio measured 0.96). At scale the scan has ≥ cores
+    * splits and this is the identity — no shuffle is added where the
+    * layout already parallelizes, so nothing is tuned to local[32].
+    */
+  private def spreadIfNarrow(df: DataFrame): DataFrame = {
+    val want = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < want) df.repartition(want) else df
+  }
+
   /** Exact top-k neighbors for each query vector (brute force).
     * Output (query_id, neighbor_id, sim, rn).
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val q = broadcast(queries
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qn")))
-    val scored = corpus.join(q, col("query_id") =!= col("vec_id"))
+    val scored = spreadIfNarrow(corpus).join(q, col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         cosine(col("qv"), col("qn"), col("v"), col("norm")).as("sim"))
     TopN.topNPer(scored, col("query_id"), col("sim"), col("neighbor_id"), k)

@@ -144,6 +144,53 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.jaccardPairsPrefix(docs, 2, 7, 20).count() == 0)
   }
 
+  test("prefix join emits the boundary unequal-size containment pair (r16 advice)") {
+    // τ = 1/2, na = 6 bigrams, nb = 3 bigrams, doc 2 fully contained in
+    // doc 1: jaccard = 3/(6+3−3) = 0.5 = τ exactly. Doc 1's unique bigrams
+    // have df 1 and the 3 shared ones df 2, so the df ordering puts ALL
+    // common grams LAST in doc 1's list — the r16 symmetric α-prefix
+    // (p₁ = 6−⌈(2/3)·6⌉+1 = 3) contained no common gram and silently
+    // dropped the pair. The τ×α probing/indexing split must emit it.
+    val docs = Seq(
+      (1L, "u1 u2 u3 u4 c1 c2 c3", "en"),
+      (2L, "u4 c1 c2 c3", "en"))
+      .toDF("doc_id", "text", "block")
+    val got = Dedup.jaccardPairsPrefix(docs, 2, 1, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(got.toSeq == Seq((1L, 2L, 3L, 0.5)))
+    // and it matches the fence-free all-pairs semantics exactly
+    val plain = Dedup.jaccardPairs(docs, 2, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(plain.toSeq == got.toSeq)
+  }
+
+  test("containment prefix fence is bit-identical to the plain intersection join") {
+    // real-data equality (driver-shaped sf0.001 corpus) at the registered
+    // operating point τ = 0.5 ppm ...
+    val d = spark.read.parquet(s"${sf("sf0.001")}/documents.parquet")
+      .select($"doc_id", $"text", $"lang".as("block"))
+    val plain = Dedup.containmentPairs(d, 2, 500000L)
+      .orderBy($"doc_a", $"doc_b").collect().toSeq
+    val fenced = Dedup.containmentPairsPrefix(d, 2, 500000L)
+      .orderBy($"doc_a", $"doc_b").collect().toSeq
+    assert(plain.nonEmpty && plain == fenced)
+    // ... and on the adversarial boundary shape: a tiny doc fully quoted
+    // inside a big one whose shared grams sort LAST in the big doc's
+    // df-order (the big side has NO prefix bound — it must join its full
+    // list; a symmetric prefix would drop the pair)
+    val adversarial = Seq(
+      (1L, "u1 u2 u3 u4 u5 u6 u7 u8 u9 c1 c2 c3", "en"),
+      (2L, "c1 c2 c3", "en")) // 2 bigrams, both inside doc 1
+      .toDF("doc_id", "text", "block")
+    val p2 = Dedup.containmentPairs(adversarial, 2, 500000L)
+      .orderBy($"doc_a", $"doc_b").collect().toSeq
+    val f2 = Dedup.containmentPairsPrefix(adversarial, 2, 500000L)
+      .orderBy($"doc_a", $"doc_b").collect().toSeq
+    assert(p2.nonEmpty && p2 == f2)
+  }
+
   test("decontamination flags duplicated docs that cross the hash split") {
     // doc_id 8 hashes to 'test', 0-7 and 9 to 'train' (md5 % 100 buckets);
     // make 8 a verbatim copy of 1 — the canonical eval→train leak. Identical
