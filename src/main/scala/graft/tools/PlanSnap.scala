@@ -13,6 +13,11 @@ import org.apache.spark.sql.SparkSession
 object PlanSnap {
   def main(args: Array[String]): Unit = {
     require(args.length >= 3, "usage: PlanSnap <outDir> <tag> <query>...")
+    // r16 verdict item: without plan-only mode, eager-checkpointed
+    // (slim-handoff) queries EXECUTE their pipeline during plan
+    // construction and the captured plan is a single ExistingRDD scan —
+    // no lineage, vacuous evidence. Mirror PlanAudit.
+    graft.ops.Eager.planOnly = true
     val outDir = Paths.get(args(0)); val tag = args(1)
     val names = args.drop(2).toSeq
     Files.createDirectories(outDir)
@@ -27,11 +32,16 @@ object PlanSnap {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // SPARK_GRAFT_PLAN_MODE=simple shows the *(n) WholeStageCodegen span
+    // markers FormattedMode omits (the r17 codegen-coverage evidence).
+    val mode = sys.env.getOrElse("SPARK_GRAFT_PLAN_MODE", "formatted") match {
+      case "simple" => org.apache.spark.sql.execution.SimpleMode
+      case _ => org.apache.spark.sql.execution.FormattedMode
+    }
     names.foreach { name =>
       spark.catalog.clearCache()
       val df = graft.SparkEntry.queries(name)(spark, sfDir)
-      val txt = df.queryExecution.explainString(
-        org.apache.spark.sql.execution.FormattedMode)
+      val txt = df.queryExecution.explainString(mode)
       Files.write(outDir.resolve(s"${name}_$tag.txt"),
         txt.getBytes(StandardCharsets.UTF_8))
       println(s"[plansnap] wrote ${name}_$tag.txt (${txt.length} chars)")

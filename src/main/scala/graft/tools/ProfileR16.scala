@@ -51,7 +51,13 @@ object ProfileR16 {
         println(f"[profile] $label%-45s ${(System.nanoTime() - t0) / 1e9}%7.3f s")
       }
       import graft.ops.Multimodal
-      micro("png encode x5000 (cache default)") {
+      // The first body below touches Multimodal, whose object init runs
+      // ImageIO.setUseCache(false) — so "cache default" would silently
+      // measure the memory-cached path (r16 advice). Force the JDK
+      // default (true) explicitly for the baseline legs.
+      Multimodal.neardupDims(0) // trigger object init BEFORE the baseline
+      javax.imageio.ImageIO.setUseCache(true)
+      micro("png encode x5000 (JDK default, disk cache)") {
         (0 until 5000).foreach { id =>
           val base = id / 8
           val (w, h) = Multimodal.neardupDims(base)
@@ -64,7 +70,7 @@ object ProfileR16 {
         (id, w, h,
           Multimodal.encodePng(w, h, (x, y) => Multimodal.neardupPixel(id, x, y)))
       }
-      micro("png decode x5000 (ImageIO.read, cache default)") {
+      micro("png decode x5000 (ImageIO.read, JDK default)") {
         pngs.foreach { case (_, _, _, b) =>
           javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
         }
@@ -82,7 +88,10 @@ object ProfileR16 {
           javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
         }
       }
-      javax.imageio.ImageIO.setUseCache(true)
+      // restore the PRODUCTION setting (false — Multimodal's init), not
+      // the JDK default: groups profiled after micro must measure the
+      // configuration the engine actually runs (r16 advice).
+      javax.imageio.ImageIO.setUseCache(false)
     }
 
     if (groups("image")) {
