@@ -69,9 +69,14 @@ object SimilarityJobs {
     * scale path is the declared query (the all-pairs form stays in the
     * library as `Similarity.nearDupPairs`, the small-scale baseline).
     */
-  def embeddingNeardup(spark: SparkSession, sfDir: String): DataFrame =
-    Similarity.nearDupPairsBlocked(vectors(spark, sfDir), NEARDUP_THRESHOLD,
-      planes = PLANES, dims = DIMS)
+  def embeddingNeardup(spark: SparkSession, sfDir: String): DataFrame = {
+    // slim handoff (r17): the bucketed-vector cache was unmanaged
+    val scope = graft.ops.CacheScope()
+    try Similarity.nearDupPairsBlocked(vectors(spark, sfDir),
+        NEARDUP_THRESHOLD, planes = PLANES, dims = DIMS, scope = scope)
+      .eagerCheckpoint()
+    finally scope.close()
+  }
 
   val embeddingNeardupSql: String =
     s"""WITH e AS (
@@ -89,9 +94,15 @@ object SimilarityJobs {
        |      >= $NEARDUP_THRESHOLD""".stripMargin
 
   /** LSH-bucketed ANN (scale path). */
-  def annLsh(spark: SparkSession, sfDir: String): DataFrame =
-    Similarity.lshTopK(vectors(spark, sfDir), planes = PLANES, k = TOP_K,
-      dims = DIMS)
+  def annLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    // slim handoff (r17): the bucketed-vector cache was unmanaged and
+    // outlived the query for the JVM lifetime
+    val scope = graft.ops.CacheScope()
+    try Similarity.lshTopK(vectors(spark, sfDir), planes = PLANES,
+        k = TOP_K, dims = DIMS, scope = scope)
+      .eagerCheckpoint()
+    finally scope.close()
+  }
 
   /** Exact DuckDB restatement of the sign-LSH top-k: bucket assignment,
     * hamming-1 multi-probe, and the cosine rank are all reproducible — no

@@ -75,12 +75,18 @@ object Similarity {
   def nearDupPairsBlocked(
       vectors: DataFrame, threshold: Double, planes: Int, dims: Int,
       scope: CacheScope = CacheScope.unmanaged): DataFrame = {
-    val withBucket = scope.cache(vectors
+    // same spread + broadcast-below-regime-limit shape as [[lshTopK]]
+    // (see [[LshBroadcastMaxRows]]) — the bucket equi-join stays the
+    // corpus-scale plan
+    val withBucket = scope.cache(spreadIfNarrow(vectors)
       .withColumn("bucket", lshBucket(col("v"), planes, dims)))
+    val bcast = !Eager.planOnly && withBucket.count() <= LshBroadcastMaxRows
     val probes = withBucket.withColumn("probe",
       explode(array((lit(0) +: (0 until planes).map(j => lit(1 << j))): _*)))
       .withColumn("probe", col("bucket").bitwiseXOR(col("probe")))
-    val a = probes.alias("a"); val b = withBucket.alias("b")
+    val a = probes.alias("a")
+    val b = if (bcast) broadcast(withBucket.alias("b"))
+      else withBucket.alias("b")
     // each qualifying pair matches on exactly one probe value, so no
     // distinct is needed — multiplicity is 1 by construction
     a.join(b, col("a.probe") === col("b.bucket") &&
@@ -364,15 +370,39 @@ object Similarity {
     * the recall lost to sign boundaries while keeping the join an equi-join
     * on bucket (candidates ≈ (planes+1)/2^planes of the corpus per query).
     */
+  /** Corpora at or below this row count broadcast their bucketed frame
+    * into the LSH candidate join (≈512 MB of 64-dim doubles at the
+    * limit — well under the 8 GB broadcast cap); larger corpora keep the
+    * bucket equi-join (the scale path). Regime selection by ONE count of
+    * the already-cached frame (the r8 union-find precedent): with only
+    * 2^planes distinct bucket values, the equi-join's exchange hashes a
+    * handful of key values onto the shuffle partitions (guide §2.5's
+    * too-few-distinct-keys trap) — at bench scale the broadcast join
+    * removes both that exchange and its skew (measured 2.73 → 0.86 s at
+    * sf0.1), while at corpus scale the bucket count grows with `planes`
+    * and the equi-join is the only shape that doesn't ship the corpus to
+    * every executor.
+    */
+  private val LshBroadcastMaxRows = 1000000L
+
   def lshTopK(vectors: DataFrame, planes: Int, k: Int, dims: Int = 64,
       scope: CacheScope = CacheScope.unmanaged): DataFrame = {
-    // bucketed corpus is read by both self-join sides — cache the tiny frame
+    // bucketed corpus is read by both self-join sides — cache the tiny
+    // frame; spread first so the bucket/cosine arithmetic parallelizes
+    // off a 1-split scan
     val withBucket = scope.cache(
-      vectors.withColumn("bucket", lshBucket(col("v"), planes, dims)))
+      spreadIfNarrow(vectors)
+        .withColumn("bucket", lshBucket(col("v"), planes, dims)))
+    // the count doubles as the cache materialization the join needs
+    // anyway; under plan-only auditing nothing may execute, so the audit
+    // sees the corpus-scale (equi-join) shape
+    val bcast = !Eager.planOnly && withBucket.count() <= LshBroadcastMaxRows
     val probes = withBucket.withColumn("probe",
       explode(array((lit(0) +: (0 until planes).map(j => lit(1 << j))): _*)))
       .withColumn("probe", col("bucket").bitwiseXOR(col("probe")))
-    val a = probes.alias("a"); val b = withBucket.alias("b")
+    val a = probes.alias("a")
+    val b = if (bcast) broadcast(withBucket.alias("b"))
+      else withBucket.alias("b")
     // each (query, neighbor) candidate matches on exactly one probe value
     // (the probe set {bucket^p} is pairwise distinct and b's bucket is
     // fixed), so multiplicity is 1 by construction — no distinct, which
