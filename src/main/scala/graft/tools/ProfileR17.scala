@@ -185,6 +185,25 @@ object ProfileR17 {
       }
     }
 
+    if (groups("nj")) {
+      println("== ngram_jaccard: unmanaged-lazy vs scoped+checkpoint ==")
+      def d() = docs()
+        .select(col("doc_id"), col("text"), col("lang").as("block"))
+      time("nj: r16 form (unmanaged caches, lazy count)") {
+        graft.ops.Dedup.jaccardPairs(d(), 2, 0.35)
+          .select(col("doc_a"), col("doc_b"), col("inter"), col("jaccard"))
+      }
+      time("nj: registered (scoped + eager checkpoint)") {
+        graft.jobs.DedupJobs.ngramJaccard(spark, sfDir)
+      }
+      time("nj: scoped, no checkpoint (caches live at count)") {
+        val scope = graft.ops.CacheScope()
+        try graft.ops.Dedup.jaccardPairs(d(), 2, 0.35, scope)
+          .select(col("doc_a"), col("doc_b"), col("inter"), col("jaccard"))
+        finally () // left open on purpose for the measurement
+      }
+    }
+
     if (groups("njp")) {
       println("== ngram_jaccard_prefix (τ×α core) ==")
       time("njp: full ngram_jaccard_prefix") {
